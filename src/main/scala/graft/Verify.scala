@@ -14,11 +14,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark) // nanos-as-long, UTC, µs parquet timestamps
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Dump TIMESTAMP as NTZ: session tz is UTC so the wall-clock value is
+        // unchanged, but the parquet file loses isAdjustedToUTC — matching the
+        // naive timestamps the DuckDB oracle computes (otherwise every
+        // timestamp column hash-mismatches on tz-awareness alone).
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+                .cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => d
+          }
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

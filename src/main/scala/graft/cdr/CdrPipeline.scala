@@ -1,0 +1,117 @@
+package graft.cdr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's CDR enrichment operators (SURVEY §2) as composable, pure
+  * `DataFrame => DataFrame` transforms — the same logical pipeline runs in
+  * batch (DuckDB-oracle mode) and Structured Streaming (graft.streaming).
+  *
+  * Scale notes (100 TB):
+  *  - Both enrichment joins keep the *fact* side shuffle-free: the dimensions
+  *    (`imsi_msisdn`, `ms_ip_exploded`) are bounded lookup tables
+  *    (reference caches them at 100/1000 rows, flink.conf:37-48) and are
+  *    `broadcast()` here, so J1–J4 lower to BroadcastHashJoin — no exchange
+  *    on the CDR stream. If a dimension ever outgrows the broadcast
+  *    threshold, drop the hint and Catalyst falls back to shuffled hash; the
+  *    range predicate of J3/J4 stays a post-join filter either way.
+  *  - The only shuffle in the whole pipeline is the argmax dedup (A1/A2),
+  *    keyed by `unique_cdr_id` — exactly where the reference shuffles too
+  *    (its keyBy, EnrichmentApp.java:146). Key cardinality ~ |CDRs|, values
+  *    per key are the explode×join fan-out (small, bounded by IPs×sessions),
+  *    so there is no skew hazard; AQE handles stragglers.
+  *  - explode (T2) is a narrow op; the F1 empty-token filter runs before the
+  *    join so dead rows never reach the shuffle.
+  */
+object CdrPipeline {
+
+  /** Final sink schema (EnrichmentAppWithoutExplode.java:181-202; prod
+    * variant: `event_date` is a STRING via DATE_FORMAT). */
+  val sinkColumns: Seq[String] = Seq(
+    "start_time", "measuring_probe_name", "imsi", "msisdn",
+    "ms_ip_address", "unique_cdr_id", "event_date", "probe")
+
+  /** P2+P3: derive partition columns `event_date` (string, prod contract) and
+    * `probe` (EnrichmentAppWithoutExplode.java:204-212). */
+  def extendWithPartitionCols(src: DataFrame): DataFrame =
+    src
+      .withColumn("event_date", date_format(col("start_time"), "yyyy-MM-dd"))
+      .withColumn("probe", substring(col("measuring_probe_name"), 1, 2))
+
+  /** T2+F1: explode the ;-delimited IP list; empty tokens (from leading /
+    * trailing separators) are dropped (EnrichmentApp.java:225-233). The
+    * reference needs a UDTF (`Split`, EnrichmentApp.java:364-374); Spark's
+    * built-in generator expression covers it. */
+  def explodeIps(df: DataFrame): DataFrame =
+    df.withColumn("ip", explode(split(trim(col("ms_ip_address")), ";")))
+      .withColumn("ip", trim(col("ip")))
+      .filter(col("ip") =!= "")
+
+  /** J1/J2 + P6: subscriber lookup join on `imsi` with coalesce-merge
+    * (EnrichmentApp.java:300-318, EnrichmentAppWithoutExplode.java:275-293).
+    * Stream-static semantics: the static side is (re)read per micro-batch ⇒
+    * as-of-processing-time, matching FOR SYSTEM_TIME AS OF proc_time. */
+  def lookupEnrich(src: DataFrame, imsiMsisdn: DataFrame, joinType: String): DataFrame = {
+    val dim = imsiMsisdn.select(col("imsi").as("_imsi"), col("msisdn").as("_msisdn"))
+    src.join(broadcast(dim), src("imsi") === dim("_imsi"), joinType)
+      .withColumn("imsi", coalesce(col("_imsi"), col("imsi")))
+      .withColumn("msisdn", coalesce(col("_msisdn"), col("msisdn")))
+      .drop("_imsi", "_msisdn")
+  }
+
+  /** J3/J4 + P6: IP-session enrichment — composite equi keys (probe, ip) plus
+    * the temporal range predicate `src.start_time >= dim.start_time`
+    * (EnrichmentApp.java:320-340). Keeps `ip` and `_start_time` for the
+    * downstream argmax dedup (A1), mirroring the reference's column flow. */
+  def rangeEnrich(srcExploded: DataFrame, msIpExploded: DataFrame, joinType: String): DataFrame = {
+    val dim = msIpExploded.select(
+      col("start_time").as("_start_time"), col("imsi").as("_imsi"),
+      col("msisdn").as("_msisdn"), col("probe").as("_probe"), col("ip").as("_ip"))
+    val cond = srcExploded("probe") === dim("_probe") &&
+      srcExploded("ip") === dim("_ip") &&
+      srcExploded("start_time") >= dim("_start_time")
+    srcExploded.join(broadcast(dim), cond, joinType)
+      .withColumn("imsi", coalesce(col("_imsi"), col("imsi")))
+      .withColumn("msisdn", coalesce(col("_msisdn"), col("msisdn")))
+      .drop("_imsi", "_msisdn", "_probe", "_ip")
+  }
+
+  /** A1 (batch form): per `unique_cdr_id` keep the row enriched from the
+    * *latest* dim session (`max _start_time`; ties broken by a total order so
+    * results are reproducible — the reference's first-seen-wins tie rule,
+    * EnrichmentApp.java:385, is arrival-order-dependent and has no batch
+    * meaning). In batch the 1s processing-time session window (A2,
+    * EnrichmentApp.java:142-156) degenerates to this global per-key argmax —
+    * SURVEY §7.4. Streaming form: graft.streaming.SessionDedup. */
+  def dedupLatest(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("unique_cdr_id")).orderBy(
+      col("_start_time").desc_nulls_last,
+      col("start_time").asc,
+      col("measuring_probe_name").asc,
+      col("ip").asc,
+      col("imsi").asc_nulls_first,
+      col("msisdn").asc_nulls_first)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** P7: fixed-schema projection applied to both branches so they
+    * union-align (EnrichmentApp.java:118-123). */
+  def projectToSink(df: DataFrame): DataFrame =
+    df.select(sinkColumns.map(col): _*)
+
+  /** The full production pipeline (EnrichmentAppWithoutExplode.run):
+    * F2/F3 branch split on `imsi IS NULL`, J2 lookup enrichment for the known
+    * half, T2→J4→A1 explode/range-join/dedup for the unknown half, P7
+    * projection, K4 union. */
+  def full(src: DataFrame, imsiMsisdn: DataFrame, msIpExploded: DataFrame): DataFrame = {
+    val ext = extendWithPartitionCols(src)
+    val branch1 = projectToSink(
+      lookupEnrich(ext.filter(col("imsi").isNotNull), imsiMsisdn, "left_outer"))
+    val branch2 = projectToSink(
+      dedupLatest(rangeEnrich(explodeIps(ext.filter(col("imsi").isNull)), msIpExploded, "left_outer")))
+    branch1.unionByName(branch2)
+  }
+}

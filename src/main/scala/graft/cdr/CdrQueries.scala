@@ -1,0 +1,199 @@
+package graft.cdr
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-checkable queries for every CDR operator in SURVEY §2, paired with
+  * DuckDB oracles over the same parquet fixtures. Both sides end in the same
+  * deterministic total ORDER BY (all output columns, ASC NULLS FIRST) so the
+  * hash compare cannot be broken by row order.
+  */
+object CdrQueries {
+
+  /** Deterministic total order over every output column (sorted by name). */
+  private def orderAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+
+  private def ob(cols: String*): String =
+    cols.sorted.map(c => s"$c ASC NULLS FIRST").mkString("ORDER BY ", ", ", "")
+
+  private val sinkCols = CdrPipeline.sinkColumns
+
+  // ---------------------------------------------------------------- Spark
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the fixture-adapter itself (source parity: S1 decode target shape)
+    "cdr_src" -> ((s, dir) => orderAll(CdrTables.src(s, dir))),
+
+    // P1–P3: derived partition columns
+    "cdr_derive" -> ((s, dir) =>
+      orderAll(CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir)))),
+
+    // T1/T2 + F1: UDTF-explode of the ;-delimited IP list
+    "cdr_explode_ips" -> ((s, dir) =>
+      orderAll(CdrPipeline.explodeIps(
+        CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))))),
+
+    // J1 (+F2, P6, P7): inner lookup join on imsi
+    "cdr_lookup_inner" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      orderAll(CdrPipeline.projectToSink(CdrPipeline.lookupEnrich(
+        ext.filter(col("imsi").isNotNull), CdrTables.imsiMsisdn(s, dir), "inner")))
+    }),
+
+    // J2: left (production) variant — lookup misses keep the CDR
+    "cdr_lookup_left" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      orderAll(CdrPipeline.projectToSink(CdrPipeline.lookupEnrich(
+        ext.filter(col("imsi").isNotNull), CdrTables.imsiMsisdn(s, dir), "left_outer")))
+    }),
+
+    // J3/J4 (+F3): composite-key + range-predicate enrichment join
+    "cdr_range_join" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      val joined = CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(ext.filter(col("imsi").isNull)),
+        CdrTables.msIpExploded(s, dir), "left_outer")
+      orderAll(joined.select((sinkCols :+ "ip" :+ "_start_time").map(col): _*))
+    }),
+
+    // A1: whole-row argmax dedup by latest dim session per unique_cdr_id
+    "cdr_dedup_argmax" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      val joined = CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(ext.filter(col("imsi").isNull)),
+        CdrTables.msIpExploded(s, dir), "left_outer")
+      orderAll(CdrPipeline.projectToSink(CdrPipeline.dedupLatest(joined)))
+    }),
+
+    // K4: the complete two-branch production pipeline
+    "cdr_pipeline_full" -> ((s, dir) =>
+      orderAll(CdrPipeline.full(
+        CdrTables.src(s, dir),
+        CdrTables.imsiMsisdn(s, dir),
+        CdrTables.msIpExploded(s, dir)))),
+
+    // S1: CSV encode → decode round-trip with null-literal='' and
+    // malformed-row dropping (ignore-parse-errors), EnrichmentApp.java:160-181
+    "cdr_csv_roundtrip" -> ((s, dir) => {
+      val src = CdrTables.src(s, dir)
+      val lines = src.select(concat_ws(",",
+        date_format(col("start_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("measuring_probe_name"),
+        coalesce(col("imsi").cast("string"), lit("")),
+        coalesce(col("msisdn").cast("string"), lit("")),
+        col("ms_ip_address"),
+        col("unique_cdr_id").cast("string")).as("value"))
+      val withJunk = lines.unionByName(
+        lines.limit(1).select(lit("%%% not a cdr %%%").as("value")))
+      val schema = StructType(Seq(
+        StructField("start_time", TimestampType),
+        StructField("measuring_probe_name", StringType),
+        StructField("imsi", LongType),
+        StructField("msisdn", LongType),
+        StructField("ms_ip_address", StringType),
+        StructField("unique_cdr_id", LongType)))
+      val opts = Map(
+        "nullValue" -> "",
+        "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        "mode" -> "PERMISSIVE")
+      val decoded = withJunk
+        .select(from_csv(col("value"), schema, opts).as("r"))
+        .select(col("r.*"))
+        .filter(col("start_time").isNotNull) // DROPMALFORMED semantics
+      orderAll(decoded)
+    }),
+
+    // S5: deterministic synthetic CDR generator (batch parity of
+    // generator/CsvData.java — LCG instead of Random so the oracle can
+    // re-derive identical rows)
+    "cdr_generator" -> ((s, dir) => {
+      val g = s.range(10000).selectExpr(
+        "id AS i", "(1103515245 * (id + 1) + 12345) % 2147483648 AS x")
+      orderAll(g.selectExpr(
+        "timestamp_micros((1653475440000 + (x * 1009) % 126230400000) * 1000) AS start_time",
+        "element_at(array('DE','cl','ek','ir','kg','kh','mn','nn','ns','rd','sp','sr','st','vr','yd'), cast(x % 15 AS int) + 1) || '...' AS measuring_probe_name",
+        "CASE WHEN x % 2 = 0 THEN 250000000000000 + (x * 37) % 1000000 END AS imsi",
+        "CASE WHEN x % 10 = 0 THEN 79000000000 + (x * 11) % 10000000 END AS msisdn",
+        "';10.' || CAST(x % 200 AS STRING) || '.' || CAST((x div 7) % 200 AS STRING) || '.' || CAST((x div 11) % 250 AS STRING) || ';' AS ms_ip_address",
+        "1650000000000000 + i - i % 2 AS unique_cdr_id"))
+    }),
+  )
+
+  // --------------------------------------------------------------- oracle
+
+  private val cte = CdrOracle.cte
+
+  private val srcCols = Seq("start_time", "measuring_probe_name", "imsi",
+    "msisdn", "ms_ip_address", "unique_cdr_id")
+
+  private val rangeJoinSelect =
+    """SELECT s.start_time, s.measuring_probe_name,
+      |  COALESCE(d.imsi, s.imsi) AS imsi, COALESCE(d.msisdn, s.msisdn) AS msisdn,
+      |  s.ms_ip_address, s.unique_cdr_id, s.event_date, s.probe, s.ip,
+      |  d.start_time AS _start_time
+      |FROM src_exploded s LEFT JOIN ms_ip_exploded d
+      |  ON s.probe = d.probe AND s.ip = d.ip AND s.start_time >= d.start_time
+      |WHERE s.imsi IS NULL""".stripMargin
+
+  private val dedupSelect =
+    s"""SELECT ${sinkCols.mkString(", ")} FROM (
+       |  SELECT r.*, row_number() OVER (PARTITION BY unique_cdr_id
+       |    ORDER BY _start_time DESC NULLS LAST, start_time ASC,
+       |             measuring_probe_name ASC, ip ASC,
+       |             imsi ASC NULLS FIRST, msisdn ASC NULLS FIRST) AS _rn
+       |  FROM ($rangeJoinSelect) r
+       |) WHERE _rn = 1""".stripMargin
+
+  // NB: `cte` is concatenated (never interpolated inside a .stripMargin
+  // template — its `||` concat operators at line starts would be eaten as
+  // margin chars), and every ORDER BY runs over a subquery wrap so output
+  // aliases can't collide with base-table columns.
+  private def wrap(select: String, obCols: Seq[String]): String =
+    s"SELECT * FROM (\n$select\n) zz ${ob(obCols: _*)}"
+
+  private val lookupSelect = (joinKind: String) =>
+    s"""SELECT s.start_time, s.measuring_probe_name,
+       |  COALESCE(d.imsi, s.imsi) AS imsi, COALESCE(d.msisdn, s.msisdn) AS msisdn,
+       |  s.ms_ip_address, s.unique_cdr_id, s.event_date, s.probe
+       |FROM src_extended s $joinKind imsi_msisdn d ON s.imsi = d.imsi
+       |WHERE s.imsi IS NOT NULL""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "cdr_src" -> (cte + wrap("SELECT * FROM src", srcCols)),
+
+    "cdr_derive" -> (cte + wrap("SELECT * FROM src_extended", srcCols ++ Seq("event_date", "probe"))),
+
+    "cdr_explode_ips" ->
+      (cte + wrap("SELECT * FROM src_exploded", srcCols ++ Seq("event_date", "probe", "ip"))),
+
+    "cdr_lookup_inner" -> (cte + wrap(lookupSelect("JOIN"), sinkCols)),
+
+    "cdr_lookup_left" -> (cte + wrap(lookupSelect("LEFT JOIN"), sinkCols)),
+
+    "cdr_range_join" -> (cte + wrap(rangeJoinSelect, sinkCols ++ Seq("ip", "_start_time"))),
+
+    "cdr_dedup_argmax" -> (cte + wrap(dedupSelect, sinkCols)),
+
+    "cdr_pipeline_full" ->
+      (cte + wrap(lookupSelect("LEFT JOIN") + "\nUNION ALL\n" + dedupSelect, sinkCols)),
+
+    // round-trip is lossless on well-formed rows and drops the junk row ⇒
+    // oracle is the identity projection of src
+    "cdr_csv_roundtrip" -> (cte + wrap("SELECT * FROM src", srcCols)),
+
+    "cdr_generator" ->
+      s"""WITH g AS (
+         |  SELECT i, (1103515245 * (i + 1) + 12345) % 2147483648 AS x
+         |  FROM range(10000) t(i))
+         |SELECT make_timestamp((1653475440000 + (x * 1009) % 126230400000) * 1000) AS start_time,
+         |  (['DE','cl','ek','ir','kg','kh','mn','nn','ns','rd','sp','sr','st','vr','yd'])[CAST(x % 15 AS INT) + 1] || '...' AS measuring_probe_name,
+         |  CASE WHEN x % 2 = 0 THEN 250000000000000 + (x * 37) % 1000000 END AS imsi,
+         |  CASE WHEN x % 10 = 0 THEN 79000000000 + (x * 11) % 10000000 END AS msisdn,
+         |  ';10.' || CAST(x % 200 AS VARCHAR) || '.' || CAST((x // 7) % 200 AS VARCHAR) || '.' || CAST((x // 11) % 250 AS VARCHAR) || ';' AS ms_ip_address,
+         |  1650000000000000 + i - i % 2 AS unique_cdr_id
+         |FROM g ${ob(srcCols: _*)}""".stripMargin,
+  )
+}

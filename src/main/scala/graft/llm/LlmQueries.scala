@@ -1,0 +1,11 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal) — filled in module by module; each sub-object
+  * contributes (queries, oracle) pairs. */
+object LlmQueries {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracle: Map[String, String] = Map()
+}

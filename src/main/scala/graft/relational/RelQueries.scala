@@ -1,0 +1,176 @@
+package graft.relational
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational capability (scan → filter → project → agg → join → window
+  * → set ops → top-k). The reference itself exercises only a small slice of
+  * this (SURVEY §2.7 notes no aggs/sorts/set-ops beyond the union-at-sink),
+  * but these are table stakes for a general engine and come free with
+  * Catalyst; each query is paired with a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - aggregations are partial (map-side combine) by construction: plain
+  *    `groupBy(...).agg(...)` lowers to HashAggregate(partial) → shuffle →
+  *    HashAggregate(final);
+  *  - q3's dimension side (filtered customer) is small relative to lineitem →
+  *    explicitly `broadcast()`ed so the fact table never shuffles for it;
+  *  - top-k (`orderBy.limit`) lowers to TakeOrderedAndProject — per-partition
+  *    heap + driver merge of k rows, no global sort.
+  */
+object RelQueries {
+
+  // All double-valued aggregates are rounded identically on both sides so
+  // summation-order ULP noise can't break the driver's hash compare.
+
+  private def lineitem(s: SparkSession, dir: String) = Tables.table(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String)   = Tables.table(s, dir, "orders")
+  private def customer(s: SparkSession, dir: String) = Tables.table(s, dir, "customer")
+  private def part(s: SparkSession, dir: String)     = Tables.table(s, dir, "part")
+  private def nation(s: SparkSession, dir: String)   = Tables.table(s, dir, "nation")
+  private def region(s: SparkSession, dir: String)   = Tables.table(s, dir, "region")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_join_topk" -> ((s, dir) => {
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir)
+      val l = lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("cum_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_setops" -> ((s, dir) => {
+      val p = part(s, dir)
+      val big   = p.filter(col("p_size") > 20).select(col("p_brand"))
+      val pricy = p.filter(col("p_retailprice") > 1500.0).select(col("p_brand"))
+      big.intersect(pricy)
+        .unionByName(p.filter(col("p_size") <= 5).select(col("p_brand")).except(pricy))
+        .distinct()
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      val n = nation(s, dir)
+      val r = region(s, dir)
+      val c = customer(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+                coalesce(col("n_name"), lit("ALL")).as("n_name"),
+                col("total_bal"), col("n_cust"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q_distinct_semi" -> ((s, dir) => {
+      // distinct + semi/anti join capability
+      val o = orders(s, dir)
+      val l = lineitem(s, dir).filter(col("l_quantity") >= 48)
+      val withBig = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .withColumn("has_big_line", lit(true))
+      val noBig = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .withColumn("has_big_line", lit(false))
+      withBig.unionByName(noBig)
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("has_big_line"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_setops" ->
+      """SELECT DISTINCT p_brand FROM (
+        |  SELECT p_brand FROM part WHERE p_size > 20
+        |  INTERSECT
+        |  SELECT p_brand FROM part WHERE p_retailprice > 1500.0
+        |  UNION ALL
+        |  (SELECT p_brand FROM part WHERE p_size <= 5
+        |   EXCEPT
+        |   SELECT p_brand FROM part WHERE p_retailprice > 1500.0)
+        |) t ORDER BY p_brand""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_distinct_semi" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |SELECT * FROM (
+        |  SELECT DISTINCT o_orderstatus, o_orderpriority, true AS has_big_line
+        |  FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderstatus, o_orderpriority, false AS has_big_line
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
+        |) t ORDER BY o_orderstatus, o_orderpriority, has_big_line""".stripMargin,
+  )
+}
