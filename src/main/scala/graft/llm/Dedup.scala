@@ -1,0 +1,264 @@
+package graft.llm
+
+import graft.{Tables, Util}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * All hashing is arithmetic over *vocabulary ids* (dense_rank over the
+  * distinct token set) instead of engine hash functions, so the DuckDB
+  * oracle reproduces results bit-for-bit. The vocabulary window is global
+  * but tiny (distinct tokens ≪ corpus size — that's what makes it a
+  * vocabulary); at 100 TB you'd broadcast it the same way.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup: single hash-shuffle on the text key (at scale: group on a
+  *    fingerprint of the text, e.g. xxhash64, to avoid shuffling full texts);
+  *  - ngram Jaccard is the *quadratic* baseline (shingle-inverted-index
+  *    self-join) — correct but O(pairs sharing a shingle). MinHash+LSH is the
+  *    scale path: signatures are linear in corpus size, the band join only
+  *    pairs up near-duplicates, and the exact-Jaccard verify touches
+  *    candidates only;
+  *  - the band join hashes on (band, band_value) — good key distribution by
+  *    construction; a pathological all-identical corpus would skew one
+  *    bucket, the classic mitigation (salt by prefix of doc_id) applies.
+  */
+object Dedup {
+
+  /** (doc_id, words array) — whitespace tokenization, shared by all. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+
+  /** token → dense integer id, 1-based. Tiny by definition; broadcast. */
+  def vocab(tok: DataFrame): DataFrame =
+    tok.select(explode(col("words")).as("token")).distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("token")))
+
+  /** Distinct word-3-gram shingles per doc (string form). */
+  def shingles(tok: DataFrame): DataFrame =
+    tok.filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(words) - 2), i -> concat_ws(' ', words[i-1], words[i], words[i+1]))")))
+        .as("shingle"))
+      .distinct()
+
+  /** Distinct shingle *ids* per doc: base-(V+1) encoding of the three token
+    * ids — injective, so Jaccard over ids == Jaccard over strings. */
+  def shingleIds(tok: DataFrame): DataFrame = {
+    val v = vocab(tok)
+    val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+      .join(broadcast(v), "token")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val vCount = v.agg((count(lit(1)) + 1).as("v"))
+    pos
+      .withColumn("tid2", lead("tid", 1).over(w))
+      .withColumn("tid3", lead("tid", 2).over(w))
+      .filter(col("tid3").isNotNull)
+      .crossJoin(broadcast(vCount))
+      .select(col("doc_id"), expr("(tid * v + tid2) * v + tid3").as("sid"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups: one keeper (min doc_id) + copy count per
+    * distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+
+  /** Quadratic-baseline near-dup: word-3-gram Jaccard ≥ threshold via a
+    * shingle inverted-index self-join. */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(tokenized(docs))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures (16 hashes over shingle ids) → LSH banding (8 bands
+    * × 2 rows) → candidate pairs → exact-Jaccard verification. The scale
+    * path: linear signature pass, join only on colliding bands. */
+  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+    val shid = shingleIds(tokenized(docs)).cache()
+    val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
+    val sig = shid.crossJoin(broadcast(hashes))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(expr("((2 * h + 3) * sid + 7919 * h + 13) % 1000003")).as("mh"))
+    val bands = sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
+      .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    val cand = ba.join(bb, Seq("band", "bval")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
+    val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
+    val inter = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash fingerprint per document from token-id pseudo-bits. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = tokenized(docs)
+    val dt = tok.select(col("doc_id"), explode(col("words")).as("token")).distinct()
+      .join(broadcast(vocab(tok)), "token")
+    val bits = dt.sparkSession.range(16).select(col("id").as("j"))
+    dt.crossJoin(broadcast(bits))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr(
+        "CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")).as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
+    * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (s, x) -> s + x))"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (s, x) -> s + x)") /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String)  = Tables.table(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact"     -> ((s, dir) => Util.orderAll(exact(docs(s, dir)))),
+    "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
+    "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
+    "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
+    "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
+  )
+
+  /** Shared DuckDB CTEs mirroring tokenized/vocab/shingleIds. */
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), vocab AS (
+      |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+      |  FROM (SELECT DISTINCT unnest(words) AS token FROM tok) t
+      |), shid AS (
+      |  SELECT DISTINCT doc_id, (tid * v + tid2) * v + tid3 AS sid
+      |  FROM (
+      |    SELECT doc_id, tid,
+      |      lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS tid2,
+      |      lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS tid3
+      |    FROM (SELECT doc_id, i AS pos, words[i] AS token
+      |          FROM tok, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) ii) p
+      |    JOIN vocab USING (token)
+      |  ) q CROSS JOIN (SELECT count(*) + 1 AS v FROM vocab) vv
+      |  WHERE tid3 IS NOT NULL
+      |)
+      |""".stripMargin
+
+  private val jaccardVerify =
+    """SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.4""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "doc_dedup_exact" -> Util.wrap(
+      "SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY text",
+      Seq("keeper", "n_copies")),
+
+    "doc_dedup_ngram" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+        |  WHERE len(words) >= 3
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin + Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    "doc_dedup_minhash" -> (tokCte +
+      """, sig AS (
+        |  SELECT doc_id, h, min(((2 * h + 3) * sid + 7919 * h + 13) % 1000003) AS mh
+        |  FROM shid CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hh
+        |  GROUP BY doc_id, h
+        |), bands AS (
+        |  SELECT doc_id, h // 2 AS band,
+        |    sum(mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)) AS bval
+        |  FROM sig GROUP BY doc_id, h // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS c FROM shid GROUP BY doc_id
+        |), inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS i
+        |  FROM cand
+        |  JOIN shid x ON x.doc_id = doc_a
+        |  JOIN shid y ON y.doc_id = doc_b AND y.sid = x.sid
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin + Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    "doc_dedup_simhash" -> (tokCte +
+      """, dt AS (
+        |  SELECT DISTINCT doc_id, tid
+        |  FROM (SELECT doc_id, unnest(words) AS token FROM tok) t JOIN vocab USING (token)
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
+        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj
+        |  GROUP BY doc_id, j
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+          |FROM bits GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "simhash"))),
+
+    "doc_dedup_embedding" -> (
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
+        Seq("id_a", "id_b", "cosine"))),
+  )
+}

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * analysis, multimodal) — filled in module by module; each sub-object
   * contributes (queries, oracle) pairs. */
 object LlmQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+  def oracle: Map[String, String] =
+    Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,109 @@
+package graft.llm
+
+import graft.{Tables, Util}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary` columns
+  * with typed metadata, plus batched decode / feature-extraction plumbing.
+  *
+  * The decode itself is a STUB (this container ships no image/audio codecs):
+  * [[StubCodec.decode]] is a deterministic fake keyed on the byte payload.
+  * Everything around it is real and tested — the (binary, metadata) schema,
+  * the partition-wise batching (`mapPartitions`, the JVM analog of a
+  * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
+  * through it), and the downstream feature columns.
+  *
+  * Scale notes (100 TB): media blobs dominate row size, so the decode stage
+  * repartitions by byte budget, never by row count; the metadata query
+  * projects (doc_id, n_bytes, format) only — column pruning keeps the scan
+  * from reading blob bytes when only metadata is needed (verify via
+  * ReadSchema in explain).
+  */
+object Multimodal {
+
+  /** Build a media table from documents: payload = utf-8 bytes of the text
+    * (a stand-in for real image/audio bytes), format cycled per doc_id. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      element_at(
+        array(lit("png"), lit("jpeg"), lit("wav")),
+        (col("doc_id") % 3).cast("int") + 1).as("format"))
+
+  /** Deterministic fake codec — the seam where a real libjpeg/ffmpeg call
+    * would go. One instance per partition (mirrors per-batch model state in
+    * a Pandas UDF). */
+  final class StubCodec {
+    /** @return (width, height, channels) pseudo-decoded from the payload. */
+    def decode(payload: Array[Byte], format: String): (Int, Int, Int) = {
+      val n = payload.length
+      val channels = format match {
+        case "png" => 4
+        case "jpeg" => 3
+        case _ => 1
+      }
+      (n % 640 + 16, (n * 7) % 480 + 16, channels)
+    }
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** Partition-wise batched decode: one codec per partition, rows streamed.
+    * This is the real plumbing a GPU/codec stage needs — swap StubCodec for
+    * the real thing and nothing else changes. */
+  def decodeBatch(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    val out: Dataset[Row] = media
+      .select(col("doc_id"), col("payload"), col("format"))
+      .mapPartitions { rows =>
+        val codec = new StubCodec // per-partition init, like per-batch model load
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val fmt = r.getAs[String]("format")
+          val (w, h, c) = codec.decode(payload, fmt)
+          Row(r.getAs[Long]("doc_id"), fmt, payload.length, w, h, c)
+        }
+      }(enc)
+    out
+  }
+
+  // ------------------------------------------------------------- registry
+
+  // The oracle-able query computes the same metadata *declaratively* (so
+  // DuckDB can reproduce it); decodeBatch is the imperative twin, asserted
+  // equal in MultimodalSpec.
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, dir) => {
+      val m = mediaTable(Tables.table(s, dir, "documents"))
+      Util.orderAll(m.select(
+        col("doc_id"), col("format"),
+        octet_length(col("payload")).as("n_bytes"),
+        (octet_length(col("payload")) % 640 + 16).as("width"),
+        ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
+        expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels")))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "mm_decode_meta" -> Util.wrap(
+      """SELECT doc_id,
+        |  (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 + 16 AS width,
+        |  (octet_length(encode(text)) * 7) % 480 + 16 AS height,
+        |  CASE (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1]
+        |    WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END AS channels
+        |FROM documents""".stripMargin,
+      Seq("doc_id", "format", "n_bytes", "width", "height", "channels")),
+  )
+}

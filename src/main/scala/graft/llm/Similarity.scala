@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.{Tables, Util}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    O(|Q|·|C|) pairs; fine when |Q| is small (scoring fans out across
+  *    partitions of the candidate side, a per-partition top-k heap +
+  *    driver merge of k·partitions rows via TakeOrderedAndProject).
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. One linear pass
+  *    computes an 8-bit signature per vector (deterministic pseudo-random
+  *    planes from an LCG, so the oracle reproduces them); the join touches
+  *    only same-bucket pairs (expected |pairs| / 2^8 of brute force).
+  *    At real scale: multiple independent tables to raise recall, and the
+  *    bucket join hash-partitions on the signature — no broadcast needed.
+  *
+  * All dot products are accumulated in Double in array order on both
+  * engines; displayed cosines are rounded to 6 dp and ranking uses the
+  * rounded value with id tie-breaks, so cross-engine ULP noise cannot flip
+  * the output.
+  */
+object Similarity {
+
+  /** Normalized (id, v: array<double>, nrm) projection. */
+  private def normed(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (s, x) -> s + x))"))
+
+  private val cosineExpr =
+    expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (s, x) -> s + x)")
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
+    * among the rest of the corpus. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = normed(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val scored = q.join(c)
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  /** 8-plane random-hyperplane signature per vector. Plane weights come from
+    * the same LCG on both engines: w(p,i) = lcg(p*64+i)/2^31 - 0.5. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val e = normed(emb)
+    val planes = emb.sparkSession.range(8).select(col("id").as("p"))
+    e.crossJoin(broadcast(planes))
+      .withColumn("proj", expr(
+        """aggregate(
+          |  transform(v, (x, i) ->
+          |    (cast((1103515245 * (p * 64 + i) + 12345) % 2147483648 AS double) / 2147483648.0 - 0.5) * x),
+          |  0d, (s, x) -> s + x)""".stripMargin))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(sum(expr("CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END")).as("bucket"))
+  }
+
+  /** ANN top-k: exact rescoring restricted to same-LSH-bucket candidates. */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val b = lshBuckets(emb)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val c = b.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),
+    "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
+  )
+
+  private val normCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+      |)
+      |""".stripMargin
+
+  private val annCols = Seq("query_id", "neighbor_id", "cosine", "rk")
+
+  def oracle: Map[String, String] = Map(
+    "ann_brute" -> (normCte + Util.wrap(
+      """SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |               c.vec_id ASC) AS rk
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5
+        |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    "ann_lsh" -> (normCte +
+      """, buck AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT vec_id, p,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+        |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+        |  ) pr GROUP BY vec_id
+        |), nb AS (
+        |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               c.vec_id ASC) AS rk
+          |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+  )
+}

@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.{Tables, Util}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language-ID, quality scoring,
+  * token counting, document fingerprinting. Everything is a narrow
+  * per-row projection (plus one tiny vocabulary broadcast for the
+  * fingerprint) — embarrassingly parallel, no shuffle on the corpus, scans
+  * prune to (doc_id, text[, lang]) only.
+  */
+object TextAnalysis {
+
+  private val enStops = "('the', 'a', 'and', 'of', 'to')"
+  private val deStops = "('der', 'die', 'und', 'das', 'ist')"
+  private val frStops = "('le', 'la', 'et', 'les', 'des')"
+  private val esStops = "('el', 'los', 'y', 'las', 'que')"
+  // Regex patterns go through the typed `functions` API on the Spark side
+  // (lit(...) — no SQL-literal backslash mangling) and through single-quoted
+  // literals on the DuckDB side (which does no escape processing).
+  private val cjk = "[\\x{4e00}-\\x{9fff}]"
+  private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Stopword/charset-marker language ID (n-gram heuristic family):
+    * score each candidate language by marker-token occurrences (CJK by
+    * codepoint class), argmax with a fixed preference order on ties. */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("s_en", expr(s"size(filter(words, t -> t IN $enStops))"))
+      .withColumn("s_de", expr(s"size(filter(words, t -> t IN $deStops))"))
+      .withColumn("s_fr", expr(s"size(filter(words, t -> t IN $frStops))"))
+      .withColumn("s_es", expr(s"size(filter(words, t -> t IN $esStops))"))
+      .withColumn("s_zh", regexp_count(col("text"), lit(cjk)))
+      .withColumn("predicted_lang", expr(
+        """CASE
+          |  WHEN s_zh > 0 THEN 'zh'
+          |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |  WHEN s_fr >= s_es THEN 'fr'
+          |  ELSE 'es'
+          |END""".stripMargin))
+      .select(col("doc_id"), col("predicted_lang"), col("lang").as("labeled_lang"),
+        (col("predicted_lang") === col("lang")).as("is_match"))
+
+  /** Heuristic quality score from length / stopword / punctuation ratios —
+    * raw ratios feed the score unrounded; only outputs are rounded. */
+  def quality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("stop_r", expr(
+        s"CAST(size(filter(words, t -> t IN $enStops)) AS DOUBLE) / n_tokens"))
+      .withColumn("punct_r",
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") / length(col("text")))
+      .withColumn("avg_token_len", expr(
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens"))
+      .withColumn("quality_score", expr(
+        """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+          | + stop_r * 0.3
+          | + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_token_len"), 4).as("avg_token_len"),
+        round(col("stop_r"), 4).as("stopword_ratio"),
+        round(col("punct_r"), 6).as("punct_ratio"),
+        round(col("quality_score"), 6).as("quality_score"))
+
+  /** Whitespace vs BPE-ish-regex token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit(bpeish)).as("re_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Position-weighted rolling fingerprint over vocabulary ids — fully
+    * deterministic (no engine hash), order-sensitive. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val tok = Dedup.tokenized(docs)
+    val v = Dedup.vocab(tok)
+    tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+      .join(broadcast(v), "token")
+      .groupBy("doc_id")
+      .agg((sum(expr("tid * (pos % 31 + 1)")) * 31 + count(lit(1))).as("fingerprint"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id"     -> ((s, dir) => Util.orderAll(langId(docs(s, dir)))),
+    "text_quality"     -> ((s, dir) => Util.orderAll(quality(docs(s, dir)))),
+    "text_tokens"      -> ((s, dir) => Util.orderAll(tokenCounts(docs(s, dir)))),
+    "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_lang_id" -> (
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS s_en,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $deStops)) AS s_de,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $frStops)) AS s_fr,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $esStops)) AS s_es,
+         |    len(regexp_extract_all(text, '$cjk')) AS s_zh
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, lang,
+         |    CASE
+         |      WHEN s_zh > 0 THEN 'zh'
+         |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |      WHEN s_fr >= s_es THEN 'fr'
+         |      ELSE 'es'
+         |    END AS predicted_lang
+         |  FROM sc
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT doc_id, predicted_lang, lang AS labeled_lang,
+          |  predicted_lang = lang AS is_match FROM p""".stripMargin,
+        Seq("doc_id", "predicted_lang", "labeled_lang", "is_match"))),
+
+    "text_quality" -> (
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_r,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_r,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+         |  FROM documents
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT doc_id, n_tokens,
+          |  round(avg_token_len, 4) AS avg_token_len,
+          |  round(stop_r, 4) AS stopword_ratio,
+          |  round(punct_r, 6) AS punct_ratio,
+          |  round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+          |    + stop_r * 0.3
+          |    + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2, 6) AS quality_score
+          |FROM q""".stripMargin,
+        Seq("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score"))),
+
+    "text_tokens" -> Util.wrap(
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS ws_tokens,
+         |  len(regexp_extract_all(text, '$bpeish')) AS re_tokens,
+         |  length(text) AS n_chars
+         |FROM documents""".stripMargin,
+      Seq("doc_id", "ws_tokens", "re_tokens", "n_chars")),
+
+    "text_fingerprint" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), vocab AS (
+        |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+        |  FROM (SELECT DISTINCT unnest(words) AS token FROM tok) t
+        |), pt AS (
+        |  SELECT doc_id, i - 1 AS pos, words[i] AS token
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) ii
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, sum(tid * (pos % 31 + 1)) * 31 + count(*) AS fingerprint
+          |FROM pt JOIN vocab USING (token) GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "fingerprint"))),
+  )
+}
