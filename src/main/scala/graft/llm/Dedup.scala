@@ -91,7 +91,11 @@ object Dedup {
     * × 2 rows) → candidate pairs → exact-Jaccard verification. The scale
     * path: linear signature pass, join only on colliding bands. */
   def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
-    val shid = shingleIds(tokenized(docs)).cache()
+    // localCheckpoint (not cache): materializes once, truncates the 3-stage
+    // shingleIds lineage so the three downstream consumers don't recompute
+    // it, and the blocks are dropped with the RDD when the plan is GC'd —
+    // no unpersist bookkeeping leaking executor memory across queries.
+    val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
     val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
     val sig = shid.crossJoin(broadcast(hashes))
       .groupBy(col("doc_id"), col("h"))
@@ -133,14 +137,13 @@ object Dedup {
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (s, x) -> s + x))"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("v")))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (s, x) -> s + x)") /
+        graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) /
           (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

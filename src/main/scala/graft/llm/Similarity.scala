@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Tables, Util}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,14 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Normalized (id, v: array<double>, nrm) projection. */
+  /** Normalized (id, v: array<double>, nrm) projection. The cast and the
+    * [[graft.functions.DotProduct]] norm are both codegen'd — no interpreted
+    * lambda in the kernel. */
   private def normed(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (s, x) -> s + x))"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorFunctions.vecNorm(col("v")))
 
-  private val cosineExpr =
-    expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (s, x) -> s + x)")
+  private val cosineExpr = VectorFunctions.vecDot(col("va"), col("vb"))
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * among the rest of the corpus. */
@@ -52,16 +53,22 @@ object Similarity {
   }
 
   /** 8-plane random-hyperplane signature per vector. Plane weights come from
-    * the same LCG on both engines: w(p,i) = lcg(p*64+i)/2^31 - 0.5. */
+    * the same LCG on both engines: w(p,i) = lcg(p*64+i)/2^31 - 0.5. The
+    * planes are materialized driver-side (8×64 doubles — constants by
+    * construction) and broadcast, so the projection is one codegen'd
+    * [[graft.functions.DotProduct]] per (vector, plane) instead of an
+    * interpreted index-lambda. */
   def lshBuckets(emb: DataFrame): DataFrame = {
     val e = normed(emb)
-    val planes = emb.sparkSession.range(8).select(col("id").as("p"))
+    val session = emb.sparkSession
+    import session.implicits._
+    val planes = (0 until 8).map { p =>
+      (p.toLong, (0 until 64).map { i =>
+        ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+      }.toArray)
+    }.toDF("p", "w")
     e.crossJoin(broadcast(planes))
-      .withColumn("proj", expr(
-        """aggregate(
-          |  transform(v, (x, i) ->
-          |    (cast((1103515245 * (p * 64 + i) + 12345) % 2147483648 AS double) / 2147483648.0 - 0.5) * x),
-          |  0d, (s, x) -> s + x)""".stripMargin))
+      .withColumn("proj", VectorFunctions.vecDot(col("v"), col("w")))
       .groupBy(col("vec_id"), col("v"), col("nrm"))
       .agg(sum(expr("CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END")).as("bucket"))
   }

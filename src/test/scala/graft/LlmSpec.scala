@@ -1,0 +1,123 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the training-data pipeline operators over crafted
+  * micro-corpora with hand-checkable answers, plus structural invariants on
+  * the real fixtures. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("exact dedup groups identical texts, keeper is min doc_id") {
+    val out = Dedup.exact(docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram Jaccard: identical docs score 1.0, disjoint docs don't pair") {
+    val out = Dedup.ngramJaccard(docsDf(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",
+      3L -> "entirely different words here now"), 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH candidates: identical docs always collide; verified jaccard == exact") {
+    val docs = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "alpha beta gamma delta epsilon eta", // 1 shingle differs
+      4L -> "one two three four five six")
+    val lsh = Dedup.minhashLsh(docs, 0.0).as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val exact = Dedup.ngramJaccard(docs, 0.0).as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(lsh.contains((1L, 2L)) && lsh((1L, 2L)) == 1.0)
+    // every LSH-surfaced pair carries the exact Jaccard value
+    lsh.foreach { case (k, v) => assert(exact(k) == v) }
+  }
+
+  test("simhash: identical docs get identical fingerprints; fingerprints are 16-bit") {
+    val out = Dedup.simhash(docsDf(1L -> "a b c d", 2L -> "a b c d", 3L -> "w x y z"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("brute-force ANN: self-similar vector ranks first with cosine 1.0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f, 0.0f)),  // identical to query 0
+      (6L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, 1, 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out(0) == ((0L, 5L, 1.0, 1)))
+    assert(out(1)._2 == 6L && math.abs(out(1)._3) < 1e-9)
+  }
+
+  test("LSH ANN: identical vectors share a bucket, so top-1 survives bucketing") {
+    val emb = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (5L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (6L, Array.tabulate(8)(i => -(i + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, 1, 2).as[(Long, Long, Double, Int)].collect()
+    assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
+  }
+
+  test("text metrics: token counts and quality on a crafted doc") {
+    val out = TextAnalysis.tokenCounts(docsDf(1L -> "the cat, sat!"))
+      .as[(Long, Int, Int, Int)].head()
+    // ws tokens: [the, cat,, sat!]; regex: the|cat|,|sat|!
+    assert(out == ((1L, 3, 5, 13)))
+    val q = TextAnalysis.quality(docsDf(1L -> "the cat sat"))
+      .select("n_tokens", "stopword_ratio").as[(Int, Double)].head()
+    assert(q._1 == 3 && math.abs(q._2 - 0.3333) < 1e-4)
+  }
+
+  test("langId: stopword markers dominate; CJK short-circuits to zh") {
+    val out = TextAnalysis.langId(docsDf(
+      1L -> "the cat and the dog of a house",
+      2L -> "der hund und die katze ist hier",
+      3L -> "le chat et la maison les arbres",
+      4L -> "中文文本 the the the"))
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "zh"))
+  }
+
+  test("fingerprint: order-sensitive (permuted docs differ), duplicates agree") {
+    val out = TextAnalysis.fingerprint(docsDf(
+      1L -> "a b c", 2L -> "a b c", 3L -> "c b a"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L) && out(1L) != out(3L))
+  }
+
+  test("multimodal: imperative batched decode == declarative metadata query") {
+    val media = Multimodal.mediaTable(
+      Tables.table(spark, sf, "documents").limit(50))
+    val dec = Multimodal.decodeBatch(media)
+    val decl = media.select(
+      col("doc_id"), col("format"),
+      octet_length(col("payload")).as("n_bytes"),
+      (octet_length(col("payload")) % 640 + 16).as("width"),
+      ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
+      expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels"))
+    assert(dec.exceptAll(decl).count() == 0 && decl.exceptAll(dec).count() == 0)
+    assert(dec.count() == 50)
+  }
+
+  test("invariant: minhash pairs at threshold are a subset of exact ngram pairs (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    val lsh = Dedup.minhashLsh(docs, 0.4).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.ngramJaccard(docs, 0.4).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(full))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdr.{CdrPipeline, CdrTables}
+import graft.streaming.{CdrStreamJob, CsvCodec, DimensionCache, SessionDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming e2e per SURVEY §5.3: MemoryStream → pipeline → memory/file sink,
+  * asserting the streaming plans produce exactly what the batch (oracle-
+  * verified) pipeline produces on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def csvLines(n: Int): Seq[String] = {
+    val src = CdrTables.src(spark, sf).limit(n)
+    src.select(CsvCodec.encode(src).as("value")).as[String].collect().toSeq
+  }
+
+  test("S1: CSV decode is lossless on well-formed lines and drops malformed ones") {
+    val src = CdrTables.src(spark, sf).limit(50)
+    val lines = src.select(CsvCodec.encode(src).as("value"))
+      .unionByName(Seq("%%% junk %%%").toDF("value"))
+    val decoded = CsvCodec.decode(lines)
+    assert(decoded.count() == 50)
+    assert(decoded.schema == CsvCodec.schema)
+    // empty-string imsi/msisdn round-trip to NULL (null-literal parity)
+    val nullImsi = src.filter($"imsi".isNull).count()
+    assert(decoded.filter($"imsi".isNull).count() == nullImsi)
+  }
+
+  test("foreachBatch runner: streaming result == batch pipeline result, partitioned layout") {
+    val out = tmp("graft-stream-out")
+    val ckpt = tmp("graft-ckpt")
+    val mem = MemoryStream[String](spark)
+    val lines = csvLines(200)
+    mem.addData(lines: _*)
+
+    val imsiCache = new DimensionCache(() => CdrTables.imsiMsisdn(spark, sf), 60000L)
+    val msIpCache = new DimensionCache(() => CdrTables.msIpExploded(spark, sf), 60000L)
+    val q = CdrStreamJob.runForeachBatch(
+      CsvCodec.decode(mem.toDF()), imsiCache, msIpCache, out, ckpt, triggerMs = 100L)
+    try q.processAllAvailable() finally q.stop()
+
+    val expected = CdrPipeline.full(
+      CdrTables.src(spark, sf).limit(200),
+      CdrTables.imsiMsisdn(spark, sf),
+      CdrTables.msIpExploded(spark, sf))
+    val got = spark.read.parquet(out)
+    assert(got.count() == expected.count())
+    // partition columns became Hive-style directories (read back as columns)
+    assert(got.columns.sorted.toSeq == expected.columns.sorted.toSeq)
+    assert(Files.list(java.nio.file.Path.of(out)).iterator().hasNext)
+    // value-level equality, order-free
+    val key = CdrPipeline.sinkColumns.map(c => col(c).cast("string"))
+    val gotKeys = got.select(concat_ws("|", key: _*)).as[String].collect().sorted
+    val expKeys = expected.select(concat_ws("|", key: _*)).as[String].collect().sorted
+    assert(gotKeys.toSeq == expKeys.toSeq)
+  }
+
+  test("A2 streaming: SessionDedup emits per-key argmax after the session gap") {
+    // NB: a ProcessingTimeTimeout query runs micro-batches continuously
+    // (shouldRunAnotherBatch is always true — timers may fire at any time),
+    // so processAllAvailable() is not a usable barrier here; we poll the
+    // memory sink with a deadline instead. Tiny literal dims keep each of
+    // those continuous batches cheap.
+    val mem = MemoryStream[String](spark)
+    val src = CsvCodec.decode(mem.toDF())
+    val imsiDim = Seq((900L, 111L)).toDF("imsi", "msisdn")
+    val msIpDim = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-15 08:00:00"), 201000L, 301000L, "vi", "10.0.0.1"),
+      (java.sql.Timestamp.valueOf("2024-01-15 09:00:00"), 202000L, 302000L, "vi", "10.0.0.2")
+    ).toDF("start_time", "imsi", "msisdn", "probe", "ip")
+    val enriched = CdrStreamJob.enrichedStream(src, imsiDim, msIpDim, gapMs = 500L)
+    val q = enriched.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt2")).start()
+    try {
+      // one CDR, imsi NULL, two IPs ⇒ range join fans out to 2 rows ⇒ the
+      // session argmax must emit exactly one row, enriched from the later
+      // dim session (imsi 202000)
+      mem.addData("2024-01-15 10:00:00.000000,vi_probe,,,;10.0.0.1;10.0.0.2;,42")
+      val deadline = System.currentTimeMillis() + 60000
+      def emitted() = spark.table("dedup_out").count()
+      while (emitted() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val got = spark.table("dedup_out").collect()
+      assert(got.length == 1, s"expected exactly one dedup emission, got ${got.toSeq}")
+      val r = got.head
+      assert(r.getAs[Long]("unique_cdr_id") == 42L)
+      assert(r.getAs[Long]("imsi") == 202000L) // argmax by latest dim session
+    } finally q.stop()
+  }
+
+  test("S5: synthetic generator is deterministic and schema-complete") {
+    val a = CdrStreamJob.syntheticCdr(spark.range(100).select($"id".as("i")))
+    val b = CdrStreamJob.syntheticCdr(spark.range(100).select($"id".as("i")))
+    assert(a.schema.fieldNames.toSeq == CsvCodec.schema.fieldNames.toSeq)
+    assert(a.exceptAll(b).count() == 0)
+    // imsi present on ~half (LCG x even), never on the others
+    val n = a.count()
+    val withImsi = a.filter($"imsi".isNotNull).count()
+    assert(withImsi > n / 4 && withImsi < 3 * n / 4)
+  }
+
+  test("DimensionCache refreshes only after TTL") {
+    var loads = 0
+    val cache = new DimensionCache(() => { loads += 1; spark.range(3).toDF() }, 60000L)
+    cache.get(); cache.get(); cache.get()
+    assert(loads == 1)
+    val fast = new DimensionCache(() => { loads += 1; spark.range(3).toDF() }, 0L)
+    fast.get(); fast.get()
+    assert(loads == 3)
+    cache.invalidate(); fast.invalidate()
+  }
+}
