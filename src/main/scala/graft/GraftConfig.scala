@@ -1,0 +1,59 @@
+package graft
+
+import java.io.{File, FileInputStream}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+/** Engine configuration (SURVEY §2 I4).
+  *
+  * The reference loads Typesafe-HOCON from `args(0)` falling back to a
+  * classpath `flink.conf` (EnrichmentApp.java:38-43). The HOCON library
+  * isn't on this classpath, so the same precedence is implemented over
+  * `java.util.Properties` (`key = value` lines — a syntactic subset of
+  * HOCON covering everything flink.conf uses). Key names are kept 1:1 with
+  * flink.conf so a reference deployment's config translates line-for-line.
+  */
+final class GraftConfig private (props: Map[String, String]) {
+
+  def get(key: String, default: => String): String = props.getOrElse(key, default)
+
+  def getLong(key: String, default: => Long): Long =
+    props.get(key).map(_.trim.toLong).getOrElse(default)
+
+  def getDouble(key: String, default: => Double): Double =
+    props.get(key).map(_.trim.toDouble).getOrElse(default)
+
+  def entries: Map[String, String] = props
+}
+
+object GraftConfig {
+
+  val empty = new GraftConfig(Map.empty)
+
+  /** args-path first, classpath `graft.conf` fallback — reference precedence. */
+  def load(args: Array[String]): GraftConfig =
+    args.headOption.map(p => fromFile(new File(p))).getOrElse(fromClasspath("graft.conf"))
+
+  def fromFile(f: File): GraftConfig = {
+    val p = new Properties()
+    val in = new FileInputStream(f)
+    try p.load(in) finally in.close()
+    fromProperties(p)
+  }
+
+  def fromClasspath(name: String): GraftConfig = {
+    val in = getClass.getClassLoader.getResourceAsStream(name)
+    if (in == null) empty
+    else {
+      val p = new Properties()
+      try p.load(in) finally in.close()
+      fromProperties(p)
+    }
+  }
+
+  def fromProperties(p: Properties): GraftConfig =
+    new GraftConfig(p.asScala.toMap)
+
+  def fromMap(m: Map[String, String]): GraftConfig = new GraftConfig(m)
+}

@@ -134,6 +134,27 @@ object Dedup {
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")).as("simhash"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * banded blocking: split the 16-bit fingerprint into 4 bands of 4 bits;
+    * by pigeonhole any pair within distance 3 agrees exactly on ≥ 1 band, so
+    * the join only touches same-band-value candidates — the linear-pass /
+    * bucket-join scale shape (same as MinHash LSH), never the N² cross. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval", expr("(simhash div CAST(power(2, band * 4) AS BIGINT)) % 16"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -159,6 +180,7 @@ object Dedup {
     "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
+    "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
   )
 
@@ -250,6 +272,33 @@ object Dedup {
         """SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
           |FROM bits GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "simhash"))),
+
+    "doc_dedup_simhash_pairs" -> (tokCte +
+      """, dt AS (
+        |  SELECT DISTINCT doc_id, tid
+        |  FROM (SELECT doc_id, unnest(words) AS token FROM tok) t JOIN vocab USING (token)
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
+        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj
+        |  GROUP BY doc_id, j
+        |), sh AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, simhash, band,
+        |    (simhash // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bval
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
+        Seq("doc_a", "doc_b", "hamming"))),
 
     "doc_dedup_embedding" -> (
       """WITH e AS (

@@ -85,6 +85,20 @@ object TextAnalysis {
       .agg((sum(expr("tid * (pos % 31 + 1)")) * 31 + count(lit(1))).as("fingerprint"))
   }
 
+  /** Corpus-wide top-k word trigrams by occurrence (not per-doc distinct).
+    * Partial-aggregates map-side, shuffles only (trigram, partial-count)
+    * pairs, and the top-k lowers to TakeOrderedAndProject — per-partition
+    * heap + driver merge of k rows, no global sort. */
+  def trigramTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 2), i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(k)
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -94,6 +108,9 @@ object TextAnalysis {
     "text_quality"     -> ((s, dir) => Util.orderAll(quality(docs(s, dir)))),
     "text_tokens"      -> ((s, dir) => Util.orderAll(tokenCounts(docs(s, dir)))),
     "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
+    // already deterministically ordered (n DESC, trigram ASC) — the same
+    // ORDER BY the oracle ends with, so no orderAll re-sort
+    "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -165,5 +182,16 @@ object TextAnalysis {
         """SELECT doc_id, sum(tid * (pos % 31 + 1)) * 31 + count(*) AS fingerprint
           |FROM pt JOIN vocab USING (token) GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "fingerprint"))),
+
+    "text_trigram_topk" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS words FROM documents
+        |), tg AS (
+        |  SELECT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS trigram
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+        |  WHERE len(words) >= 3
+        |)
+        |SELECT trigram, count(*) AS n FROM tg
+        |GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
   )
 }
