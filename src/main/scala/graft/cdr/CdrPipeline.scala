@@ -39,6 +39,14 @@ object CdrPipeline {
       .withColumn("event_date", date_format(col("start_time"), "yyyy-MM-dd"))
       .withColumn("probe", substring(col("measuring_probe_name"), 1, 2))
 
+  /** P1+P3 (dev variant): `event_date` as a true DATE via CAST
+    * (EnrichmentApp.java:206-214) — the dev app's sink declares DATE, the
+    * prod app's declares STRING (SURVEY §3.2 delta b). */
+  def extendWithPartitionColsDate(src: DataFrame): DataFrame =
+    src
+      .withColumn("event_date", col("start_time").cast("date"))
+      .withColumn("probe", substring(col("measuring_probe_name"), 1, 2))
+
   /** T2+F1: explode the ;-delimited IP list; empty tokens (from leading /
     * trailing separators) are dropped (EnrichmentApp.java:225-233). The
     * reference needs a UDTF (`Split`, EnrichmentApp.java:364-374); Spark's

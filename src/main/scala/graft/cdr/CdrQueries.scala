@@ -31,6 +31,10 @@ object CdrQueries {
     "cdr_derive" -> ((s, dir) =>
       orderAll(CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir)))),
 
+    // P1: dev-variant DATE partition column (CAST, not DATE_FORMAT)
+    "cdr_derive_date" -> ((s, dir) =>
+      orderAll(CdrPipeline.extendWithPartitionColsDate(CdrTables.src(s, dir)))),
+
     // T1/T2 + F1: UDTF-explode of the ;-delimited IP list
     "cdr_explode_ips" -> ((s, dir) =>
       orderAll(CdrPipeline.explodeIps(
@@ -165,6 +169,11 @@ object CdrQueries {
     "cdr_src" -> (cte + wrap("SELECT * FROM src", srcCols)),
 
     "cdr_derive" -> (cte + wrap("SELECT * FROM src_extended", srcCols ++ Seq("event_date", "probe"))),
+
+    "cdr_derive_date" -> (cte + wrap(
+      """SELECT *, CAST(start_time AS DATE) AS event_date,
+        |  substr(measuring_probe_name, 1, 2) AS probe FROM src""".stripMargin,
+      srcCols ++ Seq("event_date", "probe"))),
 
     "cdr_explode_ips" ->
       (cte + wrap("SELECT * FROM src_exploded", srcCols ++ Seq("event_date", "probe", "ip"))),

@@ -89,6 +89,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
+    * nearest centroid, probe only the query's `nprobe` best cells, rescore
+    * exactly inside them.
+    *
+    * Centroids are a deterministic corpus sample (`vec_id % centroidMod`) —
+    * real deployments would k-means them, but the *index shape* is what
+    * matters for the engine: a linear assignment pass against a broadcast
+    * centroid table (the codegen'd dot kernel), then a hash-partitioned
+    * cell join. Expected join work is |corpus| × nprobe / #cells of brute
+    * force. Complements [[lshTopK]]: IVF gives tunable recall via nprobe,
+    * LSH gives constant-time signatures; both avoid the N² cross.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              centroidMod: Int = 37, nprobe: Int = 2): DataFrame = {
+    val e = normed(emb)
+    val cent = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(VectorFunctions.vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+    val cw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val ranked = scored.withColumn("crk", row_number().over(cw))
+    val cells = ranked.filter(col("vec_id") >= nQueries && col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cid"))
+    val rescored = probes.join(cells, Seq("cid"))
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
@@ -96,6 +133,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),
     "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
+    "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
   )
 
   private val normCte =
@@ -140,6 +178,35 @@ object Similarity {
           |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
           |               c.vec_id ASC) AS rk
           |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    "ann_ivf" -> (normCte +
+      """, cent AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+        |), ranked AS (
+        |  SELECT vec_id, v, nrm, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+        |  FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
+        |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+        |        / (n.nrm * cent.cnrm), 6) AS csim
+        |    FROM n CROSS JOIN cent
+        |  ) s
+        |), cells AS (
+        |  SELECT vec_id AS neighbor_id, v AS vb, nrm AS nb, cid
+        |  FROM ranked WHERE vec_id >= 5 AND crk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, v AS va, nrm AS na, cid
+        |  FROM ranked WHERE vec_id < 5 AND crk <= 2
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT query_id, neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) DESC,
+          |               neighbor_id ASC) AS rk
+          |  FROM probes JOIN cells USING (cid)
           |) t WHERE rk <= 10""".stripMargin, annCols)),
   )
 }

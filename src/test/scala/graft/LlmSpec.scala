@@ -71,6 +71,18 @@ class LlmSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
   }
 
+  test("IVF ANN: identical vectors land in the same cell, top-1 survives probing") {
+    // vec 0 is the only centroid (0 % 37 == 0) ⇒ one cell holds everything;
+    // the identical vector must come back at rank 1 with cosine 1.0
+    val emb = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (5L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (6L, Array.tabulate(8)(i => (8 - i).toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, 1, 2).as[(Long, Long, Double, Int)].collect()
+    assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
+  }
+
   test("text metrics: token counts and quality on a crafted doc") {
     val out = TextAnalysis.tokenCounts(docsDf(1L -> "the cat, sat!"))
       .as[(Long, Int, Int, Int)].head()
