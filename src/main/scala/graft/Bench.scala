@@ -13,6 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    // JIT/classload warmup so the first measured query isn't charged for
+    // session bootstrap (codegen compiler, parquet reader init, shuffle mgr)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.table(spark, sfDir, "region").count()
     // Optional subset for local bisection: BENCH_ONLY=q1_agg,cdr_range_join
     val only = sys.env.get("BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

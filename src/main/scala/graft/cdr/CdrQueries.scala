@@ -79,6 +79,15 @@ object CdrQueries {
         CdrTables.imsiMsisdn(s, dir),
         CdrTables.msIpExploded(s, dir)))),
 
+    // F4: the reference's planned test-IMSI routing predicate
+    // (`IMSI LIKE '999%'`, commented at EnrichmentApp.java:296,338) — the
+    // config-gated SURVEY §2.4 row; grouped so both routing buckets and the
+    // NULL-imsi bucket are visible
+    "cdr_test_imsi_routing" -> ((s, dir) =>
+      orderAll(CdrTables.src(s, dir)
+        .groupBy(col("imsi").cast("string").like("999%").as("is_test_imsi"))
+        .agg(count(lit(1)).as("n")))),
+
     // S1: CSV encode → decode round-trip with null-literal='' and
     // malformed-row dropping (ignore-parse-errors), EnrichmentApp.java:160-181
     "cdr_csv_roundtrip" -> ((s, dir) => {
@@ -188,6 +197,11 @@ object CdrQueries {
 
     "cdr_pipeline_full" ->
       (cte + wrap(lookupSelect("LEFT JOIN") + "\nUNION ALL\n" + dedupSelect, sinkCols)),
+
+    "cdr_test_imsi_routing" -> (cte + wrap(
+      """SELECT CAST(imsi AS VARCHAR) LIKE '999%' AS is_test_imsi, count(*) AS n
+        |FROM src GROUP BY 1""".stripMargin,
+      Seq("is_test_imsi", "n"))),
 
     // round-trip is lossless on well-formed rows and drops the junk row ⇒
     // oracle is the identity projection of src

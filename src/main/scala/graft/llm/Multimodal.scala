@@ -82,28 +82,76 @@ object Multimodal {
   // The oracle-able query computes the same metadata *declaratively* (so
   // DuckDB can reproduce it); decodeBatch is the imperative twin, asserted
   // equal in MultimodalSpec.
+  /** Decoded-metadata projection shared by the feature queries. */
+  private def decodedMeta(m: DataFrame): DataFrame =
+    m.select(
+      col("doc_id"), col("format"),
+      octet_length(col("payload")).as("n_bytes"),
+      (octet_length(col("payload")) % 640 + 16).as("width"),
+      ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
+      expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_meta" -> ((s, dir) => {
-      val m = mediaTable(Tables.table(s, dir, "documents"))
-      Util.orderAll(m.select(
-        col("doc_id"), col("format"),
-        octet_length(col("payload")).as("n_bytes"),
-        (octet_length(col("payload")) % 640 + 16).as("width"),
-        ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
-        expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels")))
+    "mm_decode_meta" -> ((s, dir) =>
+      Util.orderAll(decodedMeta(mediaTable(Tables.table(s, dir, "documents"))))),
+
+    // frame sampling: pseudo-duration from the payload, ≤5 evenly spaced
+    // byte offsets per clip — integer arithmetic only, so the real
+    // frame-grab (ffmpeg seek at each offset) can slot into the same plan
+    "mm_frame_sample" -> ((s, dir) => {
+      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      Util.orderAll(m
+        .withColumn("duration_s", col("n_bytes") % 30 + 1)
+        .withColumn("n_frames", least(col("duration_s"), lit(5)))
+        .withColumn("frame_offsets", expr(
+          "transform(sequence(0, n_frames - 1), i -> CAST(i * (n_bytes div n_frames) AS BIGINT))"))
+        .select(col("doc_id"), col("n_bytes"), col("duration_s"),
+          col("n_frames"), col("frame_offsets")))
+    }),
+
+    // resize planning: scale to width 224 preserving aspect (integer
+    // division both engines) — the geometry half of a real resize UDF
+    "mm_resize" -> ((s, dir) => {
+      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      Util.orderAll(m
+        .withColumn("out_w", lit(224))
+        .withColumn("out_h", expr("(height * 224) div width"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("channels")))
     }),
   )
 
+  private val metaCte =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    octet_length(encode(text)) % 640 + 16 AS width,
+      |    (octet_length(encode(text)) * 7) % 480 + 16 AS height,
+      |    CASE (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1]
+      |      WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END AS channels
+      |  FROM documents
+      |)
+      |""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "mm_decode_meta" -> Util.wrap(
-      """SELECT doc_id,
-        |  (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) % 640 + 16 AS width,
-        |  (octet_length(encode(text)) * 7) % 480 + 16 AS height,
-        |  CASE (['png', 'jpeg', 'wav'])[CAST(doc_id % 3 AS INT) + 1]
-        |    WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END AS channels
-        |FROM documents""".stripMargin,
-      Seq("doc_id", "format", "n_bytes", "width", "height", "channels")),
+    "mm_decode_meta" -> (metaCte + Util.wrap(
+      "SELECT doc_id, format, n_bytes, width, height, channels FROM meta",
+      Seq("doc_id", "format", "n_bytes", "width", "height", "channels"))),
+
+    "mm_frame_sample" -> (metaCte + Util.wrap(
+      """SELECT doc_id, n_bytes,
+        |  n_bytes % 30 + 1 AS duration_s,
+        |  least(n_bytes % 30 + 1, 5) AS n_frames,
+        |  list_transform(range(0, least(n_bytes % 30 + 1, 5)),
+        |    i -> i * (n_bytes // least(n_bytes % 30 + 1, 5))) AS frame_offsets
+        |FROM meta""".stripMargin,
+      Seq("doc_id", "n_bytes", "duration_s", "n_frames"))),
+
+    "mm_resize" -> (metaCte + Util.wrap(
+      """SELECT doc_id, width, height, 224 AS out_w,
+        |  (height * 224) // width AS out_h, channels
+        |FROM meta""".stripMargin,
+      Seq("doc_id", "width", "height", "out_w", "out_h", "channels"))),
   )
 }

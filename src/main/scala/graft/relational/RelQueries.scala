@@ -93,6 +93,31 @@ object RelQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // event-time tumbling-window aggregation (Structured Streaming's
+    // window() — here in batch; the same expression works on a stream with
+    // a watermark). Epoch-aligned 1h windows == date_trunc('hour').
+    "q_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // supplier×nation×region broadcast-join aggregation
+    "q_supplier_agg" -> ((s, dir) => {
+      val sup = Tables.table(s, dir, "supplier")
+      val n = nation(s, dir)
+      val r = region(s, dir)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          round(avg(col("s_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "q_distinct_semi" -> ((s, dir) => {
       // distinct + semi/anti join capability
       val o = orders(s, dir)
@@ -161,6 +186,21 @@ object RelQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_supplier_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_supp, round(avg(s_acctbal), 4) AS avg_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
 
     "q_distinct_semi" ->
