@@ -110,6 +110,17 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(1L) != out(3L))
   }
 
+  test("vec_dot: SQL registration works and matches the lambda formulation") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d").as[Double].head()
+    assert(out == 32.0)
+    // null propagation
+    val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) AS d")
+      .collect().head.isNullAt(0)
+    assert(n)
+  }
+
   test("multimodal: imperative batched decode == declarative metadata query") {
     val media = Multimodal.mediaTable(
       Tables.table(spark, sf, "documents").limit(50))
