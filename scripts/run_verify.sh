@@ -14,6 +14,6 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx8g -Dspark.ui.enabled=false \
+exec java $OPENS -Xms${SPARK_DRIVER_MEM:-8g} -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$MAIN" "$SF" "$OUT"

@@ -21,6 +21,11 @@ object Bench {
     val only = sys.env.get("BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query hygiene: drop any storage blocks a previous query left
+      // (localCheckpoint etc.) and compact the heap, so measurements are
+      // independent rather than charged with a neighbor's memory pressure
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,95 @@
+package graft
+
+import graft.cdr.{CdrPipeline, CdrTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress: replicate the sf0.1 events table ×N (disjoint id
+  * ranges, so key cardinalities scale linearly like real growth) to a
+  * parquet table under /tmp, then time the full CDR pipeline and the argmax
+  * dedup against it. Answers "does the plan survive a 10× scale-up with the
+  * same shape" with a measurement instead of an argument.
+  *
+  * Usage: ScaleStress [sfDir] [factor]
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val base = Tables.events(spark, sfDir)
+    val maxEvent = base.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = base.agg(max("user_id")).head().getLong(0) + 1
+    val stressDir = s"/tmp/graft-stress-x$factor"
+    val copies = spark.range(factor).select(col("id").as("copy"))
+    // repartition before write: a real ×N table arrives as many files, not
+    // one — a single ~100MB file becomes ONE scan partition, and the ~40×
+    // explode+join fan-out then piles tens of millions of rows onto one
+    // task (observed: minutes of single-threaded WindowGroupLimit). Scan
+    // parallelism must be sized for post-fan-out volume, not scan bytes.
+    base.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("copy") * maxEvent)
+      .withColumn("user_id", col("user_id") + col("copy") * maxUser)
+      .drop("copy")
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
+
+    // fixture adapter over the scaled table (same derivations as CdrTables)
+    val ev = spark.read.parquet(s"$stressDir/events.parquet")
+      .withColumn("ts", col("ts")) // already timestamp from Tables.events
+    def timed[T](what: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress] $what%-22s $dt%8.2f s")
+      (r, dt)
+    }
+
+    val src = CdrTables.srcFromEvents(ev)
+    val msIp = CdrTables.msIpExplodedFromEvents(ev)
+    val imsi = CdrTables.imsiMsisdn(spark, sfDir) // dim stays dim-sized
+
+    val (nSrc, tScan) = timed("scan+derive count")(
+      CdrPipeline.extendWithPartitionCols(src).count())
+    val (nJoin, tJoin) = timed("range join only")(
+      CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)), msIp, "left_outer").count())
+    val (nAgg, tAgg) = timed("argmax dedup (agg)")(
+      CdrPipeline.dedupLatestAgg(CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)), msIp, "left_outer")).count())
+    val (_, tAgg2) = timed("argmax dedup (agg rpt)")(
+      CdrPipeline.dedupLatestAgg(CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)), msIp, "left_outer")).count())
+    val (nDedup, tDedup) = timed("argmax dedup")(
+      CdrPipeline.dedupLatest(CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)), msIp, "left_outer")).count())
+    val (nB1, tB1) = timed("branch1 lookup")(
+      CdrPipeline.lookupEnrich(CdrPipeline.extendWithPartitionCols(src)
+        .filter(col("imsi").isNotNull), imsi, "left_outer").count())
+    val (_, tDedup2) = timed("argmax dedup (rpt)")(
+      CdrPipeline.dedupLatest(CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)), msIp, "left_outer")).count())
+    val (nFull, tFull) = timed("full pipeline")(
+      CdrPipeline.full(src, imsi, msIp).count())
+    System.err.println(s"[stress] join_rows=$nJoin b1_rows=$nB1 dedup_rpt=$tDedup2")
+
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan}""")
+    spark.stop()
+  }
+}

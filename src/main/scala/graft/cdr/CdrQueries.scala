@@ -72,6 +72,16 @@ object CdrQueries {
       orderAll(CdrPipeline.projectToSink(CdrPipeline.dedupLatest(joined)))
     }),
 
+    // A1 (aggregation form): sort-free hash-aggregate argmax — the scale
+    // path for the dedup (see CdrPipeline.dedupLatestAgg scaladoc)
+    "cdr_dedup_argmax_agg" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      val joined = CdrPipeline.rangeEnrich(
+        CdrPipeline.explodeIps(ext.filter(col("imsi").isNull)),
+        CdrTables.msIpExploded(s, dir), "left_outer")
+      orderAll(CdrPipeline.dedupLatestAgg(joined))
+    }),
+
     // K4: the complete two-branch production pipeline
     "cdr_pipeline_full" -> ((s, dir) =>
       orderAll(CdrPipeline.full(
@@ -160,6 +170,16 @@ object CdrQueries {
        |  FROM ($rangeJoinSelect) r
        |) WHERE _rn = 1""".stripMargin
 
+  private val dedupSelectAgg =
+    s"""SELECT ${sinkCols.mkString(", ")} FROM (
+       |  SELECT r.*, row_number() OVER (PARTITION BY unique_cdr_id
+       |    ORDER BY coalesce(_start_time, TIMESTAMP '1900-01-01') DESC,
+       |             start_time DESC, measuring_probe_name DESC,
+       |             ms_ip_address DESC, coalesce(ip, '') DESC,
+       |             coalesce(imsi, -1) DESC, coalesce(msisdn, -1) DESC) AS _rn
+       |  FROM ($rangeJoinSelect) r
+       |) WHERE _rn = 1""".stripMargin
+
   // NB: `cte` is concatenated (never interpolated inside a .stripMargin
   // template — its `||` concat operators at line starts would be eaten as
   // margin chars), and every ORDER BY runs over a subquery wrap so output
@@ -195,8 +215,11 @@ object CdrQueries {
 
     "cdr_dedup_argmax" -> (cte + wrap(dedupSelect, sinkCols)),
 
+    "cdr_dedup_argmax_agg" -> (cte + wrap(dedupSelectAgg, sinkCols)),
+
+    // full's branch2 uses the aggregation argmax (all-DESC tie chain)
     "cdr_pipeline_full" ->
-      (cte + wrap(lookupSelect("LEFT JOIN") + "\nUNION ALL\n" + dedupSelect, sinkCols)),
+      (cte + wrap(lookupSelect("LEFT JOIN") + "\nUNION ALL\n" + dedupSelectAgg, sinkCols)),
 
     "cdr_test_imsi_routing" -> (cte + wrap(
       """SELECT CAST(imsi AS VARCHAR) LIKE '999%' AS is_test_imsi, count(*) AS n

@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
 object CdrTables {
 
   /** Streaming CDR fact `src` (EnrichmentApp.java:160-181). */
-  def src(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def src(spark: SparkSession, sfDir: String): DataFrame =
+    srcFromEvents(Tables.events(spark, sfDir))
+
+  /** Same derivation over any events-shaped DataFrame (scale-stress reuse). */
+  def srcFromEvents(ev: DataFrame): DataFrame = {
     ev.select(
       col("ts").as("start_time"),
       concat(col("event_type"), lit("_probe")).as("measuring_probe_name"),
@@ -60,8 +63,11 @@ object CdrTables {
     * (EnrichmentAppWithoutExplode.java:253-273). `date_trunc(hour)` gives
     * multiple session rows per (probe, ip) at distinct start_times — the
     * argmax-dedup fodder FIXTURES.md §3 requires. */
-  def msIpExploded(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def msIpExploded(spark: SparkSession, sfDir: String): DataFrame =
+    msIpExplodedFromEvents(Tables.events(spark, sfDir))
+
+  /** Same derivation over any events-shaped DataFrame (scale-stress reuse). */
+  def msIpExplodedFromEvents(ev: DataFrame): DataFrame = {
     ev.filter(col("event_id") % 5 === 0)
       .select(
         date_trunc("hour", col("ts")).as("start_time"),

@@ -92,6 +92,29 @@ class CdrPipelineSpec extends SparkSpec {
     assert(a.head.contains(10L)) // total order: ip "10.0.0.1" < "10.0.0.2"
   }
 
+  test("A1 agg form: same keys and latest-session winners as the window form") {
+    val src = CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(
+      srcDf(Seq(srcRow(1, None, ";10.0.0.1;10.0.0.2;", "2024-01-15 10:00:00")))))
+    val dim = Seq(
+      (ts("2024-01-15 08:00:00"), 10L, 20L, "vi", "10.0.0.1"),
+      (ts("2024-01-15 09:00:00"), 30L, 40L, "vi", "10.0.0.2")
+    ).toDF("start_time", "imsi", "msisdn", "probe", "ip")
+    val joined = CdrPipeline.rangeEnrich(src, dim, "left_outer")
+    val agg = CdrPipeline.dedupLatestAgg(joined)
+    assert(agg.columns.toSeq == CdrPipeline.sinkColumns)
+    assert(agg.count() == 1)
+    assert(agg.select("imsi").as[Option[Long]].head().contains(30L))
+    // fixture-level: same key set and count as the window form
+    val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(spark, sf))
+    val j = CdrPipeline.rangeEnrich(
+      CdrPipeline.explodeIps(ext.filter($"imsi".isNull)),
+      CdrTables.msIpExploded(spark, sf), "left_outer")
+    val w = CdrPipeline.projectToSink(CdrPipeline.dedupLatest(j))
+    val a = CdrPipeline.dedupLatestAgg(j)
+    assert(a.count() == w.count())
+    assert(a.select("unique_cdr_id").exceptAll(w.select("unique_cdr_id")).count() == 0)
+  }
+
   test("full pipeline: output schema is the sink contract and branches union-align") {
     val out = CdrPipeline.full(
       CdrTables.src(spark, sf),

@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the ContextCleaner can drop a broadcast that a concurrently-planned
+      // query still references (observed as flaky TorrentBroadcast store
+      // errors across suites sharing this session); the test JVM lives ~2
+      // minutes, so skipping eager cleanup is safe and deterministic
+      .config("spark.cleaner.referenceTracking", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.configure(s)

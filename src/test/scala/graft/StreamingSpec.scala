@@ -83,7 +83,9 @@ class StreamingSpec extends SparkSpec {
       // session argmax must emit exactly one row, enriched from the later
       // dim session (imsi 202000)
       mem.addData("2024-01-15 10:00:00.000000,vi_probe,,,;10.0.0.1;10.0.0.2;,42")
-      val deadline = System.currentTimeMillis() + 60000
+      // generous deadline: this box shows intermittent multi-minute system
+      // stalls; the assertion is on WHAT is emitted, not how fast
+      val deadline = System.currentTimeMillis() + 180000
       def emitted() = spark.table("dedup_out").count()
       while (emitted() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(200)
       val got = spark.table("dedup_out").collect()
