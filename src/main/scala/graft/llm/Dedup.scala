@@ -69,6 +69,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"))
 
+  /** Exact dedup, fingerprint-grouped (the 100 TB shape): group on
+    * `xxhash64(text)` so the shuffle carries an 8-byte key + doc_id instead
+    * of whole documents. Same groups as [[exact]] up to a ~2^-64 collision;
+    * the oracle is the text-grouped query — identical output. */
+  def exactByHash(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+
   /** Quadratic-baseline near-dup: word-3-gram Jaccard ≥ threshold via a
     * shingle inverted-index self-join. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
@@ -177,6 +186,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact"     -> ((s, dir) => Util.orderAll(exact(docs(s, dir)))),
+    "doc_dedup_exact_hash" -> ((s, dir) => Util.orderAll(exactByHash(docs(s, dir)))),
     "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
@@ -215,6 +225,11 @@ object Dedup {
 
   def oracle: Map[String, String] = Map(
     "doc_dedup_exact" -> Util.wrap(
+      "SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY text",
+      Seq("keeper", "n_copies")),
+
+    // hash-grouped variant produces identical groups (oracle stays text-keyed)
+    "doc_dedup_exact_hash" -> Util.wrap(
       "SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY text",
       Seq("keeper", "n_copies")),
 
