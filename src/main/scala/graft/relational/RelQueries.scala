@@ -105,6 +105,19 @@ object RelQueries {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // native session_window (event-time twin of the CDR pipeline's A2
+    // processing-time session dedup): sessionize events per user with a
+    // 1h inactivity gap. Oracle reproduces it via the SQL islands trick
+    // (lag + cumulative break count).
+    "q_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // supplier×nation×region broadcast-join aggregation
     "q_supplier_agg" -> ((s, dir) => {
       val sup = Tables.table(s, dir, "supplier")
@@ -194,6 +207,26 @@ object RelQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |), brk AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_supplier_agg" ->
       """SELECT r_name, n_name, count(*) AS n_supp, round(avg(s_acctbal), 4) AS avg_bal
