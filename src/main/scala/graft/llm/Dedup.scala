@@ -46,20 +46,25 @@ object Dedup {
       .distinct()
 
   /** Distinct shingle *ids* per doc: base-(V+1) encoding of the three token
-    * ids — injective, so Jaccard over ids == Jaccard over strings. */
+    * ids — injective, so Jaccard over ids == Jaccard over strings.
+    *
+    * One shuffle (the per-doc collect_list); the sliding triple and the
+    * per-doc dedup happen inside the token array (`transform` +
+    * `array_distinct`), replacing the previous window-lead + global
+    * distinct formulation (two shuffles + a partition-wide sort) with a
+    * per-row array sort over ~|doc| tokens. */
   def shingleIds(tok: DataFrame): DataFrame = {
     val v = vocab(tok)
     val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
       .join(broadcast(v), "token")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
     val vCount = v.agg((count(lit(1)) + 1).as("v"))
-    pos
-      .withColumn("tid2", lead("tid", 1).over(w))
-      .withColumn("tid3", lead("tid", 2).over(w))
-      .filter(col("tid3").isNotNull)
+    pos.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
+      .filter(size(col("pt")) >= 3)
       .crossJoin(broadcast(vCount))
-      .select(col("doc_id"), expr("(tid * v + tid2) * v + tid3").as("sid"))
-      .distinct()
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * v + pt[i].tid) * v + pt[i+1].tid))"))
+        .as("sid"))
   }
 
   /** Exact duplicate groups: one keeper (min doc_id) + copy count per
