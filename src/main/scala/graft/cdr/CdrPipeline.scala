@@ -106,11 +106,13 @@ object CdrPipeline {
   }
 
   /** A1, aggregation form: the same per-key whole-row argmax as
-    * [[dedupLatest]] but via `max(struct(...))` — a hash aggregate instead
-    * of a window. The window form must SORT every partition (WindowGroupLimit
-    * still sorts before taking top-1); this form keeps one best row per key
-    * in the aggregation hash map, partial map-side then final — no sort
-    * anywhere, shuffle carries ≤ one row per (partition, key).
+    * [[dedupLatest]] but via `max(struct(...))` aggregation. Physically this
+    * lowers to SortAggregate (struct buffers aren't hash-aggregable), but
+    * the sort is on the 8-byte grouping key only — the window form sorts
+    * every partition by the full 7-column comparison chain (timestamps +
+    * strings) — and partial aggregation still collapses each partition to
+    * ≤ one row per key before the shuffle. Measured ×10-stress effect:
+    * 2-4 s vs 94-375 s (SCALE.md "argmax at scale").
     *
     * Total order = lexicographic struct comparison over
     * (_start_time, start_time, probe name, ip list, ip, imsi, msisdn), all
