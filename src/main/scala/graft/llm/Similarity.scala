@@ -106,15 +106,25 @@ object Similarity {
     val e = normed(emb)
     val cent = e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val scored = e.crossJoin(broadcast(cent))
+    def scored(side: DataFrame) = side.crossJoin(broadcast(cent))
       .withColumn("csim",
         round(VectorFunctions.vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+    // corpus-side assignment is an aggregation argmax, not a window:
+    // max(struct(csim, -cid)) == argmax by (csim DESC, cid ASC) — -cid is
+    // unique so comparison never reaches the payload fields, and the plan
+    // avoids sorting the corpus×centroid cross by the whole chain (same
+    // lesson as CdrPipeline.dedupLatestAgg / SCALE.md "argmax at scale")
+    val cells = scored(e.filter(col("vec_id") >= nQueries))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
+        col("v"), col("nrm"))).as("w"))
+      .select(col("vec_id").as("neighbor_id"), col("w.v").as("vb"),
+        col("w.nrm").as("nb"), (-col("w.ncid")).as("cid"))
+    // query side is nQueries rows — the top-nprobe window is trivial
     val cw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val ranked = scored.withColumn("crk", row_number().over(cw))
-    val cells = ranked.filter(col("vec_id") >= nQueries && col("crk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cid"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("crk") <= nprobe)
+    val probes = scored(e.filter(col("vec_id") < nQueries))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("va"),
         col("nrm").as("na"), col("cid"))
     val rescored = probes.join(cells, Seq("cid"))
