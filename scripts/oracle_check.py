@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: load Verify's parquet dumps,
-run each oracle SQL in DuckDB over the same fixtures, compare row-sets.
+run each oracle SQL in DuckDB over the same fixtures, compare like the driver
+does — pandas DataFrames, columns sorted by name, rows sorted by all columns,
+value-hash compare. This is deliberately TYPE-SENSITIVE (int64 vs float64 vs
+object hash differently), because the driver's compare is: a DuckDB HUGEINT
+sum vs a Spark BIGINT is a FAIL here even when the values are equal.
 
 usage: oracle_check.py [sfDir] [verifyOut]
 """
-import json, sys, math
+import json, sys
 import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -19,41 +24,46 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
 
-def sortkey(row):
-    return tuple((v is None, v if v is not None else 0) for v in row)
+def canon(df):
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    every column, then a per-row value hash."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return pd.util.hash_pandas_object(df, index=False).values.tolist()
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted((tuple(norm(r[i]) for i in order) for r in rows),
-                  key=sortkey), sorted(cols)
 
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        got = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        grows, gcols = got.fetchall(), [d[0] for d in got.description]
-        exp = con.execute(sql)
-        erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
-        g, gc = canon(grows, gcols)
-        e, ec = canon(erows, ecols)
-        if gc != ec:
-            print(f"FAIL {name}: schema {gc} != {ec}")
+        gdf = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        edf = con.execute(sql).df()
+        gcols, ecols = sorted(gdf.columns), sorted(edf.columns)
+        if gcols != ecols:
+            print(f"FAIL {name}: schema {gcols} != {ecols}")
             fails += 1
-        elif g != e:
-            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}; first diffs: {diff}")
+            continue
+        if len(gdf) != len(edf):
+            print(f"FAIL {name}: rows {len(gdf)} vs {len(edf)}")
+            fails += 1
+            continue
+        if canon(gdf) != canon(edf):
+            # help debugging: show dtype deltas and first value diffs
+            dt = [(c, str(gdf[c].dtype), str(edf[c].dtype))
+                  for c in gcols if str(gdf[c].dtype) != str(edf[c].dtype)]
+            g = gdf[gcols].sort_values(gcols).reset_index(drop=True)
+            e = edf[ecols].sort_values(ecols).reset_index(drop=True)
+            neq = (g != e) & ~(g.isna() & e.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: hash mismatch; dtype deltas {dt}; "
+                  f"{int(bad.sum())} differing rows; first: "
+                  f"{g[bad].head(2).to_dict('records')} vs "
+                  f"{e[bad].head(2).to_dict('records')}")
             fails += 1
         else:
-            print(f"OK   {name}: {len(g)} rows")
+            print(f"OK   {name}: {len(gdf)} rows")
     except Exception as ex:
-        print(f"ERR  {name}: {str(ex)[:300]}")
+        print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:300]}")
         fails += 1
 
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")

@@ -289,7 +289,8 @@ object Dedup {
         |  GROUP BY doc_id, j
         |)
         |""".stripMargin + Util.wrap(
-        """SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+        // outer CAST: DuckDB sum(BIGINT) is HUGEINT — pin to BIGINT to match Spark's LongType
+        """SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
           |FROM bits GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "simhash"))),
 

@@ -100,11 +100,13 @@ object Multimodal {
     // frame-grab (ffmpeg seek at each offset) can slot into the same plan
     "mm_frame_sample" -> ((s, dir) => {
       val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      // frame_offsets is emitted as a canonical comma-joined string — the
+      // driver's hash compare can't sort/hash an array<bigint> column
       Util.orderAll(m
         .withColumn("duration_s", col("n_bytes") % 30 + 1)
         .withColumn("n_frames", least(col("duration_s"), lit(5)))
         .withColumn("frame_offsets", expr(
-          "transform(sequence(0, n_frames - 1), i -> CAST(i * (n_bytes div n_frames) AS BIGINT))"))
+          "array_join(transform(sequence(0, n_frames - 1), i -> CAST(i * (n_bytes div n_frames) AS STRING)), ',')"))
         .select(col("doc_id"), col("n_bytes"), col("duration_s"),
           col("n_frames"), col("frame_offsets")))
     }),
@@ -143,10 +145,10 @@ object Multimodal {
       """SELECT doc_id, n_bytes,
         |  n_bytes % 30 + 1 AS duration_s,
         |  least(n_bytes % 30 + 1, 5) AS n_frames,
-        |  list_transform(range(0, least(n_bytes % 30 + 1, 5)),
-        |    i -> i * (n_bytes // least(n_bytes % 30 + 1, 5))) AS frame_offsets
+        |  array_to_string(list_transform(range(0, least(n_bytes % 30 + 1, 5)),
+        |    i -> i * (n_bytes // least(n_bytes % 30 + 1, 5))), ',') AS frame_offsets
         |FROM meta""".stripMargin,
-      Seq("doc_id", "n_bytes", "duration_s", "n_frames"))),
+      Seq("doc_id", "n_bytes", "duration_s", "n_frames", "frame_offsets"))),
 
     "mm_resize" -> (metaCte + Util.wrap(
       """SELECT doc_id, width, height, 224 AS out_w,

@@ -179,7 +179,8 @@ object TextAnalysis {
         |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) ii
         |)
         |""".stripMargin + Util.wrap(
-        """SELECT doc_id, sum(tid * (pos % 31 + 1)) * 31 + count(*) AS fingerprint
+        // CAST: DuckDB sum(BIGINT) is HUGEINT — pin to BIGINT to match Spark's LongType
+        """SELECT doc_id, CAST(sum(tid * (pos % 31 + 1)) * 31 + count(*) AS BIGINT) AS fingerprint
           |FROM pt JOIN vocab USING (token) GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "fingerprint"))),
 
