@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, VectorFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extension entry point: install the engine's native expressions
   * into every session on a cluster via
@@ -21,6 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      VectorFunctions.dotBuilder))
   }
 }

@@ -74,8 +74,16 @@ object VectorFunctions {
   /** L2 norm via the same kernel. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
 
+  /** Arity-checked SQL builder — a wrong argument count is an analysis
+    * error naming the function, not an IndexOutOfBoundsException. */
+  def dotBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      GraftSql.analysisError(
+        s"vec_dot requires exactly 2 arguments, got ${children.length}")
+    DotProduct(children.head, children(1))
+  }
+
   /** SQL surface parity (SURVEY §2 I6): exposes `vec_dot` to `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    GraftSql.registerFunction(spark, "vec_dot",
-      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    GraftSql.registerFunction(spark, "vec_dot", dotBuilder)
 }

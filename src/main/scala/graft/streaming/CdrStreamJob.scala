@@ -125,8 +125,16 @@ object CdrStreamJob {
   }
 
   /** Production micro-batch runner: the whole batch pipeline per trigger,
-    * dimensions from TTL caches (60 s — flink.conf:38,48), append to the
-    * partitioned parquet table. */
+    * dimensions from TTL caches (60 s — flink.conf:38,48), idempotent write
+    * to the partitioned parquet table via [[writeBatch]].
+    *
+    * Delivery: exactly-once. A micro-batch replayed after a failure between
+    * write and checkpoint commit re-reads the same offsets, so its rows and
+    * touched partitions are identical — [[writeBatch]]'s dynamic partition
+    * overwrite on a trailing `batch_id` sub-partition rewrites exactly the
+    * partitions the failed attempt produced instead of appending them twice.
+    * (The strict `(event_date, probe)`-only layout path is [[parquetSink]],
+    * whose exactly-once comes from the built-in file-sink manifest.) */
   def runForeachBatch(src: DataFrame, imsiCache: DimensionCache,
                       msIpCache: DimensionCache, path: String, checkpoint: String,
                       triggerMs: Long = 20000L,
@@ -134,12 +142,24 @@ object CdrStreamJob {
     src.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        CdrPipeline.full(batch, imsiCache.get(), msIpCache.get())
-          .write.mode("append")
-          .option("maxRecordsPerFile", maxRecordsPerFile)
-          .partitionBy("event_date", "probe")
-          .parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(CdrPipeline.full(batch, imsiCache.get(), msIpCache.get()),
+          batchId, path, maxRecordsPerFile)
       }
       .start()
+
+  /** Idempotent per-micro-batch parquet write: Hive layout
+    * `event_date/probe/batch_id` with `partitionOverwriteMode=dynamic`, so
+    * re-running the same (deterministic) batch replaces its own output
+    * in place. `batch_id` trails the reference's partition columns, so
+    * `event_date`/`probe` pruning is unchanged; readers of the table see one
+    * extra partition column (documented layout delta vs flink.conf:56). */
+  def writeBatch(out: DataFrame, batchId: Long, path: String,
+                 maxRecordsPerFile: Long = 1000000L): Unit =
+    out.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("event_date", "probe", "batch_id")
+      .parquet(path)
 }

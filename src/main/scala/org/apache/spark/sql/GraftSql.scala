@@ -14,6 +14,11 @@ object GraftSql {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Raise a proper analysis error (the `String` ctor is `private[sql]`). */
+  def analysisError(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
   /** Expose a native expression under a SQL name (session-scoped). */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

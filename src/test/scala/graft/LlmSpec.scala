@@ -119,6 +119,11 @@ class LlmSpec extends SparkSpec {
     val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) AS d")
       .collect().head.isNullAt(0)
     assert(n)
+    // wrong arity is an analysis error naming the function, not an IOOBE
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1d)) AS d").collect()
+    }
+    assert(err.getMessage.contains("vec_dot requires exactly 2 arguments"))
   }
 
   test("multimodal: imperative batched decode == declarative metadata query") {

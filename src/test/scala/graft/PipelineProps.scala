@@ -65,7 +65,10 @@ object PipelineProps extends Properties("cdr") {
         .toDF("start_time", "imsi", "msisdn", "probe", "ip")
       val out = CdrPipeline.full(src, imsiDim, msIpDim)
       val n1 = rows.count(_._3.isDefined)
-      val n2 = rows.filter(_._3.isEmpty).map(_._6).distinct.size
+      // an imsi-null row with zero non-empty ip tokens is dropped by the
+      // inner-LATERAL explode (reference semantics), so it contributes no key
+      val n2 = rows.filter(r => r._3.isEmpty &&
+        r._5.split(";").map(_.trim).exists(_.nonEmpty)).map(_._6).distinct.size
       out.count() == n1 + n2
     }
 

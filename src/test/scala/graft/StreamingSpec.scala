@@ -49,7 +49,7 @@ class StreamingSpec extends SparkSpec {
       CdrTables.src(spark, sf).limit(200),
       CdrTables.imsiMsisdn(spark, sf),
       CdrTables.msIpExploded(spark, sf))
-    val got = spark.read.parquet(out)
+    val got = spark.read.parquet(out).drop("batch_id") // idempotency sub-partition
     assert(got.count() == expected.count())
     // partition columns became Hive-style directories (read back as columns)
     assert(got.columns.sorted.toSeq == expected.columns.sorted.toSeq)
@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     val gotKeys = got.select(concat_ws("|", key: _*)).as[String].collect().sorted
     val expKeys = expected.select(concat_ws("|", key: _*)).as[String].collect().sorted
     assert(gotKeys.toSeq == expKeys.toSeq)
+  }
+
+  test("K1 idempotency: a replayed micro-batch rewrites its output instead of appending") {
+    val out = tmp("graft-replay-out")
+    val full = CdrPipeline.full(
+      CdrTables.src(spark, sf).limit(100),
+      CdrTables.imsiMsisdn(spark, sf),
+      CdrTables.msIpExploded(spark, sf))
+    CdrStreamJob.writeBatch(full, batchId = 7L, out)
+    val once = spark.read.parquet(out).count()
+    // failure between write and checkpoint commit ⇒ same batchId re-runs
+    CdrStreamJob.writeBatch(full, batchId = 7L, out)
+    assert(spark.read.parquet(out).count() == once, "replay must not duplicate rows")
+    // a genuinely new batch still appends
+    CdrStreamJob.writeBatch(full, batchId = 8L, out)
+    assert(spark.read.parquet(out).count() == 2 * once)
   }
 
   test("A2 streaming: SessionDedup emits per-key argmax after the session gap") {
