@@ -82,6 +82,23 @@ object CdrQueries {
       orderAll(CdrPipeline.dedupLatestAgg(joined))
     }),
 
+    // As-of join (beyond-reference operator): the J3/J4+A1 "latest dim
+    // session ≤ CDR time" semantic in ONE pass — no candidate explosion,
+    // one shuffle, per-partition sort (graft.operators.AsOfJoin scaladoc).
+    // Output: exactly one enrichment row per exploded (CDR, ip) pair.
+    "cdr_asof_enrich" -> ((s, dir) => {
+      val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(s, dir))
+      val left = CdrPipeline.explodeIps(ext.filter(col("imsi").isNull))
+      val enriched = graft.operators.AsOfJoin.leftAsOf(
+        left, CdrTables.msIpExploded(s, dir),
+        keys = Seq("probe", "ip"), leftTime = "start_time", rightTime = "start_time",
+        payload = Seq("imsi" -> "_imsi", "msisdn" -> "_msisdn", "start_time" -> "_start_time"))
+        .withColumn("imsi", coalesce(col("_imsi"), col("imsi")))
+        .withColumn("msisdn", coalesce(col("_msisdn"), col("msisdn")))
+        .drop("_imsi", "_msisdn")
+      orderAll(enriched.select((sinkCols :+ "ip" :+ "_start_time").map(col): _*))
+    }),
+
     // K4: the complete two-branch production pipeline
     "cdr_pipeline_full" -> ((s, dir) =>
       orderAll(CdrPipeline.full(
@@ -212,6 +229,27 @@ object CdrQueries {
     "cdr_lookup_left" -> (cte + wrap(lookupSelect("LEFT JOIN"), sinkCols)),
 
     "cdr_range_join" -> (cte + wrap(rangeJoinSelect, sinkCols ++ Seq("ip", "_start_time"))),
+
+    // DuckDB's native ASOF JOIN is the oracle for our union-sort as-of
+    // operator; the dim is pre-reduced per (probe, ip, start_time) with the
+    // same deterministic argmax (imsi DESC, msisdn DESC — Spark's
+    // max(struct)) so right-side ties can't flap the hash.
+    "cdr_asof_enrich" -> (cte +
+      """, dimd AS (
+        |  SELECT probe, ip, start_time, imsi, msisdn FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY probe, ip, start_time
+        |      ORDER BY imsi DESC NULLS LAST, msisdn DESC NULLS LAST) AS rn
+        |    FROM ms_ip_exploded d) t WHERE rn = 1
+        |)
+        |""".stripMargin + wrap(
+      """SELECT s.start_time, s.measuring_probe_name,
+        |  COALESCE(d.imsi, s.imsi) AS imsi, COALESCE(d.msisdn, s.msisdn) AS msisdn,
+        |  s.ms_ip_address, s.unique_cdr_id, s.event_date, s.probe, s.ip,
+        |  d.start_time AS _start_time
+        |FROM src_exploded s ASOF LEFT JOIN dimd d
+        |  ON s.probe = d.probe AND s.ip = d.ip AND s.start_time >= d.start_time
+        |WHERE s.imsi IS NULL""".stripMargin,
+      sinkCols ++ Seq("ip", "_start_time"))),
 
     "cdr_dedup_argmax" -> (cte + wrap(dedupSelect, sinkCols)),
 

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.cdr.{CdrPipeline, CdrTables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The as-of join must agree with the naive range-join + per-group argmax
+  * on the matched timestamp, and honor SQL NULL/tie semantics. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of: picks the latest right row at-or-before the left timestamp (inclusive)") {
+    val left = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 1L),
+      ("k1", ts("2024-01-01 12:00:00"), 2L),
+      ("k1", ts("2024-01-01 09:00:00"), 3L), // before every right row
+      ("k2", ts("2024-01-01 10:00:00"), 4L)  // key with no right rows
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 100L), // == left ts ⇒ inclusive match
+      ("k1", ts("2024-01-01 11:30:00"), 200L)
+    ).toDF("k", "t", "v")
+
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "_v", "t" -> "_t"))
+    assert(out.count() == 4)
+    val byId = out.select("id", "_v").as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).contains(100L)) // inclusive >=
+    assert(byId(2L).contains(200L))
+    assert(byId(3L).isEmpty)        // nothing at-or-before
+    assert(byId(4L).isEmpty)        // no right rows for key
+  }
+
+  test("as-of: NULL left key or timestamp matches nothing; right ties are deterministic") {
+    val left = Seq(
+      (Option("k1"), Option(ts("2024-01-01 12:00:00")), 1L),
+      (Option.empty[String], Option(ts("2024-01-01 12:00:00")), 2L),
+      (Option("k1"), Option.empty[Timestamp], 3L)
+    ).toDF("k", "t", "id")
+    val right = Seq(
+      // duplicate (key, time): pre-reduction keeps max(struct(v)) = 300
+      ("k1", ts("2024-01-01 10:00:00"), 300L),
+      ("k1", ts("2024-01-01 10:00:00"), 250L)
+    ).toDF("k", "t", "v")
+    val byId = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "_v")).select("id", "_v").as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).contains(300L)) // deterministic tie winner
+    assert(byId(2L).isEmpty)        // NULL key
+    assert(byId(3L).isEmpty)        // NULL timestamp
+  }
+
+  test("as-of == range-join + argmax on the matched timestamp (CDR fixtures)") {
+    val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(spark, sf))
+    val left = CdrPipeline.explodeIps(ext.filter(col("imsi").isNull))
+    val dim = CdrTables.msIpExploded(spark, sf)
+
+    val asof = AsOfJoin.leftAsOf(left, dim,
+      Seq("probe", "ip"), "start_time", "start_time",
+      Seq("start_time" -> "_start_time"))
+      .select(col("unique_cdr_id"), col("ip"), col("start_time"), col("_start_time"))
+
+    val naive = CdrPipeline.rangeEnrich(left, dim, "left_outer")
+      .groupBy(col("unique_cdr_id"), col("ip"), col("start_time"))
+      .agg(max(col("_start_time")).as("_start_time"))
+
+    assert(asof.count() == left.count(), "exactly one output row per left row")
+    assert(asof.exceptAll(naive).isEmpty && naive.exceptAll(asof).isEmpty,
+      "as-of must agree with range-join + argmax")
+  }
+}
