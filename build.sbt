@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must NOT pass through sbt's logger: the driver parses
+// Bench's single JSON stdout line, and the default LoggedOutput strategy
+// prefixes it with "[info] ", breaking that parse (BENCH_r01 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
