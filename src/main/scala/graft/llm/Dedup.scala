@@ -2,7 +2,6 @@ package graft.llm
 
 import graft.{Tables, Util}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact, n-gram
@@ -32,18 +31,37 @@ object Dedup {
   def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("words"))
 
-  /** token → dense integer id, 1-based. Tiny by definition; broadcast. */
-  def vocab(tok: DataFrame): DataFrame =
+  /** token → dense integer id, 1-based (== dense_rank over the distinct
+    * token set). Implemented as a *distributed* sort + zipWithIndex instead
+    * of an unpartitioned dense_rank window: the window form funnels the
+    * whole vocabulary through one partition (Spark even warns "No Partition
+    * Defined for Window operation"), which at 100 TB — tens of millions of
+    * distinct tokens — is a single-task bottleneck. sortBy range-partitions
+    * the sort and zipWithIndex assigns contiguous ranks from per-partition
+    * offsets, so every stage stays parallel. Ids are identical (tokens are
+    * distinct, so dense_rank == row_number == zipWithIndex + 1). */
+  def vocab(tok: DataFrame): DataFrame = {
+    val session = tok.sparkSession
+    import session.implicits._
     tok.select(explode(col("words")).as("token")).distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("token")))
+      .as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (t, i) => (t, i + 1) }
+      .toDF("token", "tid")
+      // materialize: consumers (broadcast join + vocab-size count) would
+      // otherwise each re-run the whole sort+zipWithIndex RDD lineage
+      .localCheckpoint(true)
+  }
 
-  /** Distinct word-3-gram shingles per doc (string form). */
+  /** Distinct word-3-gram shingles per doc (string form). Per-doc
+    * distinctness comes from `array_distinct` *inside* the row — no
+    * corpus-wide distinct shuffle is needed. */
   def shingles(tok: DataFrame): DataFrame =
     tok.filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(words) - 2), i -> concat_ws(' ', words[i-1], words[i], words[i+1]))")))
         .as("shingle"))
-      .distinct()
 
   /** Distinct shingle *ids* per doc: base-(V+1) encoding of the three token
     * ids — injective, so Jaccard over ids == Jaccard over strings.
@@ -86,7 +104,9 @@ object Dedup {
   /** Quadratic-baseline near-dup: word-3-gram Jaccard ≥ threshold via a
     * shingle inverted-index self-join. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(tokenized(docs))
+    // materialize the shingle set once: three consumers (both join sides +
+    // cnt) would otherwise each re-evaluate the interpreted 3-gram transform
+    val sh = shingles(tokenized(docs)).localCheckpoint(eager = true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -110,6 +130,11 @@ object Dedup {
     // it, and the blocks are dropped with the RDD when the plan is GC'd —
     // no unpersist bookkeeping leaking executor memory across queries.
     val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
+    // Signature pass stays in whole-stage-codegen'd hash aggregation: the
+    // ×16 hash fan-out looks like it inflates the shuffle, but min() partial-
+    // aggregates map-side, so each mapper emits ≤16 rows per doc — cheaper
+    // end-to-end than collecting sids per doc and folding interpreted array
+    // lambdas in-row (measured 2× slower at sf0.1).
     val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
     val sig = shid.crossJoin(broadcast(hashes))
       .groupBy(col("doc_id"), col("h"))
@@ -134,18 +159,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash fingerprint per document from token-id pseudo-bits. */
+  /** 16-bit SimHash fingerprint per document from token-id pseudo-bits.
+    *
+    * Per-doc token distinctness is `array_distinct` inside the row (no
+    * corpus-wide distinct shuffle), and all 16 bit-sums are evaluated in one
+    * per-doc aggregation with nested array folds — one shuffle total,
+    * versus the naive distinct → ×16 crossJoin → groupBy(doc_id, j) →
+    * groupBy(doc_id) chain (three shuffles, 16× intermediate volume). */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = tokenized(docs)
-    val dt = tok.select(col("doc_id"), explode(col("words")).as("token")).distinct()
+    val dt = tok.select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
       .join(broadcast(vocab(tok)), "token")
-    val bits = dt.sparkSession.range(16).select(col("id").as("j"))
-    dt.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr(
-        "CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END")).as("simhash"))
+    dt.groupBy("doc_id")
+      .agg(collect_list(col("tid")).as("tids"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + CASE WHEN aggregate(tids, CAST(0 AS BIGINT), (s, t) ->
+          |      s + CASE WHEN (t * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) > 0
+          |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
