@@ -201,6 +201,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Near-duplicate *clusters*: connected components over the MinHash-LSH
+    * candidate pairs, labels = min doc_id per component. Singleton docs keep
+    * their own id. This is the operator that turns pairwise dedup output
+    * into per-document keep/drop decisions at corpus scale — see
+    * [[graft.operators.ConnectedComponents]] for the iteration shape. */
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val edges = minhashLsh(docs, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = docs.select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -228,6 +241,7 @@ object Dedup {
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
+    "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
   )
 
@@ -249,6 +263,32 @@ object Dedup {
       |    JOIN vocab USING (token)
       |  ) q CROSS JOIN (SELECT count(*) + 1 AS v FROM vocab) vv
       |  WHERE tid3 IS NOT NULL
+      |)
+      |""".stripMargin
+
+  /** MinHash signature → bands → candidate pairs → shingle-intersection
+    * counts, as chained CTEs appended to [[tokCte]]. */
+  private val minhashChain =
+    """, sig AS (
+      |  SELECT doc_id, h, min(((2 * h + 3) * sid + 7919 * h + 13) % 1000003) AS mh
+      |  FROM shid CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hh
+      |  GROUP BY doc_id, h
+      |), bands AS (
+      |  SELECT doc_id, h // 2 AS band,
+      |    sum(mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)) AS bval
+      |  FROM sig GROUP BY doc_id, h // 2
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS c FROM shid GROUP BY doc_id
+      |), inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS i
+      |  FROM cand
+      |  JOIN shid x ON x.doc_id = doc_a
+      |  JOIN shid y ON y.doc_id = doc_b AND y.sid = x.sid
+      |  GROUP BY 1, 2
       |)
       |""".stripMargin
 
@@ -286,29 +326,28 @@ object Dedup {
         |)
         |""".stripMargin + Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
 
-    "doc_dedup_minhash" -> (tokCte +
-      """, sig AS (
-        |  SELECT doc_id, h, min(((2 * h + 3) * sid + 7919 * h + 13) % 1000003) AS mh
-        |  FROM shid CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hh
-        |  GROUP BY doc_id, h
-        |), bands AS (
-        |  SELECT doc_id, h // 2 AS band,
-        |    sum(mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)) AS bval
-        |  FROM sig GROUP BY doc_id, h // 2
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS c FROM shid GROUP BY doc_id
-        |), inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS i
-        |  FROM cand
-        |  JOIN shid x ON x.doc_id = doc_a
-        |  JOIN shid y ON y.doc_id = doc_b AND y.sid = x.sid
-        |  GROUP BY 1, 2
-        |)
-        |""".stripMargin + Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+    "doc_dedup_minhash" -> (tokCte + minhashChain +
+      Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    // same MinHash pipeline, then transitive closure: every (node, reachable
+    // label) pair via a recursive CTE, min label per node == the hash-min
+    // fixpoint the Spark operator converges to
+    "doc_dedup_clusters" -> (
+      tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashChain +
+      s""", pairs AS (
+         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), comp(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, comp.label FROM e JOIN comp ON comp.node = e.b
+         |)
+         |""".stripMargin + Util.wrap(
+        "SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node",
+        Seq("doc_id", "cluster"))),
 
     "doc_dedup_simhash" -> (tokCte +
       """, dt AS (

@@ -148,4 +148,25 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(full))
   }
+
+  test("connected components: chain collapses to min label, isolates keep their own") {
+    // 1-2-3-4 is a 3-hop chain (diameter > 1 exercises the iteration),
+    // 5-6 a pair, 7 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val nodes = (1L to 7L).toDF("id")
+    val out = graft.operators.ConnectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dedup clusters: exact duplicates share a cluster, cluster id is member min") {
+    val out = Dedup.dedupClusters(docsDf(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over dogs",
+      5L -> "the quick brown fox jumps over dogs",
+      3L -> "entirely different words in this one here"), 0.4)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L && out(3L) == 3L)
+  }
 }
