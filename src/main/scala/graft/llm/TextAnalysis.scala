@@ -85,6 +85,17 @@ object TextAnalysis {
       .agg((sum(expr("tid * (pos % 31 + 1)")) * 31 + count(lit(1))).as("fingerprint"))
   }
 
+  /** Regex scrub/redaction — the shape of PII removal in a training-data
+    * pipeline (this corpus has no digits or emails, so the pattern targets
+    * stopword tokens to actually fire). Whole-word match via `\b`; Spark's
+    * regexp_replace replaces all occurrences, DuckDB needs the 'g' flag. */
+  def redact(docs: DataFrame): DataFrame = {
+    val pat = "\\b(the|a)\\b"
+    docs.select(col("doc_id"),
+      regexp_replace(col("text"), lit(pat), lit("<STOP>")).as("scrubbed"),
+      regexp_count(col("text"), lit(pat)).as("n_scrubbed"))
+  }
+
   /** Corpus-wide top-k word trigrams by occurrence (not per-doc distinct).
     * Partial-aggregates map-side, shuffles only (trigram, partial-count)
     * pairs, and the top-k lowers to TakeOrderedAndProject — per-partition
@@ -108,6 +119,7 @@ object TextAnalysis {
     "text_quality"     -> ((s, dir) => Util.orderAll(quality(docs(s, dir)))),
     "text_tokens"      -> ((s, dir) => Util.orderAll(tokenCounts(docs(s, dir)))),
     "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
+    "text_redact"      -> ((s, dir) => Util.orderAll(redact(docs(s, dir)))),
     // already deterministically ordered (n DESC, trigram ASC) — the same
     // ORDER BY the oracle ends with, so no orderAll re-sort
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
@@ -183,6 +195,13 @@ object TextAnalysis {
         """SELECT doc_id, CAST(sum(tid * (pos % 31 + 1)) * 31 + count(*) AS BIGINT) AS fingerprint
           |FROM pt JOIN vocab USING (token) GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "fingerprint"))),
+
+    "text_redact" -> Util.wrap(
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(the|a)\b', '<STOP>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(text, '\b(the|a)\b')) AS n_scrubbed
+        |FROM documents""".stripMargin,
+      Seq("doc_id", "scrubbed", "n_scrubbed")),
 
     "text_trigram_topk" ->
       """WITH tok AS (

@@ -131,6 +131,72 @@ object RelQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Skew-mitigation pattern at its real shape: fact side salted with a
+    // deterministic row-local value, dim side replicated ×NSALT, join on
+    // (key, salt). A hot orderkey's rows now spread over NSALT reducers
+    // instead of one. Result must be — and is, see the oracle — identical
+    // to the plain join; AQE's skewedJoin does this adaptively, this is the
+    // explicit form for when stats miss the skew.
+    "q_salted_join" -> ((s, dir) => {
+      val nSalt = 8
+      val l = lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(nSalt)))
+      val o = orders(s, dir)
+        .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // full cube (complements q_rollup's hierarchy): all 4 grouping sets in
+    // one pass — Catalyst expands to a single Expand + hash aggregate, not
+    // 4 scans
+    "q_cube" -> ((s, dir) => {
+      orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: index p·(n-1), linear between neighbors). The
+    // approx_percentile/t-digest sketch is the 100 TB path when a sort-based
+    // exact pass is too expensive; exact is the oracle-checkable baseline.
+    "q_percentile" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .select(col("l_returnflag"),
+          round(col("ps")(0), 6).as("p25"),
+          round(col("ps")(1), 6).as("p50"),
+          round(col("ps")(2), 6).as("p75"),
+          col("avg_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // semi-structured column: parse the JSON `props` payload per event and
+    // aggregate an extracted field — from_json with an explicit schema keeps
+    // the parse codegen'd and null-safe (malformed → NULL, filtered)
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_distinct_semi" -> ((s, dir) => {
       // distinct + semi/anti join capability
       val o = orders(s, dir)
@@ -235,6 +301,41 @@ object RelQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    // oracle is the UNSALTED join — proves the salted plan is semantics-preserving
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_distinct_semi" ->
       """WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
