@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming aggregation with watermarks — capability the
+  * reference pipeline never needed (it is purely processing-time, SURVEY
+  * §2.8 I2) but that any general streaming engine must provide: bounded
+  * state via late-data eviction, and append-mode emission of *final*
+  * per-window results.
+  *
+  * Both transforms are the streaming twins of batch queries
+  * (`q_tumbling_window`, exact dedup): the same logical expression runs in
+  * either mode, which is what makes the batch DuckDB oracle meaningful for
+  * the streaming path.
+  *
+  * Scale notes: the window aggregation is a standard keyed-state hash
+  * aggregate — state size is O(open windows × distinct keys), bounded by
+  * the watermark horizon, and partial aggregation still applies map-side
+  * within each micro-batch. Dedup state is one entry per key seen within
+  * the watermark; the watermark is what keeps it from growing without
+  * bound on an infinite stream.
+  */
+object EventWindows {
+
+  /** Tumbling event-time counts. With `delay` watermark, append mode emits
+    * a (window, event_type) row exactly once — when the watermark passes
+    * the window end — and rows later than the watermark are dropped. */
+  def tumblingCounts(events: DataFrame, delay: String, win: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Streaming exact dedup on `event_id`: keeps the first arrival, drops
+    * re-deliveries that arrive within the watermark horizon; state for a
+    * key is evicted once the watermark passes it. */
+  def dedupEvents(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+}

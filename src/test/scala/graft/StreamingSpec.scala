@@ -123,6 +123,54 @@ class StreamingSpec extends SparkSpec {
     assert(withImsi > n / 4 && withImsi < 3 * n / 4)
   }
 
+  test("event-time watermark: append emits closed windows once, late rows are dropped") {
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = streaming.EventWindows.tumblingCounts(
+        mem.toDF().toDF("ts", "event_type"), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-win")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(ts("2024-01-01 10:00:00") -> "click", ts("2024-01-01 10:30:00") -> "click")
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window — nothing final yet
+      assert(spark.table("win_out").isEmpty)
+      // jump event time to 12:00 → watermark 11:50 → the 10:00 window closes
+      mem.addData(ts("2024-01-01 12:00:00") -> "view")
+      q.processAllAvailable()
+      // a late straggler for the closed 10:00 window must be dropped
+      mem.addData(ts("2024-01-01 10:05:00") -> "click")
+      // and one more on-time row to advance the batch
+      mem.addData(ts("2024-01-01 12:10:00") -> "view")
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select($"w_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(out == Set(("2024-01-01 10:00:00", "click", 2L)),
+        s"closed-window emission wrong: $out")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark keeps first arrival per event_id") {
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val q = streaming.EventWindows.dedupEvents(
+        mem.toDF().toDF("ts", "event_id", "event_type"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_ev_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-dedup")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:00:05"), 1L, "click"), // redelivery, same id
+        (ts("2024-01-01 10:01:00"), 2L, "view"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 10:02:00"), 1L, "click")) // late redelivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev_out").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("DimensionCache refreshes only after TTL") {
     var loads = 0
     val cache = new DimensionCache(() => { loads += 1; spark.range(3).toDF() }, 60000L)
