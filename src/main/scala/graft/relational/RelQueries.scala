@@ -197,6 +197,34 @@ object RelQueries {
         .orderBy(col("event_type"))
     }),
 
+    // banded interval self-join (operators/IntervalJoin): burst detection —
+    // per user, how many event pairs land within 5 minutes of each other.
+    // The oracle is the naive theta join; the engine runs the equi-key
+    // binned plan, proving the rewrite is lossless.
+    "q_interval_join" -> ((s, dir) => {
+      graft.operators.IntervalJoin.pairsWithin(Tables.events(s, dir), 300)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // lag/lead/ntile — the OVER-clause family beyond q_window's
+    // row_number+cumsum: per-customer order deltas and quartile bucketing
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, dir)
+        .withColumn("delta_prev",
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("days_to_next",
+          datediff(lead(col("o_orderdate"), 1).over(w).cast("date"),
+            col("o_orderdate").cast("date")))
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("delta_prev"), col("days_to_next"), col("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q_distinct_semi" -> ((s, dir) => {
       // distinct + semi/anti join capability
       val o = orders(s, dir)
@@ -336,6 +364,27 @@ object RelQueries {
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // naive theta join — the engine's banded plan must reproduce it exactly
+    "q_interval_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) a
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+        | AND a.event_id <> b.event_id
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+        |  date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS days_to_next,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_distinct_semi" ->
       """WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)

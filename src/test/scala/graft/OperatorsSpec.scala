@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+
+/** Operator-level checks whose point is the PLAN as much as the result:
+  * the banded interval join must equal the naive theta join, and bucketed
+  * tables must co-locate a join with no shuffle exchange. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("interval join: banded plan == naive theta join, horizon boundary inclusive") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:04:59")), // inside 5 min
+      (1L, 12L, ts("2024-01-01 10:05:00")), // exactly on the horizon: inclusive
+      (1L, 13L, ts("2024-01-01 10:20:00")), // outside
+      (2L, 20L, ts("2024-01-01 10:00:00")), // other key
+      (2L, 21L, ts("2024-01-01 10:00:00"))  // equal ts, both directions pair
+    ).toDF("user_id", "event_id", "ts")
+
+    val banded = IntervalJoin.pairsWithin(ev, 300)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = ev.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"b.ts" >= $"a.ts" && $"b.ts" <= $"a.ts" + expr("INTERVAL 300 SECONDS") &&
+          $"a.event_id" =!= $"b.event_id")
+      .select($"a.event_id", $"b.event_id").as[(Long, Long)].collect().toSet
+
+    assert(banded == naive)
+    assert(banded.contains(10L -> 12L), "horizon boundary must be inclusive")
+    assert(banded.contains(20L -> 21L) && banded.contains(21L -> 20L))
+    assert(!banded.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.table(spark, sf, "orders")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables.table(spark, sf, "lineitem")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it still returns the right rows
+      val expected = Tables.table(spark, sf, "lineitem").join(
+        Tables.table(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
