@@ -225,6 +225,50 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row subquery execution); safe for the hash
+    // compare because l_quantity is integral, so per-part avg is exact and
+    // identical on both engines
+    "q_corr_subquery" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_partkey, count(*) AS n_small,
+          |  round(sum(l_extendedprice), 2) AS small_revenue
+          |FROM lineitem_v l1
+          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+          |                    FROM lineitem_v l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)
+          |GROUP BY l_partkey
+          |ORDER BY l_partkey""".stripMargin)
+    }),
+
+    // sliding window frames: ROWS (last-3 moving average) and RANGE over
+    // epoch seconds (30-day trailing spend) — the frame family beyond
+    // q_window's default UNBOUNDED PRECEDING frame. Sums run over exact
+    // integer CENTS: DuckDB's sliding aggregation accumulates
+    // (add/evict) while Spark recomputes per frame, and the double drift
+    // was observed to flip a cent at the round(...) boundary; integer
+    // sums are algorithm-independent.
+    "q_sliding_frames" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val last3 = byDate.rowsBetween(-2, Window.currentRow)
+      val d30 = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        // half-up at the cent via floor(x + 0.5): round(double, 2) is NOT
+        // cross-engine stable on exact .005 halves (Spark rounds the
+        // decimal string, DuckDB rounds in float); this form is pure IEEE
+        // arithmetic, identical everywhere
+        .withColumn("ma3", floor(sum(col("cents")).over(last3) /
+          count(lit(1)).over(last3) + 0.5) / 100.0)
+        .withColumn("spend_30d", round(sum(col("cents")).over(d30) / 100.0, 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("ma3"), col("spend_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q_distinct_semi" -> ((s, dir) => {
       // distinct + semi/anti join capability
       val o = orders(s, dir)
@@ -384,6 +428,35 @@ object RelQueries {
         |  ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_corr_subquery" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        |  round(sum(l_extendedprice), 2) AS small_revenue
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_sliding_frames" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  floor(CAST(sum(cents) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 0.5) / 100.0 AS ma3,
+        |  round(sum(cents) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 100.0, 2) AS spend_30d
+        |FROM o
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_distinct_semi" ->

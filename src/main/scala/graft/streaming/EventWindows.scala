@@ -38,4 +38,26 @@ object EventWindows {
   def dedupEvents(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-STREAM inner join, time-bounded: pair each `left` row with the
+    * `right` rows for the same `user_id` whose timestamp falls in
+    * `[left.ts, left.ts + horizonSec]`. The two watermarks plus the range
+    * condition are what make unbounded-state join feasible: Spark derives a
+    * state eviction bound from them (a buffered left row can be dropped
+    * once the right watermark passes `left.ts + horizon`). This is the
+    * streaming twin of [[graft.operators.IntervalJoin]] — same predicate,
+    * state-store buffering instead of bucket replication. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         delay: String, horizonSec: Int): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("user_id").as("user_id_r"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+    l.join(r,
+      col("user_id") === col("user_id_r") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+  }
 }

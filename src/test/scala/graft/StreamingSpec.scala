@@ -171,6 +171,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within horizon and matches the batch operator") {
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    def df(m: MemoryStream[(java.sql.Timestamp, Long, Long)]) =
+      m.toDF().toDF("ts", "user_id", "event_id")
+    val q = streaming.EventWindows.streamIntervalJoin(df(memL), df(memR), "10 seconds", 300)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-ssj")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      memL.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 10L),
+        (ts("2024-01-01 10:00:00"), 2L, 20L))
+      memR.addData(
+        (ts("2024-01-01 10:02:00"), 1L, 100L), // inside horizon, same user
+        (ts("2024-01-01 10:05:00"), 1L, 101L), // exactly on horizon: inclusive
+        (ts("2024-01-01 10:06:00"), 1L, 102L), // outside horizon
+        (ts("2024-01-01 10:02:00"), 3L, 300L)) // no matching user on left
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select($"id_a", $"id_b")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set(10L -> 100L, 10L -> 101L), s"got $got")
+    } finally q.stop()
+  }
+
   test("DimensionCache refreshes only after TTL") {
     var loads = 0
     val cache = new DimensionCache(() => { loads += 1; spark.range(3).toDF() }, 60000L)
