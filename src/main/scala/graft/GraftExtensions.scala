@@ -6,15 +6,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extension entry point: install the engine's native expressions
-  * into every session on a cluster via
+  * and optimizer rules into every session on a cluster via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — no driver code
-  * required, SQL and DataFrame users both get `vec_dot`.
+  * required, SQL and DataFrame users both get `vec_dot` and the
+  * banded-interval-join rewrite.
   *
   * This is the (c)-tier extension mechanism from the design brief
-  * (`SparkSessionExtensions`); the engine needs only `injectFunction` —
-  * every reference operator lowers to built-ins (SURVEY §7 "custom Catalyst
-  * work needed: essentially none"), and the one genuinely custom kernel is
-  * a scalar expression, not a plan node.
+  * (`SparkSessionExtensions`): `injectFunction` for the one genuinely
+  * custom scalar kernel (every reference operator lowers to built-ins,
+  * SURVEY §7), and `injectOptimizerRule` for
+  * [[graft.plans.BandedIntervalJoinRule]] — a logical rewrite that turns
+  * the naive time-range theta join into the scalable banded equi-join.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       VectorFunctions.dotBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
   }
 }

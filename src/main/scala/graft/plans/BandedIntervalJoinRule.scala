@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
+
+/** Optimizer rule: rewrite a naive time-range theta join into the banded
+  * (binned) equi-join — the logical-plan form of
+  * [[graft.operators.IntervalJoin]], applied automatically so users can
+  * write the natural predicate
+  *
+  * {{{ a JOIN b ON ... AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL h }}}
+  *
+  * (SQL or DataFrame — anything that lowers to these conjuncts) and still
+  * get the scalable plan. Without the rewrite Spark extracts only the
+  * other equi-keys (or none) and evaluates the range per pair — O(rows²)
+  * inside each key group. With it, both sides gain a `horizon`-wide
+  * time-bucket column; `b.ts ∈ [a.ts, a.ts+h]` implies `bin(b) ∈ {bin(a),
+  * bin(a)+1}` (bins are exactly h micros wide), so adding
+  * `bin_l = bin_r` — with the left row exploded into its own and the next
+  * bucket — turns the join into a hash-partitionable equi-join; the
+  * original range conjuncts remain and do the exact filtering inside each
+  * bucket. A pair can collide in at most one bucket, so no dedup is
+  * needed and row multiplicity is preserved.
+  *
+  * Match requirements (conservative by design):
+  *  - inner join whose condition conjuncts contain `tsR >= tsL` and
+  *    `tsR <= tsL + INTERVAL` on bare timestamp attributes, one from each
+  *    side, with a positive literal day-time interval;
+  *  - the rewrite marker (`__graft_bin`) is not already present (the added
+  *    conjunct keeps the original range predicates, which would otherwise
+  *    re-match forever).
+  *
+  * Registered via [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  */
+object BandedIntervalJoinRule extends Rule[LogicalPlan] {
+
+  private val BinName = "__graft_bin"
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** `ts + INTERVAL h` with a literal positive day-time interval → h µs. */
+  private object TsPlusInterval {
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case add: TimestampAddInterval => add.children match {
+        case Seq(ts: AttributeReference, Literal(h: Long, _: DayTimeIntervalType))
+          if h > 0 => Some((ts, h))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !j.output.exists(_.name.startsWith(BinName)) &&
+          !cond.references.exists(_.name.startsWith(BinName)) =>
+      val cs = conjuncts(cond)
+      val lower = cs.collectFirst {
+        case GreaterThanOrEqual(r: AttributeReference, l: AttributeReference)
+            if r.dataType == TimestampType && right.outputSet.contains(r) &&
+              left.outputSet.contains(l) => (l, r)
+        case LessThanOrEqual(l: AttributeReference, r: AttributeReference)
+            if l.dataType == TimestampType && left.outputSet.contains(l) &&
+              right.outputSet.contains(r) => (l, r)
+      }
+      val rewritten = for {
+        (tsL, tsR) <- lower
+        horizon <- cs.collectFirst {
+          case LessThanOrEqual(r: AttributeReference, TsPlusInterval(l, h))
+              if r.semanticEquals(tsR) && l.semanticEquals(tsL) => h
+          case GreaterThanOrEqual(TsPlusInterval(l, h), r: AttributeReference)
+              if r.semanticEquals(tsR) && l.semanticEquals(tsL) => h
+        }
+      } yield {
+        def bin(ts: Expression): Expression =
+          new IntegralDivide(new UnixMicros(ts), Literal(horizon))
+        val binR = Alias(bin(tsR), s"${BinName}_r")()
+        val rhs = Project(right.output :+ binR, right)
+        val binLAttr = AttributeReference(s"${BinName}_l", LongType)()
+        val lhs = Generate(
+          new Explode(CreateArray(Seq(bin(tsL), new Add(bin(tsL), Literal(1L))))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(binLAttr), child = left)
+        val newJoin = Join(lhs, rhs, Inner,
+          Some(And(cond, EqualTo(binLAttr, binR.toAttribute))), hint)
+        Project(j.output, newJoin)
+      }
+      rewritten.getOrElse(j)
+  }
+}

@@ -37,6 +37,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!banded.exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("BandedIntervalJoinRule: theta range join becomes an equi join, same rows") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:04:59")),
+      (1L, 12L, ts("2024-01-01 10:05:00")),
+      (1L, 13L, ts("2024-01-01 10:20:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00")),
+      (2L, 21L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    ev.createOrReplaceTempView("opspec_ev")
+    // deliberately NO other equi key: without the rewrite this is a pure
+    // theta join (nested-loop); the rule must manufacture the equi key
+    val sql =
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM opspec_ev a JOIN opspec_ev b
+        |  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+        | AND a.event_id <> b.event_id""".stripMargin
+    val naive = spark.sql(sql).as[(Long, Long)].collect().toSet
+
+    spark.experimental.extraOptimizations = Seq(plans.BandedIntervalJoinRule)
+    try {
+      val rewritten = spark.sql(sql)
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bin"), s"rule did not fire:\n$opt")
+      assert(opt.contains("explode"), s"left side not bucket-replicated:\n$opt")
+      val phys = rewritten.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"),
+        s"range join still nested-loop after rewrite:\n$phys")
+      assert(rewritten.as[(Long, Long)].collect().toSet == naive)
+      // idempotence: the marker must stop a second application
+      val twice = plans.BandedIntervalJoinRule(
+        rewritten.queryExecution.optimizedPlan)
+      assert(twice.toString.split("__graft_bin_l#").length ==
+        rewritten.queryExecution.optimizedPlan.toString.split("__graft_bin_l#").length)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
