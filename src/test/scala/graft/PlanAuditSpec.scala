@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale are asserted on the PHYSICAL plan, so a refactor that silently
+  * loses a pushdown, a broadcast, or a top-k lowering fails CI instead of
+  * surfacing as a 100× regression on a real cluster. (Runtime-measured
+  * counterpart: SCALE.md.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def phys(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** SHUFFLE exchanges only — BroadcastExchange is a dim broadcast, which
+    * is precisely what these tests want to see instead of a shuffle. */
+  private def exchanges(plan: String): Int =
+    "Exchange (hash|range)partitioning|Exchange SinglePartition".r
+      .findAllIn(plan).length
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan") {
+    val p = phys("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // scan must not read join-irrelevant columns like l_orderkey/l_partkey
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("q3_join_topk: dims broadcast, top-k lowers to TakeOrderedAndProject") {
+    val p = phys("q3_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not lowered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact table should never shuffle here:\n$p")
+  }
+
+  test("cdr_pipeline_full: both dims broadcast; only dedup + orderAll shuffle") {
+    val p = phys("cdr_pipeline_full")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, s"lost a broadcast:\n$p")
+    // fact-side shuffles: the argmax groupBy + the deterministic ORDER BY;
+    // the third is the *dim-side* distinct of the tiny exploded dimension
+    assert(exchanges(p) <= 3, s"unexpected extra shuffle (${exchanges(p)}):\n$p")
+    assert(p.contains("hashpartitioning(unique_cdr_id"),
+      s"dedup must shuffle on the CDR key (reference parity):\n$p")
+  }
+
+  test("doc_dedup_exact_hash: single aggregation shuffle carrying the 8-byte key") {
+    val p = phys("doc_dedup_exact_hash")
+    // partial agg -> exchange -> final agg, plus the harness ORDER BY
+    assert(exchanges(p) <= 2, s"exact-hash dedup should shuffle once (+sort):\n$p")
+    assert(p.contains("xxhash64"), s"not grouping on the fingerprint:\n$p")
+  }
+
+  test("text queries: no shuffle beyond the harness sort; trigram is heap top-k") {
+    val pTok = phys("text_tokens")
+    assert(exchanges(pTok) <= 1, s"per-row projection must not shuffle:\n$pTok")
+    val pTri = phys("text_trigram_topk")
+    assert(pTri.contains("TakeOrderedAndProject"), s"top-k not lowered:\n$pTri")
+  }
+}
