@@ -89,7 +89,29 @@ object ScaleStress {
       CdrPipeline.full(src, imsi, msIp).count())
     System.err.println(s"[stress] join_rows=$nJoin b1_rows=$nB1 dedup_rpt=$tDedup2")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan}""")
+    // r2 operators at the same ×N volume:
+    // banded interval join over the scaled events (pairs grow linearly —
+    // disjoint user ranges keep per-key density constant, like real growth)
+    val (nPairs, tIvl) = timed("interval join x" + factor)(
+      graft.operators.IntervalJoin.pairsWithin(ev, 300).count())
+    // connected components over a synthetic graph ~×N the sf0.1 candidate
+    // set: 100k-node graph of 20k 5-cliques chained by bridges (diameter 3
+    // per component after bridging — the LSH-cluster regime)
+    val nNodes = 100000L * factor / 10
+    val cliques = spark.range(nNodes).select(
+      col("id"), expr("id div 5").as("c"), (col("id") % 5).as("m"))
+    val intra = cliques.filter(col("m") > 0)
+      .select((col("c") * 5).as("src"), col("id").as("dst"))
+    val bridges = cliques.filter(col("m") === 0 && (col("c") % 4) === 0 && col("c") > 0)
+      .select((col("id") - 5).as("src"), col("id").as("dst"))
+    val edges = intra.unionByName(bridges)
+    val (nComp, tCc) = timed("conn comp " + nNodes + " nodes")(
+      graft.operators.ConnectedComponents(
+        spark.range(nNodes).select(col("id")), edges)
+        .select(col("label")).distinct().count())
+    System.err.println(s"[stress] interval_pairs=$nPairs components=$nComp")
+
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc}""")
     spark.stop()
   }
 }
