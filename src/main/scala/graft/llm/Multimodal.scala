@@ -111,6 +111,33 @@ object Multimodal {
           col("n_frames"), col("frame_offsets")))
     }),
 
+    // end-to-end multimodal → feature-embedding → ANN: a deterministic
+    // arithmetic stub stands in for the image/audio encoder (same seam as
+    // StubCodec — swap in the real model, the plan is unchanged), then
+    // exact cosine top-5 of 3 query docs against the corpus through the
+    // codegen'd DotProduct kernel. The capability story: media columns
+    // flow into the same vector operators as the embeddings table.
+    "mm_embed_topk" -> ((s, dir) => {
+      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      val emb = m.withColumn("v", expr(
+        "transform(sequence(0, 7), j -> CAST((n_bytes * (j+1) * 2654435761 + width * 7919 * j + height * 40503 + channels * 97 + j) % 1000 AS DOUBLE) / 500.0 - 1.0)"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("v")))
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+      val c = emb.filter(col("doc_id") >= 3)
+        .select(col("doc_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+      val scored = q.join(c)
+        .withColumn("cosine", round(
+          graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) /
+            (col("na") * col("nb")), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      Util.orderAll(scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk")))
+    }),
+
     // resize planning: scale to width 224 preserving aspect (integer
     // division both engines) — the geometry half of a real resize UDF
     "mm_resize" -> ((s, dir) => {
@@ -149,6 +176,26 @@ object Multimodal {
         |    i -> i * (n_bytes // least(n_bytes % 30 + 1, 5))), ',') AS frame_offsets
         |FROM meta""".stripMargin,
       Seq("doc_id", "n_bytes", "duration_s", "n_frames", "frame_offsets"))),
+
+    "mm_embed_topk" -> (metaCte +
+      """, emb AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), j ->
+        |      CAST((n_bytes * (j+1) * 2654435761 + width * 7919 * j + height * 40503 + channels * 97 + j) % 1000 AS DOUBLE) / 500.0 - 1.0) AS v
+        |  FROM meta
+        |), n AS (
+        |  SELECT doc_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM emb
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+          |    round(list_sum(list_transform(range(1, 9), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY q.doc_id
+          |      ORDER BY round(list_sum(list_transform(range(1, 9), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               c.doc_id ASC) AS rk
+          |  FROM n q JOIN n c ON q.doc_id < 3 AND c.doc_id >= 3
+          |) t WHERE rk <= 5""".stripMargin,
+        Seq("query_id", "neighbor_id", "cosine", "rk"))),
 
     "mm_resize" -> (metaCte + Util.wrap(
       """SELECT doc_id, width, height, 224 AS out_w,
