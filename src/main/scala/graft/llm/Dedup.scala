@@ -45,7 +45,13 @@ object Dedup {
     import session.implicits._
     tok.select(explode(col("words")).as("token")).distinct()
       .as[String].rdd
-      .sortBy(identity)
+      // sort in UTF8String (binary/code-point) order, NOT Java String
+      // order: String.compareTo ranks surrogate pairs (non-BMP chars)
+      // below U+E000..U+FFFF, which would diverge from Spark SQL's and
+      // DuckDB's collation for such tokens
+      .sortBy(org.apache.spark.unsafe.types.UTF8String.fromString)(
+        Ordering.ordered[org.apache.spark.unsafe.types.UTF8String],
+        scala.reflect.classTag[org.apache.spark.unsafe.types.UTF8String])
       .zipWithIndex()
       .map { case (t, i) => (t, i + 1) }
       .toDF("token", "tid")

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def apply(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def apply(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
@@ -52,6 +52,12 @@ object ConnectedComponents {
       labels = next.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
+    // Returning unconverged labels would silently split components (the
+    // caller would keep duplicate documents); fail loudly instead — the
+    // caller can raise maxIter for genuinely long-chain graphs.
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $maxIter rounds — component " +
+        s"diameter exceeds maxIter; rerun with a larger maxIter")
     labels
   }
 }

@@ -58,11 +58,18 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // isStreaming guard: a stream-stream interval join is already
+    // state-bounded by its watermarks; exploding the buffered side would
+    // double join state and shuffle for no benefit.
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !j.output.exists(_.name.startsWith(BinName)) &&
+        if !j.isStreaming &&
+          !j.output.exists(_.name.startsWith(BinName)) &&
           !cond.references.exists(_.name.startsWith(BinName)) =>
       val cs = conjuncts(cond)
-      val lower = cs.collectFirst {
+      // every tsR >= tsL candidate — the first one is not necessarily the
+      // one with a matching upper bound (e.g. an extra one-sided timestamp
+      // guard listed before the real range pair)
+      val lowers = cs.collect {
         case GreaterThanOrEqual(r: AttributeReference, l: AttributeReference)
             if r.dataType == TimestampType && right.outputSet.contains(r) &&
               left.outputSet.contains(l) => (l, r)
@@ -70,15 +77,15 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
             if l.dataType == TimestampType && left.outputSet.contains(l) &&
               right.outputSet.contains(r) => (l, r)
       }
-      val rewritten = for {
-        (tsL, tsR) <- lower
-        horizon <- cs.collectFirst {
+      val rewritten = lowers.view.flatMap { case (tsL, tsR) =>
+        cs.collectFirst {
           case LessThanOrEqual(r: AttributeReference, TsPlusInterval(l, h))
               if r.semanticEquals(tsR) && l.semanticEquals(tsL) => h
           case GreaterThanOrEqual(TsPlusInterval(l, h), r: AttributeReference)
               if r.semanticEquals(tsR) && l.semanticEquals(tsL) => h
-        }
-      } yield {
+        }.map((tsL, tsR, _))
+      }.headOption.map { case (tsL, tsR, horizon) =>
+
         def bin(ts: Expression): Expression =
           new IntegralDivide(new UnixMicros(ts), Literal(horizon))
         val binR = Alias(bin(tsR), s"${BinName}_r")()

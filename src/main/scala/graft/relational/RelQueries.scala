@@ -230,16 +230,20 @@ object RelQueries {
     // compare because l_quantity is integral, so per-part avg is exact and
     // identical on both engines
     "q_corr_subquery" -> ((s, dir) => {
-      lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      // dir-unique view name: every other registry query is a pure function
+      // of (session, dir); a shared view name would race when two sf dirs
+      // build concurrently on one session
+      val view = s"lineitem_v_${java.lang.Integer.toHexString(dir.hashCode)}"
+      lineitem(s, dir).createOrReplaceTempView(view)
       s.sql(
-        """SELECT l_partkey, count(*) AS n_small,
-          |  round(sum(l_extendedprice), 2) AS small_revenue
-          |FROM lineitem_v l1
-          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
-          |                    FROM lineitem_v l2
-          |                    WHERE l2.l_partkey = l1.l_partkey)
-          |GROUP BY l_partkey
-          |ORDER BY l_partkey""".stripMargin)
+        s"""SELECT l_partkey, count(*) AS n_small,
+           |  round(sum(l_extendedprice), 2) AS small_revenue
+           |FROM $view l1
+           |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+           |                    FROM $view l2
+           |                    WHERE l2.l_partkey = l1.l_partkey)
+           |GROUP BY l_partkey
+           |ORDER BY l_partkey""".stripMargin)
     }),
 
     // sliding window frames: ROWS (last-3 moving average) and RANGE over
