@@ -273,6 +273,34 @@ object RelQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // pivot: one row per priority, one revenue column per order status.
+    // Explicit value list keeps the plan a single pass (no distinct-values
+    // pre-query) — also the 100 TB shape: never let pivot scan twice.
+    "q_pivot" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(col("o_orderpriority"), col("F").as("rev_f"),
+          col("O").as("rev_o"), col("P").as("rev_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // SQL null semantics in one place: coalesce, nullif, null-safe
+    // equality (<=> / IS NOT DISTINCT FROM), and null-aware counts
+    "q_null_semantics" -> ((s, dir) => {
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(b)")).as("seg"),
+          (col("c_nationkey") <=> lit(null)).as("nk_is_null"),
+          nullif(col("c_acctbal"), col("c_acctbal")).as("always_null"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("always_null")).as("n_nonnull"),
+          sum(when(col("nk_is_null"), 1L).otherwise(0L)).as("n_nullkey"))
+        .orderBy(col("seg"))
+    }),
+
     "q_distinct_semi" -> ((s, dir) => {
       // distinct + semi/anti join capability
       val o = orders(s, dir)
@@ -462,6 +490,29 @@ object RelQueries {
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 100.0, 2) AS spend_30d
         |FROM o
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // conditional aggregation == explicit-values pivot
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    coalesce(nullif(c_mktsegment, 'BUILDING'), '(b)') AS seg,
+        |    (c_nationkey IS NOT DISTINCT FROM NULL) AS nk_is_null,
+        |    nullif(c_acctbal, c_acctbal) AS always_null
+        |  FROM customer
+        |)
+        |SELECT seg, count(*) AS n_rows,
+        |  count(always_null) AS n_nonnull,
+        |  CAST(sum(CASE WHEN nk_is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_nullkey
+        |FROM c GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_distinct_semi" ->
       """WITH big AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
