@@ -97,6 +97,8 @@ object CdrPipeline {
       col("_start_time").desc_nulls_last,
       col("start_time").asc,
       col("measuring_probe_name").asc,
+      col("ms_ip_address").asc, // without it the chain isn't total: rows can
+      // tie on every other key yet differ here, and engines would disagree
       col("ip").asc,
       col("imsi").asc_nulls_first,
       col("msisdn").asc_nulls_first)

@@ -117,49 +117,24 @@ object CdrQueries {
 
     // S1: CSV encode → decode round-trip with null-literal='' and
     // malformed-row dropping (ignore-parse-errors), EnrichmentApp.java:160-181
+    // THE production codec (graft.streaming.CsvCodec) — not a re-derivation,
+    // so a codec change that breaks the wire contract fails this oracle
     "cdr_csv_roundtrip" -> ((s, dir) => {
       val src = CdrTables.src(s, dir)
-      val lines = src.select(concat_ws(",",
-        date_format(col("start_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        col("measuring_probe_name"),
-        coalesce(col("imsi").cast("string"), lit("")),
-        coalesce(col("msisdn").cast("string"), lit("")),
-        col("ms_ip_address"),
-        col("unique_cdr_id").cast("string")).as("value"))
+      val lines = src.select(graft.streaming.CsvCodec.encode(src).as("value"))
       val withJunk = lines.unionByName(
         lines.limit(1).select(lit("%%% not a cdr %%%").as("value")))
-      val schema = StructType(Seq(
-        StructField("start_time", TimestampType),
-        StructField("measuring_probe_name", StringType),
-        StructField("imsi", LongType),
-        StructField("msisdn", LongType),
-        StructField("ms_ip_address", StringType),
-        StructField("unique_cdr_id", LongType)))
-      val opts = Map(
-        "nullValue" -> "",
-        "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
-        "mode" -> "PERMISSIVE")
-      val decoded = withJunk
-        .select(from_csv(col("value"), schema, opts).as("r"))
-        .select(col("r.*"))
-        .filter(col("start_time").isNotNull) // DROPMALFORMED semantics
-      orderAll(decoded)
+      orderAll(graft.streaming.CsvCodec.decode(withJunk))
     }),
 
     // S5: deterministic synthetic CDR generator (batch parity of
     // generator/CsvData.java — LCG instead of Random so the oracle can
     // re-derive identical rows)
-    "cdr_generator" -> ((s, dir) => {
-      val g = s.range(10000).selectExpr(
-        "id AS i", "(1103515245 * (id + 1) + 12345) % 2147483648 AS x")
-      orderAll(g.selectExpr(
-        "timestamp_micros((1653475440000 + (x * 1009) % 126230400000) * 1000) AS start_time",
-        "element_at(array('DE','cl','ek','ir','kg','kh','mn','nn','ns','rd','sp','sr','st','vr','yd'), cast(x % 15 AS int) + 1) || '...' AS measuring_probe_name",
-        "CASE WHEN x % 2 = 0 THEN 250000000000000 + (x * 37) % 1000000 END AS imsi",
-        "CASE WHEN x % 10 = 0 THEN 79000000000 + (x * 11) % 10000000 END AS msisdn",
-        "';10.' || CAST(x % 200 AS STRING) || '.' || CAST((x div 7) % 200 AS STRING) || '.' || CAST((x div 11) % 250 AS STRING) || ';' AS ms_ip_address",
-        "1650000000000000 + i - i % 2 AS unique_cdr_id"))
-    }),
+    // THE streaming generator derivation (CdrStreamJob.syntheticCdr), driven
+    // by a batch id range — one LCG definition for stream, batch, and oracle
+    "cdr_generator" -> ((s, dir) =>
+      orderAll(graft.streaming.CdrStreamJob.syntheticCdr(
+        s.range(10000).selectExpr("id AS i")))),
   )
 
   // --------------------------------------------------------------- oracle
@@ -182,7 +157,7 @@ object CdrQueries {
     s"""SELECT ${sinkCols.mkString(", ")} FROM (
        |  SELECT r.*, row_number() OVER (PARTITION BY unique_cdr_id
        |    ORDER BY _start_time DESC NULLS LAST, start_time ASC,
-       |             measuring_probe_name ASC, ip ASC,
+       |             measuring_probe_name ASC, ms_ip_address ASC, ip ASC,
        |             imsi ASC NULLS FIRST, msisdn ASC NULLS FIRST) AS _rn
        |  FROM ($rangeJoinSelect) r
        |) WHERE _rn = 1""".stripMargin

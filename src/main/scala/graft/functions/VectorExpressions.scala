@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * instead (preference order: native Catalyst `Expression` with `doGenCode`
   * over any UDF).
   *
-  * Semantics match the lambda formulation exactly: left-to-right summation
-  * over doubles — the same order DuckDB's `list_sum(list_transform(...))`
-  * uses, so oracle parity holds at the 6-dp rounding all queries apply.
+  * Semantics match the lambda formulation (`aggregate` over `zip_with`)
+  * exactly: left-to-right summation over doubles, and NULL — not a
+  * silently truncated partial sum — when the arrays differ in length or an
+  * element is NULL. A truncated/null-padded embedding is a data problem
+  * that must surface as NULL, never as a plausible-looking score. The
+  * per-element null branch is emitted only when the input array type says
+  * `containsNull` — the hot path (non-null embeddings) stays branch-free.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch even for non-nullable children
+  override def nullable: Boolean = true
 
   override def prettyName: String = "vec_dot"
 
@@ -35,13 +42,25 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"vec_dot needs two array<double> args, got ${left.dataType} / ${right.dataType}")
   }
 
+  private def elemsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (elemsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -50,13 +69,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val elemCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -46,7 +46,15 @@ object AsOfJoin {
                leftTime: String, rightTime: String,
                payload: Seq[(String, String)]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi key")
-    val vals = payload.map(_._1).distinct.filterNot(c => keys.contains(c) || c == rightTime)
+    val reserved = Seq("__t", "__side", "__pay", "__m")
+    require(!left.columns.exists(reserved.contains),
+      s"left side must not contain the operator's scratch columns $reserved")
+    // columns carried in the payload struct: argmax tie-break fields are the
+    // non-key/non-time ones, but key columns a caller asks for (e.g. 'which
+    // ip matched') must still be present for the final getField projection
+    val paySrcs = payload.map(_._1).distinct
+    val vals = paySrcs.filterNot(c => keys.contains(c) || c == rightTime)
+    val payKeys = paySrcs.filter(c => keys.contains(c) && c != rightTime)
 
     // 1. deterministic pre-reduction: one right row per (keys, rightTime)
     val nonNull: Column = (keys :+ rightTime).map(col(_).isNotNull).reduce(_ && _)
@@ -55,7 +63,8 @@ object AsOfJoin {
       .agg(max(struct((if (vals.isEmpty) Seq(lit(1).as("__one")) else vals.map(col)): _*)).as("__v"))
     val rPrep = rdd.select(
       (keys.map(col) :+ col(rightTime).as("__t") :+
-        struct(col(rightTime) +: vals.map(v => col(s"__v.$v").as(v)): _*).as("__pay")): _*)
+        struct((col(rightTime) +: vals.map(v => col(s"__v.$v").as(v))) ++
+          payKeys.map(col): _*).as("__pay")): _*)
     val payType = rPrep.schema("__pay").dataType
 
     // 2. tag + union (left columns are NULL on right-side rows except keys)

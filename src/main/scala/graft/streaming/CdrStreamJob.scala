@@ -79,12 +79,14 @@ object CdrStreamJob {
     * file-size cap. One query per output dir (K4's two appending jobs are
     * unioned upstream — Spark forbids two writers on one sink path). */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
-                  triggerMs: Long = 20000L): StreamingQuery =
+                  triggerMs: Long = 20000L,
+                  maxRecordsPerFile: Long = 1000000L): StreamingQuery =
     df.writeStream
       .format("parquet")
       .partitionBy("event_date", "probe")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
@@ -128,13 +130,18 @@ object CdrStreamJob {
     * dimensions from TTL caches (60 s — flink.conf:38,48), idempotent write
     * to the partitioned parquet table via [[writeBatch]].
     *
-    * Delivery: exactly-once. A micro-batch replayed after a failure between
-    * write and checkpoint commit re-reads the same offsets, so its rows and
-    * touched partitions are identical — [[writeBatch]]'s dynamic partition
-    * overwrite on a trailing `batch_id` sub-partition rewrites exactly the
-    * partitions the failed attempt produced instead of appending them twice.
-    * (The strict `(event_date, probe)`-only layout path is [[parquetSink]],
-    * whose exactly-once comes from the built-in file-sink manifest.) */
+    * Delivery: effectively-once under deterministic re-execution. A replayed
+    * micro-batch re-reads the same offsets, and [[writeBatch]]'s dynamic
+    * partition overwrite on a trailing `batch_id` sub-partition rewrites the
+    * partitions it produces instead of appending twice. The caveat is the
+    * dimension snapshot: if it changed between the attempts (TTL expiry or a
+    * restart emptying the cache), a replayed row's argmax winner can move to
+    * a different (event_date, probe) partition, stranding the failed
+    * attempt's row — at-least-once in that window, the same freshness
+    * non-determinism the reference accepts with its 60 s lookup cache
+    * (flink.conf:38). Exact exactly-once needs a batch→partitions manifest;
+    * the strict `(event_date, probe)`-layout path is [[parquetSink]], whose
+    * exactly-once comes from the built-in file-sink manifest. */
   def runForeachBatch(src: DataFrame, imsiCache: DimensionCache,
                       msIpCache: DimensionCache, path: String, checkpoint: String,
                       triggerMs: Long = 20000L,

@@ -29,7 +29,11 @@ final class DimensionCache(load: () => DataFrame, ttlMs: Long) {
 
   def get(): DataFrame = {
     val now = System.currentTimeMillis()
-    if (snapshot == null || now - loadedAt >= ttlMs) synchronized {
+    // local read: the bare `snapshot` field could be nulled by a concurrent
+    // invalidate() between the freshness check and the return
+    val held = snapshot
+    if (held != null && now - loadedAt < ttlMs) return held
+    synchronized {
       if (snapshot == null || now - loadedAt >= ttlMs) {
         val fresh = load()
         fresh.cache() // one materialization per TTL window, shared by batches
@@ -37,8 +41,8 @@ final class DimensionCache(load: () => DataFrame, ttlMs: Long) {
         snapshot = fresh
         loadedAt = now
       }
+      snapshot // non-null: invalidate() synchronizes on the same lock
     }
-    snapshot
   }
 
   /** Drop the held snapshot (test hook / shutdown). */

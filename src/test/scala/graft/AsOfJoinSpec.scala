@@ -53,6 +53,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(byId(3L).isEmpty)        // NULL timestamp
   }
 
+  test("as-of: payload may name an equi-key column ('which key matched')") {
+    val left = Seq(("k1", ts("2024-01-01 12:00:00"), 1L)).toDF("k", "t", "id")
+    val right = Seq(("k1", ts("2024-01-01 10:00:00"), 7L)).toDF("k", "t", "v")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t",
+      Seq("k" -> "matched_k", "t" -> "matched_t", "v" -> "_v"))
+      .select("id", "matched_k", "_v").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "k1", 7L)))
+  }
+
   test("as-of == range-join + argmax on the matched timestamp (CDR fixtures)") {
     val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(spark, sf))
     val left = CdrPipeline.explodeIps(ext.filter(col("imsi").isNull))

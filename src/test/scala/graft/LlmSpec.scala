@@ -119,6 +119,11 @@ class LlmSpec extends SparkSpec {
     val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1d)) AS d")
       .collect().head.isNullAt(0)
     assert(n)
+    // mismatched lengths and null elements are NULL, not a truncated sum
+    assert(spark.sql("SELECT vec_dot(array(1d, 2d, 3d), array(1d, 1d)) AS d")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(array(1d, NULL), array(1d, 1d)) AS d")
+      .collect().head.isNullAt(0))
     // wrong arity is an analysis error naming the function, not an IOOBE
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT vec_dot(array(1d)) AS d").collect()
