@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("xxhash64"), s"not grouping on the fingerprint:\n$p")
   }
 
+  test("partitioned table: partition filter prunes at the scan, not post-scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.table(spark, sf, "orders")
+      .withColumn("status", org.apache.spark.sql.functions.col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("status") === "F")
+      .select("o_orderkey")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(status"),
+      s"partition filter did not reach the scan:\n$p")
+    assert(!p.contains("Filter (status"), s"post-scan partition filter:\n$p")
+  }
+
   test("text queries: no shuffle beyond the harness sort; trigram is heap top-k") {
     val pTok = phys("text_tokens")
     assert(exchanges(pTok) <= 1, s"per-row projection must not shuffle:\n$pTok")
