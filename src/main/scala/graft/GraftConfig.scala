@@ -24,6 +24,19 @@ final class GraftConfig private (props: Map[String, String]) {
   def getDouble(key: String, default: => Double): Double =
     props.get(key).map(_.trim.toDouble).getOrElse(default)
 
+  /** HOCON-style duration → ms (subset the reference uses: "60s", plus
+    * "ms"/"m"/"h" and bare millis) — flink.conf writes
+    * `expire-after-write = "60s"`. */
+  def getDurationMs(key: String, default: => Long): Long =
+    props.get(key).map { raw =>
+      val v = raw.trim.stripPrefix("\"").stripSuffix("\"")
+      if (v.endsWith("ms")) v.dropRight(2).trim.toLong
+      else if (v.endsWith("s")) v.dropRight(1).trim.toLong * 1000L
+      else if (v.endsWith("m")) v.dropRight(1).trim.toLong * 60000L
+      else if (v.endsWith("h")) v.dropRight(1).trim.toLong * 3600000L
+      else v.toLong
+    }.getOrElse(default)
+
   def entries: Map[String, String] = props
 }
 

@@ -34,15 +34,26 @@ object EnrichmentJob {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
 
+    // reference flink.conf uses Flink's startup-mode value domain; Spark's
+    // startingOffsets accepts only earliest/latest/JSON — map it so a
+    // line-for-line translated reference config works
+    val startingOffsets = conf.get("kafka.scan.startup.mode", "latest") match {
+      case "latest-offset" => "latest"
+      case "earliest-offset" => "earliest"
+      case other => other
+    }
     val src = CdrStreamJob.kafkaSource(
       spark,
-      bootstrap = conf.get("kafka.bootstrap-servers", "localhost:9092"),
+      bootstrap = conf.get("kafka.bootstrap.servers", "localhost:9092"),
       topic = conf.get("kafka.topic", "cdr"),
-      startingOffsets = conf.get("kafka.scan.startup.mode", "latest"),
-      extraOptions = conf.entries.collect {
-        case (k, v) if k.startsWith("kafka.properties.") =>
-          "kafka." + k.stripPrefix("kafka.properties.") -> v
-      })
+      startingOffsets = startingOffsets,
+      extraOptions = Map(
+        "failOnDataLoss" -> conf.get("kafka.failOnDataLoss", "false"),
+        "kafka.group.id" -> conf.get("kafka.group_id", "graft-group")) ++
+        conf.entries.collect {
+          case (k, v) if k.startsWith("kafka.properties.") =>
+            "kafka." + k.stripPrefix("kafka.properties.") -> v
+        })
 
     val imsiCache = JdbcDim.imsiMsisdn(spark, conf)
     val msIpCache = JdbcDim.msIpExploded(spark, conf)
@@ -50,7 +61,7 @@ object EnrichmentJob {
     val query = CdrStreamJob.runForeachBatch(
       src, imsiCache, msIpCache,
       path = conf.get("hdfs.path", "/tmp/graft-sink"),
-      checkpoint = conf.get("hdfs.checkpoint", "/tmp/graft-ckpt"),
+      checkpoint = conf.get("hdfs.checkpointLocation", "/tmp/graft-ckpt"),
       triggerMs = conf.getLong("hdfs.rollover-interval-ms", 20000L),
       maxRecordsPerFile = conf.getLong("hdfs.max-records-per-file", 1000000L))
 

@@ -27,7 +27,7 @@ object GeneratorJob {
 
     val query = CdrStreamJob.kafkaCsvSink(
       cdrs,
-      bootstrap = conf.get("kafka.bootstrap-servers", "localhost:9092"),
+      bootstrap = conf.get("kafka.bootstrap.servers", "localhost:9092"),
       topic = conf.get("kafka.topic", "cdr"),
       checkpoint = conf.get("generator.checkpoint", "/tmp/graft-gen-ckpt"))
 

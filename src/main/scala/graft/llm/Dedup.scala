@@ -81,13 +81,20 @@ object Dedup {
     val v = vocab(tok)
     val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
       .join(broadcast(v), "token")
-    val vCount = v.agg((count(lit(1)) + 1).as("v"))
+    // driver-side count is cheap (vocab is checkpointed) and lets us FAIL
+    // LOUDLY before the base-v encoding silently wraps: sid < v^3 must fit
+    // a Long, so v must stay under 2^21 (~2.1M distinct tokens). Beyond
+    // that, swap the encoding for xxhash64(concat(tokens)) — consumers are
+    // already expressed over opaque ids (SCALE.md §5).
+    val vBase = v.count() + 1
+    require(vBase <= 2097151L,
+      s"shingle-id base-$vBase encoding would overflow Long (v^3 >= 2^63); " +
+        "use hashed shingle ids for vocabularies above ~2.1M tokens")
     pos.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
       .filter(size(col("pt")) >= 3)
-      .crossJoin(broadcast(vCount))
       .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * v + pt[i].tid) * v + pt[i+1].tid))"))
+        s"array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid))"))
         .as("sid"))
   }
 
@@ -107,6 +114,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"))
 
+  /** Shared exact-Jaccard verification: intersection counts + per-doc set
+    * sizes → rounded Jaccard ≥ threshold. One definition on the Spark side
+    * (both ngram and MinHash paths) mirroring the single `jaccardVerify`
+    * CTE on the oracle side — the rounding/threshold contract can't drift
+    * between the two queries. */
+  private def jaccardVerified(inter: DataFrame, cnt: DataFrame,
+                              threshold: Double): DataFrame =
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   /** Quadratic-baseline near-dup: word-3-gram Jaccard ≥ threshold via a
     * shingle inverted-index self-join. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
@@ -118,13 +140,7 @@ object Dedup {
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("ca") + col("cb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardVerified(inter, cnt, threshold)
   }
 
   /** MinHash signatures (16 hashes over shingle ids) → LSH banding (8 bands
@@ -156,13 +172,7 @@ object Dedup {
     val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
     val inter = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("ca") + col("cb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardVerified(inter, cnt, threshold)
   }
 
   /** 16-bit SimHash fingerprint per document from token-id pseudo-bits.
@@ -192,6 +202,10 @@ object Dedup {
     * the join only touches same-band-value candidates — the linear-pass /
     * bucket-join scale shape (same as MinHash LSH), never the N² cross. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // pigeonhole over 4 bands only guarantees full recall for distance ≤ 3;
+    // a larger bound would silently miss pairs, so refuse it
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: 4-band blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sh = simhash(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))

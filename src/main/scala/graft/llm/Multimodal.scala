@@ -126,16 +126,8 @@ object Multimodal {
         .select(col("doc_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
       val c = emb.filter(col("doc_id") >= 3)
         .select(col("doc_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-      val scored = q.join(c)
-        .withColumn("cosine", round(
-          graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) /
-            (col("na") * col("nb")), 6))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      Util.orderAll(scored
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk")))
+      // the one ranking contract, shared with ann_* (Similarity.cosineTopK)
+      Util.orderAll(Similarity.cosineTopK(q, c, 5))
     }),
 
     // resize planning: scale to width 224 preserving aspect (integer

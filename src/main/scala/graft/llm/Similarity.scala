@@ -35,6 +35,23 @@ object Similarity {
 
   private val cosineExpr = VectorFunctions.vecDot(col("va"), col("vb"))
 
+  /** THE ranking contract, shared by every top-k surface (brute/LSH/IVF and
+    * the multimodal embed query): scored cosine rounded to 6 dp, ranked by
+    * (rounded cosine DESC, neighbor_id ASC) so cross-engine ULP noise can't
+    * flip the output. `q` must carry (query_id, va, na); `c`
+    * (neighbor_id, vb, nb); `joinKeys` restricts candidates (LSH bucket /
+    * IVF cell), empty = full cross. */
+  private[llm] def cosineTopK(q: DataFrame, c: DataFrame, k: Int,
+                              joinKeys: Seq[String] = Nil): DataFrame = {
+    val scored = (if (joinKeys.isEmpty) q.join(c) else q.join(c, joinKeys))
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * among the rest of the corpus. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -43,13 +60,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
     val c = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val scored = q.join(c)
-      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+    cosineTopK(q, c, k)
   }
 
   /** 8-plane random-hyperplane signature per vector. Plane weights come from
@@ -62,8 +73,16 @@ object Similarity {
     val e = normed(emb)
     val session = emb.sparkSession
     import session.implicits._
+    // planes are cut to the corpus's actual dimension (same LCG stream, so
+    // dim=64 reproduces the oracle bit-for-bit). A silent width mismatch
+    // would make vec_dot return NULL and the CASE below fold every vector
+    // into bucket 0 — the N² degeneration must be impossible, not quiet.
+    val dim = e.select(size(col("v")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    require(dim <= 64,
+      s"lshBuckets: the LCG hyperplane family is seeded for <= 64 dims, embeddings are $dim-dim")
     val planes = (0 until 8).map { p =>
-      (p.toLong, (0 until 64).map { i =>
+      (p.toLong, (0 until dim).map { i =>
         ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
       }.toArray)
     }.toDF("p", "w")
@@ -80,13 +99,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val c = b.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+    cosineTopK(q, c, k, Seq("bucket"))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
@@ -127,13 +140,7 @@ object Similarity {
       .filter(col("crk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("va"),
         col("nrm").as("na"), col("cid"))
-    val rescored = probes.join(cells, Seq("cid"))
-      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    rescored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+    cosineTopK(probes, cells, k, Seq("cid"))
   }
 
   // ------------------------------------------------------------- registry

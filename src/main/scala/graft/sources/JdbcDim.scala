@@ -43,25 +43,28 @@ object JdbcDim {
 
   /** S2: subscriber dim keyed by imsi (EnrichmentApp.java:235-251). */
   def imsiMsisdn(spark: SparkSession, conf: GraftConfig): DimensionCache =
-    cached(spark, conf, conf.get("imsi_msisdn.table-name", "imsi_msisdn"),
-      conf.getLong("imsi_msisdn.lookup.partial-cache.expire-after-write-ms", 60000L))
+    cached(spark, conf, "imsi_msisdn")
 
   /** S3: raw IP-session dim, ;-delimited ip list (EnrichmentApp.java:253-269). */
   def msIp(spark: SparkSession, conf: GraftConfig): DimensionCache =
-    cached(spark, conf, conf.get("ms_ip.table-name", "ms_ip"), 60000L)
+    cached(spark, conf, "ms_ip")
 
   /** S4: pre-exploded IP-session dim (EnrichmentAppWithoutExplode.java:253-273). */
   def msIpExploded(spark: SparkSession, conf: GraftConfig): DimensionCache =
-    cached(spark, conf, conf.get("ms_ip_exploded.table-name", "ms_ip_exploded"),
-      conf.getLong("ms_ip_exploded.lookup.partial-cache.expire-after-write-ms", 60000L))
+    cached(spark, conf, "ms_ip_exploded")
 
+  /** Keys mirror the reference flink.conf block per dimension —
+    * `<dim>.url/.dbtable/.user/.password` and the HOCON duration
+    * `<dim>.lookup.partial-cache.expire-after-write` ("60s") — with
+    * engine-global `jdbc.*` fallbacks for fresh deployments. */
   private def cached(spark: SparkSession, conf: GraftConfig,
-                     table: String, ttlMs: Long): DimensionCache =
+                     dim: String): DimensionCache =
     new DimensionCache(
       () => read(spark,
-        conf.get("jdbc.url", "jdbc:postgresql://localhost:5432/postgres"),
-        table,
-        conf.get("jdbc.username", "postgres"),
-        conf.get("jdbc.password", "")),
-      ttlMs)
+        conf.get(s"$dim.url",
+          conf.get("jdbc.url", "jdbc:postgresql://localhost:5432/postgres")),
+        conf.get(s"$dim.dbtable", dim),
+        conf.get(s"$dim.user", conf.get("jdbc.username", "postgres")),
+        conf.get(s"$dim.password", conf.get("jdbc.password", ""))),
+      conf.getDurationMs(s"$dim.lookup.partial-cache.expire-after-write", 60000L))
 }
