@@ -234,6 +234,17 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** The keep/drop decision that ends the dedup pipeline: one row per kept
+    * document (the cluster representative = min doc_id) with how many
+    * near-duplicates it absorbs. `cluster_size - 1` documents per row are
+    * dropped from the corpus — pairs → clusters → THIS is the actual
+    * dedup a training-data pipeline executes. */
+  def dedupKeep(docs: DataFrame, threshold: Double): DataFrame =
+    dedupClusters(docs, threshold)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("doc_id"), col("cluster_size"))
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -262,6 +273,7 @@ object Dedup {
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
+    "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
   )
 
@@ -320,6 +332,23 @@ object Dedup {
       |JOIN cnt cb ON cb.doc_id = doc_b
       |WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.4""".stripMargin
 
+  /** MinHash → verified pairs → symmetric edges → recursive transitive
+    * closure, shared by the clusters and keep-decision oracles. */
+  private lazy val clustersCte =
+    tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashChain +
+      s""", pairs AS (
+         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), comp(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, comp.label FROM e JOIN comp ON comp.node = e.b
+         |)
+         |""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "doc_dedup_exact" -> Util.wrap(
       "SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY text",
@@ -352,22 +381,16 @@ object Dedup {
     // same MinHash pipeline, then transitive closure: every (node, reachable
     // label) pair via a recursive CTE, min label per node == the hash-min
     // fixpoint the Spark operator converges to
-    "doc_dedup_clusters" -> (
-      tokCte.replaceFirst("WITH ", "WITH RECURSIVE ") + minhashChain +
-      s""", pairs AS (
-         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
-         |), e AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM pairs
-         |), comp(node, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.a, comp.label FROM e JOIN comp ON comp.node = e.b
-         |)
-         |""".stripMargin + Util.wrap(
-        "SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node",
-        Seq("doc_id", "cluster"))),
+    "doc_dedup_clusters" -> (clustersCte + Util.wrap(
+      "SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node",
+      Seq("doc_id", "cluster"))),
+
+    // keep-decision: representative + absorbed-count per cluster
+    "doc_dedup_keep" -> (clustersCte + Util.wrap(
+      """SELECT label AS doc_id, count(*) AS cluster_size FROM (
+        |  SELECT node, min(label) AS label FROM comp GROUP BY node
+        |) GROUP BY label""".stripMargin,
+      Seq("doc_id", "cluster_size"))),
 
     "doc_dedup_simhash" -> (tokCte +
       """, dt AS (
