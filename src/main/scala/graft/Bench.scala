@@ -17,9 +17,16 @@ object Bench {
     // session bootstrap (codegen compiler, parquet reader init, shuffle mgr)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.table(spark, sfDir, "region").count()
-    // Optional subset for local bisection: BENCH_ONLY=q1_agg,cdr_range_join
-    val only = sys.env.get("BENCH_ONLY").map(_.split(",").toSet)
+    // Optional subset for local bisection: BENCH_ONLY=q1_agg,cdr_range_join.
+    // Tokens are trimmed and must all resolve — a typo'd filter erroring
+    // beats silently timing an empty subset.
+    val only = sys.env.get("BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"BENCH_ONLY names not in the registry: $unknown")
+    }
     val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    var failures = List.empty[String]
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query hygiene: drop any storage blocks a previous query left
       // (localCheckpoint etc.) and compact the heap, so measurements are
@@ -27,15 +34,28 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop write forces EVERY output column and the final sort to
+      // actually execute; count() would let Catalyst prune projections and
+      // eliminate orderBy under the count aggregate — timing a row-count
+      // scan while claiming to time the query
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failures ::= name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      // a failed query must be unmistakable in the JSON, not a fast success
+      name -> (if (ok) dt else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val errJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

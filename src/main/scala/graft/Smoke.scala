@@ -13,9 +13,12 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.entry(spark)
+    // persist: count + show would otherwise each re-execute the full
+    // two-branch enrichment plan
+    val df = SparkEntry.entry(spark).persist()
     val n = df.count()
     df.show(5, truncate = false)
+    df.unpersist()
     println(s"entry rows = $n (rows>0: ${n > 0})")
     spark.stop()
   }

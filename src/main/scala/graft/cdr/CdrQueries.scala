@@ -12,12 +12,10 @@ import org.apache.spark.sql.types._
   */
 object CdrQueries {
 
-  /** Deterministic total order over every output column (sorted by name). */
-  private def orderAll(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
-
-  private def ob(cols: String*): String =
-    cols.sorted.map(c => s"$c ASC NULLS FIRST").mkString("ORDER BY ", ", ", "")
+  // ONE definition of the deterministic-ordering contract for the whole
+  // suite — a private copy here could silently desynchronize the CDR
+  // oracles' ordering from the llm/relational queries
+  private def orderAll(df: DataFrame): DataFrame = graft.Util.orderAll(df)
 
   private val sinkCols = CdrPipeline.sinkColumns
 
@@ -177,7 +175,7 @@ object CdrQueries {
   // margin chars), and every ORDER BY runs over a subquery wrap so output
   // aliases can't collide with base-table columns.
   private def wrap(select: String, obCols: Seq[String]): String =
-    s"SELECT * FROM (\n$select\n) zz ${ob(obCols: _*)}"
+    graft.Util.wrap(select, obCols)
 
   private val lookupSelect = (joinKind: String) =>
     s"""SELECT s.start_time, s.measuring_probe_name,
@@ -253,6 +251,6 @@ object CdrQueries {
          |  CASE WHEN x % 10 = 0 THEN 79000000000 + (x * 11) % 10000000 END AS msisdn,
          |  ';10.' || CAST(x % 200 AS VARCHAR) || '.' || CAST((x // 7) % 200 AS VARCHAR) || '.' || CAST((x // 11) % 250 AS VARCHAR) || ';' AS ms_ip_address,
          |  1650000000000000 + i - i % 2 AS unique_cdr_id
-         |FROM g ${ob(srcCols: _*)}""".stripMargin,
+         |FROM g ${graft.Util.ob(srcCols: _*)}""".stripMargin,
   )
 }
