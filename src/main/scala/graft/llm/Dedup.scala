@@ -214,11 +214,14 @@ object Dedup {
       col("band"), col("bval"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
       col("band"), col("bval"))
+    // Hamming filter BEFORE the dedup: the xor+bit_count is codegen'd and
+    // cheap per collision, while distinct() is a shuffle — filtering first
+    // shrinks the shuffled set from every band collision to qualifying
+    // pairs only. Same result: hamming is a pure function of the pair.
     a.join(b, Seq("band", "bval")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
   /** Near-duplicate *clusters*: connected components over the MinHash-LSH
