@@ -96,6 +96,20 @@ object TextAnalysis {
       regexp_count(col("text"), lit(pat)).as("n_scrubbed"))
   }
 
+  /** Deterministic train/validation/test split: the assignment is a pure
+    * function of `doc_id` (multiplicative-hash bucket), so the split is
+    * reproducible across runs, engines, and cluster sizes — no RNG state,
+    * no reshuffling when the corpus is re-partitioned. 90/5/5. The output
+    * is the stratification audit (per-language × split counts), which is
+    * what a pipeline actually checks before training. */
+  def stratifiedSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", expr("(doc_id * 2654435761) % 100"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Corpus-wide top-k word trigrams by occurrence (not per-doc distinct).
     * Partial-aggregates map-side, shuffles only (trigram, partial-count)
     * pairs, and the top-k lowers to TakeOrderedAndProject — per-partition
@@ -120,6 +134,7 @@ object TextAnalysis {
     "text_tokens"      -> ((s, dir) => Util.orderAll(tokenCounts(docs(s, dir)))),
     "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
     "text_redact"      -> ((s, dir) => Util.orderAll(redact(docs(s, dir)))),
+    "doc_split_stratified" -> ((s, dir) => Util.orderAll(stratifiedSplit(docs(s, dir)))),
     // already deterministically ordered (n DESC, trigram ASC) — the same
     // ORDER BY the oracle ends with, so no orderAll re-sort
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
@@ -202,6 +217,15 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '\b(the|a)\b')) AS n_scrubbed
         |FROM documents""".stripMargin,
       Seq("doc_id", "scrubbed", "n_scrubbed")),
+
+    "doc_split_stratified" -> Util.wrap(
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 95 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+      Seq("lang", "split", "n_docs")),
 
     "text_trigram_topk" ->
       """WITH tok AS (
