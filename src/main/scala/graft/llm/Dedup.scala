@@ -79,24 +79,36 @@ object Dedup {
     * per-row array sort over ~|doc| tokens. */
   def shingleIds(tok: DataFrame): DataFrame = {
     val v = vocab(tok)
-    val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
-      .join(broadcast(v), "token")
-    // driver-side count is cheap (vocab is checkpointed) and lets us FAIL
-    // LOUDLY before the base-v encoding silently wraps: sid < v^3 must fit
-    // a Long, so v must stay under 2^21 (~2.1M distinct tokens). Beyond
-    // that, swap the encoding for xxhash64(concat(tokens)) — consumers are
-    // already expressed over opaque ids (SCALE.md §5).
+    // driver-side count is cheap (vocab is checkpointed) and picks the
+    // encoding: base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but
+    // sid < v^3 must fit a Long, so v must stay under 2^21 (~2.1M distinct
+    // tokens). Beyond that — tens of millions of distinct tokens is exactly
+    // the 100 TB regime the distributed vocab was built for — switch to
+    // opaque hashed ids: consumers only need id equality (Jaccard over ids
+    // == Jaccard over shingles for any injective-up-to-collisions map).
     val vBase = v.count() + 1
-    require(vBase <= 2097151L,
-      s"shingle-id base-$vBase encoding would overflow Long (v^3 >= 2^63); " +
-        "use hashed shingle ids for vocabularies above ~2.1M tokens")
-    pos.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
-      .filter(size(col("pt")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid))"))
-        .as("sid"))
+    if (vBase > 2097151L) shingleIdsHashed(tok)
+    else {
+      val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+        .join(broadcast(v), "token")
+      pos.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
+        .filter(size(col("pt")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid))"))
+          .as("sid"))
+    }
   }
+
+  /** Hashed shingle ids: `xxhash64` over the shingle string — the
+    * unbounded-vocabulary path. No vocab table, no broadcast, no driver
+    * count: one linear codegen'd pass. Ids collide with probability ~2⁻⁶⁴,
+    * below any corpus's pair count, so Jaccard over these ids equals
+    * Jaccard over the shingle strings for every practical purpose; the
+    * tradeoff is that ids are engine-specific (xxhash64 seed), which is why
+    * the oracle-checked small-scale path keeps the base-(V+1) encoding. */
+  def shingleIdsHashed(tok: DataFrame): DataFrame =
+    shingles(tok).select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
 
   /** Exact duplicate groups: one keeper (min doc_id) + copy count per
     * distinct text. */
@@ -263,6 +275,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB twin of
+    * [[embeddingPairs]]. Reuses [[Similarity.lshBuckets]]: one linear pass
+    * computes an 8-bit random-hyperplane signature per vector, the pair
+    * join is an *equi-join on the signature* (hash-partitioned — never the
+    * all-pairs nested loop), and exact cosine rescoring touches colliding
+    * pairs only. Expected join work is |pairs| / 2^8 of brute force; at
+    * real scale you'd union several independent plane families to raise
+    * recall, exactly like multi-table LSH in [[Similarity.lshTopK]].
+    *
+    * Recall contract: a pair is emitted iff cosine ≥ threshold AND the two
+    * vectors collide in the signature (the oracle applies the same bucket
+    * restriction, mirroring the `ann_lsh` oracle). */
+  def embeddingPairsLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    // materialize the signatures once: both join sides would otherwise each
+    // re-run the full 8-plane projection pass over the corpus
+    val b = Similarity.lshBuckets(emb).localCheckpoint(eager = true)
+    val a = b.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -278,6 +318,10 @@ object Dedup {
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
+    // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
+    // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
+    // (vacuous) correctness check
+    "doc_dedup_embedding_lsh" -> ((s, dir) => Util.orderAll(embeddingPairsLsh(emb(s, dir), 0.35))),
   )
 
   /** Shared DuckDB CTEs mirroring tokenized/vocab/shingleIds. */
@@ -449,6 +493,33 @@ object Dedup {
           |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
           |FROM n a JOIN n b ON a.vec_id < b.vec_id
           |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.5""".stripMargin,
+        Seq("id_a", "id_b", "cosine"))),
+
+    // brute pair query restricted to equal LSH buckets — same plane family /
+    // signature arithmetic as the ann_lsh oracle, so bucket collisions match
+    // Similarity.lshBuckets bit-for-bit
+    "doc_dedup_embedding_lsh" -> (
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), buck AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT vec_id, p,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+        |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+        |  ) pr GROUP BY vec_id
+        |), nb AS (
+        |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+          |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
         Seq("id_a", "id_b", "cosine"))),
   )
 }

@@ -101,10 +101,17 @@ object TextAnalysis {
     * reproducible across runs, engines, and cluster sizes — no RNG state,
     * no reshuffling when the corpus is re-partitioned. 90/5/5. The output
     * is the stratification audit (per-language × split counts), which is
-    * what a pipeline actually checks before training. */
+    * what a pipeline actually checks before training.
+    *
+    * The id is reduced mod 3037000493 (largest prime below √2⁶³) BEFORE the
+    * multiply, so the product can never overflow Long: a raw
+    * `doc_id * 2654435761` throws under Spark's ANSI arithmetic for
+    * doc_id ≳ 3.47e9 — i.e. exactly at billions-of-docs corpus scale —
+    * while DuckDB silently promotes to HUGEINT and diverges. Buckets are
+    * unchanged for ids below the prime. */
   def stratifiedSplit(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket", expr("(doc_id * 2654435761) % 100"))
+      .withColumn("bucket", expr("((doc_id % 3037000493) * 2654435761) % 100"))
       .withColumn("split", expr(
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END"))
       .groupBy(col("lang"), col("split"))
@@ -220,8 +227,8 @@ object TextAnalysis {
 
     "doc_split_stratified" -> Util.wrap(
       """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 95 THEN 'valid'
+        |  CASE WHEN ((doc_id % 3037000493) * 2654435761) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 3037000493) * 2654435761) % 100 < 95 THEN 'valid'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,

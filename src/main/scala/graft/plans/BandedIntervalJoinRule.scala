@@ -31,7 +31,19 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   *    side, with a positive literal day-time interval;
   *  - the rewrite marker (`__graft_bin`) is not already present (the added
   *    conjunct keeps the original range predicates, which would otherwise
-  *    re-match forever).
+  *    re-match forever);
+  *  - `spark.graft.bandedIntervalJoin.enabled` (default true) — kill
+  *    switch;
+  *  - the smaller side's estimated size exceeds
+  *    `spark.graft.bandedIntervalJoin.smallSideThreshold` bytes (default
+  *    64 KB; 0 = always rewrite). For genuinely tiny inputs the nested
+  *    loop's |L|·|R| predicate evaluations are noise and the 2× explode +
+  *    extra project just add overhead. Deliberately NOT gated on
+  *    `autoBroadcastJoinThreshold`: broadcastability bounds *memory*, not
+  *    compute — a 5 MB dim is broadcastable yet still costs |L|·|dim|
+  *    pair evaluations under a nested loop, exactly what banding removes
+  *    (the banded equi-join stays broadcast when the side is small, so the
+  *    rewrite loses nothing there).
   *
   * Registered via [[graft.GraftExtensions]]
   * (`spark.sql.extensions=graft.GraftExtensions`).
@@ -39,6 +51,21 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 object BandedIntervalJoinRule extends Rule[LogicalPlan] {
 
   private val BinName = "__graft_bin"
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.bandedIntervalJoin.enabled", "true").toBoolean
+
+  /** Skip the rewrite when the smaller side is under this many bytes
+    * (estimated); 0 disables the guard. See the scaladoc for why this is
+    * NOT `autoBroadcastJoinThreshold`. */
+  private def smallSideThreshold: Long =
+    conf.getConfString("spark.graft.bandedIntervalJoin.smallSideThreshold",
+      "65536").toLong
+
+  private def tooSmall(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    val t = smallSideThreshold
+    t > 0 && (left.stats.sizeInBytes.min(right.stats.sizeInBytes) <= t)
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -62,7 +89,7 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
     // state-bounded by its watermarks; exploding the buffered side would
     // double join state and shuffle for no benefit.
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !j.isStreaming &&
+        if !j.isStreaming && enabled && !tooSmall(left, right) &&
           !j.output.exists(_.name.startsWith(BinName)) &&
           !cond.references.exists(_.name.startsWith(BinName)) =>
       val cs = conjuncts(cond)

@@ -139,8 +139,13 @@ object RelQueries {
     // explicit form for when stats miss the skew.
     "q_salted_join" -> ((s, dir) => {
       val nSalt = 8
+      // row-local UNIFORM salt: xxhash64 over the full row key. pmod of
+      // l_linenumber alone is NOT uniform — TPC-H linenumbers are 1..7, so
+      // salt 0 never fires (one dim replica is dead weight) and a hot
+      // orderkey spreads over 7 reducers, not 8, correlated with line
+      // position rather than row-uniform.
       val l = lineitem(s, dir)
-        .withColumn("salt", pmod(col("l_linenumber"), lit(nSalt)))
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalt)).cast("int"))
       val o = orders(s, dir)
         .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
       l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))

@@ -154,6 +154,22 @@ class LlmSpec extends SparkSpec {
     assert(lsh.subsetOf(full))
   }
 
+  test("embedding pairs LSH: identical vectors collide and pair; output ⊆ brute pairs") {
+    val emb = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (5L, Array.tabulate(8)(i => (i + 1).toFloat)),   // identical to 0
+      (6L, Array.tabulate(8)(i => -(i + 1).toFloat)))  // antipodal — opposite buckets
+      .toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingPairsLsh(emb, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == Set((0L, 5L, 1.0)))
+    // fixtures: every LSH pair is a brute pair with the same cosine
+    val fEmb = Tables.table(spark, sf, "embeddings")
+    val l = Dedup.embeddingPairsLsh(fEmb, 0.2).as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.embeddingPairs(fEmb, 0.2).as[(Long, Long, Double)].collect().toSet
+    assert(l.subsetOf(b))
+  }
+
   test("connected components: chain collapses to min label, isolates keep their own") {
     // 1-2-3-4 is a 3-hop chain (diameter > 1 exercises the iteration),
     // 5-6 a pair, 7 isolated

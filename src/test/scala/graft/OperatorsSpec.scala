@@ -57,6 +57,9 @@ class OperatorsSpec extends SparkSpec {
     val naive = spark.sql(sql).as[(Long, Long)].collect().toSet
 
     spark.experimental.extraOptimizations = Seq(plans.BandedIntervalJoinRule)
+    // this 6-row relation is below the default small-side guard — zero the
+    // threshold so the rewrite path itself is what's under test
+    spark.conf.set("spark.graft.bandedIntervalJoin.smallSideThreshold", "0")
     try {
       val rewritten = spark.sql(sql)
       val opt = rewritten.queryExecution.optimizedPlan.toString
@@ -71,7 +74,39 @@ class OperatorsSpec extends SparkSpec {
         rewritten.queryExecution.optimizedPlan)
       assert(twice.toString.split("__graft_bin_l#").length ==
         rewritten.queryExecution.optimizedPlan.toString.split("__graft_bin_l#").length)
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally {
+      spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("BandedIntervalJoinRule guards: tiny inputs and the kill switch skip the rewrite") {
+    val ev = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:04:00"))).toDF("user_id", "event_id", "ts")
+    ev.createOrReplaceTempView("opspec_tiny")
+    val sql =
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM opspec_tiny a JOIN opspec_tiny b
+        |  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND""".stripMargin
+    spark.experimental.extraOptimizations = Seq(plans.BandedIntervalJoinRule)
+    try {
+      // default 64 KB small-side guard: a 2-row relation must NOT pay the
+      // 2× explode — the nested loop is noise at this size
+      val opt = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("__graft_bin"), s"guard did not skip tiny join:\n$opt")
+      // kill switch wins even with the size guard zeroed
+      spark.conf.set("spark.graft.bandedIntervalJoin.smallSideThreshold", "0")
+      spark.conf.set("spark.graft.bandedIntervalJoin.enabled", "false")
+      val off = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(!off.contains("__graft_bin"), s"kill switch ignored:\n$off")
+      spark.conf.set("spark.graft.bandedIntervalJoin.enabled", "true")
+      val on = spark.sql(sql).queryExecution.optimizedPlan.toString
+      assert(on.contains("__graft_bin"), s"rule should fire with guard zeroed:\n$on")
+    } finally {
+      spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
+      spark.conf.unset("spark.graft.bandedIntervalJoin.enabled")
+      spark.experimental.extraOptimizations = Nil
+    }
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {

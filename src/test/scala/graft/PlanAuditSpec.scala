@@ -65,6 +65,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Filter (status"), s"post-scan partition filter:\n$p")
   }
 
+  test("doc_dedup_embedding_lsh: pair join is an equi-join on the signature, never N²") {
+    val p = phys("doc_dedup_embedding_lsh")
+    // the signature pass is checkpointed before the pair join, so NO
+    // nested-loop join of any kind may appear in the pair plan; the
+    // corpus×corpus join must hash on `bucket`
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to a nested loop:\n$p")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[bucket".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on bucket:\n$p")
+  }
+
   test("text queries: no shuffle beyond the harness sort; trigram is heap top-k") {
     val pTok = phys("text_tokens")
     assert(exchanges(pTok) <= 1, s"per-row projection must not shuffle:\n$pTok")
