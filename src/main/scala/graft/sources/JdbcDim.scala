@@ -25,9 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.read.jdbc` then issues parallel range-partitioned queries — and
   * drop the broadcast hint so the join shuffles instead.
   *
-  * No database ships in this container: these builders are compile-checked
-  * and exercised against the parquet-derived fixture dims (CdrTables), which
-  * share schemas with the JDBC originals.
+  * Exercised end-to-end against a live embedded Derby database
+  * (JdbcDimSpec): real DriverManager handshake, dialect type mapping and
+  * table scan, with the parquet-derived fixture dims (CdrTables) as the
+  * oracle. No Postgres ships in this container; the URL is the only
+  * difference between the tested path and the reference deployment.
   */
 object JdbcDim {
 
