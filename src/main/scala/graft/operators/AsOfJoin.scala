@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   *
   * Cost: shuffle(|L| + |R|) + per-partition sort — independent of match
   * fan-out. At 100 TB, keys are (probe, ip)-grade high-cardinality, so the
-  * exchange is even; a pathologically hot key serializes its sort, and the
-  * standard fix (bucket the time axis into coarse ranges as a secondary
-  * partition key, carrying each bucket's last payload over as a seed row)
-  * composes with this plan without changing the algebra.
+  * exchange is even. A pathologically hot key would serialize its sort
+  * under the plain plan; pass `bucketSeconds > 0` to add the time bucket as
+  * a secondary partition key — the hot key's rows then spread over
+  * (time-range / bucketSeconds) partitions, each sorted independently, and
+  * correctness is restored by seeding every left bucket with the carry-in
+  * payload (the latest right payload from strictly earlier buckets,
+  * computed over per-bucket aggregates — |distinct buckets| rows per key,
+  * never the raw rows). Same algebra, two extra small exchanges; results
+  * are bit-identical to the plain plan.
   *
   * NULL semantics match SQL: a left row with a NULL key or NULL timestamp
   * matches nothing (right rows with NULL keys/timestamps are dropped —
@@ -39,14 +44,20 @@ import org.apache.spark.sql.functions._
   *
   * @param payload right-side columns to attach, as (rightCol -> outputName);
   *                include `rightTime` to surface the matched timestamp.
+  * @param bucketSeconds 0 (default) = single per-key partition; > 0 = skew
+  *                mode, time axis binned into buckets of this many seconds
+  *                (for a LONG time axis: this many units). Pick it so a hot
+  *                key's densest bucket fits one task — e.g. 3600 for
+  *                hourly-session CDR dims.
   */
 object AsOfJoin {
 
   def leftAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               payload: Seq[(String, String)]): DataFrame = {
+               payload: Seq[(String, String)],
+               bucketSeconds: Long = 0L): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi key")
-    val reserved = Seq("__t", "__side", "__pay", "__m")
+    val reserved = Seq("__t", "__side", "__pay", "__m", "__b")
     require(!left.columns.exists(reserved.contains),
       s"left side must not contain the operator's scratch columns $reserved")
     // columns carried in the payload struct: argmax tie-break fields are the
@@ -77,12 +88,62 @@ object AsOfJoin {
       } :+ col("__t") :+ lit(0).as("__side") :+ col("__pay")): _*)
 
     // 3. running latest-payload; NULL left timestamps sort first ⇒ no match
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc_nulls_first, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lPrep.unionByName(rPart)
-      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val matched =
+      if (bucketSeconds <= 0L) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t").asc_nulls_first, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lPrep.unionByName(rPart)
+          .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+      } else {
+        // skew mode: partition by (keys, time bucket). A left row whose
+        // predecessor lives in an earlier bucket is covered by a per-bucket
+        // seed row carrying the cross-bucket running payload.
+        // double keeps both TIMESTAMP (epoch seconds + fraction) and LONG
+        // axes exact up to 2^53 — fine for any epoch-based time
+        def bucketOf(t: Column): Column = floor(t.cast("double") / bucketSeconds)
+
+        // latest payload within each right bucket: __t is unique per key
+        // after pre-reduction, so max(struct(__t, __pay)) is deterministic
+        val rBucketLast = rPrep.withColumn("__b", bucketOf(col("__t")))
+          .groupBy((keys.map(col) :+ col("__b")): _*)
+          .agg(max(struct(col("__t"), col("__pay"))).as("__bl"))
+          .select((keys.map(col) :+ col("__b") :+ lit(1).as("__side") :+
+            col("__bl.__pay").as("__pay")): _*)
+        // one marker per (keys, bucket) the left side actually populates;
+        // side 0 < 1 ⇒ at equal __b the marker sorts BEFORE the right
+        // bucket-last, so the carry-in is from STRICTLY earlier buckets
+        // (same-bucket right rows are already in the main union)
+        val lMarkers = lPrep.filter(col("__t").isNotNull)
+          .select((keys.map(col) :+ bucketOf(col("__t")).as("__b")): _*)
+          .distinct()
+          .withColumn("__side", lit(0))
+          .withColumn("__pay", lit(null).cast(payType))
+        val wSeed = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__b").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seeds = lMarkers.unionByName(rBucketLast)
+          .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(wSeed))
+          .filter(col("__side") === 0 && col("__m").isNotNull)
+        // seed rows look like right rows with a NULL time: __t nulls-first
+        // puts them ahead of every real row in their bucket
+        val seedRows = seeds.select(
+          (left.columns.toSeq.map { c =>
+            if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)
+          } :+ lit(null).cast(lPrep.schema("__t").dataType).as("__t") :+
+            lit(0).as("__side") :+ col("__m").as("__pay") :+ col("__b")): _*)
+
+        val w = Window.partitionBy((keys.map(col) :+ col("__b")): _*)
+          .orderBy(col("__t").asc_nulls_first, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lPrep.withColumn("__b", bucketOf(col("__t")))
+          .unionByName(rPart.withColumn("__b", bucketOf(col("__t"))))
+          .unionByName(seedRows)
+          .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .drop("__b")
+      }
 
     payload.foldLeft(matched) { case (df, (src, out)) =>
       df.withColumn(out, col("__m").getField(src))

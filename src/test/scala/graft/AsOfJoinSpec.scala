@@ -62,6 +62,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq((1L, "k1", 7L)))
   }
 
+  test("as-of skew mode: time-bucketed plan is bit-identical to the plain plan") {
+    // one pathologically hot key: 500 left rows + 40 right sessions on a
+    // single (k) over 10 hours, plus a cold key and the NULL/tie edge cases
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = ((0 until 500).map(i =>
+      (Option("hot"), Option(new Timestamp(base + i * 71000L)), i.toLong)) ++
+      Seq((Option("cold"), Option(new Timestamp(base + 3600000L)), 9001L),
+        (Option.empty[String], Option(new Timestamp(base)), 9002L),
+        (Option("hot"), Option.empty[Timestamp], 9003L)))
+      .toDF("k", "t", "id")
+    val right = ((0 until 40).map(i =>
+      ("hot", new Timestamp(base + i * 900000L), i * 10L)) ++
+      Seq(("cold", new Timestamp(base), 7777L)))
+      .toDF("k", "t", "v")
+
+    val plain = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "_v", "t" -> "_t"))
+    // 600 s buckets ≪ the 900 s right-session spacing: most left buckets
+    // have NO in-bucket right row and depend entirely on the carry-in seeds
+    val bucketed = AsOfJoin.leftAsOf(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "_v", "t" -> "_t"), bucketSeconds = 600L)
+    assert(bucketed.count() == left.count())
+    assert(plain.exceptAll(bucketed).isEmpty && bucketed.exceptAll(plain).isEmpty)
+    // the skew objective: the big window must partition by (key, bucket),
+    // not by the key alone — i.e. the hot key's sort is split
+    val winSpecs = bucketed.queryExecution.optimizedPlan.toString
+    assert(winSpecs.contains("windowspecdefinition(k#") || winSpecs.contains("__b"),
+      s"bucketed window spec missing:\n$winSpecs")
+    assert(winSpecs.contains("__b"), s"no bucket column in the plan:\n$winSpecs")
+  }
+
+  test("as-of skew mode: cdr_asof_enrich result is unchanged under bucketing") {
+    val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(spark, sf))
+    val left = CdrPipeline.explodeIps(ext.filter(col("imsi").isNull))
+    val dim = CdrTables.msIpExploded(spark, sf)
+    val payload = Seq("imsi" -> "_imsi", "msisdn" -> "_msisdn", "start_time" -> "_start_time")
+    val plain = AsOfJoin.leftAsOf(left, dim, Seq("probe", "ip"),
+      "start_time", "start_time", payload)
+    val bucketed = AsOfJoin.leftAsOf(left, dim, Seq("probe", "ip"),
+      "start_time", "start_time", payload, bucketSeconds = 3600L)
+    assert(plain.exceptAll(bucketed).isEmpty && bucketed.exceptAll(plain).isEmpty)
+  }
+
   test("as-of == range-join + argmax on the matched timestamp (CDR fixtures)") {
     val ext = CdrPipeline.extendWithPartitionCols(CdrTables.src(spark, sf))
     val left = CdrPipeline.explodeIps(ext.filter(col("imsi").isNull))
