@@ -18,11 +18,18 @@ final class GraftConfig private (props: Map[String, String]) {
 
   def get(key: String, default: => String): String = props.getOrElse(key, default)
 
+  // flink.conf quotes scalars ('max-rows = "100"'); Properties keeps the quotes
+  private def unquote(raw: String): String =
+    raw.trim.stripPrefix("\"").stripSuffix("\"")
+
   def getLong(key: String, default: => Long): Long =
-    props.get(key).map(_.trim.toLong).getOrElse(default)
+    props.get(key).map(unquote(_).toLong).getOrElse(default)
+
+  def getInt(key: String, default: => Int): Int =
+    props.get(key).map(unquote(_).toInt).getOrElse(default)
 
   def getDouble(key: String, default: => Double): Double =
-    props.get(key).map(_.trim.toDouble).getOrElse(default)
+    props.get(key).map(unquote(_).toDouble).getOrElse(default)
 
   /** HOCON-style duration → ms (subset the reference uses: "60s", plus
     * "ms"/"m"/"h" and bare millis) — flink.conf writes

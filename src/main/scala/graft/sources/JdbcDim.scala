@@ -1,9 +1,10 @@
 package graft.sources
 
+import java.sql.DriverManager
 import java.util.Properties
 
 import graft.GraftConfig
-import graft.streaming.DimensionCache
+import graft.streaming.{DimensionCache, PartialKeyCache}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JDBC dimension-table sources (SURVEY §2 S2–S4).
@@ -54,6 +55,53 @@ object JdbcDim {
   /** S4: pre-exploded IP-session dim (EnrichmentAppWithoutExplode.java:253-273). */
   def msIpExploded(spark: SparkSession, conf: GraftConfig): DimensionCache =
     cached(spark, conf, "ms_ip_exploded")
+
+  /** Per-key point-query fetcher — the lookup the reference's PARTIAL cache
+    * fronts (`SELECT * FROM <table> WHERE <keyCol> = ?` per probed key,
+    * the Flink JDBC connector's JdbcRowDataLookupFunction shape). Each call
+    * opens/closes a connection; a deployment would pool, but the cache in
+    * front means fetch volume is bounded by max-rows × TTL churn, not by
+    * stream volume. Rows come back as lowercase-column-name → value maps. */
+  def pointFetcher(url: String, table: String, keyCol: String,
+                   user: String, password: String): Any => Seq[Map[String, Any]] = {
+    key =>
+      val props = new Properties()
+      if (user.nonEmpty) props.setProperty("user", user)
+      if (password.nonEmpty) props.setProperty("password", password)
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        val ps = conn.prepareStatement(s"SELECT * FROM $table WHERE $keyCol = ?")
+        try {
+          ps.setObject(1, key)
+          val rs = ps.executeQuery()
+          val meta = rs.getMetaData
+          val cols = (1 to meta.getColumnCount).map(i => (i, meta.getColumnName(i).toLowerCase))
+          val buf = Seq.newBuilder[Map[String, Any]]
+          while (rs.next()) buf += cols.map { case (i, n) => n -> rs.getObject(i) }.toMap
+          buf.result()
+        } finally ps.close()
+      } finally conn.close()
+  }
+
+  /** Per-key PARTIAL lookup cache for a dimension, wired from the same
+    * flink.conf keys the reference uses (`lookup.partial-cache.max-rows`,
+    * `lookup.partial-cache.expire-after-write` — flink.conf:37-48,
+    * EnrichmentApp.java:246-248). This is the operational point-lookup path;
+    * batch enrichment stays on the broadcast snapshot ([[imsiMsisdn]] etc.). */
+  def partialCache(conf: GraftConfig, dim: String, keyCol: String,
+                   clock: () => Long = () => System.currentTimeMillis())
+      : PartialKeyCache[Any, Map[String, Any]] =
+    new PartialKeyCache(
+      pointFetcher(
+        conf.get(s"$dim.url",
+          conf.get("jdbc.url", "jdbc:postgresql://localhost:5432/postgres")),
+        conf.get(s"$dim.dbtable", dim),
+        keyCol,
+        conf.get(s"$dim.user", conf.get("jdbc.username", "postgres")),
+        conf.get(s"$dim.password", conf.get("jdbc.password", ""))),
+      maxRows = conf.getInt(s"$dim.lookup.partial-cache.max-rows", 100),
+      ttlMs = conf.getDurationMs(s"$dim.lookup.partial-cache.expire-after-write", 60000L),
+      clock = clock)
 
   /** Keys mirror the reference flink.conf block per dimension —
     * `<dim>.url/.dbtable/.user/.password` and the HOCON duration
