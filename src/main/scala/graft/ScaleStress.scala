@@ -105,13 +105,17 @@ object ScaleStress {
     val bridges = cliques.filter(col("m") === 0 && (col("c") % 4) === 0 && col("c") > 0)
       .select((col("id") - 5).as("src"), col("id").as("dst"))
     val edges = intra.unionByName(bridges)
-    val (nComp, tCc) = timed("conn comp " + nNodes + " nodes")(
-      graft.operators.ConnectedComponents(
+    var ccRounds = 0
+    val (nComp, tCc) = timed("conn comp " + nNodes + " nodes") {
+      val (lbl, stats) = graft.operators.ConnectedComponents.run(
         spark.range(nNodes).select(col("id")), edges)
-        .select(col("label")).distinct().count())
-    System.err.println(s"[stress] interval_pairs=$nPairs components=$nComp")
+      ccRounds = stats.hashMinRounds
+      lbl.select(col("label")).distinct().count()
+    }
+    // fused convergence: actions per round == 1 (was 2 pre-r3)
+    System.err.println(s"[stress] interval_pairs=$nPairs components=$nComp cc_rounds=$ccRounds")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc}""")
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1}""")
     spark.stop()
   }
 }

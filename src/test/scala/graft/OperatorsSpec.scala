@@ -109,6 +109,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: long-diameter chain converges via large-star/small-star fallback") {
+    // 300-node chain: diameter 299 >> the hash-min budget of 3 rounds. The
+    // old implementation threw here; the alternating fallback must finish in
+    // O(log d) rounds and still produce exact min labels.
+    val n = 300L
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (out, stats) = graft.operators.ConnectedComponents.run(nodes, edges, maxIter = 3)
+    assert(!stats.hashMinConverged && stats.hashMinRounds == 3)
+    assert(stats.alternatingRounds <= 12,
+      s"alternating should be O(log 300) ~ 9 rounds, took ${stats.alternatingRounds}")
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      s"all 300 chain nodes must label to 0, got ${labels.values.toSet}")
+  }
+
+  test("connected components: alternating standalone == union-find on a multi-component graph") {
+    // two chains and an isolated node — exercises leaf/center/absent cases
+    val edges = Seq((5L, 4L), (4L, 3L), (9L, 8L), (8L, 7L), (7L, 6L)).toDF("src", "dst")
+    val (leafMap, rounds) = graft.operators.ConnectedComponents.alternating(edges)
+    assert(rounds <= 6)
+    val m = leafMap.as[(Long, Long)].collect().toMap
+    // centers (3 and 6) are absent from the left side; every leaf maps to its min
+    assert(m == Map(4L -> 3L, 5L -> 3L, 7L -> 6L, 8L -> 6L, 9L -> 6L), s"got $m")
+  }
+
+  test("connected components: convergence check is fused — one job per hash-min round") {
+    // With AQE off, one Spark action == one job. The fused loop runs exactly
+    // one action per round (the observed localCheckpoint) plus two setup
+    // checkpoints (sym, initial labels). The old loop added a second
+    // isEmpty job per round.
+    // AQE off: one action == one job; broadcast off: no per-join broadcast
+    // collect jobs muddying the count
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    try {
+      val nodes = spark.range(6).toDF("id")
+      val edges = spark.range(5).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      spark.sparkContext.addSparkListener(listener)
+      val (_, stats) = graft.operators.ConnectedComponents.run(nodes, edges)
+      // the listener bus is async: poll until the count is stable
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(200) }
+      assert(stats.hashMinConverged)
+      assert(jobs.get() == stats.hashMinRounds + 2,
+        s"expected ${stats.hashMinRounds} round jobs + 2 setup, saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
