@@ -26,6 +26,39 @@ import org.apache.spark.sql.SparkSession
   */
 object EnrichmentJob {
 
+  /** Flink startup-mode value domain → Spark `startingOffsets` (Spark
+    * accepts only earliest/latest/JSON), so a line-for-line translated
+    * reference config works. */
+  def startingOffsets(conf: GraftConfig): String =
+    conf.get("kafka.scan.startup.mode", "latest") match {
+      case "latest-offset" => "latest"
+      case "earliest-offset" => "earliest"
+      case other => other
+    }
+
+  /** The reference's `'properties.<k>' = '<v>'` Kafka client pass-through
+    * (EnrichmentAppWithoutExplode.java:170-176, Generator.java:56-60),
+    * config-file form `kafka.properties.<k>`, mapped to Spark's
+    * `kafka.<k>` source/sink option convention. This is the Kerberos/SASL
+    * surface: `security.protocol`, `sasl.kerberos.service.name`,
+    * `sasl.jaas.config`, `sasl.mechanism`, … all flow through untouched —
+    * the same GSSAPI cluster config the reference hardcodes
+    * (SASL_PLAINTEXT + service name `kafka`) is expressed as two lines of
+    * config here. */
+  def kafkaClientOptions(conf: GraftConfig): Map[String, String] =
+    conf.entries.collect {
+      case (k, v) if k.startsWith("kafka.properties.") =>
+        "kafka." + k.stripPrefix("kafka.properties.") -> v
+    }
+
+  /** Full source option map: consumer group, data-loss policy, and the
+    * client/security pass-through. */
+  def kafkaSourceOptions(conf: GraftConfig): Map[String, String] =
+    Map(
+      "failOnDataLoss" -> conf.get("kafka.failOnDataLoss", "false"),
+      "kafka.group.id" -> conf.get("kafka.group_id", "graft-group")) ++
+      kafkaClientOptions(conf)
+
   def main(args: Array[String]): Unit = {
     val conf = GraftConfig.load(args)
     val spark = SparkSession.builder()
@@ -34,26 +67,12 @@ object EnrichmentJob {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
 
-    // reference flink.conf uses Flink's startup-mode value domain; Spark's
-    // startingOffsets accepts only earliest/latest/JSON — map it so a
-    // line-for-line translated reference config works
-    val startingOffsets = conf.get("kafka.scan.startup.mode", "latest") match {
-      case "latest-offset" => "latest"
-      case "earliest-offset" => "earliest"
-      case other => other
-    }
     val src = CdrStreamJob.kafkaSource(
       spark,
       bootstrap = conf.get("kafka.bootstrap.servers", "localhost:9092"),
       topic = conf.get("kafka.topic", "cdr"),
-      startingOffsets = startingOffsets,
-      extraOptions = Map(
-        "failOnDataLoss" -> conf.get("kafka.failOnDataLoss", "false"),
-        "kafka.group.id" -> conf.get("kafka.group_id", "graft-group")) ++
-        conf.entries.collect {
-          case (k, v) if k.startsWith("kafka.properties.") =>
-            "kafka." + k.stripPrefix("kafka.properties.") -> v
-        })
+      startingOffsets = startingOffsets(conf),
+      extraOptions = kafkaSourceOptions(conf))
 
     val imsiCache = JdbcDim.imsiMsisdn(spark, conf)
     val msIpCache = JdbcDim.msIpExploded(spark, conf)

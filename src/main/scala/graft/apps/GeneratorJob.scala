@@ -29,7 +29,9 @@ object GeneratorJob {
       cdrs,
       bootstrap = conf.get("kafka.bootstrap.servers", "localhost:9092"),
       topic = conf.get("kafka.topic", "cdr"),
-      checkpoint = conf.get("generator.checkpoint", "/tmp/graft-gen-ckpt"))
+      checkpoint = conf.get("generator.checkpoint", "/tmp/graft-gen-ckpt"),
+      // producer-side SASL/Kerberos, mirroring Generator.java:58-59
+      extraOptions = EnrichmentJob.kafkaClientOptions(conf))
 
     query.awaitTermination()
   }

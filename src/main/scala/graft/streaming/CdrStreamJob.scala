@@ -101,12 +101,16 @@ object CdrStreamJob {
     * At-least-once (Structured Streaming's Kafka sink has no transactional
     * exactly-once; the reference disables idempotence too, :60). */
   def kafkaCsvSink(df: DataFrame, bootstrap: String, topic: String,
-                   checkpoint: String): StreamingQuery =
-    df.select(CsvCodec.encode(df).as("value"))
-      .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+                   checkpoint: String,
+                   extraOptions: Map[String, String] = Map.empty): StreamingQuery =
+    extraOptions.foldLeft(
+        df.select(CsvCodec.encode(df).as("value"))
+          .writeStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("topic", topic)
+          .option("checkpointLocation", checkpoint)) {
+        case (w, (k, v)) => w.option(k, v)
+      }
       .start()
 
   // ------------------------------------------------------------ pipeline

@@ -18,4 +18,37 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.getDurationMs("ttl_raw", 0L) == 1234L)
     assert(c.getDurationMs("absent", 42L) == 42L)
   }
+
+  test("Kerberos/SASL kafka.properties.* pass through to Spark kafka.* options") {
+    // the reference's GSSAPI cluster block (EnrichmentAppWithoutExplode.java
+    // :174-175, Generator.java:58-59) written as config lines
+    val c = GraftConfig.fromMap(Map(
+      "kafka.properties.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.properties.sasl.kerberos.service.name" -> "kafka",
+      "kafka.properties.sasl.mechanism" -> "GSSAPI",
+      "kafka.properties.sasl.jaas.config" ->
+        "com.sun.security.auth.module.Krb5LoginModule required useKeyTab=true;",
+      "kafka.group_id" -> "graft-prod",
+      "kafka.topic" -> "cdr")) // non-properties keys must NOT leak through
+    val client = graft.apps.EnrichmentJob.kafkaClientOptions(c)
+    assert(client == Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.kerberos.service.name" -> "kafka",
+      "kafka.sasl.mechanism" -> "GSSAPI",
+      "kafka.sasl.jaas.config" ->
+        "com.sun.security.auth.module.Krb5LoginModule required useKeyTab=true;"))
+    val src = graft.apps.EnrichmentJob.kafkaSourceOptions(c)
+    assert(src("kafka.group.id") == "graft-prod")
+    assert(src("failOnDataLoss") == "false")
+    assert(src("kafka.security.protocol") == "SASL_PLAINTEXT")
+  }
+
+  test("startup-mode value domain maps Flink values to Spark startingOffsets") {
+    def so(v: String) = graft.apps.EnrichmentJob.startingOffsets(
+      GraftConfig.fromMap(Map("kafka.scan.startup.mode" -> v)))
+    assert(so("latest-offset") == "latest")
+    assert(so("earliest-offset") == "earliest")
+    assert(so("earliest") == "earliest") // Spark-native values pass through
+    assert(graft.apps.EnrichmentJob.startingOffsets(GraftConfig.empty) == "latest")
+  }
 }
