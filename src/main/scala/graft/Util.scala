@@ -8,9 +8,19 @@ object Util {
 
   /** Deterministic total order over every output column (sorted by name,
     * ASC NULLS FIRST) — mirrored by [[ob]] on the oracle side so the driver's
-    * hash compare can never be broken by row order. */
+    * hash compare can never be broken by row order.
+    *
+    * Implemented as repartition(1) + local sort, NOT a global orderBy: range
+    * partitioning runs a boundary-sampling pass that RE-EXECUTES the whole
+    * upstream query (measured 2× on every harness query — e.g. simhash
+    * pairs 2.8 s → 5.5 s), while a single-partition exchange makes one pass
+    * and yields one output file whose row order is trivially total. This is
+    * the test-harness ordering contract, not a production operator — result
+    * sets here are small; sorting real corpus-scale output would use the
+    * parallel orderBy. */
   def orderAll(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+    df.repartition(1)
+      .sortWithinPartitions(df.columns.sorted.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
 
   /** DuckDB ORDER BY clause matching [[orderAll]]. */
   def ob(cols: String*): String =

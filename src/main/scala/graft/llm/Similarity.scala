@@ -73,21 +73,25 @@ object Similarity {
     val e = normed(emb)
     val session = emb.sparkSession
     import session.implicits._
-    // planes are cut to the corpus's actual dimension (same LCG stream, so
-    // dim=64 reproduces the oracle bit-for-bit). A silent width mismatch
-    // would make vec_dot return NULL and the CASE below fold every vector
-    // into bucket 0 — the N² degeneration must be impossible, not quiet.
-    val dim = e.select(size(col("v")).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    require(dim <= 64,
-      s"lshBuckets: the LCG hyperplane family is seeded for <= 64 dims, embeddings are $dim-dim")
+    // planes are built at the full 64-dim seed width and sliced per row to
+    // the vector's actual dimension (the LCG indexes weights as p*64+i, so
+    // the slice is the same weight stream bit-for-bit — no driver-side
+    // head() round trip to discover the corpus dim). A silent width
+    // mismatch would make vec_dot return NULL and the CASE below fold
+    // every vector into bucket 0 — the N² degeneration must be impossible,
+    // not quiet: an over-64-dim vector raises per row instead.
     val planes = (0 until 8).map { p =>
-      (p.toLong, (0 until dim).map { i =>
+      (p.toLong, (0 until 64).map { i =>
         ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
       }.toArray)
     }.toDF("p", "w")
     e.crossJoin(broadcast(planes))
-      .withColumn("proj", VectorFunctions.vecDot(col("v"), col("w")))
+      .withColumn("proj",
+        when(size(col("v")) <= 64,
+          VectorFunctions.vecDot(col("v"), slice(col("w"), lit(1), size(col("v")))))
+        .otherwise(raise_error(concat(
+          lit("lshBuckets: the LCG hyperplane family is seeded for <= 64 dims, embeddings are "),
+          size(col("v")).cast("string"), lit("-dim"))).cast("double")))
       .groupBy(col("vec_id"), col("v"), col("nrm"))
       .agg(sum(expr("CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END")).as("bucket"))
   }

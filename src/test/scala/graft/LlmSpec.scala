@@ -190,4 +190,14 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L && out(3L) == 3L)
   }
+
+  test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
+    val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.llm.Similarity.lshBuckets(bad).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("65-dim")), s"got: ${msgs(ex)}")
+  }
 }
