@@ -131,6 +131,52 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("trigram").asc)
       .limit(k)
 
+  /** Gopher-style repetition / boilerplate signals, one narrow projection
+    * per row — duplicate-token and duplicate-bigram counts plus the top
+    * single-token occurrence, with the repetitiveness gate decided in EXACT
+    * integer cross-multiplication (dup-token fraction > 1/2 OR top-token
+    * fraction > 1/5), so no float rounding can diverge between engines.
+    * All distinctness is inside the row (`array_distinct`) — no corpus
+    * shuffle, scans prune to (doc_id, text). */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("words"))))
+      // guard: Spark's sequence(1, 0) counts DOWN, so a 1-token doc needs
+      // an explicit empty-bigram branch (DuckDB's generate_series(2,1) is
+      // just empty)
+      .withColumn("n_distinct_bigrams",
+        when(col("n_tokens") >= 2, expr(
+          "size(array_distinct(transform(sequence(2, size(words)), i -> concat(words[i-2], ' ', words[i-1]))))"))
+        .otherwise(lit(0)))
+      .withColumn("top_token_count", expr(
+        "aggregate(array_distinct(words), 0, (m, t) -> greatest(m, size(filter(words, w -> w = t))))"))
+      .withColumn("is_repetitive",
+        (col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
+          col("top_token_count") * 5 > col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_distinct_bigrams"), col("top_token_count"), col("is_repetitive"))
+
+  /** Benchmark decontamination: flag corpus documents sharing word-3-gram
+    * shingles with a held-out eval set (here: doc_id ≡ 0 mod `evalMod`,
+    * standing in for an external benchmark table). The eval shingle set is
+    * tiny by nature and broadcast, so the corpus side stays shuffle-free
+    * until the per-doc overlap count (one doc_id-keyed aggregation);
+    * per-doc shingle distinctness is inside the row via [[Dedup.shingles]].
+    * Output = contamination report: only docs with ≥ 1 shared shingle,
+    * `is_contaminated` once `minOverlap` distinct shingles are shared. */
+  def decontaminate(docs: DataFrame, evalMod: Long = 101L, minOverlap: Int = 2): DataFrame = {
+    val sh = Dedup.shingles(Dedup.tokenized(docs))
+    val evalSh = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("shingle")).distinct()
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -145,6 +191,8 @@ object TextAnalysis {
     // already deterministically ordered (n DESC, trigram ASC) — the same
     // ORDER BY the oracle ends with, so no orderAll re-sort
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
+    "text_repetition"   -> ((s, dir) => Util.orderAll(repetition(docs(s, dir)))),
+    "doc_decontaminate" -> ((s, dir) => Util.orderAll(decontaminate(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -244,5 +292,43 @@ object TextAnalysis {
         |)
         |SELECT trigram, count(*) AS n FROM tg
         |GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
+
+    "text_repetition" -> (
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_tokens,
+        |    len(list_distinct(words)) AS n_distinct_tokens,
+        |    CASE WHEN len(words) >= 2 THEN len(list_distinct(
+        |      list_transform(generate_series(2, len(words)), i -> words[i-1] || ' ' || words[i])))
+        |    ELSE 0 END AS n_distinct_bigrams,
+        |    list_aggregate(list_transform(list_distinct(words),
+        |      t -> len(list_filter(words, w2 -> w2 = t))), 'max') AS top_token_count
+        |  FROM w
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, n_tokens, n_distinct_tokens, n_distinct_bigrams, top_token_count,
+          |  ((n_tokens - n_distinct_tokens) * 2 > n_tokens)
+          |    OR (top_token_count * 5 > n_tokens) AS is_repetitive FROM r""".stripMargin,
+        Seq("doc_id", "n_tokens", "n_distinct_tokens", "n_distinct_bigrams",
+          "top_token_count", "is_repetitive"))),
+
+    "doc_decontaminate" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+        |  WHERE len(words) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, count(*) AS n_overlap, count(*) >= 2 AS is_contaminated
+          |FROM sh JOIN ev USING (shingle)
+          |WHERE doc_id % 101 <> 0
+          |GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "n_overlap", "is_contaminated"))),
   )
 }

@@ -191,6 +191,32 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L && out(3L) == 3L)
   }
 
+  test("repetition: counts are exact and the gate fires on dup-heavy docs only") {
+    val out = graft.llm.TextAnalysis.repetition(docsDf(
+      1L -> "a a a a b",                  // dup 3/5, top 4
+      2L -> "one two three four five six", // all distinct, top 1
+      3L -> "x"))                          // single token: no bigrams
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((5, 2, 2, 4, true)))   // bigrams: "a a", "a b"
+    assert(out(2L) == ((6, 6, 5, 1, false)))
+    assert(out(3L) == ((1, 1, 0, 1, true)))   // top 1 of 1 token > 1/5
+  }
+
+  test("decontaminate: eval-overlapping docs are reported with exact shingle counts") {
+    // doc 0 is the eval doc (0 % 101 == 0); 1 is a full copy (5 shared
+    // 3-grams), 2 shares exactly one 3-gram, 3 is disjoint
+    val out = graft.llm.TextAnalysis.decontaminate(docsDf(
+      0L -> "the quick brown fox jumps over dogs",
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "we saw the quick brown cat yesterday",
+      3L -> "entirely different words in this one here"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((5L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(!out.contains(3L) && !out.contains(0L), s"got $out")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
