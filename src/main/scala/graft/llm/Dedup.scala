@@ -187,29 +187,38 @@ object Dedup {
     jaccardVerified(inter, cnt, threshold)
   }
 
-  /** 16-bit SimHash fingerprint per document from token-id pseudo-bits.
+  /** 32-bit SimHash fingerprint per document from token-id pseudo-bits.
     *
     * Per-doc token distinctness is `array_distinct` inside the row (no
-    * corpus-wide distinct shuffle), and all 16 bit-sums are evaluated in one
-    * per-doc aggregation with nested array folds — one shuffle total,
-    * versus the naive distinct → ×16 crossJoin → groupBy(doc_id, j) →
-    * groupBy(doc_id) chain (three shuffles, 16× intermediate volume). */
+    * corpus-wide distinct shuffle); the 32 bit-sums are 32 codegen'd
+    * conditional `sum(CASE …)` columns in ONE map-side-combining
+    * aggregation — one shuffle total, and no interpreted higher-order
+    * lambdas in the hot path (the previous nested `aggregate(...)` fold
+    * evaluated outside whole-stage codegen). 32 bits matter at corpus
+    * scale: a 16-bit space saturates at ~10⁵ docs, collapsing banded
+    * blocking toward N²; 32 bits keep band buckets selective into the
+    * billions. The token id is reduced mod 3037000493 (largest prime below
+    * √2⁶³) before the multiply so ANSI arithmetic cannot overflow at
+    * tens-of-millions-token vocabularies — same guard as
+    * [[TextAnalysis.stratifiedSplit]], mirrored in the oracle. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = tokenized(docs)
     val dt = tok.select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
       .join(broadcast(vocab(tok)), "token")
+    val bitSums = (0 until 32).map { j =>
+      sum(expr(s"CASE WHEN ((tid % 3037000493) * 2654435761 + $j * 40503) % 65536 >= 32768" +
+        s" THEN 1 ELSE -1 END")).as(s"s$j")
+    }
     dt.groupBy("doc_id")
-      .agg(collect_list(col("tid")).as("tids"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + CASE WHEN aggregate(tids, CAST(0 AS BIGINT), (s, t) ->
-          |      s + CASE WHEN (t * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) > 0
-          |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)""".stripMargin))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", (0 until 32).map { j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
       .select(col("doc_id"), col("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
-    * banded blocking: split the 16-bit fingerprint into 4 bands of 4 bits;
+    * banded blocking: split the 32-bit fingerprint into 4 bands of 8 bits;
     * by pigeonhole any pair within distance 3 agrees exactly on ≥ 1 band, so
     * the join only touches same-band-value candidates — the linear-pass /
     * bucket-join scale shape (same as MinHash LSH), never the N² cross. */
@@ -221,7 +230,7 @@ object Dedup {
     val sh = simhash(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bval", expr("(simhash div CAST(power(2, band * 4) AS BIGINT)) % 16"))
+      .withColumn("bval", expr("(simhash div CAST(power(2, band * 8) AS BIGINT)) % 256"))
     val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       col("band"), col("bval"))
     val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
@@ -445,8 +454,8 @@ object Dedup {
         |  FROM (SELECT doc_id, unnest(words) AS token FROM tok) t JOIN vocab USING (token)
         |), bits AS (
         |  SELECT doc_id, j,
-        |    sum(CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
-        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj
+        |    sum(CASE WHEN ((tid % 3037000493) * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
+        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
         |  GROUP BY doc_id, j
         |)
         |""".stripMargin + Util.wrap(
@@ -461,15 +470,15 @@ object Dedup {
         |  FROM (SELECT doc_id, unnest(words) AS token FROM tok) t JOIN vocab USING (token)
         |), bits AS (
         |  SELECT doc_id, j,
-        |    sum(CASE WHEN (tid * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
-        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj
+        |    sum(CASE WHEN ((tid % 3037000493) * 2654435761 + j * 40503) % 65536 >= 32768 THEN 1 ELSE -1 END) AS s
+        |  FROM dt CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
         |  GROUP BY doc_id, j
         |), sh AS (
         |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
         |  FROM bits GROUP BY doc_id
         |), bands AS (
         |  SELECT doc_id, simhash, band,
-        |    (simhash // CAST(power(2, band * 4) AS BIGINT)) % 16 AS bval
+        |    (simhash // CAST(power(2, band * 8) AS BIGINT)) % 256 AS bval
         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

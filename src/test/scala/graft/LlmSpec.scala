@@ -42,11 +42,12 @@ class LlmSpec extends SparkSpec {
     lsh.foreach { case (k, v) => assert(exact(k) == v) }
   }
 
-  test("simhash: identical docs get identical fingerprints; fingerprints are 16-bit") {
+  test("simhash: identical docs get identical fingerprints; fingerprints are 32-bit") {
     val out = Dedup.simhash(docsDf(1L -> "a b c d", 2L -> "a b c d", 3L -> "w x y z"))
       .as[(Long, Long)].collect().toMap
     assert(out(1L) == out(2L))
-    assert(out.values.forall(v => v >= 0 && v < 65536))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(out(1L) != out(3L), "disjoint docs should differ in a 32-bit space")
   }
 
   test("brute-force ANN: self-similar vector ranks first with cosine 1.0") {
