@@ -312,6 +312,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Embedding near-dup *clusters*: connected components over the
+    * LSH-bucketed cosine pair graph — the embedding-side twin of
+    * [[dedupClusters]], so the embedding dedup path also ends in per-vector
+    * keep/drop decisions rather than raw pairs. Scale shape: linear
+    * signature pass + bucket join (never N²) feeding the one-shuffle-per-
+    * round hash-min CC. */
+  def embeddingClusters(emb: DataFrame, threshold: Double): DataFrame = {
+    val edges = embeddingPairsLsh(emb, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = emb.select(col("vec_id").as("id"))
+    graft.operators.ConnectedComponents(nodes, edges)
+      .select(col("id").as("vec_id"), col("label").as("cluster"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -331,6 +345,7 @@ object Dedup {
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
     // (vacuous) correctness check
     "doc_dedup_embedding_lsh" -> ((s, dir) => Util.orderAll(embeddingPairsLsh(emb(s, dir), 0.35))),
+    "doc_dedup_embedding_clusters" -> ((s, dir) => Util.orderAll(embeddingClusters(emb(s, dir), 0.35))),
   )
 
   /** Shared DuckDB CTEs mirroring tokenized/vocab/shingleIds. */
@@ -507,28 +522,53 @@ object Dedup {
     // brute pair query restricted to equal LSH buckets — same plane family /
     // signature arithmetic as the ann_lsh oracle, so bucket collisions match
     // Similarity.lshBuckets bit-for-bit
-    "doc_dedup_embedding_lsh" -> (
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
-        |), buck AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
-        |  FROM (
-        |    SELECT vec_id, p,
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
-        |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
-        |  ) pr GROUP BY vec_id
-        |), nb AS (
-        |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
-        |)
-        |""".stripMargin + Util.wrap(
+    "doc_dedup_embedding_lsh" -> (embLshCte + Util.wrap(
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
           |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
           |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
         Seq("id_a", "id_b", "cosine"))),
+
+    // same LSH pair graph, then the recursive transitive closure — min
+    // reachable label per node == the hash-min fixpoint of the Spark CC
+    "doc_dedup_embedding_clusters" -> (
+      embLshCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
+        |), ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), comp(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.a, comp.label FROM ed JOIN comp ON comp.node = ed.b
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT node AS vec_id, min(label) AS cluster FROM comp GROUP BY node",
+        Seq("vec_id", "cluster"))),
   )
+
+  /** Embedding → normalize → 8-plane LSH bucket chain, shared by the
+    * LSH pair and cluster oracles (mirrors Similarity.lshBuckets). */
+  private lazy val embLshCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+      |), buck AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM (
+      |    SELECT vec_id, p,
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+      |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+      |  ) pr GROUP BY vec_id
+      |), nb AS (
+      |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
+      |)
+      |""".stripMargin
 }

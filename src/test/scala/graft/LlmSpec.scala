@@ -192,6 +192,17 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L && out(3L) == 3L)
   }
 
+  test("embedding clusters: identical vectors cluster to min id, others stay singleton") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),
+      (4L, Array(1.0, 0.0, 0.0)),  // identical to 1 -> same bucket, cosine 1
+      (7L, Array(-1.0, 0.0, 0.0))) // opposite: cosine -1, never pairs
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Dedup.embeddingClusters(emb, 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 4L -> 1L, 7L -> 7L), s"got $out")
+  }
+
   test("repetition: counts are exact and the gate fires on dup-heavy docs only") {
     val out = graft.llm.TextAnalysis.repetition(docsDf(
       1L -> "a a a a b",                  // dup 3/5, top 4
