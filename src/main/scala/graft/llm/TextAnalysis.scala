@@ -23,11 +23,13 @@ object TextAnalysis {
   private val cjk = "[\\x{4e00}-\\x{9fff}]"
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Stopword/charset-marker language ID (n-gram heuristic family):
-    * score each candidate language by marker-token occurrences (CJK by
-    * codepoint class), argmax with a fixed preference order on ties. */
-  def langId(docs: DataFrame): DataFrame =
-    docs
+  // --- per-row signal builders: each ADDS columns (no select), so the
+  // --- curation pipeline can stack every gate into one collapsed
+  // --- projection over a single corpus pass. The public ops below are
+  // --- narrow selects over these — the expressions exist exactly once.
+
+  private def withLangSignals(df: DataFrame): DataFrame =
+    df
       .withColumn("words", split(col("text"), " "))
       .withColumn("s_en", expr(s"size(filter(words, t -> t IN $enStops))"))
       .withColumn("s_de", expr(s"size(filter(words, t -> t IN $deStops))"))
@@ -42,13 +44,9 @@ object TextAnalysis {
           |  WHEN s_fr >= s_es THEN 'fr'
           |  ELSE 'es'
           |END""".stripMargin))
-      .select(col("doc_id"), col("predicted_lang"), col("lang").as("labeled_lang"),
-        (col("predicted_lang") === col("lang")).as("is_match"))
 
-  /** Heuristic quality score from length / stopword / punctuation ratios —
-    * raw ratios feed the score unrounded; only outputs are rounded. */
-  def quality(docs: DataFrame): DataFrame =
-    docs
+  private def withQualitySignals(df: DataFrame): DataFrame =
+    df
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")))
       .withColumn("stop_r", expr(
@@ -61,6 +59,37 @@ object TextAnalysis {
         """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
           | + stop_r * 0.3
           | + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2""".stripMargin))
+
+  private def withRepetitionSignals(df: DataFrame): DataFrame =
+    df
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("words"))))
+      // guard: Spark's sequence(1, 0) counts DOWN, so a 1-token doc needs
+      // an explicit empty-bigram branch (DuckDB's generate_series(2,1) is
+      // just empty)
+      .withColumn("n_distinct_bigrams",
+        when(col("n_tokens") >= 2, expr(
+          "size(array_distinct(transform(sequence(2, size(words)), i -> concat(words[i-2], ' ', words[i-1]))))"))
+        .otherwise(lit(0)))
+      .withColumn("top_token_count", expr(
+        "aggregate(array_distinct(words), 0, (m, t) -> greatest(m, size(filter(words, w -> w = t))))"))
+      .withColumn("is_repetitive",
+        (col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
+          col("top_token_count") * 5 > col("n_tokens"))
+
+  /** Stopword/charset-marker language ID (n-gram heuristic family):
+    * score each candidate language by marker-token occurrences (CJK by
+    * codepoint class), argmax with a fixed preference order on ties. */
+  def langId(docs: DataFrame): DataFrame =
+    withLangSignals(docs)
+      .select(col("doc_id"), col("predicted_lang"), col("lang").as("labeled_lang"),
+        (col("predicted_lang") === col("lang")).as("is_match"))
+
+  /** Heuristic quality score from length / stopword / punctuation ratios —
+    * raw ratios feed the score unrounded; only outputs are rounded. */
+  def quality(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
       .select(col("doc_id"), col("n_tokens"),
         round(col("avg_token_len"), 4).as("avg_token_len"),
         round(col("stop_r"), 4).as("stopword_ratio"),
@@ -139,22 +168,7 @@ object TextAnalysis {
     * All distinctness is inside the row (`array_distinct`) — no corpus
     * shuffle, scans prune to (doc_id, text). */
   def repetition(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("words")))
-      .withColumn("n_distinct_tokens", size(array_distinct(col("words"))))
-      // guard: Spark's sequence(1, 0) counts DOWN, so a 1-token doc needs
-      // an explicit empty-bigram branch (DuckDB's generate_series(2,1) is
-      // just empty)
-      .withColumn("n_distinct_bigrams",
-        when(col("n_tokens") >= 2, expr(
-          "size(array_distinct(transform(sequence(2, size(words)), i -> concat(words[i-2], ' ', words[i-1]))))"))
-        .otherwise(lit(0)))
-      .withColumn("top_token_count", expr(
-        "aggregate(array_distinct(words), 0, (m, t) -> greatest(m, size(filter(words, w -> w = t))))"))
-      .withColumn("is_repetitive",
-        (col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
-          col("top_token_count") * 5 > col("n_tokens"))
+    withRepetitionSignals(docs)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         col("n_distinct_bigrams"), col("top_token_count"), col("is_repetitive"))
 
@@ -177,6 +191,39 @@ object TextAnalysis {
       .withColumn("is_contaminated", col("n_overlap") >= minOverlap)
   }
 
+  /** End-to-end curation decision: the full keep/drop gate a training-data
+    * pipeline applies per document, with the reason flags exposed —
+    * language-ID agreement, quality threshold, repetition gate,
+    * decontamination, and exact-dup keeper election.
+    *
+    * Shape at scale: every per-row gate stacks into ONE collapsed
+    * projection over a single corpus pass (the signal builders add columns,
+    * they never join); contamination is a broadcast left-join against the
+    * tiny eval-overlap list; keeper election windows over
+    * `xxhash64(text)` so the one real shuffle carries an 8-byte partition
+    * key instead of document text (same groups as text up to a ~2⁻⁶⁴
+    * collision — the [[Dedup.exactByHash]] argument; the oracle stays
+    * text-keyed). Eval docs themselves (doc_id ≡ 0 mod 101) are the
+    * benchmark, not trainable — excluded from the report. */
+  def curate(docs: DataFrame, qualityThreshold: Double = 0.45): DataFrame = {
+    val base = docs.filter(col("doc_id") % 101 =!= 0)
+    val sig = withRepetitionSignals(withQualitySignals(withLangSignals(base)))
+    val contaminated = decontaminate(docs).filter(col("is_contaminated"))
+      .select(col("doc_id"), lit(true).as("contam"))
+    val keeperWin = Window.partitionBy(xxhash64(col("text")))
+    sig
+      .join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
+      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
+      .withColumn("not_repetitive", !col("is_repetitive"))
+      .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(keeperWin))
+      .withColumn("keep", col("lang_ok") && col("quality_ok") && col("not_repetitive") &&
+        col("not_contaminated") && col("is_keeper"))
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"), col("not_repetitive"),
+        col("not_contaminated"), col("is_keeper"), col("keep"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -193,6 +240,7 @@ object TextAnalysis {
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
     "text_repetition"   -> ((s, dir) => Util.orderAll(repetition(docs(s, dir)))),
     "doc_decontaminate" -> ((s, dir) => Util.orderAll(decontaminate(docs(s, dir)))),
+    "doc_curate"        -> ((s, dir) => Util.orderAll(curate(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -330,5 +378,69 @@ object TextAnalysis {
           |WHERE doc_id % 101 <> 0
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_overlap", "is_contaminated"))),
+
+    // every gate's formula is copied verbatim from its standalone oracle
+    // above (lang CASE, quality score+rounding, integer repetition gates,
+    // shingle-overlap contamination); keeper election is text-keyed here
+    // while Spark windows over xxhash64(text) — same groups, the
+    // doc_dedup_exact_hash precedent
+    "doc_curate" -> (
+      s"""WITH sig AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS words,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_r,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_r,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS s_en,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $deStops)) AS s_de,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $frStops)) AS s_fr,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $esStops)) AS s_es,
+         |    len(regexp_extract_all(text, '$cjk')) AS s_zh
+         |  FROM documents WHERE doc_id % 101 <> 0
+         |), gates AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE
+         |      WHEN s_zh > 0 THEN 'zh'
+         |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |      WHEN s_fr >= s_es THEN 'fr'
+         |      ELSE 'es'
+         |    END AS predicted_lang,
+         |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + stop_r * 0.3
+         |      + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2, 6) AS qs,
+         |    n_tokens,
+         |    len(list_distinct(words)) AS n_distinct_tokens,
+         |    list_aggregate(list_transform(list_distinct(words),
+         |      t -> len(list_filter(words, w2 -> w2 = t))), 'max') AS top_token_count,
+         |    min(doc_id) OVER (PARTITION BY text) AS kmin
+         |  FROM sig
+         |), tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+         |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+         |  WHERE len(words) >= 3
+         |), ev AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+         |), cont AS (
+         |  SELECT doc_id FROM sh JOIN ev USING (shingle)
+         |  WHERE doc_id % 101 <> 0 GROUP BY doc_id HAVING count(*) >= 2
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT g.doc_id,
+          |  predicted_lang = lang AS lang_ok,
+          |  qs >= 0.45 AS quality_ok,
+          |  NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
+          |    OR top_token_count * 5 > n_tokens) AS not_repetitive,
+          |  c.doc_id IS NULL AS not_contaminated,
+          |  g.doc_id = kmin AS is_keeper,
+          |  predicted_lang = lang AND qs >= 0.45
+          |    AND NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
+          |      OR top_token_count * 5 > n_tokens)
+          |    AND c.doc_id IS NULL AND g.doc_id = kmin AS keep
+          |FROM gates g LEFT JOIN cont c ON g.doc_id = c.doc_id""".stripMargin,
+        Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
+          "not_contaminated", "is_keeper", "keep"))),
   )
 }

@@ -229,6 +229,26 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(3L) && !out.contains(0L), s"got $out")
   }
 
+  test("curate: every gate fires for its own reason; eval docs are excluded") {
+    // 40 'the'-bearing diverse tokens -> lang en, quality high, not repetitive
+    val good = (1 to 8).flatMap(i => Seq("the", s"w$i", s"x$i", s"y$i", s"z$i")).mkString(" ")
+    val out = graft.llm.TextAnalysis.curate(docsDf(
+      0L  -> good,                                // eval doc (0 % 101 == 0): excluded
+      1L  -> good,                                // keeper, all gates pass... but
+      2L  -> good,                                // duplicate of 1: loses keeper election
+      3L  -> ("spam " * 40).trim,                 // repetitive: top token = all
+      4L  -> "zz!! ?!? #@! xq%"))                 // short, no stopwords, punct-heavy
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+         r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(!out.contains(0L), "eval doc must be excluded")
+    // doc 1 is contaminated (shares shingles with eval doc 0) — the gate works
+    assert(out(1L) == ((true, true, true, false, true, false)), s"got ${out(1L)}")
+    assert(out(2L)._5 == false && out(2L)._6 == false, "dup loses keeper election")
+    assert(out(3L)._3 == false && out(3L)._6 == false, "repetition gate")
+    assert(out(4L)._2 == false && out(4L)._6 == false, "quality gate")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

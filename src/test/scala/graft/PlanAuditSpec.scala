@@ -83,4 +83,38 @@ class PlanAuditSpec extends SparkSpec {
     val pTri = phys("text_trigram_topk")
     assert(pTri.contains("TakeOrderedAndProject"), s"top-k not lowered:\n$pTri")
   }
+
+  test("text_repetition: one narrow per-row projection, harness sort is the only exchange") {
+    val p = phys("text_repetition")
+    assert(exchanges(p) <= 1, s"repetition signals must not shuffle the corpus:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan should prune to (doc_id, text): $readSchema")
+  }
+
+  test("doc_decontaminate: eval shingles broadcast; corpus shuffles only for the overlap count") {
+    val p = phys("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    // corpus-side shuffles: the per-doc overlap aggregation + harness sort
+    // (the broadcast side's internal distinct may add a tiny dim-side one)
+    assert(exchanges(p) <= 3, s"too many exchanges (${exchanges(p)}):\n$p")
+  }
+
+  test("doc_curate: per-row gates fuse into one pass; contamination list broadcasts") {
+    val p = phys("doc_curate")
+    assert(p.contains("BroadcastHashJoin"), s"contamination join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never sort-merge here:\n$p")
+    assert(p.contains("xxhash64"), s"keeper window should partition on the text hash:\n$p")
+    // corpus-side: keeper window shuffle + harness sort; contamination
+    // derivation adds its own small aggregation exchanges
+    assert(exchanges(p) <= 5, s"gates did not fuse (${exchanges(p)} exchanges):\n$p")
+  }
+
+  test("doc_dedup_simhash: fingerprint aggregation is codegen'd, no interpreted lambdas") {
+    val p = phys("doc_dedup_simhash")
+    assert(!p.contains("lambdafunction"),
+      s"bit sums fell out of codegen into higher-order lambdas:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
 }
