@@ -115,7 +115,31 @@ object ScaleStress {
     // fused convergence: actions per round == 1 (was 2 pre-r3)
     System.err.println(s"[stress] interval_pairs=$nPairs components=$nComp cc_rounds=$ccRounds")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1}""")
+    // r3 curation operators over a ×N document corpus (docs replicated with
+    // disjoint doc_id ranges and per-copy token salt, so vocab and shingle
+    // cardinality grow with volume like real corpus growth — replicated
+    // texts would otherwise make every copy an exact dup and shrink the
+    // distinct sets to sf0.1 size)
+    val docsBase = Tables.table(spark, sfDir, "documents")
+    val maxDoc = docsBase.agg(max("doc_id")).head().getLong(0) + 1
+    val docsN = docsBase.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * maxDoc)
+      .withColumn("text", when(col("copy") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" c"), col("copy"))))
+      .drop("copy")
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val (nRep, tRep) = timed("repetition x" + factor)(
+      graft.llm.TextAnalysis.repetition(docsN).count())
+    val (nDec, tDec) = timed("decontaminate x" + factor)(
+      graft.llm.TextAnalysis.decontaminate(docsN).count())
+    val (nCur, tCur) = timed("curate x" + factor)(
+      graft.llm.TextAnalysis.curate(docsN).count())
+    val (nSim, tSim) = timed("simhash pairs x" + factor)(
+      graft.llm.Dedup.simhashPairs(docsN, 3).count())
+    System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim")
+
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim}""")
     spark.stop()
   }
 }

@@ -224,6 +224,30 @@ object TextAnalysis {
         col("not_contaminated"), col("is_keeper"), col("keep"))
   }
 
+  /** Streaming twin of [[curate]] for a document STREAM (columns: `ts`,
+    * `doc_id`, `text`, `lang`): the language/quality/repetition gates are
+    * stateless per-row projections, so the exact same column builders run
+    * unchanged on a streaming frame; exact-dup keeping becomes
+    * first-arrival-wins via `dropDuplicatesWithinWatermark` over the
+    * 8-byte content hash (state = one entry per distinct doc within the
+    * watermark horizon — bounded, the batch keeper-election semantics
+    * shifted from min-doc_id to arrival order, as a stream must).
+    * Decontamination and cross-corpus keeper election need corpus-wide
+    * state and stay batch-side (or a stream-static join against a
+    * precomputed eval-shingle table — same shape as the CDR dims). */
+  def streamingCurate(docStream: DataFrame, delay: String,
+                      qualityThreshold: Double = 0.45): DataFrame =
+    withRepetitionSignals(withQualitySignals(withLangSignals(docStream)))
+      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
+      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
+      .withColumn("not_repetitive", !col("is_repetitive"))
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("ts"), col("doc_id"), col("lang_ok"), col("quality_ok"),
+        col("not_repetitive"),
+        (col("lang_ok") && col("quality_ok") && col("not_repetitive")).as("keep"))
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")

@@ -68,4 +68,16 @@ object OperatorProps extends Properties("operators") {
       val expected = ufLabels(10, edges)
       Prop(got == expected) :| s"got $got expected $expected"
     }
+
+  property("alternating-fallback path == union-find reference (hash-min budget 1)") =
+    Prop.forAll(genEdges) { edges =>
+      // maxIter=1 forces the large-star/small-star fallback on (almost)
+      // every non-trivial graph, so the property exercises contraction +
+      // alternation + label join-back rather than plain hash-min
+      val nodes = (0L until 10L).toDF("id")
+      val got = ConnectedComponents(nodes, edges.toDF("src", "dst"), maxIter = 1)
+        .as[(Long, Long)].collect().toMap
+      val expected = ufLabels(10, edges)
+      Prop(got == expected) :| s"got $got expected $expected"
+    }
 }

@@ -171,6 +171,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curate: per-row gates match batch logic, content dups drop first-wins") {
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, String)](spark)
+    val q = graft.llm.TextAnalysis.streamingCurate(
+        mem.toDF().toDF("ts", "doc_id", "text", "lang"), "1 hour")
+      .writeStream.format("memory").queryName("curate_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-curate")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val good = (1 to 8).flatMap(i => Seq("the", s"w$i", s"x$i", s"y$i", s"z$i")).mkString(" ")
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, good, "en"),
+        (ts("2024-01-01 10:00:05"), 2L, good, "en"),          // content dup of 1
+        (ts("2024-01-01 10:00:10"), 3L, ("spam " * 40).trim, "en")) // repetitive
+      q.processAllAvailable()
+      val rows = spark.table("curate_out")
+        .select($"doc_id", $"lang_ok", $"quality_ok", $"not_repetitive", $"keep")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+      assert(rows.keySet == Set(1L, 3L), s"dup doc 2 must drop: ${rows.keySet}")
+      assert(rows(1L) == ((1L, true, true, true, true)))
+      assert(rows(3L)._4 == false && rows(3L)._5 == false, "repetition gate in-stream")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
