@@ -31,6 +31,7 @@ object RelQueries {
   private def part(s: SparkSession, dir: String)     = Tables.table(s, dir, "part")
   private def nation(s: SparkSession, dir: String)   = Tables.table(s, dir, "nation")
   private def region(s: SparkSession, dir: String)   = Tables.table(s, dir, "region")
+  private def supplier(s: SparkSession, dir: String) = Tables.table(s, dir, "supplier")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
@@ -57,6 +58,30 @@ object RelQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table star join. The one big join (lineitem ⋈
+    // orders) shuffles on the orderkey; customer/supplier/nation/region are
+    // dims and broadcast, including the c_nationkey = s_nationkey
+    // co-location predicate that makes Q5 the classic join-order test.
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = lineitem(s, dir)
+      val sup = supplier(s, dir)
+      val n = nation(s, dir)
+      val r = region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     "q_window" -> ((s, dir) => {
@@ -345,6 +370,21 @@ object RelQueries {
         |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (

@@ -77,6 +77,14 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"pair join not keyed on bucket:\n$p")
   }
 
+  test("q5_local_supplier: all four dims broadcast, no cartesian anywhere") {
+    val p = phys("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"customer/supplier/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the c_nationkey = s_nationkey predicate must ride the supplier equi-join:\n$p")
+  }
+
   test("text queries: no shuffle beyond the harness sort; trigram is heap top-k") {
     val pTok = phys("text_tokens")
     assert(exchanges(pTok) <= 1, s"per-row projection must not shuffle:\n$pTok")
