@@ -269,6 +269,15 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("cluster").as("doc_id"), col("cluster_size"))
 
+  /** Keep-decision for the embedding path: representative (min vec_id) +
+    * absorbed count per [[embeddingClusters]] cluster — completes the
+    * embedding dedup symmetry with [[dedupKeep]]. */
+  def embeddingKeep(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingClusters(emb, threshold)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("vec_id"), col("cluster_size"))
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -346,6 +355,7 @@ object Dedup {
     // (vacuous) correctness check
     "doc_dedup_embedding_lsh" -> ((s, dir) => Util.orderAll(embeddingPairsLsh(emb(s, dir), 0.35))),
     "doc_dedup_embedding_clusters" -> ((s, dir) => Util.orderAll(embeddingClusters(emb(s, dir), 0.35))),
+    "doc_dedup_embedding_keep" -> ((s, dir) => Util.orderAll(embeddingKeep(emb(s, dir), 0.35))),
   )
 
   /** Shared DuckDB CTEs mirroring tokenized/vocab/shingleIds. */
@@ -549,6 +559,27 @@ object Dedup {
         |""".stripMargin + Util.wrap(
         "SELECT node AS vec_id, min(label) AS cluster FROM comp GROUP BY node",
         Seq("vec_id", "cluster"))),
+
+    "doc_dedup_embedding_keep" -> (
+      embLshCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
+        |), ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), comp(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.a, comp.label FROM ed JOIN comp ON comp.node = ed.b
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT label AS vec_id, count(*) AS cluster_size FROM (
+          |  SELECT node, min(label) AS label FROM comp GROUP BY node
+          |) GROUP BY label""".stripMargin,
+        Seq("vec_id", "cluster_size"))),
   )
 
   /** Embedding → normalize → 8-plane LSH bucket chain, shared by the
