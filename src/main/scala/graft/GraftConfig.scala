@@ -16,11 +16,14 @@ import scala.jdk.CollectionConverters._
   */
 final class GraftConfig private (props: Map[String, String]) {
 
-  def get(key: String, default: => String): String = props.getOrElse(key, default)
-
-  // flink.conf quotes scalars ('max-rows = "100"'); Properties keeps the quotes
+  // flink.conf quotes scalars ('url = "jdbc:..."'); Properties keeps the
+  // quotes, so EVERY getter unquotes — a quoted JDBC url reaching
+  // DriverManager verbatim fails with "No suitable driver"
   private def unquote(raw: String): String =
     raw.trim.stripPrefix("\"").stripSuffix("\"")
+
+  def get(key: String, default: => String): String =
+    props.get(key).map(unquote).getOrElse(default)
 
   def getLong(key: String, default: => Long): Long =
     props.get(key).map(unquote(_).toLong).getOrElse(default)
@@ -36,7 +39,7 @@ final class GraftConfig private (props: Map[String, String]) {
     * `expire-after-write = "60s"`. */
   def getDurationMs(key: String, default: => Long): Long =
     props.get(key).map { raw =>
-      val v = raw.trim.stripPrefix("\"").stripSuffix("\"")
+      val v = unquote(raw)
       if (v.endsWith("ms")) v.dropRight(2).trim.toLong
       else if (v.endsWith("s")) v.dropRight(1).trim.toLong * 1000L
       else if (v.endsWith("m")) v.dropRight(1).trim.toLong * 60000L

@@ -74,9 +74,13 @@ object TextAnalysis {
         .otherwise(lit(0)))
       .withColumn("top_token_count", expr(
         "aggregate(array_distinct(words), 0, (m, t) -> greatest(m, size(filter(words, w -> w = t))))"))
+      // the top-token fraction gate applies only at n >= 5 (Gopher-style
+      // length floor): below that top_token_count * 5 > n_tokens holds for
+      // EVERY doc (top >= 1), which would misclassify all short docs as
+      // repetitive instead of letting the length/quality gate judge them
       .withColumn("is_repetitive",
         (col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
-          col("top_token_count") * 5 > col("n_tokens"))
+          (col("n_tokens") >= 5 && col("top_token_count") * 5 > col("n_tokens")))
 
   /** Stopword/charset-marker language ID (n-gram heuristic family):
     * score each candidate language by marker-token occurrences (CJK by
@@ -205,10 +209,11 @@ object TextAnalysis {
     * collision — the [[Dedup.exactByHash]] argument; the oracle stays
     * text-keyed). Eval docs themselves (doc_id ≡ 0 mod 101) are the
     * benchmark, not trainable — excluded from the report. */
-  def curate(docs: DataFrame, qualityThreshold: Double = 0.45): DataFrame = {
-    val base = docs.filter(col("doc_id") % 101 =!= 0)
+  def curate(docs: DataFrame, qualityThreshold: Double = 0.45,
+             evalMod: Long = 101L): DataFrame = {
+    val base = docs.filter(col("doc_id") % evalMod =!= 0)
     val sig = withRepetitionSignals(withQualitySignals(withLangSignals(base)))
-    val contaminated = decontaminate(docs).filter(col("is_contaminated"))
+    val contaminated = decontaminate(docs, evalMod).filter(col("is_contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
     val keeperWin = Window.partitionBy(xxhash64(col("text")))
     sig
@@ -382,7 +387,7 @@ object TextAnalysis {
         |""".stripMargin + Util.wrap(
         """SELECT doc_id, n_tokens, n_distinct_tokens, n_distinct_bigrams, top_token_count,
           |  ((n_tokens - n_distinct_tokens) * 2 > n_tokens)
-          |    OR (top_token_count * 5 > n_tokens) AS is_repetitive FROM r""".stripMargin,
+          |    OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens) AS is_repetitive FROM r""".stripMargin,
         Seq("doc_id", "n_tokens", "n_distinct_tokens", "n_distinct_bigrams",
           "top_token_count", "is_repetitive"))),
 
@@ -456,12 +461,12 @@ object TextAnalysis {
           |  predicted_lang = lang AS lang_ok,
           |  qs >= 0.45 AS quality_ok,
           |  NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
-          |    OR top_token_count * 5 > n_tokens) AS not_repetitive,
+          |    OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens)) AS not_repetitive,
           |  c.doc_id IS NULL AS not_contaminated,
           |  g.doc_id = kmin AS is_keeper,
           |  predicted_lang = lang AND qs >= 0.45
           |    AND NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
-          |      OR top_token_count * 5 > n_tokens)
+          |      OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens))
           |    AND c.doc_id IS NULL AND g.doc_id = kmin AS keep
           |FROM gates g LEFT JOIN cont c ON g.doc_id = c.doc_id""".stripMargin,
         Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",

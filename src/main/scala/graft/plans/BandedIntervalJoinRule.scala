@@ -55,16 +55,21 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.bandedIntervalJoin.enabled", "true").toBoolean
 
-  /** Skip the rewrite when the smaller side is under this many bytes
-    * (estimated); 0 disables the guard. See the scaladoc for why this is
-    * NOT `autoBroadcastJoinThreshold`. */
+  /** Skip the rewrite when BOTH sides are under this many bytes
+    * (estimated); 0 disables the guard. It must be both: a huge probe side
+    * against a tiny dim is exactly the case the rewrite exists for — a
+    * broadcast nested-loop there still evaluates |probe| × |dim| range
+    * predicates, while the banded equi-join hashes. Only when the whole
+    * join is tiny is the nested loop cheaper than the 2× bin explode +
+    * shuffle. See the scaladoc for why this is NOT
+    * `autoBroadcastJoinThreshold`. */
   private def smallSideThreshold: Long =
     conf.getConfString("spark.graft.bandedIntervalJoin.smallSideThreshold",
       "65536").toLong
 
   private def tooSmall(left: LogicalPlan, right: LogicalPlan): Boolean = {
     val t = smallSideThreshold
-    t > 0 && (left.stats.sizeInBytes.min(right.stats.sizeInBytes) <= t)
+    t > 0 && (left.stats.sizeInBytes.max(right.stats.sizeInBytes) <= t)
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

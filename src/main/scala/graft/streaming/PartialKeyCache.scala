@@ -46,17 +46,44 @@ final class PartialKeyCache[K, V](fetch: K => Seq[V],
   }
   private var fetchCount = 0L
 
-  def get(key: K): Seq[V] = synchronized {
-    val now = clock()
-    val hit = map.get(key) // refreshes LRU recency when present
-    if (hit != null && now - hit.writtenAt < ttlMs) {
-      hit.rows
-    } else {
-      if (hit != null) map.remove(key) // expired: drop before re-fetch
-      val rows = fetch(key)
-      fetchCount += 1
-      if (rows.nonEmpty || cacheMissingKey) map.put(key, Entry(rows, now))
-      rows
+  // one in-flight load per key: concurrent misses on the same key wait for
+  // the single fetch instead of issuing duplicates
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[K, java.util.concurrent.CompletableFuture[Seq[V]]]()
+
+  /** The backing-store fetch runs OUTSIDE the cache monitor: a cold/slow
+    * key (a stalled DB round-trip can take seconds) must not serialize
+    * every other thread's cache hits behind it — the Guava cache the
+    * reference uses loads per-key without a global lock too. Concurrent
+    * misses on the SAME key are deduplicated through `inflight`. */
+  def get(key: K): Seq[V] = {
+    val cached = synchronized {
+      val now = clock()
+      val hit = map.get(key) // refreshes LRU recency when present
+      if (hit != null && now - hit.writtenAt < ttlMs) Some(hit.rows)
+      else {
+        if (hit != null) map.remove(key) // expired: drop before re-fetch
+        None
+      }
+    }
+    cached.getOrElse {
+      val f = new java.util.concurrent.CompletableFuture[Seq[V]]()
+      val prior = inflight.putIfAbsent(key, f)
+      if (prior != null) prior.join() // someone else is loading this key
+      else {
+        try {
+          val rows = fetch(key)
+          val now = clock()
+          synchronized {
+            fetchCount += 1
+            if (rows.nonEmpty || cacheMissingKey) map.put(key, Entry(rows, now))
+          }
+          f.complete(rows)
+          rows
+        } catch {
+          case t: Throwable => f.completeExceptionally(t); throw t
+        } finally inflight.remove(key)
+      }
     }
   }
 

@@ -212,7 +212,7 @@ class LlmSpec extends SparkSpec {
         (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
     assert(out(1L) == ((5, 2, 2, 4, true)))   // bigrams: "a a", "a b"
     assert(out(2L) == ((6, 6, 5, 1, false)))
-    assert(out(3L) == ((1, 1, 0, 1, true)))   // top 1 of 1 token > 1/5
+    assert(out(3L) == ((1, 1, 0, 1, false)))  // below the n>=5 floor: not flagged
   }
 
   test("decontaminate: eval-overlapping docs are reported with exact shingle counts") {

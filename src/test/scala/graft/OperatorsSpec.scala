@@ -102,6 +102,21 @@ class OperatorsSpec extends SparkSpec {
       spark.conf.set("spark.graft.bandedIntervalJoin.enabled", "true")
       val on = spark.sql(sql).queryExecution.optimizedPlan.toString
       assert(on.contains("__graft_bin"), s"rule should fire with guard zeroed:\n$on")
+      // asymmetric join: a big probe against a tiny dim must REWRITE under
+      // the default guard — the guard requires BOTH sides small (a
+      // broadcast nested loop still evaluates |probe| × |dim| predicates)
+      spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
+      spark.range(100000)
+        .selectExpr("id % 7 AS user_id", "id AS event_id",
+          "timestamp_millis(1704100000000 + id * 1000) AS ts")
+        .createOrReplaceTempView("opspec_big")
+      val asym =
+        """SELECT a.event_id AS id_a, b.event_id AS id_b
+          |FROM opspec_big a JOIN opspec_tiny b
+          |  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND""".stripMargin
+      val asymPlan = spark.sql(asym).queryExecution.optimizedPlan.toString
+      assert(asymPlan.contains("__graft_bin"),
+        s"big-probe × tiny-dim must still rewrite (min-side guard bug):\n$asymPlan")
     } finally {
       spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
       spark.conf.unset("spark.graft.bandedIntervalJoin.enabled")
