@@ -74,6 +74,48 @@ class PartialKeyCacheSpec extends SparkSpec {
     assert(calls == 2)                   // every probe of the absent key hits the store
   }
 
+  test("a slow fetch on one key does not block cache hits on other keys") {
+    val slowGate = new java.util.concurrent.CountDownLatch(1)
+    val cache = new PartialKeyCache[String, Int](
+      fetch = {
+        case "slow" => slowGate.await(); Seq(1)
+        case k => Seq(k.length)
+      },
+      maxRows = 10, ttlMs = 1000000L)
+    cache.get("hot") // warm a second key
+    val slowCall = new Thread(() => cache.get("slow"))
+    slowCall.start()
+    Thread.sleep(100) // let the slow fetch enter and park on the latch
+    // the hot key must answer while the slow fetch is in flight — under
+    // the old whole-cache lock this deadlocked until the latch opened
+    val t0 = System.nanoTime()
+    assert(cache.get("hot") == Seq(3))
+    val hitMs = (System.nanoTime() - t0) / 1e6
+    assert(hitMs < 1000, s"cached hit blocked behind a cold fetch: $hitMs ms")
+    slowGate.countDown()
+    slowCall.join(5000)
+    assert(!slowCall.isAlive)
+  }
+
+  test("concurrent misses on the same key issue exactly one backing fetch") {
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val cache = new PartialKeyCache[String, Int](
+      fetch = { _ => entered.countDown(); release.await(); Seq(42) },
+      maxRows = 10, ttlMs = 1000000L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Int]]()
+    val t1 = new Thread(() => results.add(cache.get("k")))
+    t1.start()
+    entered.await() // loader thread is inside fetch
+    val t2 = new Thread(() => results.add(cache.get("k")))
+    t2.start()
+    Thread.sleep(100) // t2 must now be waiting on t1's in-flight future
+    release.countDown()
+    t1.join(5000); t2.join(5000)
+    assert(results.size == 2 && results.stream.allMatch(_ == Seq(42)))
+    assert(cache.fetches == 1, s"expected one deduped fetch, got ${cache.fetches}")
+  }
+
   test("live JDBC: partial cache serves stale row until the key's TTL lapses") {
     val url = "jdbc:derby:memory:graftpartial;create=true"
     val conn = DriverManager.getConnection(url)
