@@ -77,6 +77,26 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
+  /** A cross-side equality conjunct means Spark already plans a hash join
+    * on it (ExtractEquiJoinKeys) and the range predicate rides along as a
+    * post-join filter — banding there would only add a 2× explode to the
+    * probe side. The rewrite is for PURE range joins, which otherwise
+    * degenerate to a nested loop. */
+  private def hasEquiKey(cs: Seq[Expression], left: LogicalPlan,
+                         right: LogicalPlan): Boolean = {
+    def crossSide(a: Expression, b: Expression): Boolean = (a, b) match {
+      case (x: AttributeReference, y: AttributeReference) =>
+        (left.outputSet.contains(x) && right.outputSet.contains(y)) ||
+          (left.outputSet.contains(y) && right.outputSet.contains(x))
+      case _ => false
+    }
+    cs.exists {
+      case EqualTo(a, b) => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
+      case _ => false
+    }
+  }
+
   /** `ts + INTERVAL h` with a literal positive day-time interval → h µs. */
   private object TsPlusInterval {
     def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
@@ -98,6 +118,7 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
           !j.output.exists(_.name.startsWith(BinName)) &&
           !cond.references.exists(_.name.startsWith(BinName)) =>
       val cs = conjuncts(cond)
+      if (hasEquiKey(cs, left, right)) j else {
       // every tsR >= tsL candidate — the first one is not necessarily the
       // one with a matching upper bound (e.g. an extra one-sided timestamp
       // guard listed before the real range pair)
@@ -132,5 +153,6 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
         Project(j.output, newJoin)
       }
       rewritten.getOrElse(j)
+      }
   }
 }

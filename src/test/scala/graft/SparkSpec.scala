@@ -9,6 +9,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the production deployment config: every suite runs with the engine
+      // installed the way a cluster would install it (ExtensionsSpec
+      // asserts the injections actually work)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
