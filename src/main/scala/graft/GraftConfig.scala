@@ -47,7 +47,10 @@ final class GraftConfig private (props: Map[String, String]) {
       else v.toLong
     }.getOrElse(default)
 
-  def entries: Map[String, String] = props
+  // unquoted like every other getter — kafkaClientOptions builds the
+  // SASL/Kerberos pass-through from this map, and a quoted "GSSAPI"
+  // reaching the Kafka client verbatim fails the handshake
+  def entries: Map[String, String] = props.map { case (k, v) => k -> unquote(v) }
 }
 
 object GraftConfig {

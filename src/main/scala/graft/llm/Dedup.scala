@@ -542,45 +542,37 @@ object Dedup {
     // same LSH pair graph, then the recursive transitive closure — min
     // reachable label per node == the hash-min fixpoint of the Spark CC
     "doc_dedup_embedding_clusters" -> (
-      embLshCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
-        |), ed AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM pairs
-        |), comp(node, label) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT ed.a, comp.label FROM ed JOIN comp ON comp.node = ed.b
-        |)
-        |""".stripMargin + Util.wrap(
+      embCompCte + Util.wrap(
         "SELECT node AS vec_id, min(label) AS cluster FROM comp GROUP BY node",
         Seq("vec_id", "cluster"))),
 
     "doc_dedup_embedding_keep" -> (
-      embLshCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
-        |), ed AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM pairs
-        |), comp(node, label) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT ed.a, comp.label FROM ed JOIN comp ON comp.node = ed.b
-        |)
-        |""".stripMargin + Util.wrap(
+      embCompCte + Util.wrap(
         """SELECT label AS vec_id, count(*) AS cluster_size FROM (
           |  SELECT node, min(label) AS label FROM comp GROUP BY node
           |) GROUP BY label""".stripMargin,
         Seq("vec_id", "cluster_size"))),
   )
+
+  /** LSH pair graph → symmetric edges → recursive transitive closure at
+    * threshold 0.35, shared by the embedding clusters and keep oracles so
+    * the closure/threshold logic exists once. */
+  private lazy val embCompCte =
+    embLshCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
+        |), ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), comp(node, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT ed.a, comp.label FROM ed JOIN comp ON comp.node = ed.b
+        |)
+        |""".stripMargin
 
   /** Embedding → normalize → 8-plane LSH bucket chain, shared by the
     * LSH pair and cluster oracles (mirrors Similarity.lshBuckets). */

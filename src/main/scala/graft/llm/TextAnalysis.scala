@@ -239,10 +239,15 @@ object TextAnalysis {
     * shifted from min-doc_id to arrival order, as a stream must).
     * Decontamination and cross-corpus keeper election need corpus-wide
     * state and stay batch-side (or a stream-static join against a
-    * precomputed eval-shingle table — same shape as the CDR dims). */
+    * precomputed eval-shingle table — same shape as the CDR dims); the
+    * eval-doc EXCLUSION is stateless though, so benchmark docs are
+    * filtered here exactly as in batch — a stream must never emit a
+    * held-out doc with keep=true. */
   def streamingCurate(docStream: DataFrame, delay: String,
-                      qualityThreshold: Double = 0.45): DataFrame =
-    withRepetitionSignals(withQualitySignals(withLangSignals(docStream)))
+                      qualityThreshold: Double = 0.45,
+                      evalMod: Long = 101L): DataFrame =
+    withRepetitionSignals(withQualitySignals(withLangSignals(
+        docStream.filter(col("doc_id") % evalMod =!= 0))))
       .withColumn("lang_ok", col("predicted_lang") === col("lang"))
       .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
       .withColumn("not_repetitive", !col("is_repetitive"))

@@ -34,16 +34,23 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   *    re-match forever);
   *  - `spark.graft.bandedIntervalJoin.enabled` (default true) — kill
   *    switch;
-  *  - the smaller side's estimated size exceeds
+  *  - at least ONE side's estimated size exceeds
   *    `spark.graft.bandedIntervalJoin.smallSideThreshold` bytes (default
-  *    64 KB; 0 = always rewrite). For genuinely tiny inputs the nested
-  *    loop's |L|·|R| predicate evaluations are noise and the 2× explode +
-  *    extra project just add overhead. Deliberately NOT gated on
-  *    `autoBroadcastJoinThreshold`: broadcastability bounds *memory*, not
-  *    compute — a 5 MB dim is broadcastable yet still costs |L|·|dim|
-  *    pair evaluations under a nested loop, exactly what banding removes
-  *    (the banded equi-join stays broadcast when the side is small, so the
-  *    rewrite loses nothing there).
+  *    64 KB; 0 = always rewrite) — i.e. the rule skips only when the
+  *    WHOLE join is tiny. A huge probe against a tiny dim still rewrites:
+  *    a nested loop there costs |L|·|dim| predicate evaluations even
+  *    though the dim broadcasts, exactly what banding removes (the banded
+  *    equi-join stays broadcast when a side is small, so the rewrite loses
+  *    nothing). Deliberately NOT gated on `autoBroadcastJoinThreshold`:
+  *    broadcastability bounds *memory*, not compute;
+  *  - no cross-side equality conjunct, unless
+  *    `spark.graft.bandedIntervalJoin.bandEquiJoins` (default false) is
+  *    set. With an equi key present Spark hash-joins on it and the range
+  *    rides as a post-join filter — usually right, and banding would add a
+  *    2× probe-side explode. The opt-in exists for HOT equi keys (few
+  *    distinct values, many rows each), where per-key work is
+  *    O(rows-per-key²) and appending the bin key restores
+  *    output-proportional cost.
   *
   * Registered via [[graft.GraftExtensions]]
   * (`spark.sql.extensions=graft.GraftExtensions`).
@@ -77,11 +84,19 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
+  /** Opt-in: band joins that already carry an equi key — for the hot-key
+    * regime (few distinct equi values, many rows per key) where the hash
+    * join alone does O(rows-per-key²) range evaluations inside each group. */
+  private def bandEquiJoins: Boolean =
+    conf.getConfString("spark.graft.bandedIntervalJoin.bandEquiJoins",
+      "false").toBoolean
+
   /** A cross-side equality conjunct means Spark already plans a hash join
     * on it (ExtractEquiJoinKeys) and the range predicate rides along as a
     * post-join filter — banding there would only add a 2× explode to the
-    * probe side. The rewrite is for PURE range joins, which otherwise
-    * degenerate to a nested loop. */
+    * probe side, UNLESS the equi key is hot (see [[bandEquiJoins]]). The
+    * default rewrite is for PURE range joins, which otherwise degenerate
+    * to a nested loop. */
   private def hasEquiKey(cs: Seq[Expression], left: LogicalPlan,
                          right: LogicalPlan): Boolean = {
     def crossSide(a: Expression, b: Expression): Boolean = (a, b) match {
@@ -118,7 +133,7 @@ object BandedIntervalJoinRule extends Rule[LogicalPlan] {
           !j.output.exists(_.name.startsWith(BinName)) &&
           !cond.references.exists(_.name.startsWith(BinName)) =>
       val cs = conjuncts(cond)
-      if (hasEquiKey(cs, left, right)) j else {
+      if (hasEquiKey(cs, left, right) && !bandEquiJoins) j else {
       // every tsR >= tsL candidate — the first one is not necessarily the
       // one with a matching upper bound (e.g. an extra one-sided timestamp
       // guard listed before the real range pair)

@@ -69,8 +69,16 @@ final class PartialKeyCache[K, V](fetch: K => Seq[V],
     cached.getOrElse {
       val f = new java.util.concurrent.CompletableFuture[Seq[V]]()
       val prior = inflight.putIfAbsent(key, f)
-      if (prior != null) prior.join() // someone else is loading this key
-      else {
+      if (prior != null) {
+        // someone else is loading this key; unwrap so every caller sees
+        // the SAME exception type the loading thread threw, not a
+        // CompletionException that dodges their catch clauses
+        try prior.join()
+        catch {
+          case e: java.util.concurrent.CompletionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } else {
         try {
           val rows = fetch(key)
           val now = clock()

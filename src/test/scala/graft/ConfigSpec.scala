@@ -23,7 +23,7 @@ class ConfigSpec extends AnyFunSuite {
     // the reference's GSSAPI cluster block (EnrichmentAppWithoutExplode.java
     // :174-175, Generator.java:58-59) written as config lines
     val c = GraftConfig.fromMap(Map(
-      "kafka.properties.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.properties.security.protocol" -> "\"SASL_PLAINTEXT\"", // flink.conf quoted style
       "kafka.properties.sasl.kerberos.service.name" -> "kafka",
       "kafka.properties.sasl.mechanism" -> "GSSAPI",
       "kafka.properties.sasl.jaas.config" ->

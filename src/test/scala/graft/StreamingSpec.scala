@@ -183,12 +183,14 @@ class StreamingSpec extends SparkSpec {
       mem.addData(
         (ts("2024-01-01 10:00:00"), 1L, good, "en"),
         (ts("2024-01-01 10:00:05"), 2L, good, "en"),          // content dup of 1
-        (ts("2024-01-01 10:00:10"), 3L, ("spam " * 40).trim, "en")) // repetitive
+        (ts("2024-01-01 10:00:10"), 3L, ("spam " * 40).trim, "en"), // repetitive
+        (ts("2024-01-01 10:00:15"), 101L, "held out benchmark doc text here", "en")) // eval doc
       q.processAllAvailable()
       val rows = spark.table("curate_out")
         .select($"doc_id", $"lang_ok", $"quality_ok", $"not_repetitive", $"keep")
         .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
-      assert(rows.keySet == Set(1L, 3L), s"dup doc 2 must drop: ${rows.keySet}")
+      assert(rows.keySet == Set(1L, 3L),
+        s"dup doc 2 and eval doc 101 must drop: ${rows.keySet}")
       assert(rows(1L) == ((1L, true, true, true, true)))
       assert(rows(3L)._4 == false && rows(3L)._5 == false, "repetition gate in-stream")
     } finally q.stop()
