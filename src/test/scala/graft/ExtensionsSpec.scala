@@ -38,6 +38,18 @@ class ExtensionsSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(!equi.contains("__graft_bin"),
         s"rule must not band an equi+range join:\n$equi")
-    } finally spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
+      // hot-equi-key opt-in: with bandEquiJoins set the same join rewrites
+      spark.conf.set("spark.graft.bandedIntervalJoin.bandEquiJoins", "true")
+      val hot = spark.sql(
+        """SELECT a.event_id FROM ext_ev a JOIN ext_ev b
+          |  ON a.user_id = b.user_id
+          | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      assert(hot.contains("__graft_bin"),
+        s"bandEquiJoins opt-in must band the hot-key join:\n$hot")
+    } finally {
+      spark.conf.unset("spark.graft.bandedIntervalJoin.smallSideThreshold")
+      spark.conf.unset("spark.graft.bandedIntervalJoin.bandEquiJoins")
+    }
   }
 }
