@@ -278,6 +278,41 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("cluster").as("vec_id"), col("cluster_size"))
 
+  /** Exact substring-window dedup (the Lee et al. "Deduplicating Training
+    * Data" shape at token-window granularity): segment each document into
+    * non-overlapping `window`-token spans, count each span's occurrences
+    * across the corpus, and report per document how much of it is made of
+    * spans that appear elsewhere. `keep` gates on the duplicated fraction
+    * (≤ 1/2, decided in exact integer cross-multiplication).
+    *
+    * Scale shape: segmentation is in-row (`transform` over the token
+    * array — no corpus shuffle); the span count is one map-side-combining
+    * aggregation; the count join back is a hash join on the span key; the
+    * per-doc rollup keys on doc_id. All three shuffles carry (span, count)
+    * or (doc_id, flags) — never document text beyond the spans themselves.
+    * At 100 TB you'd key the count + join on `xxhash64(segment)` so the
+    * shuffle carries an 8-byte key (the [[exactByHash]] argument); the
+    * oracle-checked path keeps the string key the oracle can reproduce. */
+  def substringDedup(docs: DataFrame, window: Int): DataFrame = {
+    // guard: sequence(1, 0) counts DOWN in Spark, so short docs must be
+    // filtered before the transform (same guard as the bigram builder)
+    val seg = tokenized(docs)
+      .filter(size(col("words")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) div $window)," +
+          s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
+        .as("segment"))
+      .localCheckpoint(eager = true) // two consumers: count + join back
+    val counts = seg.groupBy("segment").agg(count(lit(1)).as("n_occ"))
+    seg.join(counts, "segment")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_occ") >= 2, 1).otherwise(0)).as("n_dup_segments"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_segments").cast("double") / col("n_segments"), 6))
+      .withColumn("keep", col("n_dup_segments") * 2 <= col("n_segments"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -349,6 +384,7 @@ object Dedup {
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
+    "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
@@ -515,6 +551,26 @@ object Dedup {
         """SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
           |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
         Seq("doc_a", "doc_b", "hamming"))),
+
+    // CASTs: DuckDB sum(INTEGER) is HUGEINT — pin to BIGINT to match Spark's
+    // sum-of-int LongType
+    "doc_dedup_substring" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), seg AS (
+        |  SELECT doc_id, array_to_string(list_slice(words, (i-1)*10+1, i*10), ' ') AS segment
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words)//10 + 1)) AS i) ii
+        |  WHERE len(words) >= 10
+        |), cnt AS (
+        |  SELECT segment, count(*) AS n_occ FROM seg GROUP BY segment
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, count(*) AS n_segments,
+          |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+          |  round(CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction,
+          |  sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 2 <= count(*) AS keep
+          |FROM seg JOIN cnt USING (segment) GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "n_segments", "n_dup_segments", "dup_fraction", "keep"))),
 
     "doc_dedup_embedding" -> (
       """WITH e AS (

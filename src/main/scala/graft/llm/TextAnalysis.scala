@@ -150,6 +150,51 @@ object TextAnalysis {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-domain quota capping: keep the top-`k` documents per `source` by
+    * quality score (ties broken by doc_id, everything on the ROUNDED score
+    * so the ordering can't diverge between engines on an FP ulp). This is
+    * the "no single domain dominates the training mix" gate — crawl
+    * pipelines cap per-site document counts exactly like this.
+    *
+    * Scale shape: the per-row quality signals stay in one collapsed
+    * projection; the only shuffle keys on `source`. The `rk <= k` filter
+    * lowers to WindowGroupLimit (plan-audited), so every map task keeps at
+    * most k rows per source BEFORE the exchange — a hot domain ships
+    * k·n_mappers rows, not its whole partition, and the post-shuffle sort
+    * touches surviving candidates only. */
+  def domainCap(docs: DataFrame, k: Int): DataFrame =
+    withQualitySignals(docs)
+      .withColumn("qs", round(col("quality_score"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("qs").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("qs").as("quality_score"), col("rk"))
+
+  /** Deterministic mixture sampling for data mixing: each language gets a
+    * target rate in percent (possibly > 100 — upsampling emits base copies
+    * plus a hash-gated extra), and the per-document decision is a pure
+    * function of doc_id — reproducible across runs, engines, partitionings,
+    * and cluster sizes, with no RNG state to checkpoint. The multiplier
+    * differs from [[stratifiedSplit]]'s (plus an additive salt) so the
+    * sampling decision is decorrelated from the train/valid/test split —
+    * sharing the hash would silently bias sampled data toward one split.
+    * Embarrassingly parallel: one projection, no shuffle. Rates here:
+    * en 30 % (downsample the majority), zh 250 % (2–3 epochs of the rare
+    * language), es 150 %, fr 80 %, everything else 100 %. */
+  def sampleWeighted(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", expr("((doc_id % 3037000493) * 2246822519 + 104729) % 100"))
+      .withColumn("n_copies", expr(
+        """CASE lang
+          |  WHEN 'en' THEN CASE WHEN bucket < 30 THEN 1 ELSE 0 END
+          |  WHEN 'zh' THEN 2 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+          |  WHEN 'es' THEN 1 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+          |  WHEN 'fr' THEN CASE WHEN bucket < 80 THEN 1 ELSE 0 END
+          |  ELSE 1
+          |END""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_copies"),
+        (col("n_copies") > 0).as("kept"))
+
   /** Corpus-wide top-k word trigrams by occurrence (not per-doc distinct).
     * Partial-aggregates map-side, shuffles only (trigram, partial-count)
     * pairs, and the top-k lowers to TakeOrderedAndProject — per-partition
@@ -275,6 +320,8 @@ object TextAnalysis {
     "text_repetition"   -> ((s, dir) => Util.orderAll(repetition(docs(s, dir)))),
     "doc_decontaminate" -> ((s, dir) => Util.orderAll(decontaminate(docs(s, dir)))),
     "doc_curate"        -> ((s, dir) => Util.orderAll(curate(docs(s, dir)))),
+    "doc_domain_cap"    -> ((s, dir) => Util.orderAll(domainCap(docs(s, dir), 5))),
+    "doc_sample_weighted" -> ((s, dir) => Util.orderAll(sampleWeighted(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -412,6 +459,40 @@ object TextAnalysis {
           |WHERE doc_id % 101 <> 0
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_overlap", "is_contaminated"))),
+
+    // quality formula copied verbatim from the text_quality oracle; ranking
+    // and filtering both use the ROUNDED score, mirroring the Spark side
+    "doc_domain_cap" -> (
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 0.3
+         |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |        / length(text) * 10.0, 1.0)) * 0.2, 6) AS qs
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, source, qs,
+         |    row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC) AS rk
+         |  FROM q
+         |)
+         |""".stripMargin + Util.wrap(
+        "SELECT doc_id, source, qs AS quality_score, rk FROM r WHERE rk <= 5",
+        Seq("doc_id", "source", "quality_score", "rk"))),
+
+    "doc_sample_weighted" -> Util.wrap(
+      """SELECT doc_id, lang, bucket, n_copies, n_copies > 0 AS kept FROM (
+        |  SELECT doc_id, lang,
+        |    ((doc_id % 3037000493) * 2246822519 + 104729) % 100 AS bucket,
+        |    CASE lang
+        |      WHEN 'en' THEN CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 30 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2 + CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 50 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 1 + CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 50 THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 80 THEN 1 ELSE 0 END
+        |      ELSE 1
+        |    END AS n_copies
+        |  FROM documents) t""".stripMargin,
+      Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
 
     // every gate's formula is copied verbatim from its standalone oracle
     // above (lang CASE, quality score+rounding, integer repetition gates,

@@ -249,6 +249,57 @@ class LlmSpec extends SparkSpec {
     assert(out(4L)._2 == false && out(4L)._6 == false, "quality gate")
   }
 
+  test("substring dedup: shared windows are flagged, short docs drop out, keep gates at half") {
+    // window=3: doc 1 = [abc][def], doc 2 shares [abc] exactly, doc 3 all
+    // unique, doc 4 too short to have a single window
+    val out = Dedup.substringDedup(docsDf(
+      1L -> "a b c d e f",
+      2L -> "a b c x y z",
+      3L -> "p q r s t u",
+      4L -> "too short"), 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5, true)))   // [abc] dup, [def] unique: exactly half
+    assert(out(2L) == ((2L, 1L, 0.5, true)))
+    assert(out(3L) == ((2L, 0L, 0.0, true)))
+    assert(!out.contains(4L), "docs below one window have no segments")
+    // a doc that is ALL duplicated windows fails the keep gate
+    val all = Dedup.substringDedup(docsDf(
+      5L -> "a b c", 6L -> "a b c"), 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(all == Map(5L -> false, 6L -> false))
+  }
+
+  test("domain cap: top-k per source by quality, rank ties break by doc_id") {
+    val docs = Seq(
+      (1L, "the of and to a word word word word word", "s1"),
+      (2L, "the of and to a word word word word word", "s1"), // same score as 1
+      (3L, "zz!! ?!? #@!", "s1"),                             // low quality
+      (4L, "the of and to a word word word word word", "s2"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = TextAnalysis.domainCap(docs, 2)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+    // s1 keeps 1 and 2 (tie -> doc_id order), drops 3; s2 keeps its only doc
+    assert(out == Set((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1)))
+  }
+
+  test("sample weighted: copies follow the per-lang rate, decision is doc_id-pure") {
+    val docs = Seq((1L, "x", "en"), (2L, "x", "zh"), (3L, "x", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.sampleWeighted(docs)
+      .select("doc_id", "lang", "bucket", "n_copies").as[(Long, String, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // zh always gets >= 2 copies (250 % rate), de exactly 1 (100 %)
+    assert(out(2L)._4 >= 2 && out(2L)._4 <= 3)
+    assert(out(3L)._4 == 1)
+    // en copies are 0/1 gated at bucket < 30
+    assert(out(1L)._4 == (if (out(1L)._3 < 30) 1 else 0))
+    // pure function of doc_id: recomputing on a repartitioned frame agrees
+    val again = TextAnalysis.sampleWeighted(docs.repartition(7))
+      .select("doc_id", "n_copies").as[(Long, Int)].collect().toMap
+    assert(out.view.mapValues(_._4).toMap == again)
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

@@ -119,6 +119,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"gates did not fuse (${exchanges(p)} exchanges):\n$p")
   }
 
+  test("doc_domain_cap: rank filter lowers to a map-side partial WindowGroupLimit") {
+    val p = phys("doc_domain_cap")
+    // a hot domain must ship at most k rows per map task, not its whole
+    // partition: the Partial group-limit has to sit BELOW the exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rk <= k did not lower to a partial group limit:\n$p")
+    assert(p.indexOf("Partial") > p.indexOf("Exchange hashpartitioning"),
+      s"partial limit must run before the source shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan should prune to (doc_id, text, source): $readSchema")
+  }
+
+  test("doc_sample_weighted: pure projection — no corpus shuffle, 2-column scan") {
+    val p = phys("doc_sample_weighted")
+    assert(exchanges(p) <= 1, s"sampling must not shuffle (harness sort only):\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"scan should prune to (doc_id, lang): $readSchema")
+  }
+
+  test("doc_dedup_substring: segment counts aggregate before the join-back") {
+    val p = phys("doc_dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"count join-back must be an equi-join on the segment key:\n$p")
+    assert(p.contains("partial_count"), s"segment count must map-side combine:\n$p")
+  }
+
   test("doc_dedup_simhash: fingerprint aggregation is codegen'd, no interpreted lambdas") {
     val p = phys("doc_dedup_simhash")
     assert(!p.contains("lambdafunction"),
