@@ -137,9 +137,16 @@ object ScaleStress {
       graft.llm.TextAnalysis.curate(docsN).count())
     val (nSim, tSim) = timed("simhash pairs x" + factor)(
       graft.llm.Dedup.simhashPairs(docsN, 3).count())
-    System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim")
+    val (nSub, tSub) = timed("substring dedup x" + factor)(
+      graft.llm.Dedup.substringDedup(docsN, 10).count())
+    val (nCap, tCap) = timed("domain cap x" + factor)(
+      graft.llm.TextAnalysis.domainCap(docsN, 5).count())
+    val (nSamp, tSamp) = timed("sample weighted x" + factor)(
+      graft.llm.TextAnalysis.sampleWeighted(docsN).count())
+    System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
+      s" substr=$nSub cap=$nCap samp=$nSamp")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim}""")
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp}""")
     spark.stop()
   }
 }

@@ -195,6 +195,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_copies"),
         (col("n_copies") > 0).as("kept"))
 
+  /** Context-window chunking: split each document into fixed-size token
+    * chunks with a fixed overlap (stride = chunkSize - overlap) — the
+    * pretraining / RAG-ingestion shape that turns variable-length documents
+    * into model-window-sized training rows. The final partial chunk is kept
+    * (a trailing remainder shorter than the window still trains).
+    *
+    * Scale shape: pure in-row array work (`transform` + `slice`) — the
+    * explode multiplies rows but never shuffles; scans prune to
+    * (doc_id, text). */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunk: need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
+    val stride = chunkSize - overlap
+    Dedup.tokenized(docs)
+      .select(col("doc_id"), posexplode(expr(
+        // chunk i covers tokens [i*stride, i*stride + chunkSize); the number
+        // of chunks is ceil(max(n - overlap, 1) / stride) — at least one per
+        // non-empty doc, none starting past the end
+        s"transform(sequence(1, CAST(ceil(CAST(greatest(size(words) - $overlap, 1) AS DOUBLE) / $stride) AS INT))," +
+          s" i -> concat_ws(' ', slice(words, (i-1)*$stride+1, $chunkSize)))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+  }
+
+  /** Sequence packing (concat-and-cut): concatenate documents in doc_id
+    * order within each `source` shard and cut every `budget` tokens; each
+    * document reports the pack it starts in and its token offset inside
+    * that pack. This is the greedy packing a training pipeline runs to
+    * fill fixed-length sequences without padding waste.
+    *
+    * Scale shape: packing is per-shard independent — the window partitions
+    * by `source`, so shards pack in parallel and a new shard never
+    * re-reads another's cumulative state. The cumulative sum is one
+    * running-window pass over (source, doc_id) order; no self-join, no
+    * iteration. A pathologically hot shard serializes its own scan (the
+    * fundamental order-dependence of packing); the mitigation is sharding
+    * granularity, not a different algorithm. */
+  def packGreedy(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer division, not double-divide-then-truncate: a double loses
+        // exactness past 2^53 cumulative tokens — real at corpus scale
+        expr(s"cum_start div $budget").as("pack_id"),
+        expr(s"cum_start % $budget").as("pack_offset"))
+  }
+
   /** Corpus-wide top-k word trigrams by occurrence (not per-doc distinct).
     * Partial-aggregates map-side, shuffles only (trigram, partial-count)
     * pairs, and the top-k lowers to TakeOrderedAndProject — per-partition
@@ -322,6 +373,8 @@ object TextAnalysis {
     "doc_curate"        -> ((s, dir) => Util.orderAll(curate(docs(s, dir)))),
     "doc_domain_cap"    -> ((s, dir) => Util.orderAll(domainCap(docs(s, dir), 5))),
     "doc_sample_weighted" -> ((s, dir) => Util.orderAll(sampleWeighted(docs(s, dir)))),
+    "doc_chunk"         -> ((s, dir) => Util.orderAll(chunk(docs(s, dir), 32, 4))),
+    "doc_pack_greedy"   -> ((s, dir) => Util.orderAll(packGreedy(docs(s, dir), 256))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -493,6 +546,37 @@ object TextAnalysis {
         |    END AS n_copies
         |  FROM documents) t""".stripMargin,
       Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
+
+    // chunk i (1-based) covers tokens [(i-1)*28+1, (i-1)*28+32]; chunk_idx
+    // mirrors posexplode's 0-based position
+    "doc_chunk" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), ch AS (
+        |  SELECT doc_id, i - 1 AS chunk_idx,
+        |    array_to_string(list_slice(words, (i-1)*28+1, (i-1)*28+32), ' ') AS chunk
+        |  FROM tok, LATERAL (SELECT unnest(range(1,
+        |    CAST(ceil(CAST(greatest(len(words) - 4, 1) AS DOUBLE) / 28) AS INT) + 1)) AS i) ii
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, chunk_idx, chunk,
+          |  len(string_split(chunk, ' ')) AS n_chunk_tokens FROM ch""".stripMargin,
+        Seq("doc_id", "chunk_idx", "chunk", "n_chunk_tokens"))),
+
+    // CASTs: DuckDB window sum(INTEGER) is HUGEINT — pin to BIGINT
+    "doc_pack_greedy" -> (
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_start
+        |  FROM t
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, source, n_tokens,
+          |  cum_start // 256 AS pack_id, cum_start % 256 AS pack_offset FROM c""".stripMargin,
+        Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))),
 
     // every gate's formula is copied verbatim from its standalone oracle
     // above (lang CASE, quality score+rounding, integer repetition gates,

@@ -300,6 +300,35 @@ class LlmSpec extends SparkSpec {
     assert(out.view.mapValues(_._4).toMap == again)
   }
 
+  test("chunk: windows overlap by the stride, remainder kept, short docs get one chunk") {
+    // size=4, overlap=1 -> stride=3; 8 tokens: starts 0,3,6 -> 3 chunks
+    val out = TextAnalysis.chunk(docsDf(1L -> "a b c d e f g h", 2L -> "x y"), 4, 1)
+      .select("doc_id", "chunk_idx", "chunk", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c d", 4),
+      (1L, 1, "d e f g", 4),   // overlaps previous by 1 token ("d")
+      (1L, 2, "g h", 2),       // trailing remainder kept
+      (2L, 0, "x y", 2)))      // short doc: exactly one chunk
+    // exact-fit doc produces exactly one chunk, no empty tail
+    val fit = TextAnalysis.chunk(docsDf(3L -> "p q r s"), 4, 1).count()
+    assert(fit == 1)
+  }
+
+  test("pack greedy: cumulative cut within source, shards pack independently") {
+    val docs = Seq(
+      (1L, "a b c", "s1"),   // 3 tokens, cum_start 0  -> pack 0 off 0
+      (2L, "d e f g", "s1"), // 4 tokens, cum_start 3  -> pack 0 off 3
+      (3L, "h i", "s1"),     // 2 tokens, cum_start 7  -> pack 1 off 2 (budget 5)
+      (4L, "z", "s2"))       // new shard: cum resets  -> pack 0 off 0
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = TextAnalysis.packGreedy(docs, 5)
+      .select("doc_id", "pack_id", "pack_offset").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((1L, 2L)),
+      4L -> ((0L, 0L))), s"got $out")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
