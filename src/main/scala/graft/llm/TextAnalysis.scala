@@ -195,6 +195,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_copies"),
         (col("n_copies") > 0).as("kept"))
 
+  /** TF-IDF keyword extraction: per-document top-`k` terms by term
+    * frequency × inverse document frequency. The idf is the RATIONAL form
+    * (N+1)/(df+1) rather than its logarithm: rankings are identical (log is
+    * monotone), but IEEE division is correctly rounded while `ln` is
+    * libm-dependent in the last ulp — the rational form is the one that
+    * hash-matches bit-for-bit across engines.
+    *
+    * Scale shape: per-doc term counts are in-row (`array_distinct` +
+    * `filter` never leave the row); the document-frequency table is
+    * vocab-sized — one map-side-combining aggregation over (token, doc)
+    * pairs, then BROADCAST back to the exploded terms (a vocabulary is
+    * small by definition; the [[Dedup.vocab]] argument); the corpus size N
+    * is a broadcast 1-row aggregate, not a driver-side count; the top-k
+    * rank filter lowers to a partial WindowGroupLimit on doc_id, so the
+    * only corpus-scale shuffle carries ≤ k candidate rows per doc per
+    * mapper. */
+  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    val termTf = Dedup.tokenized(docs)
+      .select(col("doc_id"), col("words"),
+        explode(array_distinct(col("words"))).as("token"))
+      .select(col("doc_id"), col("token"),
+        expr("size(filter(words, w -> w = token))").as("tf"))
+    val df_ = termTf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    termTf
+      .join(broadcast(df_), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * (col("n_corpus") + 1) /
+        (col("df") + 1), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** Context-window chunking: split each document into fixed-size token
     * chunks with a fixed overlap (stride = chunkSize - overlap) — the
     * pretraining / RAG-ingestion shape that turns variable-length documents
@@ -375,6 +412,7 @@ object TextAnalysis {
     "doc_sample_weighted" -> ((s, dir) => Util.orderAll(sampleWeighted(docs(s, dir)))),
     "doc_chunk"         -> ((s, dir) => Util.orderAll(chunk(docs(s, dir), 32, 4))),
     "doc_pack_greedy"   -> ((s, dir) => Util.orderAll(packGreedy(docs(s, dir), 256))),
+    "text_tfidf_topk"   -> ((s, dir) => Util.orderAll(tfidfTopK(docs(s, dir), 3))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -546,6 +584,31 @@ object TextAnalysis {
         |    END AS n_copies
         |  FROM documents) t""".stripMargin,
       Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
+
+    // rational idf (N+1)/(df+1): same ranking as the log form, but IEEE
+    // division is correctly rounded across engines while ln is not
+    "text_tfidf_topk" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), tt AS (
+        |  SELECT doc_id, token, len(list_filter(words, w -> w = token)) AS tf
+        |  FROM (SELECT doc_id, words, unnest(list_distinct(words)) AS token FROM tok) u
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM tt GROUP BY token
+        |), nn AS (
+        |  SELECT count(*) AS n_corpus FROM documents
+        |), sc AS (
+        |  SELECT doc_id, token, tf, df,
+        |    round(tf * (n_corpus + 1) / (df + 1), 6) AS score
+        |  FROM tt JOIN dfq USING (token) CROSS JOIN nn
+        |), r AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+        |  FROM sc
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3",
+        Seq("doc_id", "token", "tf", "df", "score", "rk"))),
 
     // chunk i (1-based) covers tokens [(i-1)*28+1, (i-1)*28+32]; chunk_idx
     // mirrors posexplode's 0-based position

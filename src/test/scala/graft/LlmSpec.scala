@@ -329,6 +329,23 @@ class LlmSpec extends SparkSpec {
       4L -> ((0L, 0L))), s"got $out")
   }
 
+  test("tfidf: rare terms outrank common ones, tf counts in-doc occurrences") {
+    // "rare" appears in 1 doc, "the" in all 3 -> idf 4/2=2 vs 4/4=1
+    val out = TextAnalysis.tfidfTopK(docsDf(
+      1L -> "the rare rare word",
+      2L -> "the common word",
+      3L -> "the word again"), 2)
+      .select("doc_id", "token", "tf", "score", "rk")
+      .as[(Long, String, Int, Double, Int)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    // doc 1 top term: "rare" tf=2, idf=(3+1)/(1+1)=2 -> score 4.0
+    assert(out((1L, 1)) == (("rare", 2, 4.0)), s"got ${out((1L, 1))}")
+    // "the" in doc 1: tf=1, idf=(3+1)/(3+1)=1 -> 1.0; beaten by rare=4.0
+    assert(out((1L, 2))._3 <= 4.0)
+    // every doc yields exactly k=2 ranked terms (docs have >= 2 distinct)
+    assert(out.keySet == Set((1L,1),(1L,2),(2L,1),(2L,2),(3L,1),(3L,2)))
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

@@ -147,6 +147,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"segment count must map-side combine:\n$p")
   }
 
+  test("text_tfidf_topk: df table broadcasts, top-k is a partial group limit") {
+    val p = phys("text_tfidf_topk")
+    // the document-frequency join must broadcast the vocab-sized side —
+    // a SortMergeJoin here would shuffle the exploded corpus on token
+    assert("BroadcastHashJoin \\[token".r.findFirstIn(p).isDefined,
+      s"df join must broadcast on token:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-doc top-k did not lower to a partial group limit:\n$p")
+  }
+
   test("doc_dedup_simhash: fingerprint aggregation is codegen'd, no interpreted lambdas") {
     val p = phys("doc_dedup_simhash")
     assert(!p.contains("lambdafunction"),

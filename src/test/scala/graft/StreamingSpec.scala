@@ -196,6 +196,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sample: stateless mixture gates run unchanged on a stream, matching batch") {
+    // sampleWeighted is a pure projection, so the SAME function runs on a
+    // streaming frame with no watermark/state — and must agree with the
+    // batch decision row-for-row (the reproducibility contract: the
+    // sampling hash is a pure function of doc_id, not of execution mode)
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = graft.llm.TextAnalysis.sampleWeighted(
+        mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("sample_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-sample")).start()
+    val batchIn = (1L to 40L).map(i =>
+      (i, "tok", Seq("en", "zh", "de", "fr", "es")((i % 5).toInt)))
+    try {
+      mem.addData(batchIn: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out")
+        .select($"doc_id", $"n_copies").as[(Long, Int)].collect().toMap
+      val batch = graft.llm.TextAnalysis.sampleWeighted(
+          batchIn.toDF("doc_id", "text", "lang"))
+        .select($"doc_id", $"n_copies").as[(Long, Int)].collect().toMap
+      assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+      assert(streamed.size == 40)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
