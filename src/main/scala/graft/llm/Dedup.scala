@@ -282,8 +282,11 @@ object Dedup {
     * Data" shape at token-window granularity): segment each document into
     * non-overlapping `window`-token spans, count each span's occurrences
     * across the corpus, and report per document how much of it is made of
-    * spans that appear elsewhere. `keep` gates on the duplicated fraction
-    * (≤ 1/2, decided in exact integer cross-multiplication).
+    * spans that occur more than once ANYWHERE — including twice within the
+    * same document: a self-repeated span is a duplicated training span
+    * exactly like a cross-document one, which is how Lee et al. count.
+    * `keep` gates on the duplicated fraction (≤ 1/2, decided in exact
+    * integer cross-multiplication).
     *
     * Scale shape: segmentation is in-row (`transform` over the token
     * array — no corpus shuffle); the span count is one map-side-combining

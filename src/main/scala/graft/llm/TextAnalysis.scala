@@ -212,11 +212,15 @@ object TextAnalysis {
     * only corpus-scale shuffle carries ≤ k candidate rows per doc per
     * mapper. */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
+    // materialize once: the exploded per-term pass feeds BOTH the df
+    // aggregation and the join branch — without this the corpus-scale
+    // tokenize+explode subplan executes twice (the substringDedup argument)
     val termTf = Dedup.tokenized(docs)
       .select(col("doc_id"), col("words"),
         explode(array_distinct(col("words"))).as("token"))
       .select(col("doc_id"), col("token"),
         expr("size(filter(words, w -> w = token))").as("tf"))
+      .localCheckpoint(eager = true)
     val df_ = termTf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_corpus"))
     termTf
@@ -246,14 +250,18 @@ object TextAnalysis {
       s"chunk: need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
     val stride = chunkSize - overlap
     Dedup.tokenized(docs)
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), size(col("words")).as("n"), posexplode(expr(
         // chunk i covers tokens [i*stride, i*stride + chunkSize); the number
         // of chunks is ceil(max(n - overlap, 1) / stride) — at least one per
         // non-empty doc, none starting past the end
         s"transform(sequence(1, CAST(ceil(CAST(greatest(size(words) - $overlap, 1) AS DOUBLE) / $stride) AS INT))," +
           s" i -> concat_ws(' ', slice(words, (i-1)*$stride+1, $chunkSize)))"))
         .as(Seq("chunk_idx", "chunk")))
-      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+      // token count in integer arithmetic from the indices — not a second
+      // split of the string just joined
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkSize), col("n") - col("chunk_idx") * stride))
+      .drop("n")
   }
 
   /** Sequence packing (concat-and-cut): concatenate documents in doc_id
@@ -617,13 +625,13 @@ object TextAnalysis {
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |), ch AS (
         |  SELECT doc_id, i - 1 AS chunk_idx,
-        |    array_to_string(list_slice(words, (i-1)*28+1, (i-1)*28+32), ' ') AS chunk
+        |    array_to_string(list_slice(words, (i-1)*28+1, (i-1)*28+32), ' ') AS chunk,
+        |    least(32, len(words) - (i-1)*28) AS n_chunk_tokens
         |  FROM tok, LATERAL (SELECT unnest(range(1,
         |    CAST(ceil(CAST(greatest(len(words) - 4, 1) AS DOUBLE) / 28) AS INT) + 1)) AS i) ii
         |)
         |""".stripMargin + Util.wrap(
-        """SELECT doc_id, chunk_idx, chunk,
-          |  len(string_split(chunk, ' ')) AS n_chunk_tokens FROM ch""".stripMargin,
+        "SELECT doc_id, chunk_idx, chunk, n_chunk_tokens FROM ch",
         Seq("doc_id", "chunk_idx", "chunk", "n_chunk_tokens"))),
 
     // CASTs: DuckDB window sum(INTEGER) is HUGEINT — pin to BIGINT
