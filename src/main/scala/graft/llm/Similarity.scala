@@ -147,6 +147,38 @@ object Similarity {
     cosineTopK(probes, cells, k, Seq("cid"))
   }
 
+  /** Per-label element-wise centroids — the class-prototype / k-means-step
+    * computation (a real IVF index trains its coarse quantizer exactly
+    * like this). One explode to (label, dim, x) rows, one
+    * map-side-combining aggregation: the shuffle carries
+    * #labels × dim partial (sum, count) pairs per mapper, never vectors.
+    * Mean accumulates in Double and is rounded to 6 dp — the cross-engine
+    * summation-order contract every other aggregate here uses. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+
+  /** Embedding-space quality diagnostic: for each query vector, the
+    * fraction of its exact top-k cosine neighbors that share its label
+    * (kNN label purity). A collapsing embedding space shows up here before
+    * it shows up in training. Reuses the shared [[cosineTopK]] ranking
+    * contract; the label joins key on the tiny top-k result side, so the
+    * corpus is never reshuffled for them. */
+  def labelPurity(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label"))
+    bruteForceTopK(emb, nQueries, k)
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("qlabel").as("label"))
+      .agg(sum(when(col("nlabel") === col("qlabel"), 1).otherwise(0)).as("n_same"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumn("purity", round(col("n_same") / col("n_neighbors"), 6))
+      .select(col("query_id"), col("label"), col("n_same"),
+        col("n_neighbors"), col("purity"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
@@ -155,6 +187,8 @@ object Similarity {
     "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),
     "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
+    "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
+    "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
   )
 
   private val normCte =
@@ -200,6 +234,42 @@ object Similarity {
           |               c.vec_id ASC) AS rk
           |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
           |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // parallel unnests zip positionally in DuckDB; dim mirrors posexplode's
+    // 0-based position
+    "emb_centroids" -> Util.wrap(
+      """SELECT label, i - 1 AS dim, round(avg(x), 6) AS centroid,
+        |  count(*) AS n_vectors
+        |FROM (
+        |  SELECT label,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings) t
+        |GROUP BY label, i - 1""".stripMargin,
+      Seq("label", "dim", "centroid", "n_vectors")),
+
+    // same brute top-k chain as ann_brute (nQueries=50, k=10), then label
+    // joins and the purity rollup; CAST pins DuckDB's HUGEINT sum to BIGINT
+    "emb_label_purity" -> (normCte +
+      """, tk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |                 c.vec_id ASC) AS rk
+        |    FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id >= 50
+        |  ) t WHERE rk <= 10
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, ql.label AS label,
+          |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+          |  count(*) AS n_neighbors,
+          |  round(CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS purity
+          |FROM tk
+          |JOIN embeddings ql ON ql.vec_id = query_id
+          |JOIN embeddings nl ON nl.vec_id = neighbor_id
+          |GROUP BY query_id, ql.label""".stripMargin,
+        Seq("query_id", "label", "n_same", "n_neighbors", "purity"))),
 
     "ann_ivf" -> (normCte +
       """, cent AS (

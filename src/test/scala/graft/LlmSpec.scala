@@ -346,6 +346,30 @@ class LlmSpec extends SparkSpec {
     assert(out.keySet == Set((1L,1),(1L,2),(2L,1),(2L,2),(3L,1),(3L,2)))
   }
 
+  test("label centroids: element-wise mean per label with exact counts") {
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(0.0f, 8.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb)
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map((0, 0) -> ((2.0, 2L)), (0, 1) -> ((4.0, 2L)),
+      (1, 0) -> ((0.0, 1L)), (1, 1) -> ((8.0, 1L))), s"got $out")
+  }
+
+  test("label purity: fraction of top-k neighbors sharing the query's label") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),   // query
+      (5L, Array(1.0f, 0.0f), 7),   // same label, cosine 1
+      (6L, Array(0.9f, 0.1f), 3))   // near but different label
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelPurity(emb, 1, 2)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 7, 1L, 2L, 0.5)), s"got ${out.toSeq}")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
