@@ -143,10 +143,16 @@ object ScaleStress {
       graft.llm.TextAnalysis.domainCap(docsN, 5).count())
     val (nSamp, tSamp) = timed("sample weighted x" + factor)(
       graft.llm.TextAnalysis.sampleWeighted(docsN).count())
+    val (nChk, tChk) = timed("chunk x" + factor)(
+      graft.llm.TextAnalysis.chunk(docsN, 32, 4).count())
+    val (nPack, tPack) = timed("pack greedy x" + factor)(
+      graft.llm.TextAnalysis.packGreedy(docsN, 256).count())
+    val (nTfi, tTfi) = timed("tfidf topk x" + factor)(
+      graft.llm.TextAnalysis.tfidfTopK(docsN, 3).count())
     System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
-      s" substr=$nSub cap=$nCap samp=$nSamp")
+      s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp}""")
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}""")
     spark.stop()
   }
 }

@@ -221,6 +221,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack: per-source token cursor survives batches, matches batch packing") {
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = streaming.StreamingPack(
+        mem.toDF().toDF("doc_id", "text", "source"), budget = 5)
+      .writeStream.format("memory").queryName("pack_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-pack")).start()
+    try {
+      // batch 1: s1 gets 3 + 4 tokens; batch 2 continues s1 at cum=7 and
+      // opens s2 — the cursor must survive the micro-batch boundary
+      mem.addData((1L, "a b c", "s1"), (2L, "d e f g", "s1"))
+      q.processAllAvailable()
+      mem.addData((3L, "h i", "s1"), (4L, "z", "s2"))
+      q.processAllAvailable()
+      val streamed = spark.table("pack_out")
+        .select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // doc_id-ordered arrival -> identical to the batch packer
+      val batchIn = Seq((1L, "a b c", "s1"), (2L, "d e f g", "s1"),
+        (3L, "h i", "s1"), (4L, "z", "s2"))
+        .toDF("doc_id", "text", "source")
+      val batch = graft.llm.TextAnalysis.packGreedy(batchIn, 5)
+        .select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+      assert(streamed(3L) == ((1L, 2L)), "doc 3 must continue from cum=7, not restart")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
