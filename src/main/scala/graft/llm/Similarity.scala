@@ -69,9 +69,17 @@ object Similarity {
     * construction) and broadcast, so the projection is one codegen'd
     * [[graft.functions.DotProduct]] per (vector, plane) instead of an
     * interpreted index-lambda. */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val e = normed(emb)
-    val session = emb.sparkSession
+  def lshBuckets(emb: DataFrame): DataFrame = lshBucketsFamily(emb, 0)
+
+  /** [[lshBuckets]] for plane family `family`: weights come from the same
+    * LCG stream at offset family*512, so family 0 is bit-for-bit the
+    * original table and each further family is an independent draw —
+    * the multi-table recall knob. */
+  def lshBucketsFamily(emb: DataFrame, family: Int): DataFrame =
+    bucketsFromNormed(normed(emb), family)
+
+  private def bucketsFromNormed(e: DataFrame, family: Int): DataFrame = {
+    val session = e.sparkSession
     import session.implicits._
     // planes are built at the full 64-dim seed width and sliced per row to
     // the vector's actual dimension (the LCG indexes weights as p*64+i, so
@@ -82,7 +90,7 @@ object Similarity {
     // not quiet: an over-64-dim vector raises per row instead.
     val planes = (0 until 8).map { p =>
       (p.toLong, (0 until 64).map { i =>
-        ((1103515245L * (p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+        ((1103515245L * (family * 512 + p * 64 + i) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
       }.toArray)
     }.toDF("p", "w")
     e.crossJoin(broadcast(planes))
@@ -104,6 +112,36 @@ object Similarity {
     val c = b.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
     cosineTopK(q, c, k, Seq("bucket"))
+  }
+
+  /** Multi-table LSH ANN: candidates are the UNION of same-bucket pairs
+    * across `nFamilies` independent hyperplane families, deduplicated
+    * before rescoring — the standard recall knob (a pair missed by one
+    * 8-bit signature has an independent chance in each further table;
+    * recall → 1 exponentially in the table count while join work grows
+    * only linearly). Candidate mining stays an equi-join per family on
+    * (family, bucket); the distinct pair set then joins the normed sides
+    * by id, so each surviving pair is rescored exactly once. */
+  def lshTopKMulti(emb: DataFrame, nQueries: Int, k: Int,
+                   nFamilies: Int = 2): DataFrame = {
+    // one normed pass feeds every family's projection AND the rescoring
+    val e = normed(emb).localCheckpoint(eager = true)
+    val fams = (0 until nFamilies).map { f =>
+      bucketsFromNormed(e, f)
+        .select(col("vec_id"), col("bucket"), lit(f).as("fam"))
+    }.reduce(_.unionByName(_))
+    val cand = fams.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("fam"), col("bucket"))
+      .join(fams.filter(col("vec_id") >= nQueries)
+        .select(col("vec_id").as("neighbor_id"), col("fam"), col("bucket")),
+        Seq("fam", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+      .join(cand, "query_id")
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+    cosineTopK(q, c, k, Seq("neighbor_id"))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
@@ -186,6 +224,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),
     "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
+    "ann_lsh_multi" -> ((s, dir) => Util.orderAll(lshTopKMulti(emb(s, dir), 5, 10))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
@@ -270,6 +309,35 @@ object Similarity {
           |JOIN embeddings nl ON nl.vec_id = neighbor_id
           |GROUP BY query_id, ql.label""".stripMargin,
         Seq("query_id", "label", "n_same", "n_neighbors", "purity"))),
+
+    // same signature arithmetic as ann_lsh with the plane index offset by
+    // fam*512; candidates are the deduplicated union over both families
+    "ann_lsh_multi" -> (normCte +
+      """, buck AS (
+        |  SELECT vec_id, fam,
+        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT vec_id, fam, p,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (CAST((1103515245 * (fam * 512 + p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+        |    FROM n
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+        |    CROSS JOIN (SELECT unnest(range(0, 2)) AS fam) ff
+        |  ) pr GROUP BY vec_id, fam
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM buck q JOIN buck c ON q.fam = c.fam AND q.bucket = c.bucket
+        |    AND q.vec_id < 5 AND c.vec_id >= 5
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT query_id, neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               neighbor_id ASC) AS rk
+          |  FROM cand JOIN n q ON q.vec_id = query_id JOIN n c ON c.vec_id = neighbor_id
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
 
     "ann_ivf" -> (normCte +
       """, cent AS (

@@ -346,6 +346,29 @@ class LlmSpec extends SparkSpec {
     assert(out.keySet == Set((1L,1),(1L,2),(2L,1),(2L,2),(3L,1),(3L,2)))
   }
 
+  test("multi-table LSH: recall between single-family and brute, pairs scored once") {
+    val fEmb = Tables.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val single = pairs(Similarity.lshTopK(fEmb, 5, 10))
+    val multi = pairs(Similarity.lshTopKMulti(fEmb, 5, 10))
+    val brute = pairs(Similarity.bruteForceTopK(fEmb, 5, 10))
+    // dedup before rescoring: no pair may be emitted twice
+    assert(multi.length == multi.toSet.size, "duplicate scored pairs")
+    // a second independent table can only ADD candidates
+    assert(single.toSet.size <= multi.toSet.size,
+      s"multi-table recall regressed: ${single.length} vs ${multi.length}")
+    assert(multi.toSet.size <= brute.toSet.size)
+    // identical vectors still collide in every family
+    val emb2 = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (5L, Array.tabulate(8)(i => (i + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKMulti(emb2, 1, 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
+  }
+
   test("label centroids: element-wise mean per label with exact counts") {
     val emb = Seq(
       (1L, Array(1.0f, 3.0f), 0),
