@@ -295,7 +295,13 @@ object Dedup {
     * or (doc_id, flags) — never document text beyond the spans themselves.
     * At 100 TB you'd key the count + join on `xxhash64(segment)` so the
     * shuffle carries an 8-byte key (the [[exactByHash]] argument); the
-    * oracle-checked path keeps the string key the oracle can reproduce. */
+    * oracle-checked path keeps the string key the oracle can reproduce.
+    *
+    * The segmentation is recomputed for its two consumers (count + join
+    * back) rather than checkpointed: seg IS the corpus text re-segmented,
+    * and pinning corpus-sized blocks in unreplicated executor storage
+    * trades a linear in-row recompute for an executor-loss failure mode
+    * and cluster-memory pressure — the wrong trade at scale. */
   def substringDedup(docs: DataFrame, window: Int): DataFrame = {
     // guard: sequence(1, 0) counts DOWN in Spark, so short docs must be
     // filtered before the transform (same guard as the bigram builder)
@@ -305,7 +311,6 @@ object Dedup {
         s"transform(sequence(1, size(words) div $window)," +
           s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
         .as("segment"))
-      .localCheckpoint(eager = true) // two consumers: count + join back
     val counts = seg.groupBy("segment").agg(count(lit(1)).as("n_occ"))
     seg.join(counts, "segment")
       .groupBy("doc_id")

@@ -121,11 +121,17 @@ object Similarity {
     * recall → 1 exponentially in the table count while join work grows
     * only linearly). Candidate mining stays an equi-join per family on
     * (family, bucket); the distinct pair set then joins the normed sides
-    * by id, so each surviving pair is rescored exactly once. */
+    * by id, so each surviving pair is rescored exactly once.
+    *
+    * The (query vector × candidate pair) side is BROADCAST into the
+    * rescoring join: it is bounded by the collision count, so the
+    * corpus-vector side streams in place and is never shuffled by
+    * neighbor_id. The normed projection is recomputed per consumer rather
+    * than checkpointed — linear codegen'd scans are cheaper at corpus
+    * scale than pinning corpus-sized vector blocks in executor storage. */
   def lshTopKMulti(emb: DataFrame, nQueries: Int, k: Int,
                    nFamilies: Int = 2): DataFrame = {
-    // one normed pass feeds every family's projection AND the rescoring
-    val e = normed(emb).localCheckpoint(eager = true)
+    val e = normed(emb)
     val fams = (0 until nFamilies).map { f =>
       bucketsFromNormed(e, f)
         .select(col("vec_id"), col("bucket"), lit(f).as("fam"))
@@ -141,7 +147,7 @@ object Similarity {
       .join(cand, "query_id")
     val c = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-    cosineTopK(q, c, k, Seq("neighbor_id"))
+    cosineTopK(broadcast(q), c, k, Seq("neighbor_id"))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
@@ -202,12 +208,19 @@ object Similarity {
     * fraction of its exact top-k cosine neighbors that share its label
     * (kNN label purity). A collapsing embedding space shows up here before
     * it shows up in training. Reuses the shared [[cosineTopK]] ranking
-    * contract; the label joins key on the tiny top-k result side, so the
-    * corpus is never reshuffled for them. */
+    * contract. The top-k result is ≤ nQueries·k rows BY CONSTRUCTION, so
+    * it is broadcast into both label joins explicitly — the planner's
+    * size estimate for the windowed query×corpus subplan is far too large
+    * to pick the broadcast itself, and without the hint both joins would
+    * shuffle the full corpus-scale (vec_id, label) projection to enrich a
+    * few hundred rows. */
   def labelPurity(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val lbl = emb.select(col("vec_id"), col("label"))
-    bruteForceTopK(emb, nQueries, k)
+    // re-hint after the first join: a broadcast hint does not propagate
+    // through the join node it fed
+    val withQ = broadcast(bruteForceTopK(emb, nQueries, k))
       .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+    broadcast(withQ)
       .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
       .groupBy(col("query_id"), col("qlabel").as("label"))
       .agg(sum(when(col("nlabel") === col("qlabel"), 1).otherwise(0)).as("n_same"),

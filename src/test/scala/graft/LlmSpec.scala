@@ -336,10 +336,10 @@ class LlmSpec extends SparkSpec {
       2L -> "the common word",
       3L -> "the word again"), 2)
       .select("doc_id", "token", "tf", "score", "rk")
-      .as[(Long, String, Int, Double, Int)].collect()
+      .as[(Long, String, Long, Double, Int)].collect()
       .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
     // doc 1 top term: "rare" tf=2, idf=(3+1)/(1+1)=2 -> score 4.0
-    assert(out((1L, 1)) == (("rare", 2, 4.0)), s"got ${out((1L, 1))}")
+    assert(out((1L, 1)) == (("rare", 2L, 4.0)), s"got ${out((1L, 1))}")
     // "the" in doc 1: tf=1, idf=(3+1)/(3+1)=1 -> 1.0; beaten by rare=4.0
     assert(out((1L, 2))._3 <= 4.0)
     // every doc yields exactly k=2 ranked terms (docs have >= 2 distinct)

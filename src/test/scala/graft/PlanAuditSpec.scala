@@ -156,6 +156,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"per-doc top-k did not lower to a partial group limit:\n$p")
+    // no pinned checkpoint blocks: the shared termTf shuffle is reused at
+    // runtime (AQE exchange reuse), not materialized into executor storage
+    assert(!p.contains("Scan ExistingRDD"),
+      s"tf pass must not be checkpointed into block storage:\n$p")
+  }
+
+  test("emb_label_purity: label joins broadcast the tiny top-k side, never the corpus") {
+    val p = phys("emb_label_purity")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both label joins must broadcast the nQueries·k side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus (vec_id, label) projection must not shuffle:\n$p")
   }
 
   test("doc_dedup_simhash: fingerprint aggregation is codegen'd, no interpreted lambdas") {
