@@ -303,6 +303,7 @@ object Dedup {
     * trades a linear in-row recompute for an executor-loss failure mode
     * and cluster-memory pressure — the wrong trade at scale. */
   def substringDedup(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"substringDedup: window must be >= 1, got $window")
     // guard: sequence(1, 0) counts DOWN in Spark, so short docs must be
     // filtered before the transform (same guard as the bigram builder)
     val seg = tokenized(docs)

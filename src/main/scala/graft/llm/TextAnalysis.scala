@@ -169,13 +169,15 @@ object TextAnalysis {
     * most k rows per source BEFORE the exchange — a hot domain ships
     * k·n_mappers rows, not its whole partition, and the post-shuffle sort
     * touches surviving candidates only. */
-  def domainCap(docs: DataFrame, k: Int): DataFrame =
+  def domainCap(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"domainCap: k must be >= 1, got $k")
     withQualitySignals(docs)
       .withColumn("qs", round(col("quality_score"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("qs").desc, col("doc_id").asc)))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("source"), col("qs").as("quality_score"), col("rk"))
+  }
 
   /** Deterministic mixture sampling for data mixing: each language gets a
     * target rate in percent (possibly > 100 — upsampling emits base copies
@@ -232,6 +234,7 @@ object TextAnalysis {
     * limit pass `false` and the df join degrades to a shuffled hash join
     * on the token key, exactly like the documented vocab escape hatch. */
   def tfidfTopK(docs: DataFrame, k: Int, broadcastDf: Boolean = true): DataFrame = {
+    require(k >= 1, s"tfidfTopK: k must be >= 1, got $k")
     val termTf = Dedup.tokenized(docs)
       .select(col("doc_id"), explode(col("words")).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -293,6 +296,7 @@ object TextAnalysis {
     * fundamental order-dependence of packing); the mitigation is sharding
     * granularity, not a different algorithm. */
   def packGreedy(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"packGreedy: budget must be >= 1, got $budget")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

@@ -56,6 +56,7 @@ object StreamingPack {
   /** Apply to a streaming frame with (doc_id, text, source) columns. Output
     * mode of the enclosing query: Append. */
   def apply(docStream: DataFrame, budget: Int): Dataset[PackOut] = {
+    require(budget >= 1, s"StreamingPack: budget must be >= 1, got $budget")
     val spark = docStream.sparkSession
     import spark.implicits._
     docStream

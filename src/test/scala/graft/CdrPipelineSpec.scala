@@ -128,4 +128,64 @@ class CdrPipelineSpec extends SparkSpec {
     val n2 = src.filter($"imsi".isNull).select("unique_cdr_id").distinct().count()
     assert(out.count() == n1 + n2)
   }
+
+  test("SQL surface: the full pipeline as ONE spark.sql query equals the DataFrame form") {
+    // the reference drives everything through SQL DDL + queries; a user
+    // porting from it must be able to stay in SQL. Same branch split,
+    // lookup/range joins, and max(named_struct) argmax — row-for-row equal.
+    val src = CdrTables.src(spark, sf)
+    src.createOrReplaceTempView("cdr_src_v")
+    CdrTables.imsiMsisdn(spark, sf).createOrReplaceTempView("imsi_msisdn_v")
+    CdrTables.msIpExploded(spark, sf).createOrReplaceTempView("ms_ip_exploded_v")
+    val sqlOut = spark.sql(
+      """WITH ext AS (
+        |  SELECT *, date_format(start_time, 'yyyy-MM-dd') AS event_date,
+        |         substring(measuring_probe_name, 1, 2) AS probe
+        |  FROM cdr_src_v
+        |), b1 AS (
+        |  SELECT s.start_time, s.measuring_probe_name,
+        |         coalesce(d.imsi, s.imsi) AS imsi,
+        |         coalesce(d.msisdn, s.msisdn) AS msisdn,
+        |         s.ms_ip_address, s.unique_cdr_id, s.event_date, s.probe
+        |  FROM ext s LEFT OUTER JOIN imsi_msisdn_v d ON s.imsi = d.imsi
+        |  WHERE s.imsi IS NOT NULL
+        |), expl AS (
+        |  SELECT s.start_time, s.measuring_probe_name, s.imsi, s.msisdn,
+        |         s.ms_ip_address, s.unique_cdr_id, s.event_date, s.probe,
+        |         trim(ip0) AS ip
+        |  FROM ext s LATERAL VIEW explode(split(trim(s.ms_ip_address), ';')) t AS ip0
+        |  WHERE s.imsi IS NULL AND trim(ip0) != ''
+        |), rng AS (
+        |  SELECT e.start_time, e.measuring_probe_name,
+        |         coalesce(d.imsi, e.imsi) AS imsi,
+        |         coalesce(d.msisdn, e.msisdn) AS msisdn,
+        |         e.ms_ip_address, e.unique_cdr_id, e.ip,
+        |         d.start_time AS _start_time
+        |  FROM expl e LEFT OUTER JOIN ms_ip_exploded_v d
+        |    ON e.probe = d.probe AND e.ip = d.ip AND e.start_time >= d.start_time
+        |), agg AS (
+        |  SELECT unique_cdr_id, max(named_struct(
+        |    'st_s', coalesce(_start_time, timestamp '1900-01-01 00:00:00'),
+        |    'start_time', start_time,
+        |    'measuring_probe_name', measuring_probe_name,
+        |    'ms_ip_address', ms_ip_address,
+        |    'ip_s', coalesce(ip, ''),
+        |    'imsi_s', coalesce(imsi, CAST(-1 AS BIGINT)),
+        |    'msisdn_s', coalesce(msisdn, CAST(-1 AS BIGINT)))) AS w
+        |  FROM rng GROUP BY unique_cdr_id
+        |), b2 AS (
+        |  SELECT w.start_time, w.measuring_probe_name,
+        |         CASE WHEN w.imsi_s = -1 THEN CAST(NULL AS BIGINT) ELSE w.imsi_s END AS imsi,
+        |         CASE WHEN w.msisdn_s = -1 THEN CAST(NULL AS BIGINT) ELSE w.msisdn_s END AS msisdn,
+        |         w.ms_ip_address, unique_cdr_id,
+        |         date_format(w.start_time, 'yyyy-MM-dd') AS event_date,
+        |         substring(w.measuring_probe_name, 1, 2) AS probe
+        |  FROM agg
+        |)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2""".stripMargin)
+    val dfOut = CdrPipeline.full(src,
+      CdrTables.imsiMsisdn(spark, sf), CdrTables.msIpExploded(spark, sf))
+    assert(sqlOut.exceptAll(dfOut).isEmpty && dfOut.exceptAll(sqlOut).isEmpty)
+    assert(sqlOut.count() == dfOut.count())
+  }
 }
