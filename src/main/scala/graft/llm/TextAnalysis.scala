@@ -209,6 +209,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_copies"),
         (col("n_copies") > 0).as("kept"))
 
+  /** Per-language quality-score percentiles (P10/P50/P90) — the threshold
+    * calibration pass a curation pipeline runs before fixing its quality
+    * gates (an absolute cutoff like 0.45 means different things in
+    * different languages; gates are set per-language from these
+    * distributions). Exact interpolated `percentile` (== DuckDB
+    * quantile_cont) is the oracle baseline; at 100 TB the same query swaps
+    * in `approx_percentile` — a map-side-combining t-digest merge instead
+    * of a per-group sort — with the same output shape. */
+  def qualityPercentiles(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
+      .withColumn("qs", round(col("quality_score"), 6))
+      .groupBy(col("lang"))
+      .agg(expr("percentile(qs, array(0.1, 0.5, 0.9))").as("ps"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        round(col("ps")(0), 6).as("p10"),
+        round(col("ps")(1), 6).as("p50"),
+        round(col("ps")(2), 6).as("p90"),
+        col("n_docs"))
+
   /** TF-IDF keyword extraction: per-document top-`k` terms by term
     * frequency × inverse document frequency. The idf is the RATIONAL form
     * (N+1)/(df+1) rather than its logarithm: rankings are identical (log is
@@ -440,6 +460,7 @@ object TextAnalysis {
     "doc_chunk"         -> ((s, dir) => Util.orderAll(chunk(docs(s, dir), 32, 4))),
     "doc_pack_greedy"   -> ((s, dir) => Util.orderAll(packGreedy(docs(s, dir), 256))),
     "text_tfidf_topk"   -> ((s, dir) => Util.orderAll(tfidfTopK(docs(s, dir), 3))),
+    "doc_quality_percentiles" -> ((s, dir) => Util.orderAll(qualityPercentiles(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -612,6 +633,27 @@ object TextAnalysis {
         |    (((doc_id % 3037000493) * 2246822519 + 104729) // 65536) % 100 AS bucket
         |    FROM documents) b) t""".stripMargin,
       Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
+
+    // same rounded quality formula as doc_domain_cap; exact interpolated
+    // quantile_cont == Spark percentile (the q_percentile precedent)
+    "doc_quality_percentiles" -> (
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+         |        / len(string_split(text, ' ')) * 0.3
+         |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |        / length(text) * 10.0, 1.0)) * 0.2, 6) AS qs
+         |  FROM documents
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT lang,
+          |  round(quantile_cont(qs, 0.1), 6) AS p10,
+          |  round(quantile_cont(qs, 0.5), 6) AS p50,
+          |  round(quantile_cont(qs, 0.9), 6) AS p90,
+          |  count(*) AS n_docs
+          |FROM q GROUP BY lang""".stripMargin,
+        Seq("lang", "p10", "p50", "p90", "n_docs"))),
 
     // rational idf (N+1)/(df+1): same ranking as the log form, but IEEE
     // division is correctly rounded across engines while ln is not

@@ -249,6 +249,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack: cursor state survives a query RESTART from the checkpoint") {
+    // stop the query after batch 1, start a NEW query over the same
+    // checkpoint, feed batch 2 — the recovered per-source cursor must
+    // continue packing where the first incarnation left off. This is the
+    // I1 recovery contract actually exercised, not just a checkpoint dir.
+    // the memory sink refuses checkpoint recovery (not fault-tolerant), so
+    // the restart goes through the parquet file sink — the same recoverable
+    // sink class the production pipeline uses
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val ckpt = tmp("graft-ckpt-pack-restart")
+    val outDir = tmp("graft-pack-restart-out")
+    def start() = streaming.StreamingPack(
+        mem.toDF().toDF("doc_id", "text", "source"), budget = 5)
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      mem.addData((1L, "a b c", "s1"), (2L, "d e f g", "s1")) // cum -> 7
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((3L, "h i", "s1")) // must start at cum=7: pack 1, offset 2
+      q2.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select($"doc_id", $"pack_id", $"pack_offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out(3L) == ((1L, 2L)),
+        s"cursor lost across restart: got ${out.get(3L)}, state must resume at cum=7")
+      assert(out.keySet == Set(1L, 2L, 3L), s"exactly-once output: ${out.keySet}")
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
