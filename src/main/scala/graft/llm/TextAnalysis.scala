@@ -209,6 +209,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_copies"),
         (col("n_copies") > 0).as("kept"))
 
+  /** Exact-N per-stratum sampling: exactly `perStratum` documents per
+    * language (fewer only when the stratum is smaller), chosen by ranking
+    * on a high-bit multiplicative hash of doc_id — deterministic across
+    * runs/engines/partitionings like [[sampleWeighted]], but with an exact
+    * output SIZE contract instead of an exact rate ("give me 10k docs per
+    * language" — eval-set construction, annotation batches). The hash
+    * multiplier is a third constant so this ordering is independent of
+    * both the split and the rate-sampling decisions; the rank filter
+    * lowers to a partial WindowGroupLimit (≤ N rows per language leave
+    * each mapper — the [[domainCap]] shape). */
+  def sampleExact(docs: DataFrame, perStratum: Int): DataFrame = {
+    require(perStratum >= 1, s"sampleExact: perStratum must be >= 1, got $perStratum")
+    docs
+      .withColumn("h", expr("((doc_id % 3037000493) * 2971215073) div 65536"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** Corpus mixture statistics per (lang, source) cell: document count,
+    * total token count, and summed quality — the inputs a mixture designer
+    * feeds into rate selection (the other side of [[sampleWeighted]]).
+    * Quality is summed as an exact INTEGER in micro-units (the 6-dp score
+    * × 10⁶): an FP average lands on round-half ties (a 2-doc cell averaging
+    * x.xxxxxx5 rounded differently across engines in testing), while
+    * integer sums are bit-exact everywhere and the consumer divides when
+    * it wants the mean. One map-side-combining aggregation; the shuffle
+    * carries one partial row per (lang, source) cell per mapper. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
+      .withColumn("qs_micro", round(round(col("quality_score"), 6) * 1e6).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("qs_micro")).as("sum_quality_micro"))
+
   /** Per-language quality-score percentiles (P10/P50/P90) — the threshold
     * calibration pass a curation pipeline runs before fixing its quality
     * gates (an absolute cutoff like 0.45 means different things in
@@ -461,6 +498,8 @@ object TextAnalysis {
     "doc_pack_greedy"   -> ((s, dir) => Util.orderAll(packGreedy(docs(s, dir), 256))),
     "text_tfidf_topk"   -> ((s, dir) => Util.orderAll(tfidfTopK(docs(s, dir), 3))),
     "doc_quality_percentiles" -> ((s, dir) => Util.orderAll(qualityPercentiles(docs(s, dir)))),
+    "doc_sample_exact"  -> ((s, dir) => Util.orderAll(sampleExact(docs(s, dir), 20))),
+    "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -633,6 +672,30 @@ object TextAnalysis {
         |    (((doc_id % 3037000493) * 2246822519 + 104729) // 65536) % 100 AS bucket
         |    FROM documents) b) t""".stripMargin,
       Seq("doc_id", "lang", "bucket", "n_copies", "kept")),
+
+    "doc_sample_exact" -> (
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 3037000493) * 2971215073) // 65536 ASC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT doc_id, lang, rk FROM r WHERE rk <= 20",
+        Seq("doc_id", "lang", "rk"))),
+
+    // CAST: DuckDB sum(INTEGER/BIGINT) is HUGEINT — pin to BIGINT. Quality
+    // is summed in exact integer micro-units (see the Spark scaladoc)
+    "doc_corpus_stats" -> Util.wrap(
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(round(round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |    + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+         |      / len(string_split(text, ' ')) * 0.3
+         |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |      / length(text) * 10.0, 1.0)) * 0.2, 6) * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micro
+         |FROM documents GROUP BY lang, source""".stripMargin,
+      Seq("lang", "source", "n_docs", "total_tokens", "sum_quality_micro")),
 
     // same rounded quality formula as doc_domain_cap; exact interpolated
     // quantile_cont == Spark percentile (the q_percentile precedent)

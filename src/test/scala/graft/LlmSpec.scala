@@ -393,6 +393,17 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 7, 1L, 2L, 0.5)), s"got ${out.toSeq}")
   }
 
+  test("sample exact: exactly N per stratum, stable under repartitioning") {
+    val docs = Tables.table(spark, sf, "documents")
+    val out = TextAnalysis.sampleExact(docs, 5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val perLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 5), s"got $perLang")
+    val again = TextAnalysis.sampleExact(docs.repartition(13), 5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(out.toSet == again.toSet, "selection must be partition-invariant")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
