@@ -250,21 +250,41 @@ object TextAnalysis {
     * calibration pass a curation pipeline runs before fixing its quality
     * gates (an absolute cutoff like 0.45 means different things in
     * different languages; gates are set per-language from these
-    * distributions). Exact interpolated `percentile` (== DuckDB
-    * quantile_cont) is the oracle baseline; at 100 TB the same query swaps
-    * in `approx_percentile` — a map-side-combining t-digest merge instead
-    * of a per-group sort — with the same output shape. */
-  def qualityPercentiles(docs: DataFrame): DataFrame =
-    withQualitySignals(docs)
-      .withColumn("qs", round(col("quality_score"), 6))
-      .groupBy(col("lang"))
-      .agg(expr("percentile(qs, array(0.1, 0.5, 0.9))").as("ps"),
-        count(lit(1)).as("n_docs"))
-      .select(col("lang"),
-        round(col("ps")(0), 6).as("p10"),
-        round(col("ps")(1), 6).as("p50"),
-        round(col("ps")(2), 6).as("p90"),
-        col("n_docs"))
+    * distributions).
+    *
+    * These are DISCRETE (type-1) order statistics over the score in exact
+    * integer micro-units, not interpolated percentiles: interpolation
+    * manufactures midpoints that land on round-half ties (two 6-dp scores
+    * an odd 1e-6 apart average to x.xxxxxx5, which Spark and DuckDB round
+    * in opposite directions — observed in testing), and the rank index is
+    * computed in INTEGER division (`(n-1) div 10`), because even
+    * `0.1*(n-1)` can floor differently across engines one ulp from an
+    * integer. A real data value at an exactly-determined rank is
+    * bit-stable everywhere, and for gate calibration a member value is as
+    * good as a midpoint. At 100 TB the same query swaps in
+    * `approx_percentile` (map-side-combining t-digest) — approximate
+    * results are for humans, not oracles. */
+  def qualityPercentiles(docs: DataFrame): DataFrame = {
+    val m = withQualitySignals(docs)
+      .withColumn("qm", round(round(col("quality_score"), 6) * 1e6).cast("long"))
+    // value-rank the scores per language: ties in qm are interchangeable
+    // for value selection, so ordering by qm alone is enough
+    val ranked = m
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("qm").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked
+      .filter(col("rn") === expr("(n - 1) div 10 + 1") ||
+        col("rn") === expr("(n - 1) div 2 + 1") ||
+        col("rn") === expr("(9 * (n - 1)) div 10 + 1"))
+      .groupBy(col("lang"), col("n").as("n_docs"))
+      .agg(
+        max(when(col("rn") === expr("(n - 1) div 10 + 1"), col("qm"))).as("p10_micro"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("qm"))).as("p50_micro"),
+        max(when(col("rn") === expr("(9 * (n - 1)) div 10 + 1"), col("qm"))).as("p90_micro"))
+      .select(col("lang"), col("p10_micro"), col("p50_micro"),
+        col("p90_micro"), col("n_docs"))
+  }
 
   /** TF-IDF keyword extraction: per-document top-`k` terms by term
     * frequency × inverse document frequency. The idf is the RATIONAL form
@@ -502,6 +522,21 @@ object TextAnalysis {
     "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
   )
 
+  /** THE rounded quality-score formula in DuckDB SQL — the single source
+    * every oracle that consumes the scalar score interpolates, so the
+    * weights/rounding can never drift between copies (the Spark twin is
+    * [[withQualitySignals]]). */
+  private lazy val qsSql: String =
+    s"""round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+       |        / len(string_split(text, ' ')) * 0.3
+       |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+       |        / length(text) * 10.0, 1.0)) * 0.2, 6)""".stripMargin
+
+  /** [[qsSql]] scaled to exact integer micro-units (score × 10⁶). */
+  private lazy val qsMicroSql: String =
+    s"CAST(round($qsSql * 1000000) AS BIGINT)"
+
   def oracle: Map[String, String] = Map(
     "text_lang_id" -> (
       s"""WITH sc AS (
@@ -638,16 +673,13 @@ object TextAnalysis {
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_overlap", "is_contaminated"))),
 
-    // quality formula copied verbatim from the text_quality oracle; ranking
-    // and filtering both use the ROUNDED score, mirroring the Spark side
+    // ONE definition of the rounded quality-score SQL ([[qsSql]]) feeds
+    // every oracle that consumes the scalar score — a weight tweak can't
+    // silently skew one copy. Ranking and filtering both use the ROUNDED
+    // score, mirroring the Spark side.
     "doc_domain_cap" -> (
       s"""WITH q AS (
-         |  SELECT doc_id, source,
-         |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
-         |      + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
-         |        / len(string_split(text, ' ')) * 0.3
-         |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-         |        / length(text) * 10.0, 1.0)) * 0.2, 6) AS qs
+         |  SELECT doc_id, source, $qsSql AS qs
          |  FROM documents
          |), r AS (
          |  SELECT doc_id, source, qs,
@@ -689,34 +721,32 @@ object TextAnalysis {
     "doc_corpus_stats" -> Util.wrap(
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-         |  CAST(sum(CAST(round(round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
-         |    + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
-         |      / len(string_split(text, ' ')) * 0.3
-         |    + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-         |      / length(text) * 10.0, 1.0)) * 0.2, 6) * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micro
+         |  CAST(sum($qsMicroSql) AS BIGINT) AS sum_quality_micro
          |FROM documents GROUP BY lang, source""".stripMargin,
       Seq("lang", "source", "n_docs", "total_tokens", "sum_quality_micro")),
 
-    // same rounded quality formula as doc_domain_cap; exact interpolated
-    // quantile_cont == Spark percentile (the q_percentile precedent)
+    // discrete order statistics over micro-unit scores at INTEGER-division
+    // rank indices — no interpolated midpoints, no FP index math, so there
+    // is nothing for the engines to round differently (see the scaladoc)
     "doc_quality_percentiles" -> (
       s"""WITH q AS (
-         |  SELECT doc_id, lang,
-         |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
-         |      + CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
-         |        / len(string_split(text, ' ')) * 0.3
-         |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-         |        / length(text) * 10.0, 1.0)) * 0.2, 6) AS qs
-         |  FROM documents
+         |  SELECT lang, $qsMicroSql AS qm FROM documents
+         |), r AS (
+         |  SELECT lang, qm,
+         |    row_number() OVER (PARTITION BY lang ORDER BY qm ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM q
          |)
          |""".stripMargin + Util.wrap(
         """SELECT lang,
-          |  round(quantile_cont(qs, 0.1), 6) AS p10,
-          |  round(quantile_cont(qs, 0.5), 6) AS p50,
-          |  round(quantile_cont(qs, 0.9), 6) AS p90,
-          |  count(*) AS n_docs
-          |FROM q GROUP BY lang""".stripMargin,
-        Seq("lang", "p10", "p50", "p90", "n_docs"))),
+          |  max(CASE WHEN rn = (n-1)//10 + 1 THEN qm END) AS p10_micro,
+          |  max(CASE WHEN rn = (n-1)//2 + 1 THEN qm END) AS p50_micro,
+          |  max(CASE WHEN rn = (9*(n-1))//10 + 1 THEN qm END) AS p90_micro,
+          |  n AS n_docs
+          |FROM r
+          |WHERE rn IN ((n-1)//10 + 1, (n-1)//2 + 1, (9*(n-1))//10 + 1)
+          |GROUP BY lang, n""".stripMargin,
+        Seq("lang", "p10_micro", "p50_micro", "p90_micro", "n_docs"))),
 
     // rational idf (N+1)/(df+1): same ranking as the log form, but IEEE
     // division is correctly rounded across engines while ln is not

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, from_json}
+import org.apache.spark.sql.functions.{col, from_json, length, trim}
 import org.apache.spark.sql.types._
 
 /** JSONL (one JSON object per line) document source/sink — the de-facto
@@ -30,17 +30,24 @@ import org.apache.spark.sql.types._
   */
 object JsonlDocs {
 
-  /** The documents-table schema plus the quarantine column. */
+  /** The documents-table schema plus the quarantine column. `n_chars` is
+    * LongType to match the canonical parquet documents table (BIGINT) —
+    * an INT here would silently type-skew any union/append with it. */
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("n_chars", IntegerType),
+    StructField("n_chars", LongType),
     StructField("_corrupt_record", StringType)))
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+      // blank/whitespace-only lines are separators, not records (a
+      // trailing newline or hand-concatenated files produce them): parsed,
+      // they'd become all-NULL rows that pass good() AND dodge
+      // quarantine() — a silent third bucket. Drop them at the scan.
+      .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), schema, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))

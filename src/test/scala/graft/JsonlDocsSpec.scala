@@ -23,16 +23,22 @@ class JsonlDocsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     val docs = Tables.table(spark, sf, "documents").limit(10)
     JsonlDocs.write(docs, dir)
-    // inject two corrupt lines into their own part file: truncated JSON and
-    // a wrong-type doc_id (PERMISSIVE nulls the field but keeps the line —
-    // only the truncated line is a corrupt record)
+    // inject into one extra part file: a truncated JSON line, a wrong-TYPE
+    // doc_id (PERMISSIVE parses the other fields but still flags the line
+    // as corrupt), and blank/whitespace-only separator lines (which are
+    // NOT records: they must reach neither good() nor quarantine())
     Files.write(Paths.get(dir, "part-corrupt.json"),
-      "{\"doc_id\": 999999, \"text\": \"trunca\n".getBytes,
+      ("{\"doc_id\": 999999, \"text\": \"trunca\n" +
+        "\n" +
+        "{\"doc_id\": \"notanint\", \"text\": \"typed\"}\n" +
+        "   \n").getBytes,
       StandardOpenOption.CREATE)
     val read = JsonlDocs.read(spark, dir)
-    assert(JsonlDocs.good(read).count() == 10)
+    assert(JsonlDocs.good(read).count() == 10,
+      "blank lines must not surface as all-null good rows")
     val q = JsonlDocs.quarantine(read).select("_corrupt_record")
       .as[String](org.apache.spark.sql.Encoders.STRING).collect()
-    assert(q.length == 1 && q.head.contains("trunca"), s"got ${q.toSeq}")
+    assert(q.length == 2, s"got ${q.toSeq}")
+    assert(q.exists(_.contains("trunca")) && q.exists(_.contains("notanint")))
   }
 }
