@@ -82,6 +82,13 @@ object TextAnalysis {
         (col("n_tokens") - col("n_distinct_tokens")) * 2 > col("n_tokens") ||
           (col("n_tokens") >= 5 && col("top_token_count") * 5 > col("n_tokens")))
 
+  /** Every stateless per-row curation signal stacked into ONE collapsed
+    * projection — the shared builder behind [[curate]],
+    * [[streamingCurate]], and the streaming corpus ingest
+    * ([[graft.streaming.CorpusIngest]]). */
+  private[graft] def signals(docs: DataFrame): DataFrame =
+    withRepetitionSignals(withQualitySignals(withLangSignals(docs)))
+
   /** Stopword/charset-marker language ID (n-gram heuristic family):
     * score each candidate language by marker-token occurrences (CJK by
     * codepoint class), argmax with a fixed preference order on ties. */
@@ -449,7 +456,7 @@ object TextAnalysis {
   def curate(docs: DataFrame, qualityThreshold: Double = 0.45,
              evalMod: Long = 101L): DataFrame = {
     val base = docs.filter(col("doc_id") % evalMod =!= 0)
-    val sig = withRepetitionSignals(withQualitySignals(withLangSignals(base)))
+    val sig = signals(base)
     val contaminated = decontaminate(docs, evalMod).filter(col("is_contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
     val keeperWin = Window.partitionBy(xxhash64(col("text")))
@@ -483,8 +490,7 @@ object TextAnalysis {
   def streamingCurate(docStream: DataFrame, delay: String,
                       qualityThreshold: Double = 0.45,
                       evalMod: Long = 101L): DataFrame =
-    withRepetitionSignals(withQualitySignals(withLangSignals(
-        docStream.filter(col("doc_id") % evalMod =!= 0))))
+    signals(docStream.filter(col("doc_id") % evalMod =!= 0))
       .withColumn("lang_ok", col("predicted_lang") === col("lang"))
       .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
       .withColumn("not_repetitive", !col("is_repetitive"))

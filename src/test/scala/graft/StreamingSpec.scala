@@ -282,6 +282,39 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("corpus ingest e2e: watch dir -> decode/quarantine -> gate -> partitioned parquet, incremental") {
+    val inDir = tmp("graft-ingest-in")
+    val outDir = tmp("graft-ingest-out")
+    val qDir = tmp("graft-ingest-quarantine")
+    val ckpt = tmp("graft-ingest-ckpt")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(1, goodText("a")) + "\n" +
+        doc(2, goodText("a")) + "\n" +          // exact dup of 1: loses keeper election
+        doc(3, "zz!! ?!? #@!") + "\n" +         // quality gate fails
+        "{\"doc_id\": broken\n" +               // corrupt -> quarantine
+        "\n").getBytes)                         // blank separator: neither bucket
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      assert(out1 == Set(1L), s"got $out1")
+      val quarantined = spark.read.text(qDir).as[String].collect()
+      assert(quarantined.length == 1 && quarantined.head.contains("broken"))
+      // a LATER file is picked up incrementally, earlier files not reprocessed
+      java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f2.json"),
+        (doc(4, goodText("b")) + "\n").getBytes)
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      assert(out2 == Set(1L, 4L), s"got $out2")
+      // lang partitioning materialized in the layout
+      assert(new java.io.File(outDir, "lang=en").exists())
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
