@@ -89,6 +89,18 @@ object TextAnalysis {
   private[graft] def signals(docs: DataFrame): DataFrame =
     withRepetitionSignals(withQualitySignals(withLangSignals(docs)))
 
+  /** The three stateless scalar gates over [[signals]] columns — ONE
+    * definition (including the load-bearing 6-dp rounding of the quality
+    * threshold compare) for every consumer; keeper election is
+    * deliberately NOT here because it differs by execution mode
+    * (min-doc_id window in batch, first-arrival within watermark on a
+    * stream, first-by-doc_id within batch in the ingest job). */
+  private[graft] def withGateColumns(sig: DataFrame, qualityThreshold: Double): DataFrame =
+    sig
+      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
+      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
+      .withColumn("not_repetitive", !col("is_repetitive"))
+
   /** Stopword/charset-marker language ID (n-gram heuristic family):
     * score each candidate language by marker-token occurrences (CJK by
     * codepoint class), argmax with a fixed preference order on ties. */
@@ -460,11 +472,8 @@ object TextAnalysis {
     val contaminated = decontaminate(docs, evalMod).filter(col("is_contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
     val keeperWin = Window.partitionBy(xxhash64(col("text")))
-    sig
-      .join(broadcast(contaminated), Seq("doc_id"), "left_outer")
-      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
-      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
-      .withColumn("not_repetitive", !col("is_repetitive"))
+    withGateColumns(sig.join(broadcast(contaminated), Seq("doc_id"), "left_outer"),
+        qualityThreshold)
       .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
       .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(keeperWin))
       .withColumn("keep", col("lang_ok") && col("quality_ok") && col("not_repetitive") &&
@@ -490,10 +499,8 @@ object TextAnalysis {
   def streamingCurate(docStream: DataFrame, delay: String,
                       qualityThreshold: Double = 0.45,
                       evalMod: Long = 101L): DataFrame =
-    signals(docStream.filter(col("doc_id") % evalMod =!= 0))
-      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
-      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
-      .withColumn("not_repetitive", !col("is_repetitive"))
+    withGateColumns(signals(docStream.filter(col("doc_id") % evalMod =!= 0)),
+        qualityThreshold)
       .withColumn("content_hash", xxhash64(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")

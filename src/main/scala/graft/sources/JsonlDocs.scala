@@ -41,8 +41,12 @@ object JsonlDocs {
     StructField("n_chars", LongType),
     StructField("_corrupt_record", StringType)))
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  /** The decode contract, shared verbatim by the batch reader and the
+    * streaming twin ([[graft.streaming.CorpusIngest.jsonlStream]]) — one
+    * definition, so the two paths cannot drift. Input: a frame with a
+    * `value` string column (a text scan, batch or streaming). */
+  def decode(lines: DataFrame): DataFrame =
+    lines
       // blank/whitespace-only lines are separators, not records (a
       // trailing newline or hand-concatenated files produce them): parsed,
       // they'd become all-NULL rows that pass good() AND dodge
@@ -52,6 +56,9 @@ object JsonlDocs {
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
       .select(col("j.*"))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    decode(spark.read.text(path))
 
   /** Well-formed rows, quarantine column dropped. */
   def good(df: DataFrame): DataFrame =

@@ -19,67 +19,86 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - One decode pass feeds BOTH sinks: foreachBatch persists the batch,
   *    splits good/quarantine, writes each, unpersists. Two writeStreams
   *    would decode every line twice.
+  *  - Held-out eval documents (doc_id ≡ 0 mod `evalMod`, the repo-wide
+  *    convention) are EXCLUDED before gating: an ingest job must never
+  *    write a benchmark doc into the training corpus — the same invariant
+  *    [[graft.llm.TextAnalysis.streamingCurate]] documents.
   *  - In-batch exact-dup keeping is first-by-doc_id on the 8-byte content
   *    hash; CROSS-batch dedup needs either an event-time watermark
-  *    ([[graft.llm.TextAnalysis.streamingCurate]]'s
-  *    dropDuplicatesWithinWatermark when a `ts` exists) or the batch
-  *    dedup pipeline over the accumulated corpus — per-batch keeping is
-  *    what a stream can decide without unbounded state.
-  *  - Appending per-batch output is exactly-once via the file sink's
-  *    transaction log (same guarantee class as the CDR pipeline's
-  *    partitioned sink, SURVEY I3).
+  *    (streamingCurate's dropDuplicatesWithinWatermark when a `ts`
+  *    exists) or the batch dedup pipeline over the accumulated corpus —
+  *    per-batch keeping is what a stream can decide without unbounded
+  *    state.
+  *  - Delivery is EFFECTIVELY-once, not sink-transactional: both sinks
+  *    write under a trailing `batch_id` partition with dynamic partition
+  *    overwrite (the [[CdrStreamJob.writeBatch]] pattern), so a batch
+  *    replayed after a crash-before-checkpoint overwrites its own
+  *    partitions instead of appending duplicates. A plain foreachBatch
+  *    append would be at-least-once — duplicate documents in a training
+  *    corpus are precisely what the dedup stages upstream fight.
   */
 object CorpusIngest {
 
-  /** Streaming twin of [[JsonlDocs.read]] — same blank-line drop, same
-    * from_json quarantine decode, over a file-source text stream. */
+  /** Streaming twin of [[JsonlDocs.read]] — the SAME [[JsonlDocs.decode]]
+    * over a file-source text stream. */
   def jsonlStream(spark: SparkSession, inDir: String,
                   maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(inDir)
-      .filter(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), JsonlDocs.schema, Map(
-        "mode" -> "PERMISSIVE",
-        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
-      .select(col("j.*"))
+    JsonlDocs.decode(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(inDir))
 
   /** Stateless curation gates + in-batch exact-dup keeper election over a
-    * decoded batch; returns the gated frame with `keep`. Pure function —
+    * decoded batch; returns the gated frame (all canonical document
+    * columns kept — the output must union/append cleanly with the
+    * documents table) plus the gate flags and `keep`. Pure function —
     * reused identically by tests and the live stream. */
-  def gate(batch: DataFrame, qualityThreshold: Double = 0.45): DataFrame = {
-    val sig = graft.llm.TextAnalysis.signals(batch)
+  def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
+           evalMod: Long = 101L): DataFrame = {
+    val trainable = batch.filter(col("doc_id") % evalMod =!= 0)
     val keeperWin = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col("text"))).orderBy(col("doc_id").asc)
-    sig
-      .withColumn("lang_ok", col("predicted_lang") === col("lang"))
-      .withColumn("quality_ok", round(col("quality_score"), 6) >= qualityThreshold)
-      .withColumn("not_repetitive", !col("is_repetitive"))
+    graft.llm.TextAnalysis.withGateColumns(
+        graft.llm.TextAnalysis.signals(trainable), qualityThreshold)
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
         col("not_repetitive") && col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("lang_ok"), col("quality_ok"), col("not_repetitive"),
-        col("is_keeper"), col("keep"))
+        col("n_chars"), col("lang_ok"), col("quality_ok"),
+        col("not_repetitive"), col("is_keeper"), col("keep"))
   }
 
+  /** Idempotent per-batch write: trailing batch_id partition + dynamic
+    * overwrite — a replayed batch replaces its own output. */
+  private def writeBatchPartition(out: DataFrame, batchId: Long,
+                                  partCols: Seq[String], path: String,
+                                  format: String): Unit =
+    out.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols :+ "batch_id": _*)
+      .format(format)
+      .save(path)
+
   /** Start the ingest: JSONL in `inDir` → curated lang-partitioned parquet
-    * in `outDir` (kept docs only) + raw corrupt lines in `quarantineDir`. */
+    * in `outDir` (kept docs only, canonical document columns) + raw
+    * corrupt lines in `quarantineDir`. */
   def run(spark: SparkSession, inDir: String, outDir: String,
           quarantineDir: String, checkpoint: String,
-          qualityThreshold: Double = 0.45): StreamingQuery =
+          qualityThreshold: Double = 0.45, evalMod: Long = 101L): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          gate(JsonlDocs.good(batch), qualityThreshold)
-            .filter(col("keep"))
-            .drop("lang_ok", "quality_ok", "not_repetitive", "is_keeper", "keep")
-            .write.mode("append").partitionBy("lang").parquet(outDir)
-          JsonlDocs.quarantine(batch)
-            .select(col("_corrupt_record").as("value"))
-            .write.mode("append").text(quarantineDir)
+          writeBatchPartition(
+            gate(JsonlDocs.good(batch), qualityThreshold, evalMod)
+              .filter(col("keep"))
+              .drop("lang_ok", "quality_ok", "not_repetitive", "is_keeper", "keep"),
+            batchId, Seq("lang"), outDir, "parquet")
+          writeBatchPartition(
+            JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),
+            batchId, Nil, quarantineDir, "text")
         } finally batch.unpersist()
         ()
       }

@@ -302,16 +302,19 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val out1 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
       assert(out1 == Set(1L), s"got $out1")
-      val quarantined = spark.read.text(qDir).as[String].collect()
+      val quarantined = spark.read.text(qDir).select($"value").as[String].collect()
       assert(quarantined.length == 1 && quarantined.head.contains("broken"))
-      // a LATER file is picked up incrementally, earlier files not reprocessed
+      // a LATER file is picked up incrementally, earlier files not
+      // reprocessed; doc 202 (202 % 101 == 0) is a held-out eval doc and
+      // must never reach the training corpus
       java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f2.json"),
-        (doc(4, goodText("b")) + "\n").getBytes)
+        (doc(4, goodText("b")) + "\n" + doc(202, goodText("c")) + "\n").getBytes)
       q.processAllAvailable()
       val out2 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
-      assert(out2 == Set(1L, 4L), s"got $out2")
-      // lang partitioning materialized in the layout
+      assert(out2 == Set(1L, 4L), s"got $out2 — eval doc 202 must be excluded")
+      // lang partitioning materialized in the layout; canonical columns kept
       assert(new java.io.File(outDir, "lang=en").exists())
+      assert(spark.read.parquet(outDir).columns.contains("n_chars"))
     } finally q.stop()
   }
 
