@@ -52,20 +52,44 @@ object CorpusIngest {
     * decoded batch; returns the gated frame (all canonical document
     * columns kept — the output must union/append cleanly with the
     * documents table) plus the gate flags and `keep`. Pure function —
-    * reused identically by tests and the live stream. */
+    * reused identically by tests and the live stream.
+    *
+    * `evalShingles` (one `shingle` column, precomputed from the held-out
+    * benchmark corpus) turns on streaming DECONTAMINATION: the
+    * stream-static join the streamingCurate scaladoc sketches — eval
+    * shingle sets are tiny by nature and broadcast per micro-batch
+    * (exactly the CDR dimension shape), the per-doc shingle explode stays
+    * in-row, and the overlap count keys on doc_id within the batch. A doc
+    * sharing ≥ `minOverlap` distinct shingles with the benchmark fails
+    * `not_contaminated` and is dropped. */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
-           evalMod: Long = 101L): DataFrame = {
+           evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
+           minOverlap: Int = 2): DataFrame = {
     val trainable = batch.filter(col("doc_id") % evalMod =!= 0)
     val keeperWin = org.apache.spark.sql.expressions.Window
       .partitionBy(xxhash64(col("text"))).orderBy(col("doc_id").asc)
-    graft.llm.TextAnalysis.withGateColumns(
+    val gated = graft.llm.TextAnalysis.withGateColumns(
         graft.llm.TextAnalysis.signals(trainable), qualityThreshold)
+    val withContam = evalShingles match {
+      case Some(ev) =>
+        val contaminated = graft.llm.Dedup
+          .shingles(graft.llm.Dedup.tokenized(trainable))
+          .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= minOverlap)
+          .select(col("doc_id"), lit(true).as("contam"))
+        gated.join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+          .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
+      case None => gated.withColumn("not_contaminated", lit(true))
+    }
+    withContam
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
-        col("not_repetitive") && col("is_keeper"))
+        col("not_repetitive") && col("not_contaminated") && col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("lang_ok"), col("quality_ok"),
-        col("not_repetitive"), col("is_keeper"), col("keep"))
+        col("not_repetitive"), col("not_contaminated"),
+        col("is_keeper"), col("keep"))
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
@@ -85,16 +109,18 @@ object CorpusIngest {
     * corrupt lines in `quarantineDir`. */
   def run(spark: SparkSession, inDir: String, outDir: String,
           quarantineDir: String, checkpoint: String,
-          qualityThreshold: Double = 0.45, evalMod: Long = 101L): StreamingQuery =
+          qualityThreshold: Double = 0.45, evalMod: Long = 101L,
+          evalShingles: Option[DataFrame] = None): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           writeBatchPartition(
-            gate(JsonlDocs.good(batch), qualityThreshold, evalMod)
+            gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles)
               .filter(col("keep"))
-              .drop("lang_ok", "quality_ok", "not_repetitive", "is_keeper", "keep"),
+              .drop("lang_ok", "quality_ok", "not_repetitive",
+                "not_contaminated", "is_keeper", "keep"),
             batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),

@@ -297,7 +297,12 @@ class StreamingSpec extends SparkSpec {
         doc(3, "zz!! ?!? #@!") + "\n" +         // quality gate fails
         "{\"doc_id\": broken\n" +               // corrupt -> quarantine
         "\n").getBytes)                         // blank separator: neither bucket
-    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt)
+    // precomputed held-out benchmark shingles: any ingested doc sharing
+    // >= 2 of them is decontaminated away (goodText("e") is the benchmark)
+    val evalSh = graft.llm.Dedup.shingles(graft.llm.Dedup.tokenized(
+      Seq((0L, goodText("e"))).toDF("doc_id", "text")))
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      evalShingles = Some(evalSh))
     try {
       q.processAllAvailable()
       val out1 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
@@ -306,12 +311,15 @@ class StreamingSpec extends SparkSpec {
       assert(quarantined.length == 1 && quarantined.head.contains("broken"))
       // a LATER file is picked up incrementally, earlier files not
       // reprocessed; doc 202 (202 % 101 == 0) is a held-out eval doc and
-      // must never reach the training corpus
+      // must never reach the training corpus; doc 5 duplicates benchmark
+      // shingles and must be decontaminated away
       java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f2.json"),
-        (doc(4, goodText("b")) + "\n" + doc(202, goodText("c")) + "\n").getBytes)
+        (doc(4, goodText("b")) + "\n" + doc(202, goodText("c")) + "\n" +
+          doc(5, goodText("e")) + "\n").getBytes)
       q.processAllAvailable()
       val out2 = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
-      assert(out2 == Set(1L, 4L), s"got $out2 — eval doc 202 must be excluded")
+      assert(out2 == Set(1L, 4L),
+        s"got $out2 — eval doc 202 and contaminated doc 5 must be excluded")
       // lang partitioning materialized in the layout; canonical columns kept
       assert(new java.io.File(outDir, "lang=en").exists())
       assert(spark.read.parquet(outDir).columns.contains("n_chars"))
