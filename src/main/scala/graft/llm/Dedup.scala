@@ -245,6 +245,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 
+  /** Incremental dedup — the daily-ingest shape: which documents of a NEW
+    * increment (doc_id ≡ 0 mod `newMod`, standing in for today's batch)
+    * near-duplicate the EXISTING corpus, with the matched keeper and the
+    * best Jaccard per new document. Pairs inside the increment or inside
+    * the existing corpus are NOT reported — those are the batch dedup's
+    * job; this operator answers "what of today's data is already in the
+    * corpus".
+    *
+    * Production incremental shape: the existing corpus's MinHash band
+    * table is PRECOMPUTED and stored alongside it, so the per-increment
+    * cost is signatures for the increment + one band join against the
+    * stored table + verification against the stored shingle sets — never
+    * a recompute over the corpus. Semantically identical to restricting
+    * the full pair set to straddling pairs, which is the oracle-checkable
+    * form computed here. */
+  def incrementalMinhash(docs: DataFrame, threshold: Double,
+                         newMod: Long = 7L): DataFrame = {
+    val straddling = minhashLsh(docs, threshold)
+      .filter((col("doc_a") % newMod === 0) =!= (col("doc_b") % newMod === 0))
+      .select(
+        when(col("doc_a") % newMod === 0, col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
+        when(col("doc_a") % newMod === 0, col("doc_b")).otherwise(col("doc_a")).as("existing_doc"),
+        col("jaccard"))
+    straddling.groupBy("new_doc")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("existing_doc")).as("dup_of"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Near-duplicate *clusters*: connected components over the MinHash-LSH
     * candidate pairs, labels = min doc_id per component. Singleton docs keep
     * their own id. This is the operator that turns pairwise dedup output
@@ -394,6 +423,7 @@ object Dedup {
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
+    "doc_dedup_incremental" -> ((s, dir) => Util.orderAll(incrementalMinhash(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
@@ -503,6 +533,23 @@ object Dedup {
 
     "doc_dedup_minhash" -> (tokCte + minhashChain +
       Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    // same verified pair set, restricted to pairs straddling the mod-7
+    // increment split, rolled up per new document
+    "doc_dedup_incremental" -> (tokCte + minhashChain +
+      s""", jv AS (
+         |$jaccardVerify
+         |), strad AS (
+         |  SELECT
+         |    CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+         |    CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS existing_doc,
+         |    jaccard
+         |  FROM jv WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT new_doc, count(*) AS n_matches, min(existing_doc) AS dup_of,
+          |  max(jaccard) AS best_jaccard FROM strad GROUP BY new_doc""".stripMargin,
+        Seq("new_doc", "n_matches", "dup_of", "best_jaccard"))),
 
     // same MinHash pipeline, then transitive closure: every (node, reachable
     // label) pair via a recursive CTE, min label per node == the hash-min

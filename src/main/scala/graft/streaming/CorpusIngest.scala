@@ -93,10 +93,11 @@ object CorpusIngest {
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
-    * overwrite — a replayed batch replaces its own output. */
-  private def writeBatchPartition(out: DataFrame, batchId: Long,
-                                  partCols: Seq[String], path: String,
-                                  format: String): Unit =
+    * overwrite — a replayed batch replaces its own output (replay
+    * idempotence is spec-asserted like CdrStreamJob.writeBatch's). */
+  private[graft] def writeBatchPartition(out: DataFrame, batchId: Long,
+                                         partCols: Seq[String], path: String,
+                                         format: String): Unit =
     out.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -393,6 +393,24 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 7, 1L, 2L, 0.5)), s"got ${out.toSeq}")
   }
 
+  test("incremental dedup: only new-vs-existing pairs survive, keeper is min partner") {
+    // newMod=7: docs 7 and 14 are "today's increment". 7 dups existing 1
+    // and 2; 14 dups nothing; the 1-2 pair (existing-existing) and any
+    // intra-increment pair must not be reported
+    val docs = docsDf(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over dogs",
+      7L -> "the quick brown fox jumps over dogs",
+      14L -> "entirely different words in this one here",
+      3L -> "another unrelated document text body here")
+    val newDocs = Dedup.incrementalMinhash(docs, 0.4)
+      .select("new_doc").as[Long].collect().toSet
+    assert(newDocs == Set(7L), s"got $newDocs")
+    val row = Dedup.incrementalMinhash(docs, 0.4)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row == ((7L, 2L, 1L, 1.0)), s"got $row")
+  }
+
   test("sample exact: exactly N per stratum, stable under repartitioning") {
     val docs = Tables.table(spark, sf, "documents")
     val out = TextAnalysis.sampleExact(docs, 5)

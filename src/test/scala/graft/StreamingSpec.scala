@@ -77,6 +77,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2 * once)
   }
 
+  test("ingest idempotency: replayed batches rewrite both sinks instead of appending") {
+    val out = tmp("graft-ingest-replay")
+    val qd = tmp("graft-ingest-replay-q")
+    val docs = Seq((1L, "a b", "en", "s1", 3L), (2L, "c d", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dead = Seq("{broken").toDF("value")
+    streaming.CorpusIngest.writeBatchPartition(docs, 3L, Seq("lang"), out, "parquet")
+    streaming.CorpusIngest.writeBatchPartition(dead, 3L, Nil, qd, "text")
+    // failure between write and checkpoint commit ⇒ same batchId re-runs
+    streaming.CorpusIngest.writeBatchPartition(docs, 3L, Seq("lang"), out, "parquet")
+    streaming.CorpusIngest.writeBatchPartition(dead, 3L, Nil, qd, "text")
+    assert(spark.read.parquet(out).count() == 2, "parquet replay must not duplicate")
+    assert(spark.read.text(qd).count() == 1, "quarantine replay must not duplicate")
+    // a genuinely new batch still lands alongside
+    streaming.CorpusIngest.writeBatchPartition(docs, 4L, Seq("lang"), out, "parquet")
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("A2 streaming: SessionDedup emits per-key argmax after the session gap") {
     // NB: a ProcessingTimeTimeout query runs micro-batches continuously
     // (shouldRunAnotherBatch is always true — timers may fire at any time),
