@@ -43,11 +43,22 @@ object PipelineProps extends Properties("cdr") {
     rows.toDF("start_time", "measuring_probe_name", "imsi", "msisdn",
       "ms_ip_address", "unique_cdr_id")
 
-  property("csv roundtrip is the identity on well-formed CDRs") =
+  property("csv roundtrip is the identity on well-formed CDRs (up to '' ≡ NULL)") =
     Prop.forAll(genBatch) { rows =>
       val src = df(rows)
+      // the wire CANNOT represent an empty string distinctly from NULL:
+      // null-literal='' encodes both as an empty field and decode reads an
+      // empty field as NULL (reference parity — CsvCodec scaladoc). An
+      // all-None ip list with no separators produces exactly such a "" (it
+      // falsified this property ~1-in-5 suite runs before canonicalizing),
+      // so the identity holds up to ''→NULL on the string fields.
+      val expected = src
+        .withColumn("measuring_probe_name",
+          when(col("measuring_probe_name") === "", lit(null)).otherwise(col("measuring_probe_name")))
+        .withColumn("ms_ip_address",
+          when(col("ms_ip_address") === "", lit(null)).otherwise(col("ms_ip_address")))
       val decoded = CsvCodec.decode(src.select(CsvCodec.encode(src).as("value")))
-      decoded.exceptAll(src).isEmpty && src.exceptAll(decoded).isEmpty
+      decoded.exceptAll(expected).isEmpty && expected.exceptAll(decoded).isEmpty
     }
 
   property("explode emits exactly the non-empty trimmed tokens") =
