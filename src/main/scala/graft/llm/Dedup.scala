@@ -247,8 +247,11 @@ object Dedup {
 
   /** Incremental dedup — the daily-ingest shape: which documents of a NEW
     * increment (doc_id ≡ 0 mod `newMod`, standing in for today's batch)
-    * near-duplicate the EXISTING corpus, with the matched keeper and the
-    * best Jaccard per new document. Pairs inside the increment or inside
+    * near-duplicate the EXISTING corpus, with — per new document — the
+    * match count, the best Jaccard, and `dup_of` = the existing partner
+    * that ACHIEVES that best Jaccard (ties broken toward the smaller
+    * doc_id); the two output columns describe the same pair, not
+    * independent aggregates. Pairs inside the increment or inside
     * the existing corpus are NOT reported — those are the batch dedup's
     * job; this operator answers "what of today's data is already in the
     * corpus".
@@ -268,10 +271,13 @@ object Dedup {
         when(col("doc_a") % newMod === 0, col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
         when(col("doc_a") % newMod === 0, col("doc_b")).otherwise(col("doc_a")).as("existing_doc"),
         col("jaccard"))
+    // argmax via max(struct): jaccard first, then -existing_doc so ties
+    // resolve toward the SMALLER partner id — same trick as dedupLatestAgg
     straddling.groupBy("new_doc")
       .agg(count(lit(1)).as("n_matches"),
-        min(col("existing_doc")).as("dup_of"),
-        max(col("jaccard")).as("best_jaccard"))
+        max(struct(col("jaccard").as("j"), (-col("existing_doc")).as("nd"))).as("w"))
+      .select(col("new_doc"), col("n_matches"),
+        (-col("w.nd")).as("dup_of"), col("w.j").as("best_jaccard"))
   }
 
   /** Near-duplicate *clusters*: connected components over the MinHash-LSH
@@ -545,10 +551,14 @@ object Dedup {
          |    CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END AS existing_doc,
          |    jaccard
          |  FROM jv WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
+         |), agg AS (
+         |  SELECT new_doc, count(*) AS n_matches,
+         |    max({'j': jaccard, 'nd': -existing_doc}) AS w
+         |  FROM strad GROUP BY new_doc
          |)
          |""".stripMargin + Util.wrap(
-        """SELECT new_doc, count(*) AS n_matches, min(existing_doc) AS dup_of,
-          |  max(jaccard) AS best_jaccard FROM strad GROUP BY new_doc""".stripMargin,
+        """SELECT new_doc, n_matches, -w.nd AS dup_of, w.j AS best_jaccard
+          |FROM agg""".stripMargin,
         Seq("new_doc", "n_matches", "dup_of", "best_jaccard"))),
 
     // same MinHash pipeline, then transitive closure: every (node, reachable

@@ -65,9 +65,13 @@ object CorpusIngest {
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
            minOverlap: Int = 2): DataFrame = {
-    val trainable = batch.filter(col("doc_id") % evalMod =!= 0)
+    // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
+    // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
+    // the row into no bucket at all — the decode comment's 'silent third
+    // bucket'). It stays trainable; keeper election ranks real ids first.
+    val trainable = batch.filter(coalesce(col("doc_id") % evalMod =!= 0, lit(true)))
     val keeperWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("text"))).orderBy(col("doc_id").asc)
+      .partitionBy(xxhash64(col("text"))).orderBy(col("doc_id").asc_nulls_last)
     val gated = graft.llm.TextAnalysis.withGateColumns(
         graft.llm.TextAnalysis.signals(trainable), qualityThreshold)
     val withContam = evalShingles match {

@@ -403,12 +403,11 @@ class LlmSpec extends SparkSpec {
       7L -> "the quick brown fox jumps over dogs",
       14L -> "entirely different words in this one here",
       3L -> "another unrelated document text body here")
-    val newDocs = Dedup.incrementalMinhash(docs, 0.4)
-      .select("new_doc").as[Long].collect().toSet
-    assert(newDocs == Set(7L), s"got $newDocs")
-    val row = Dedup.incrementalMinhash(docs, 0.4)
-      .as[(Long, Long, Long, Double)].collect().head
-    assert(row == ((7L, 2L, 1L, 1.0)), s"got $row")
+    val rows = Dedup.incrementalMinhash(docs, 0.4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(7L), s"got ${rows.toSeq}")
+    // dup_of must be the partner ACHIEVING best_jaccard (tie -> min id)
+    assert(rows.head == ((7L, 2L, 1L, 1.0)), s"got ${rows.head}")
   }
 
   test("sample exact: exactly N per stratum, stable under repartitioning") {

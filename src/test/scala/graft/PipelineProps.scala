@@ -51,10 +51,9 @@ object PipelineProps extends Properties("cdr") {
       // empty field as NULL (reference parity — CsvCodec scaladoc). An
       // all-None ip list with no separators produces exactly such a "" (it
       // falsified this property ~1-in-5 suite runs before canonicalizing),
-      // so the identity holds up to ''→NULL on the string fields.
+      // so the identity holds up to ''→NULL. Only ms_ip_address needs the
+      // canonicalization: genToken is non-empty, so probe never is.
       val expected = src
-        .withColumn("measuring_probe_name",
-          when(col("measuring_probe_name") === "", lit(null)).otherwise(col("measuring_probe_name")))
         .withColumn("ms_ip_address",
           when(col("ms_ip_address") === "", lit(null)).otherwise(col("ms_ip_address")))
       val decoded = CsvCodec.decode(src.select(CsvCodec.encode(src).as("value")))
