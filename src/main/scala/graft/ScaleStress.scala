@@ -79,8 +79,10 @@ object ScaleStress {
     // skip it at big factors where the contrast is already on record and
     // the full-chain sort would dominate the run
     val skipWindowDedup = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("windowdedup"))
+    // -1 when skipped (same convention as nSim): a consumer must be able to
+    // tell a measured row count from a substituted one
     val (nDedup, tDedup) =
-      if (skipWindowDedup) (nAgg, -1.0)
+      if (skipWindowDedup) (-1L, -1.0)
       else timed("argmax dedup")(
         CdrPipeline.dedupLatest(CdrPipeline.rangeEnrich(
           CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
@@ -167,7 +169,7 @@ object ScaleStress {
     System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
       s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}""")
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}""")
     spark.stop()
   }
 }

@@ -124,13 +124,19 @@ object Similarity {
     * by id, so each surviving pair is rescored exactly once.
     *
     * The (query vector × candidate pair) side is BROADCAST into the
-    * rescoring join: it is bounded by the collision count, so the
-    * corpus-vector side streams in place and is never shuffled by
-    * neighbor_id. The normed projection is recomputed per consumer rather
-    * than checkpointed — linear codegen'd scans are cheaper at corpus
-    * scale than pinning corpus-sized vector blocks in executor storage. */
+    * rescoring join by default: it is bounded by the collision count, so
+    * the corpus-vector side streams in place and is never shuffled by
+    * neighbor_id. The collision count is corpus-dependent, though — on a
+    * dense near-dup corpus (the ×10 synthetic yields ~60M simhash pairs)
+    * it can blow past driver/broadcast limits, so
+    * `broadcastCandidates = false` falls back to a shuffled equi-join on
+    * neighbor_id (the tfidfTopK escape-hatch pattern). The normed
+    * projection is recomputed per consumer rather than checkpointed —
+    * linear codegen'd scans are cheaper at corpus scale than pinning
+    * corpus-sized vector blocks in executor storage. */
   def lshTopKMulti(emb: DataFrame, nQueries: Int, k: Int,
-                   nFamilies: Int = 2): DataFrame = {
+                   nFamilies: Int = 2,
+                   broadcastCandidates: Boolean = true): DataFrame = {
     val e = normed(emb)
     val fams = (0 until nFamilies).map { f =>
       bucketsFromNormed(e, f)
@@ -147,7 +153,7 @@ object Similarity {
       .join(cand, "query_id")
     val c = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-    cosineTopK(broadcast(q), c, k, Seq("neighbor_id"))
+    cosineTopK(if (broadcastCandidates) broadcast(q) else q, c, k, Seq("neighbor_id"))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
@@ -196,13 +202,22 @@ object Similarity {
     * like this). One explode to (label, dim, x) rows, one
     * map-side-combining aggregation: the shuffle carries
     * #labels × dim partial (sum, count) pairs per mapper, never vectors.
-    * Mean accumulates in Double and is rounded to 6 dp — the cross-engine
-    * summation-order contract every other aggregate here uses. */
+    * The mean accumulates in EXACT integer micro-units (sum of
+    * round(x·10⁶)), not avg(double): Spark's partial-aggregation summation
+    * order differs from DuckDB's sequential scan, so a floating sum can
+    * land on opposite sides of a round-half boundary between engines —
+    * the same latent flake corpusStats/qualityPercentiles hit. Integer
+    * sums are order-independent; the final divide is two IEEE
+    * correctly-rounded ops over identical operands on both engines. */
   def labelCentroids(emb: DataFrame): DataFrame =
     emb.select(col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sum_micros"),
+        count(lit(1)).as("n_vectors"))
+      .withColumn("centroid",
+        round(col("sum_micros").cast("double") / col("n_vectors") / 1e6, 6))
+      .select(col("label"), col("dim"), col("centroid"), col("n_vectors"))
 
   /** Embedding-space quality diagnostic: for each query vector, the
     * fraction of its exact top-k cosine neighbors that share its label
@@ -288,9 +303,12 @@ object Similarity {
           |) t WHERE rk <= 10""".stripMargin, annCols)),
 
     // parallel unnests zip positionally in DuckDB; dim mirrors posexplode's
-    // 0-based position
+    // 0-based position. Mean is an exact integer micro-unit sum divided
+    // back out — summation order can't flip a round-half tie (see
+    // labelCentroids scaladoc)
     "emb_centroids" -> Util.wrap(
-      """SELECT label, i - 1 AS dim, round(avg(x), 6) AS centroid,
+      """SELECT label, i - 1 AS dim,
+        |  round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid,
         |  count(*) AS n_vectors
         |FROM (
         |  SELECT label,

@@ -59,9 +59,14 @@ object CorpusIngest {
     * stream-static join the streamingCurate scaladoc sketches — eval
     * shingle sets are tiny by nature and broadcast per micro-batch
     * (exactly the CDR dimension shape), the per-doc shingle explode stays
-    * in-row, and the overlap count keys on doc_id within the batch. A doc
-    * sharing ≥ `minOverlap` distinct shingles with the benchmark fails
-    * `not_contaminated` and is dropped. */
+    * in-row, and the overlap count keys on `xxhash64(text)` — NOT doc_id:
+    * contamination is a function of the text alone, doc_id can be NULL
+    * (NULL never joins back, which would mark a benchmark-overlapping doc
+    * trainable) or duplicated within a batch (which would pool overlap
+    * counts across different texts). Texts are deduplicated before
+    * shingling so identical texts can't double-count their own overlap.
+    * A doc sharing ≥ `minOverlap` distinct shingles with the benchmark
+    * fails `not_contaminated` and is dropped. */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
            minOverlap: Int = 2): DataFrame = {
@@ -76,13 +81,22 @@ object CorpusIngest {
         graft.llm.TextAnalysis.signals(trainable), qualityThreshold)
     val withContam = evalShingles match {
       case Some(ev) =>
+        // row-unique-enough surrogate: shingle + overlap-count the DISTINCT
+        // texts keyed by their content hash (shingles are per-doc distinct
+        // in-row, so the count is distinct overlapping shingles), then flag
+        // every row carrying that text. Null-safe (a NULL doc_id doc still
+        // has a text hash) and pool-safe (duplicate doc_ids with different
+        // texts get independent counts).
         val contaminated = graft.llm.Dedup
-          .shingles(graft.llm.Dedup.tokenized(trainable))
+          .shingles(graft.llm.Dedup.tokenized(
+            trainable.select(xxhash64(col("text")).as("doc_id"), col("text"))
+              .distinct()))
           .join(broadcast(ev.select(col("shingle")).distinct()), "shingle")
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
           .filter(col("n_overlap") >= minOverlap)
-          .select(col("doc_id"), lit(true).as("contam"))
-        gated.join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+          .select(col("doc_id").as("_chash"), lit(true).as("contam"))
+        gated.withColumn("_chash", xxhash64(col("text")))
+          .join(broadcast(contaminated), Seq("_chash"), "left_outer")
           .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
       case None => gated.withColumn("not_contaminated", lit(true))
     }

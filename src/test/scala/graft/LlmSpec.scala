@@ -359,6 +359,11 @@ class LlmSpec extends SparkSpec {
     assert(single.toSet.size <= multi.toSet.size,
       s"multi-table recall regressed: ${single.length} vs ${multi.length}")
     assert(multi.toSet.size <= brute.toSet.size)
+    // the dense-corpus escape hatch (shuffled rescoring join instead of
+    // broadcasting the collision-bound pair side) is result-identical
+    val multiNoBc = pairs(Similarity.lshTopKMulti(fEmb, 5, 10,
+      broadcastCandidates = false))
+    assert(multiNoBc.toSet == multi.toSet, "broadcast opt-out changed the result")
     // identical vectors still collide in every family
     val emb2 = Seq(
       (0L, Array.tabulate(8)(i => (i + 1).toFloat)),

@@ -344,6 +344,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest gate: contamination keys on content hash — NULL/duplicate doc_ids can't leak a benchmark doc") {
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    val evalSh = graft.llm.Dedup.shingles(graft.llm.Dedup.tokenized(
+      Seq((0L, goodText("e"))).toDF("doc_id", "text")))
+    val batch = Seq(
+      (Option(1L), goodText("a")),              // clean keeper
+      (None: Option[Long], goodText("e")),      // benchmark text, NULL doc_id
+      (Option(7L), goodText("b")),              // dup doc_id, clean text
+      (Option(7L), goodText("e")),              // dup doc_id, benchmark text
+      // dup doc_id 9: two DIFFERENT texts each sharing exactly ONE shingle
+      // with the benchmark — pooling by doc_id would sum 1+1 >= minOverlap
+      // and falsely contaminate both
+      (Option(9L), "q1 q2 the ew1 ex1 q3 q4 q5 q6 q7"),
+      (Option(9L), "p1 p2 ew1 ex1 ey1 p3 p4 p5 p6 p7"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length($"text"))
+    val out = streaming.CorpusIngest.gate(batch, evalShingles = Some(evalSh))
+      .select($"doc_id", $"text", $"not_contaminated", $"keep")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1).take(6)) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    // the NULL-doc_id benchmark doc MUST be flagged (old doc_id-keyed join
+    // dropped it from the overlap frame: NULL never equals NULL)
+    assert(out((None, goodText("e").take(6)))._1 == false,
+      "NULL doc_id leaked a benchmark doc")
+    assert(out((Some(7L), goodText("e").take(6)))._1 == false)
+    // clean rows stay clean even when they share a doc_id with a dirty one
+    assert(out((Some(7L), goodText("b").take(6)))._1 == true)
+    assert(out((Some(1L), goodText("a").take(6))) == ((true, true)))
+    // sub-threshold overlaps (1 shingle each) on two different texts must
+    // NOT pool by doc_id into a false >= minOverlap contamination
+    assert(out((Some(9L), "q1 q2 "))._1 == true, "doc 9 text A falsely contaminated")
+    assert(out((Some(9L), "p1 p2 "))._1 == true, "doc 9 text B falsely contaminated")
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
