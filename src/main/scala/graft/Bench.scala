@@ -54,7 +54,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val errJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver captures a bounded stdout tail, and
+    // at 76+ queries the one-line JSON outgrew it (BENCH_r03.json arrived
+    // truncated mid-object with parsed=null). A file can't be truncated by
+    // tail-capture; BENCH_OUT overrides the default path.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
