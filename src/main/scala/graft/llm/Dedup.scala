@@ -77,7 +77,17 @@ object Dedup {
     * `array_distinct`), replacing the previous window-lead + global
     * distinct formulation (two shuffles + a partition-wide sort) with a
     * per-row array sort over ~|doc| tokens. */
-  def shingleIds(tok: DataFrame): DataFrame = {
+  /** Largest vocab (exclusive of the +1 base) for which base-(V+1) shingle
+    * encoding fits a Long: v^3 < 2^63 ⇒ v ≤ 2^21 − 1. */
+  val ExactVocabBound: Long = 2097151L
+
+  def shingleIds(tok: DataFrame): DataFrame = shingleIds(tok, ExactVocabBound)
+
+  /** `exactVocabBound` injects the encoding switch point — production keeps
+    * the default; tests force the hashed path on a small fixture with
+    * `exactVocabBound = 0` so the 100 TB branch has executed evidence
+    * instead of only engaging past 2.1M distinct tokens. */
+  def shingleIds(tok: DataFrame, exactVocabBound: Long): DataFrame = {
     val v = vocab(tok)
     // driver-side count is cheap (vocab is checkpointed) and picks the
     // encoding: base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but
@@ -87,7 +97,7 @@ object Dedup {
     // opaque hashed ids: consumers only need id equality (Jaccard over ids
     // == Jaccard over shingles for any injective-up-to-collisions map).
     val vBase = v.count() + 1
-    if (vBase > 2097151L) shingleIdsHashed(tok)
+    if (vBase > exactVocabBound) shingleIdsHashed(tok)
     else {
       val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
         .join(broadcast(v), "token")
@@ -158,21 +168,31 @@ object Dedup {
   /** MinHash signatures (16 hashes over shingle ids) → LSH banding (8 bands
     * × 2 rows) → candidate pairs → exact-Jaccard verification. The scale
     * path: linear signature pass, join only on colliding bands. */
-  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashLsh(docs: DataFrame, threshold: Double): DataFrame =
+    minhashLsh(docs, threshold, ExactVocabBound)
+
+  def minhashLsh(docs: DataFrame, threshold: Double,
+                 exactVocabBound: Long): DataFrame = {
     // localCheckpoint (not cache): materializes once, truncates the 3-stage
     // shingleIds lineage so the three downstream consumers don't recompute
     // it, and the blocks are dropped with the RDD when the plan is GC'd —
     // no unpersist bookkeeping leaking executor memory across queries.
-    val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
+    val shid = shingleIds(tokenized(docs), exactVocabBound)
+      .localCheckpoint(eager = true)
     // Signature pass stays in whole-stage-codegen'd hash aggregation: the
     // ×16 hash fan-out looks like it inflates the shuffle, but min() partial-
     // aggregates map-side, so each mapper emits ≤16 rows per doc — cheaper
     // end-to-end than collecting sids per doc and folding interpreted array
     // lambdas in-row (measured 2× slower at sf0.1).
+    // pmod BEFORE the multiply: base-encoded sids are positive and < 2^63 so
+    // the reduction is an identity on the oracle-checked values ((a·b) mod m
+    // == (a·(b mod m)) mod m), but hashed sids span the full signed 64-bit
+    // range — (2h+3)·sid would overflow under ANSI arithmetic, and pmod also
+    // pins the negatives into [0, m) so both encodings share one expression.
     val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
     val sig = shid.crossJoin(broadcast(hashes))
       .groupBy(col("doc_id"), col("h"))
-      .agg(min(expr("((2 * h + 3) * sid + 7919 * h + 13) % 1000003")).as("mh"))
+      .agg(min(expr("((2 * h + 3) * pmod(sid, 1000003) + 7919 * h + 13) % 1000003")).as("mh"))
     val bands = sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
       .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
     val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
@@ -464,7 +484,8 @@ object Dedup {
     * counts, as chained CTEs appended to [[tokCte]]. */
   private val minhashChain =
     """, sig AS (
-      |  SELECT doc_id, h, min(((2 * h + 3) * sid + 7919 * h + 13) % 1000003) AS mh
+      |  SELECT doc_id, h,
+      |    min(((2 * h + 3) * ((sid % 1000003 + 1000003) % 1000003) + 7919 * h + 13) % 1000003) AS mh
       |  FROM shid CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hh
       |  GROUP BY doc_id, h
       |), bands AS (
