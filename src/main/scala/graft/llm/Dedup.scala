@@ -420,6 +420,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Multi-family twin of [[embeddingPairsLsh]] — the recall knob for the
+    * PAIR path, completing the symmetry with [[Similarity.lshTopKMulti]]:
+    * candidates are the union of same-bucket pairs across `nFamilies`
+    * independent hyperplane families (LCG stream offset family·512),
+    * deduplicated, then rescored exactly once per surviving pair. A
+    * near-dup pair missed by one 8-bit signature has an independent chance
+    * in each further family, so recall → 1 exponentially in the family
+    * count while candidate mining stays an equi-join per family on
+    * (fam, bucket) — join work grows linearly, never toward N².
+    *
+    * Output is a strict superset of the single-family pairs at the same
+    * threshold (family 0 IS the single-family table; spec-asserted). */
+  def embeddingPairsLshMulti(emb: DataFrame, threshold: Double,
+                             nFamilies: Int = 2): DataFrame = {
+    require(nFamilies >= 1, s"embeddingPairsLshMulti: need >= 1 family, got $nFamilies")
+    // one normed projection feeds every family's signature pass AND the
+    // rescoring sides — materialize it once
+    val e = Similarity.normed(emb).localCheckpoint(eager = true)
+    val fams = (0 until nFamilies).map { f =>
+      Similarity.bucketsFromNormed(e, f)
+        .select(col("vec_id"), col("bucket"), lit(f).as("fam"))
+    }.reduce(_.unionByName(_))
+    val cand = fams.select(col("vec_id").as("id_a"), col("fam"), col("bucket"))
+      .join(fams.select(col("vec_id").as("id_b"), col("fam"), col("bucket")),
+        Seq("fam", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.vecDot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Embedding near-dup *clusters*: connected components over the
     * LSH-bucketed cosine pair graph — the embedding-side twin of
     * [[dedupClusters]], so the embedding dedup path also ends in per-vector
@@ -455,6 +492,7 @@ object Dedup {
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
     // (vacuous) correctness check
     "doc_dedup_embedding_lsh" -> ((s, dir) => Util.orderAll(embeddingPairsLsh(emb(s, dir), 0.35))),
+    "doc_dedup_embedding_lsh_multi" -> ((s, dir) => Util.orderAll(embeddingPairsLshMulti(emb(s, dir), 0.35))),
     "doc_dedup_embedding_clusters" -> ((s, dir) => Util.orderAll(embeddingClusters(emb(s, dir), 0.35))),
     "doc_dedup_embedding_keep" -> ((s, dir) => Util.orderAll(embeddingKeep(emb(s, dir), 0.35))),
   )
@@ -679,6 +717,36 @@ object Dedup {
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
           |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
+        Seq("id_a", "id_b", "cosine"))),
+
+    // two independent plane families (LCG offset fam*512, the ann_lsh_multi
+    // arithmetic), deduplicated union of same-bucket pairs, rescored once
+    "doc_dedup_embedding_lsh_multi" -> (
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), buck AS (
+        |  SELECT vec_id, fam,
+        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT vec_id, fam, p,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (CAST((1103515245 * (fam * 512 + p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+        |    FROM n
+        |    CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+        |    CROSS JOIN (SELECT unnest(range(0, 2)) AS fam) ff
+        |  ) pr GROUP BY vec_id, fam
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buck a JOIN buck b
+        |    ON a.fam = b.fam AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT id_a, id_b,
+          |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+          |FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b
           |WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin,
         Seq("id_a", "id_b", "cosine"))),
 

@@ -29,7 +29,7 @@ object Similarity {
   /** Normalized (id, v: array<double>, nrm) projection. The cast and the
     * [[graft.functions.DotProduct]] norm are both codegen'd — no interpreted
     * lambda in the kernel. */
-  private def normed(emb: DataFrame): DataFrame =
+  private[llm] def normed(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.vecNorm(col("v")))
 
@@ -78,7 +78,7 @@ object Similarity {
   def lshBucketsFamily(emb: DataFrame, family: Int): DataFrame =
     bucketsFromNormed(normed(emb), family)
 
-  private def bucketsFromNormed(e: DataFrame, family: Int): DataFrame = {
+  private[llm] def bucketsFromNormed(e: DataFrame, family: Int): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
     // planes are built at the full 64-dim seed width and sliced per row to

@@ -182,6 +182,20 @@ class LlmSpec extends SparkSpec {
       s"hashed-id pipeline diverged: base=${base.size} hashed=${viaHashed.size}")
   }
 
+  test("multi-family embedding pairs: family 0 is the single table, recall only grows (fixtures)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pset(Dedup.embeddingPairsLsh(emb, 0.35))
+    val one = pset(Dedup.embeddingPairsLshMulti(emb, 0.35, nFamilies = 1))
+    assert(one == single, "nFamilies=1 must reproduce the single-family table")
+    val multi = pset(Dedup.embeddingPairsLshMulti(emb, 0.35, nFamilies = 2))
+    assert(single.subsetOf(multi),
+      s"a further family may only ADD pairs: single=${single.size} multi=${multi.size}")
+    val brute = pset(Dedup.embeddingPairs(emb, 0.35))
+    assert(multi.subsetOf(brute), "multi-family emitted a non-qualifying pair")
+  }
+
   test("embedding pairs LSH: identical vectors collide and pair; output ⊆ brute pairs") {
     val emb = Seq(
       (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
