@@ -125,11 +125,18 @@ object CorpusIngest {
 
   /** Start the ingest: JSONL in `inDir` → curated lang-partitioned parquet
     * in `outDir` (kept docs only, canonical document columns) + raw
-    * corrupt lines in `quarantineDir`. */
+    * corrupt lines in `quarantineDir`.
+    *
+    * `onBatchComplete` fires after BOTH sink writes but before foreachBatch
+    * returns — i.e. before Spark commits the batch to the checkpoint. It
+    * exists so tests can inject a crash into exactly the at-least-once
+    * window (data on disk, commit log not yet written) and prove the
+    * replayed batch overwrites its own partitions instead of duplicating. */
   def run(spark: SparkSession, inDir: String, outDir: String,
           quarantineDir: String, checkpoint: String,
           qualityThreshold: Double = 0.45, evalMod: Long = 101L,
-          evalShingles: Option[DataFrame] = None): StreamingQuery =
+          evalShingles: Option[DataFrame] = None,
+          onBatchComplete: Long => Unit = _ => ()): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -144,6 +151,7 @@ object CorpusIngest {
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),
             batchId, Nil, quarantineDir, "text")
+          onBatchComplete(batchId)
         } finally batch.unpersist()
         ()
       }

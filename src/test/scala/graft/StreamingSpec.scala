@@ -344,6 +344,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest crash-replay: a batch killed after the sink write, before commit, replays without duplicates") {
+    val inDir = tmp("graft-crash-in")
+    val outDir = tmp("graft-crash-out")
+    val qDir = tmp("graft-crash-quarantine")
+    val ckpt = tmp("graft-crash-ckpt")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(1, goodText("a")) + "\n" + doc(4, goodText("b")) + "\n" +
+        "{\"doc_id\": broken\n").getBytes)
+    // crash in the at-least-once window: sinks written, checkpoint commit not
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      onBatchComplete = { _ =>
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash: after sink write, before commit")
+      })
+    try q1.processAllAvailable()
+    catch { case _: Throwable => () } // the injected failure surfaces here
+    q1.stop()
+    assert(crashed.get(), "injection never fired")
+    // the window is real: data reached the sink even though the batch never
+    // committed — a plain append sink would now be primed to duplicate
+    val afterCrash = spark.read.parquet(outDir).select($"doc_id").as[Long].collect()
+    assert(afterCrash.sorted.toSeq == Seq(1L, 4L), s"got ${afterCrash.toSeq}")
+    // restart from the same checkpoint: Spark replays the uncommitted batch
+    // under the SAME batch_id; dynamic overwrite replaces its own partitions
+    val q2 = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val docs = spark.read.parquet(outDir).select($"doc_id").as[Long].collect()
+    assert(docs.length == docs.distinct.length,
+      s"replay duplicated documents: ${docs.toSeq.sorted}")
+    assert(docs.toSet == Set(1L, 4L), s"got ${docs.toSet}")
+    val quarantined = spark.read.text(qDir).select($"value").as[String].collect()
+    assert(quarantined.length == 1 && quarantined.head.contains("broken"),
+      s"quarantine must hold exactly the one corrupt line once: ${quarantined.toSeq}")
+  }
+
   test("ingest gate: contamination keys on content hash — NULL/duplicate doc_ids can't leak a benchmark doc") {
     def goodText(p: String) =
       (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
