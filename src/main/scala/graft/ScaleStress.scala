@@ -87,6 +87,21 @@ object ScaleStress {
         CdrPipeline.dedupLatest(CdrPipeline.rangeEnrich(
           CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
             .filter(col("imsi").isNull)), msIp, "left_outer")).count())
+    // the as-of twin of the range-join+argmax chain (cdr_asof_enrich): one
+    // hash exchange on (probe, ip) + per-partition sort, cost independent
+    // of match fan-out — THE reason it's the 100 TB J3/J4+A1 replacement.
+    // count(_imsi), not count(): a bare count lets Catalyst prune the
+    // unused window payload and the measurement would skip the sort +
+    // running-last entirely (the argmax-agg caveat). Counting the matched
+    // payload column forces the full operator; nAsof = matched rows.
+    val (nAsof, tAsof) = timed("asof enrich")(
+      graft.operators.AsOfJoin.leftAsOf(
+        CdrPipeline.explodeIps(CdrPipeline.extendWithPartitionCols(src)
+          .filter(col("imsi").isNull)),
+        msIp, keys = Seq("probe", "ip"),
+        leftTime = "start_time", rightTime = "start_time",
+        payload = Seq("imsi" -> "_imsi", "msisdn" -> "_msisdn"))
+        .agg(count(col("_imsi"))).head().getLong(0))
     val (nB1, tB1) = timed("branch1 lookup")(
       CdrPipeline.lookupEnrich(CdrPipeline.extendWithPartitionCols(src)
         .filter(col("imsi").isNotNull), imsi, "left_outer").count())
@@ -169,7 +184,63 @@ object ScaleStress {
     System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
       s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
 
-    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}""")
+    // ---- adversarial LSH hot bucket: 10% of the ×N corpus is ONE identical
+    // text, so one (band, bval) key per band carries every duplicate and its
+    // pair fan-out is quadratic in the bucket. AQE's skew split keys on
+    // shuffle-input BYTES and the hot bucket's input is tiny — it cannot
+    // help — so the question is whether the grid salt bounds max task time.
+    // A SparkListener records the longest task of each run.
+    val skipSkew = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("skew"))
+    var (tSkewPlain, tSkewSalt, tSkewDedupFirst) = (-1.0, -1.0, -1.0)
+    var (maxTaskPlain, maxTaskSalt, maxTaskDedupFirst) = (-1L, -1L, -1L)
+    var (nSkewPairs, nDedupFirstPairs) = (-1L, -1L)
+    if (!skipSkew) {
+      val dupText = (1 to 12).map(i => s"hotdup$i").mkString(" ")
+      val docsSkew = docsBase.crossJoin(copies)
+        .withColumn("doc_id", col("doc_id") + col("copy") * maxDoc)
+        .withColumn("text", when(col("doc_id") % 10 === 0, lit(dupText))
+          .otherwise(when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" c"), col("copy")))))
+        .drop("copy")
+        .repartition(cpus * 2)
+        .localCheckpoint(true)
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            maxTask.updateAndGet(m => math.max(m, t.taskInfo.duration))
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        maxTask.set(0)
+        val (n1, t1) = timed("minhash skew plain")(
+          graft.llm.Dedup.minhashLsh(docsSkew, 0.4).count())
+        maxTaskPlain = maxTask.get(); tSkewPlain = t1; nSkewPairs = n1
+        maxTask.set(0)
+        val (n2, t2) = timed("minhash skew salt8")(
+          graft.llm.Dedup.minhashLsh(docsSkew, 0.4,
+            graft.llm.Dedup.ExactVocabBound, saltBuckets = 8).count())
+        maxTaskSalt = maxTask.get(); tSkewSalt = t2
+        require(n1 == n2, s"salting changed the answer: $n1 vs $n2")
+        // the production order: exact-dedup FIRST (collapse identical texts
+        // to one representative), near-dup over representatives. The salt
+        // bounds the band-join task, but the C(dups,2) pair ANSWER is
+        // inherent to running near-dup on an un-exact-deduped corpus — this
+        // stage shows the answer-size pathology disappears upstream.
+        maxTask.set(0)
+        val reps = docsSkew.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val (n3, t3) = timed("minhash dedup-first")(
+          graft.llm.Dedup.minhashLsh(reps, 0.4).count())
+        maxTaskDedupFirst = maxTask.get(); tSkewDedupFirst = t3; nDedupFirstPairs = n3
+      } finally spark.sparkContext.removeSparkListener(listener)
+      System.err.println(s"[stress] skew_pairs=$nSkewPairs " +
+        s"max_task_plain=${maxTaskPlain}ms max_task_salt8=${maxTaskSalt}ms " +
+        s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms")
+    }
+
+    println(s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}""")
     spark.stop()
   }
 }

@@ -172,7 +172,25 @@ object Dedup {
     minhashLsh(docs, threshold, ExactVocabBound)
 
   def minhashLsh(docs: DataFrame, threshold: Double,
-                 exactVocabBound: Long): DataFrame = {
+                 exactVocabBound: Long): DataFrame =
+    minhashLsh(docs, threshold, exactVocabBound, saltBuckets = 1)
+
+  /** `saltBuckets > 1` turns on the degenerate-bucket mitigation named in
+    * the header note: an adversarial corpus (thousands of IDENTICAL texts)
+    * funnels one (band, bval) key to one reducer whose join OUTPUT is
+    * quadratic in the bucket size. AQE's skew-join split cannot help —
+    * it keys on shuffle-input bytes, and the hot bucket's input is tiny;
+    * the blow-up is in the fan-out. The grid salt spreads it: each right
+    * row gets salt = pmod(xxhash64(doc_b), R), the left band table is
+    * replicated once per salt value, and the join keys on
+    * (band, bval, salt_b) — the hot bucket's pair generation lands on R
+    * reducers, max task work drops ~R×, and every (a,b) pair is still
+    * found exactly once per band (b's salt is a function of b). The pair
+    * set is bit-identical to the unsalted plan (spec-asserted); the cost
+    * is R× shuffle volume on the band table, which is why it's a knob and
+    * not the default. */
+  def minhashLsh(docs: DataFrame, threshold: Double,
+                 exactVocabBound: Long, saltBuckets: Int): DataFrame = {
     // localCheckpoint (not cache): materializes once, truncates the 3-stage
     // shingleIds lineage so the three downstream consumers don't recompute
     // it, and the blocks are dropped with the RDD when the plan is GC'd —
@@ -197,7 +215,15 @@ object Dedup {
       .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
     val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-    val cand = ba.join(bb, Seq("band", "bval")).filter(col("doc_a") < col("doc_b"))
+    val cand = (if (saltBuckets <= 1) {
+      ba.join(bb, Seq("band", "bval"))
+    } else {
+      val grid = shid.sparkSession.range(saltBuckets)
+        .select(col("id").as("salt_b"))
+      ba.crossJoin(broadcast(grid))
+        .join(bb.withColumn("salt_b", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong))),
+          Seq("band", "bval", "salt_b"))
+    }).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))

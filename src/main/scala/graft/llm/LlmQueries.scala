@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contributes (queries, oracle) pairs. */
 object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++ Multimodal.queries
+    Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ Sketches.queries
   def oracle: Map[String, String] =
-    Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
+    Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
+      Multimodal.oracle ++ Sketches.oracle
 }

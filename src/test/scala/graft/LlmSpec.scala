@@ -182,6 +182,79 @@ class LlmSpec extends SparkSpec {
       s"hashed-id pipeline diverged: base=${base.size} hashed=${viaHashed.size}")
   }
 
+  test("salted band join: grid salt spreads hot buckets, pair set is bit-identical (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    val plain = Dedup.minhashLsh(docs, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Dedup.minhashLsh(docs, 0.4, Dedup.ExactVocabBound, saltBuckets = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty, "vacuous: fixture produced no pairs")
+    assert(salted == plain,
+      s"salting changed the answer: plain=${plain.size} salted=${salted.size}")
+    // an all-identical micro-corpus (the adversarial shape): every pair
+    // must still be found exactly once under the salt
+    val dup = docsDf((1L to 20L).map(i => i -> "alpha beta gamma delta epsilon"): _*)
+    val pairs = Dedup.minhashLsh(dup, 0.9, Dedup.ExactVocabBound, saltBuckets = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.distinct.length, "pair emitted twice under salt")
+    assert(pairs.length == 190, s"expected C(20,2)=190 pairs, got ${pairs.length}")
+  }
+
+  test("KMV distinct sketch: exact below k; both hash families land near the true count (fixtures)") {
+    import graft.llm.Sketches
+    // below k the sketch IS the exact count
+    val small = docsDf(1L -> "a b c", 2L -> "c d")
+    val o = Sketches.kmvDistinct(small).as[(String, Long, Long)].collect()
+    assert(o.toSeq == Seq(("en", 4L, 4L)), s"got ${o.toSeq}")
+    // fixture: the estimate must track the exact per-lang vocabulary for
+    // the oracle hash AND the xxhash64 production twin (k=64 ⇒ σ≈12.5%;
+    // bounds are ~4σ)
+    val docs = Tables.table(spark, sf, "documents")
+    val exact = docs.select($"lang", explode(split($"text", " ")).as("token"))
+      .distinct().groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    for ((name, est) <- Seq(
+        "vocab-id" -> Sketches.kmvDistinct(docs),
+        "xxhash64" -> Sketches.kmvDistinctHashed(docs))) {
+      val m = est.select("lang", "est_distinct").as[(String, Long)].collect().toMap
+      assert(m.keySet == exact.keySet)
+      for ((lang, ex) <- exact) {
+        val r = m(lang).toDouble / ex
+        assert(r > 0.5 && r < 1.7,
+          s"$name estimate off for $lang: est=${m(lang)} exact=$ex ratio=$r")
+      }
+    }
+  }
+
+  test("feature hashing: identical texts share vectors, distinct texts diverge, weights count signed occurrences") {
+    import graft.llm.Sketches
+    val docs = docsDf(
+      1L -> "x y z x", 2L -> "x y z x", 3L -> "totally different words here")
+    val vecs = Sketches.featureHashEmbed(docs, 16)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(vecs(1L) == vecs(2L), "identical texts must share a vector")
+    assert(vecs(1L) != vecs(3L), "distinct texts collapsed")
+    // signed occurrence counting: total |weight| mass ≤ token count, and
+    // doc 1's mass reflects the duplicated 'x' (4 tokens)
+    assert(vecs(1L).values.map(math.abs).sum <= 4)
+    assert(vecs(1L).values.map(math.abs).sum > 0)
+  }
+
+  test("temperature mix (α=1/2): low-resource share rises, arithmetic integer-exact") {
+    import graft.llm.Sketches
+    val docs = ((1L to 90L).map(i => (i, s"t$i", "en")) ++
+      (91L to 100L).map(i => (i, s"t$i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sketches.temperatureMix(docs, 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // weights √90=9, √10=3 ⇒ targets 100·9/12=75, 100·3/12=25:
+    // fr's 10% raw share becomes 25% — flattened toward uniform
+    assert(out("en") == ((90L, 9L, 75L)), s"got ${out("en")}")
+    assert(out("fr") == ((10L, 3L, 25L)), s"got ${out("fr")}")
+  }
+
   test("multi-family embedding pairs: family 0 is the single table, recall only grows (fixtures)") {
     val emb = Tables.table(spark, sf, "embeddings")
     def pset(df: org.apache.spark.sql.DataFrame) =
