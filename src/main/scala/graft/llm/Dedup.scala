@@ -197,40 +197,76 @@ object Dedup {
     // no unpersist bookkeeping leaking executor memory across queries.
     val shid = shingleIds(tokenized(docs), exactVocabBound)
       .localCheckpoint(eager = true)
-    // Signature pass stays in whole-stage-codegen'd hash aggregation: the
-    // ×16 hash fan-out looks like it inflates the shuffle, but min() partial-
-    // aggregates map-side, so each mapper emits ≤16 rows per doc — cheaper
-    // end-to-end than collecting sids per doc and folding interpreted array
-    // lambdas in-row (measured 2× slower at sf0.1).
-    // pmod BEFORE the multiply: base-encoded sids are positive and < 2^63 so
-    // the reduction is an identity on the oracle-checked values ((a·b) mod m
-    // == (a·(b mod m)) mod m), but hashed sids span the full signed 64-bit
-    // range — (2h+3)·sid would overflow under ANSI arithmetic, and pmod also
-    // pins the negatives into [0, m) so both encodings share one expression.
-    val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
-    val sig = shid.crossJoin(broadcast(hashes))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(expr("((2 * h + 3) * pmod(sid, 1000003) + 7919 * h + 13) % 1000003")).as("mh"))
-    val bands = sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
-      .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
-    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-    val cand = (if (saltBuckets <= 1) {
-      ba.join(bb, Seq("band", "bval"))
-    } else {
-      val grid = shid.sparkSession.range(saltBuckets)
-        .select(col("id").as("salt_b"))
-      ba.crossJoin(broadcast(grid))
-        .join(bb.withColumn("salt_b", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong))),
-          Seq("band", "bval", "salt_b"))
-    }).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = candidatesOf(signaturesOf(shid), saltBuckets)
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
     val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
     val inter = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     jaccardVerified(inter, cnt, threshold)
+  }
+
+  /** MinHash signatures: 16 (doc_id, h, mh) rows per doc. Stays in
+    * whole-stage-codegen'd hash aggregation: the ×16 hash fan-out looks
+    * like it inflates the shuffle, but min() partial-aggregates map-side,
+    * so each mapper emits ≤16 rows per doc — cheaper end-to-end than
+    * collecting sids per doc and folding interpreted array lambdas in-row
+    * (measured 2× slower at sf0.1).
+    * pmod BEFORE the multiply: base-encoded sids are positive and < 2^63 so
+    * the reduction is an identity on the oracle-checked values ((a·b) mod m
+    * == (a·(b mod m)) mod m), but hashed sids span the full signed 64-bit
+    * range — (2h+3)·sid would overflow under ANSI arithmetic, and pmod also
+    * pins the negatives into [0, m) so both encodings share one expression. */
+  private def signaturesOf(shid: DataFrame): DataFrame = {
+    val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
+    shid.crossJoin(broadcast(hashes))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(expr("((2 * h + 3) * pmod(sid, 1000003) + 7919 * h + 13) % 1000003")).as("mh"))
+  }
+
+  /** LSH banding (8 bands × 2 rows) → distinct candidate pairs; see the
+    * [[minhashLsh]] saltBuckets scaladoc for the skew grid. */
+  private def candidatesOf(sig: DataFrame, saltBuckets: Int): DataFrame = {
+    val bands = sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
+      .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    (if (saltBuckets <= 1) {
+      ba.join(bb, Seq("band", "bval"))
+    } else {
+      val grid = sig.sparkSession.range(saltBuckets)
+        .select(col("id").as("salt_b"))
+      ba.crossJoin(broadcast(grid))
+        .join(bb.withColumn("salt_b", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong))),
+          Seq("band", "bval", "salt_b"))
+    }).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Sketch-only Jaccard ESTIMATE for LSH candidate pairs: the fraction of
+    * the 16 MinHash components on which the two documents agree is an
+    * unbiased estimator of their Jaccard similarity — no shingle-set
+    * intersection, no second look at the documents. This is the 100 TB
+    * triage mode: exact verification ([[minhashLsh]]) re-joins the shingle
+    * sets (corpus-sized), the estimate touches only the 16-row signatures
+    * (collision-sized); a pipeline estimates first and verifies only the
+    * band near the decision threshold. `minAgree` gates output at
+    * minAgree/16 estimated similarity. */
+  def minhashEstimate(docs: DataFrame, minAgree: Int = 8): DataFrame = {
+    require(minAgree >= 1 && minAgree <= 16,
+      s"minhashEstimate: minAgree must be in [1, 16], got $minAgree")
+    val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
+    // signatures feed candidate mining AND both estimate sides
+    val sig = signaturesOf(shid).localCheckpoint(eager = true)
+    val sa = sig.select(col("doc_id").as("doc_a"), col("h"), col("mh").as("mh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("h"), col("mh").as("mh_b"))
+    candidatesOf(sig, 1)
+      .join(sa, "doc_a").join(sb, Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+      .withColumn("est_jaccard", round(col("n_agree") / 16.0, 6))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"))
   }
 
   /** 32-bit SimHash fingerprint per document from token-id pseudo-bits.
@@ -507,6 +543,7 @@ object Dedup {
     "doc_dedup_exact_hash" -> ((s, dir) => Util.orderAll(exactByHash(docs(s, dir)))),
     "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
+    "doc_dedup_minhash_est" -> ((s, dir) => Util.orderAll(minhashEstimate(docs(s, dir)))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
@@ -624,6 +661,18 @@ object Dedup {
 
     "doc_dedup_minhash" -> (tokCte + minhashChain +
       Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    // signature-agreement estimate: same sig/cand chain, no shingle re-join
+    "doc_dedup_minhash_est" -> (tokCte + minhashChain + Util.wrap(
+      """SELECT doc_a, doc_b, n_agree, round(n_agree / 16.0, 6) AS est_jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cand
+        |  JOIN sig a ON a.doc_id = doc_a
+        |  JOIN sig b ON b.doc_id = doc_b AND b.h = a.h
+        |  GROUP BY 1, 2
+        |) t WHERE n_agree >= 8""".stripMargin,
+      Seq("doc_a", "doc_b", "n_agree", "est_jaccard"))),
 
     // same verified pair set, restricted to pairs straddling the mod-7
     // increment split, rolled up per new document

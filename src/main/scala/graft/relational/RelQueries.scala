@@ -344,6 +344,57 @@ object RelQueries {
       withBig.unionByName(noBig)
         .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("has_big_line"))
     }),
+
+    // ordered funnel view → click → purchase: each stage's first timestamp
+    // must be at-or-after the previous stage's. Three user_id-keyed
+    // map-side-combining aggs + two shuffled joins on user_id — per-user
+    // state never leaves its partition chain; no windows over raw events.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .withColumn("stage", lit(1) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0))
+        .orderBy(col("user_id"))
+    }),
+
+    // cohort retention: users grouped by first-active day, distinct actives
+    // per (cohort, day offset ≤ 7). Two aggs keyed on user_id then the
+    // (cohort, offset) rollup — the countDistinct is per (cohort, offset)
+    // and expands to a two-phase exact-distinct aggregate.
+    "q_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val firstDay = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(firstDay, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // GROUPING SETS — the SQL-surface sibling of rollup/cube (Spark exposes
+    // it through the SQL frontend only; same Expand-based single pass)
+    "q_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |                        (l_returnflag, l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -568,5 +619,47 @@ object RelQueries {
         |  SELECT DISTINCT o_orderstatus, o_orderpriority, false AS has_big_line
         |  FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM big)
         |) t ORDER BY o_orderstatus, o_orderpriority, has_big_line""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |), v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts >= t_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts >= t_click GROUP BY 1
+        |)
+        |SELECT v.user_id, t_view, t_click, t_purchase,
+        |  1 + CAST(t_click IS NOT NULL AS INT) + CAST(t_purchase IS NOT NULL AS INT) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -51,6 +51,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("xxhash64"), s"not grouping on the fingerprint:\n$p")
   }
 
+  test("doc_distinct_kmv: the k-smallest filter lowers to WindowGroupLimit (map-side trim)") {
+    val p = phys("doc_distinct_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the exchange — every mapper would ship its whole vocab:\n$p")
+  }
+
+  test("doc_dedup_embedding_lsh_multi: candidate mining is equi-join only, never a cartesian") {
+    val p = phys("doc_dedup_embedding_lsh_multi")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked into pair mining:\n$p")
+    // the only nested-loop join allowed is the broadcast of the 8-row
+    // constant plane table
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    val planes = "LocalTableScan".r.findAllIn(p).length
+    assert(bnl <= planes, s"non-constant side in a nested-loop join:\n$p")
+  }
+
+  test("doc_dedup_minhash_est: estimate touches signatures only — no shingle re-join") {
+    val p = phys("doc_dedup_minhash_est")
+    // the exact verify joins shid (sid column) back; the estimate must not
+    assert(!p.contains("sid#"), s"shingle set leaked into the sketch estimate:\n$p")
+  }
+
+  test("q_funnel: per-stage aggs are partial (map-side combine), no window over raw events") {
+    val p = phys("q_funnel")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"funnel must not sort raw events through a window:\n$p")
+  }
+
   test("partitioned table: partition filter prunes at the scan, not post-scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.table(spark, sf, "orders")

@@ -420,6 +420,39 @@ class StreamingSpec extends SparkSpec {
     assert(out((Some(9L), "p1 p2 "))._1 == true, "doc 9 text B falsely contaminated")
   }
 
+  test("streaming KMV sketch: k-bounded state, running estimate == batch sketch of the prefix") {
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = streaming.StreamingKmv.run(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-kmv"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    def doc(id: Long, p: String, lang: String) =
+      (id, (1 to 10).map(j => s"$p${id}_$j").mkString(" "), lang)
+    val b1 = (1L to 30L).map(doc(_, "en", "en"))
+    val b2 = (31L to 60L).map(doc(_, "en", "en")) ++ (61L to 63L).map(doc(_, "fr", "fr"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // en has 600 distinct tokens (estimator path), fr 30 (exact path);
+    // state stays k-bounded in both
+    assert(latest.values.forall(_._1 <= 64), s"state exceeded k: $latest")
+    // KMV merges exactly: the stream's running sketch must equal the batch
+    // sketch over the union of everything fed so far
+    val batch = graft.llm.Sketches.kmvDistinctHashed((b1 ++ b2)
+        .toDF("doc_id", "text", "lang"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(latest.toMap == batch, s"stream $latest != batch $batch")
+    assert(batch("fr")._1 == 30L && batch("fr")._2 == 30L, "below-k path must be exact")
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
