@@ -224,11 +224,15 @@ object Dedup {
       .agg(min(expr("((2 * h + 3) * pmod(sid, 1000003) + 7919 * h + 13) % 1000003")).as("mh"))
   }
 
-  /** LSH banding (8 bands × 2 rows) → distinct candidate pairs; see the
-    * [[minhashLsh]] saltBuckets scaladoc for the skew grid. */
-  private def candidatesOf(sig: DataFrame, saltBuckets: Int): DataFrame = {
-    val bands = sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
+  /** 8 bands × 2 rows: (doc_id, band, bval) — the joinable LSH key table. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
       .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
+
+  /** LSH banding → distinct candidate pairs; see the [[minhashLsh]]
+    * saltBuckets scaladoc for the skew grid. */
+  private def candidatesOf(sig: DataFrame, saltBuckets: Int): DataFrame = {
+    val bands = bandsOf(sig)
     val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
     (if (saltBuckets <= 1) {
@@ -346,8 +350,9 @@ object Dedup {
     * the full pair set to straddling pairs, which is the oracle-checkable
     * form computed here. */
   def incrementalMinhash(docs: DataFrame, threshold: Double,
-                         newMod: Long = 7L): DataFrame = {
-    val straddling = minhashLsh(docs, threshold)
+                         newMod: Long = 7L,
+                         exactVocabBound: Long = ExactVocabBound): DataFrame = {
+    val straddling = minhashLsh(docs, threshold, exactVocabBound)
       .filter((col("doc_a") % newMod === 0) =!= (col("doc_b") % newMod === 0))
       .select(
         when(col("doc_a") % newMod === 0, col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
@@ -356,6 +361,64 @@ object Dedup {
     // argmax via max(struct): jaccard first, then -existing_doc so ties
     // resolve toward the SMALLER partner id — same trick as dedupLatestAgg
     straddling.groupBy("new_doc")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("existing_doc")).as("nd"))).as("w"))
+      .select(col("new_doc"), col("n_matches"),
+        (-col("w.nd")).as("dup_of"), col("w.j").as("best_jaccard"))
+  }
+
+  /** Materialize the reusable near-dup index of a corpus: hashed shingle
+    * sets + MinHash band table, both parquet. This is the "production
+    * incremental shape" the [[incrementalMinhash]] scaladoc promises: the
+    * corpus is scanned ONCE at index-build time; every daily increment
+    * afterwards costs signatures for the increment + one band join against
+    * the stored table + verification against the stored shingle sets —
+    * never a recompute over the corpus.
+    *
+    * Ids are `xxhash64` ([[shingleIdsHashed]]) BY NECESSITY, not
+    * preference: base-(V+1) encoding depends on the corpus vocabulary, so
+    * an increment would silently re-number every stored shingle — hashed
+    * ids are stable across increments forever. The spec asserts the index
+    * path emits bit-identically what the oracle-checked recompute form
+    * emits under the same (hashed) encoding. */
+  def writeNearDupIndex(docs: DataFrame, path: String): Unit = {
+    val shid = shingleIdsHashed(tokenized(docs)).localCheckpoint(eager = true)
+    shid.write.mode("overwrite").parquet(s"$path/shingles")
+    bandsOf(signaturesOf(shid)).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Which documents of `newDocs` near-duplicate the indexed corpus —
+    * [[incrementalMinhash]] semantics (per new doc: match count, best
+    * Jaccard, the partner achieving it) at per-increment cost: the corpus
+    * side is READ, not recomputed. Candidate mining is the band equi-join
+    * of the increment's bands against the stored table; verification joins
+    * the increment's shingle sets against the stored ones for colliding
+    * pairs only. */
+  def incrementalAgainstIndex(newDocs: DataFrame, path: String,
+                              threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val corpusShid = spark.read.parquet(s"$path/shingles")
+    val corpusBands = spark.read.parquet(s"$path/bands")
+    val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
+    val cand = bandsOf(signaturesOf(newShid))
+      .select(col("doc_id").as("new_doc"), col("band"), col("bval"))
+      .join(corpusBands.select(col("doc_id").as("existing_doc"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .select("new_doc", "existing_doc").distinct()
+    val cntNew = newShid.groupBy("doc_id").agg(count(lit(1)).as("cn"))
+    val cntOld = corpusShid.groupBy("doc_id").agg(count(lit(1)).as("co"))
+    val inter = cand
+      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc")
+      .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")),
+        Seq("existing_doc", "sid"))
+      .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(cntNew.select(col("doc_id").as("new_doc"), col("cn")), "new_doc")
+      .join(cntOld.select(col("doc_id").as("existing_doc"), col("co")), "existing_doc")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("cn") + col("co") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+    verified.groupBy("new_doc")
       .agg(count(lit(1)).as("n_matches"),
         max(struct(col("jaccard").as("j"), (-col("existing_doc")).as("nd"))).as("w"))
       .select(col("new_doc"), col("n_matches"),

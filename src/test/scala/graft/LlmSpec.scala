@@ -182,6 +182,28 @@ class LlmSpec extends SparkSpec {
       s"hashed-id pipeline diverged: base=${base.size} hashed=${viaHashed.size}")
   }
 
+  test("near-dup index: stored bands+shingles reproduce the recompute form bit-for-bit (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    // the repo-wide increment convention: doc_id % 7 == 0 is "today"
+    val existing = docs.filter($"doc_id" % 7 =!= 0)
+    val incoming = docs.filter($"doc_id" % 7 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    Dedup.writeNearDupIndex(existing, idx)
+    val viaIndex = Dedup.incrementalAgainstIndex(incoming, idx, 0.4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // reference semantics: the full recompute restricted to straddling
+    // pairs, forced onto the SAME (hashed) id encoding the index must use
+    val recompute = Dedup.incrementalMinhash(docs, 0.4, 7L, exactVocabBound = 0L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaIndex.nonEmpty, "vacuous: no straddling near-dups on the fixture")
+    assert(viaIndex == recompute,
+      s"index path diverged from recompute: ${viaIndex.size} vs ${recompute.size}")
+    // and the corpus side is served from disk: the index dir holds
+    // everything the increment needs (bands + shingles, both non-empty)
+    assert(spark.read.parquet(s"$idx/bands").count() > 0)
+    assert(spark.read.parquet(s"$idx/shingles").count() > 0)
+  }
+
   test("salted band join: grid salt spreads hot buckets, pair set is bit-identical (fixtures)") {
     val docs = Tables.table(spark, sf, "documents")
     val plain = Dedup.minhashLsh(docs, 0.4)
