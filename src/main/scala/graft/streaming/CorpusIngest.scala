@@ -136,14 +136,16 @@ object CorpusIngest {
           quarantineDir: String, checkpoint: String,
           qualityThreshold: Double = 0.45, evalMod: Long = 101L,
           evalShingles: Option[DataFrame] = None,
-          onBatchComplete: Long => Unit = _ => ()): StreamingQuery =
+          onBatchComplete: Long => Unit = _ => (),
+          minOverlap: Int = 2): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           writeBatchPartition(
-            gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles)
+            gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
+              minOverlap)
               .filter(col("keep"))
               .drop("lang_ok", "quality_ok", "not_repetitive",
                 "not_contaminated", "is_keeper", "keep"),

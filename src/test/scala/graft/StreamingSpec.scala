@@ -344,6 +344,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CurationJob: config-driven wiring runs the full ingest incl. eval-corpus decontamination") {
+    val inDir = tmp("graft-cjob-in")
+    val outDir = tmp("graft-cjob-out")
+    val evalDir = tmp("graft-cjob-eval")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    // benchmark corpus as parquet — the config points at it by path
+    Seq((0L, goodText("e"))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalDir)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(1, goodText("a")) + "\n" + doc(5, goodText("e")) + "\n").getBytes)
+    val conf = GraftConfig.fromMap(Map(
+      "curation.input-dir" -> inDir,
+      "curation.output-dir" -> outDir,
+      "curation.quarantine-dir" -> tmp("graft-cjob-q"),
+      "curation.checkpointLocation" -> tmp("graft-cjob-ckpt"),
+      "curation.eval-corpus" -> evalDir))
+    val q = graft.apps.CurationJob.start(spark, conf)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L),
+      s"got $out — doc 5 duplicates the configured benchmark corpus and must be dropped")
+  }
+
   test("ingest crash-replay: a batch killed after the sink write, before commit, replays without duplicates") {
     val inDir = tmp("graft-crash-in")
     val outDir = tmp("graft-crash-out")
