@@ -130,6 +130,27 @@ object Multimodal {
       Util.orderAll(Similarity.cosineTopK(q, c, 5))
     }),
 
+    // ViT-style patch grid: resize geometry → 16×16 patch coordinates,
+    // long-form (doc_id, patch_id, x0, y0) — the exact fan-out shape a
+    // vision-encoder stage consumes (pixel crops slot in at the seam).
+    // In-row sequence+explode: no shuffle, patches never leave their doc's
+    // partition. Sampled to every 10th doc to keep the oracle dump lean.
+    "mm_patch_grid" -> ((s, dir) => {
+      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("out_w", lit(224))
+        .withColumn("out_h", expr("(height * 224) div width"))
+        .withColumn("npx", expr("out_w div 16"))
+        .withColumn("npy", expr("out_h div 16"))
+        .filter(col("npx") >= 1 && col("npy") >= 1)
+      Util.orderAll(m
+        .select(col("doc_id"), col("npx"), col("npy"),
+          explode(expr("sequence(0, npx * npy - 1)")).as("patch_id"))
+        .select(col("doc_id"), col("patch_id"),
+          expr("(patch_id % npx) * 16").as("x0"),
+          expr("(patch_id div npx) * 16").as("y0")))
+    }),
+
     // resize planning: scale to width 224 preserving aspect (integer
     // division both engines) — the geometry half of a real resize UDF
     "mm_resize" -> ((s, dir) => {
@@ -188,6 +209,16 @@ object Multimodal {
           |  FROM n q JOIN n c ON q.doc_id < 3 AND c.doc_id >= 3
           |) t WHERE rk <= 5""".stripMargin,
         Seq("query_id", "neighbor_id", "cosine", "rk"))),
+
+    "mm_patch_grid" -> (metaCte + Util.wrap(
+      """SELECT doc_id, patch_id, (patch_id % npx) * 16 AS x0,
+        |  (patch_id // npx) * 16 AS y0
+        |FROM (
+        |  SELECT doc_id, 224 // 16 AS npx, ((height * 224) // width) // 16 AS npy
+        |  FROM meta WHERE doc_id % 10 = 0
+        |) g, LATERAL (SELECT unnest(range(0, npx * npy)) AS patch_id) p
+        |WHERE npx >= 1 AND npy >= 1""".stripMargin,
+      Seq("doc_id", "patch_id", "x0", "y0"))),
 
     "mm_resize" -> (metaCte + Util.wrap(
       """SELECT doc_id, width, height, 224 AS out_w,
