@@ -383,6 +383,39 @@ object RelQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // full outer join: which nations have customers but no suppliers and
+    // vice versa — the join type the enrichment pipeline never needed but
+    // a general engine must have; COALESCE resolves the key across sides
+    "q_full_outer" -> ((s, dir) => {
+      val cn = customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sn = supplier(s, dir).groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, col("nk") === col("snk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ranking-function surface: rank / dense_rank / percent_rank /
+    // cume_dist / ntile in one window pass. percent_rank and cume_dist are
+    // exact rationals of two integers — IEEE-correctly-rounded on both
+    // engines, no summation-order exposure
+    "q_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, dir)
+        .filter(col("o_orderkey") % 50 === 0) // sample: keep the dump lean
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // GROUPING SETS — the SQL-surface sibling of rollup/cube (Spark exposes
     // it through the SQL frontend only; same Expand-based single pass)
     "q_grouping_sets" -> ((s, dir) => {
@@ -653,6 +686,31 @@ object RelQueries {
         |WHERE date_diff('day', cohort_day, day) <= 7
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH cn AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1
+        |), sn AS (
+        |  SELECT s_nationkey AS snk, count(*) AS n_suppliers FROM supplier GROUP BY 1
+        |)
+        |SELECT coalesce(nk, snk) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM cn FULL OUTER JOIN sn ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
