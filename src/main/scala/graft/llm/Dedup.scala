@@ -610,6 +610,16 @@ object Dedup {
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
+    // centrality over the verified near-dup graph: integer-exact PageRank,
+    // 3 fixed rounds (see operators/PageRank) — "which cluster member is
+    // the canonical one" when min-doc_id is too arbitrary
+    "doc_dedup_pagerank"  -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = minhashLsh(d, 0.4)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Util.orderAll(graft.operators.PageRank(d.select(col("doc_id").as("id")), edges, 3)
+        .select(col("id").as("doc_id"), col("pr_micro")))
+    }),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
     "doc_dedup_incremental" -> ((s, dir) => Util.orderAll(incrementalMinhash(docs(s, dir), 0.4))),
@@ -696,7 +706,40 @@ object Dedup {
          |)
          |""".stripMargin
 
+  /** One unrolled PageRank round: previous ranks `prev` → `out`. Mirrors
+    * operators/PageRank bit-for-bit: integer contributions pr//deg, integer
+    * damping 150000 + (85·Σ)//100; CAST pins DuckDB's HUGEINT sums. */
+  private def prIter(prev: String, out: String): String =
+    s""", $out AS (
+       |  SELECT n.id, CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+       |  FROM r0 n LEFT JOIN (
+       |    SELECT e.dst AS id, sum($prev.pr // deg.deg) AS c
+       |    FROM e JOIN $prev ON $prev.id = e.src JOIN deg ON deg.src = e.src
+       |    GROUP BY e.dst
+       |  ) s ON s.id = n.id
+       |)
+       |""".stripMargin
+
+  private lazy val pagerankCte =
+    tokCte + minhashChain +
+      s""", pairs AS (
+         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
+         |), e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), deg AS (
+         |  SELECT src, count(*) AS deg FROM e GROUP BY src
+         |), r0 AS (
+         |  SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS pr FROM documents
+         |)
+         |""".stripMargin +
+      prIter("r0", "it1") + prIter("it1", "it2") + prIter("it2", "it3")
+
   def oracle: Map[String, String] = Map(
+    "doc_dedup_pagerank" -> (pagerankCte + Util.wrap(
+      "SELECT id AS doc_id, pr AS pr_micro FROM it3",
+      Seq("doc_id", "pr_micro"))),
     "doc_dedup_exact" -> Util.wrap(
       "SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents GROUP BY text",
       Seq("keeper", "n_copies")),

@@ -184,6 +184,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank: integer damping on a star — hub outranks leaves, exact micro-units") {
+    import graft.operators.PageRank
+    // star 1-(2,3,4) plus isolated node 9; 3 rounds, hand-unrolled:
+    // it1 hub 2 700 000 / leaf 433 333; it2 1 254 999 / 915 000;
+    // it3 2 483 250 / 505 583; isolated keeps pure damping mass
+    val out = PageRank(
+      Seq(1L, 2L, 3L, 4L, 9L).toDF("id"),
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(9L) == 150000L, s"isolated node: ${out(9L)}")
+    assert(out(1L) == 2483250L, s"hub: ${out(1L)}")
+    assert(Seq(2L, 3L, 4L).forall(out(_) == 505583L), s"leaves: $out")
+    // a regular graph is a fixpoint of the integer recurrence: the
+    // triangle keeps exactly the initial mass every round
+    val tri = PageRank(
+      Seq(1L, 2L, 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(tri.values.forall(_ == 1000000L), s"triangle drifted: $tri")
+    // symmetrization: a directed edge list ranks like its undirected form
+    val rev = PageRank(
+      Seq(1L, 2L, 3L, 4L, 9L).toDF("id"),
+      Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rev == out, "edge direction leaked into the undirected semantics")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
