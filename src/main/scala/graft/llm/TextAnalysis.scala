@@ -119,6 +119,29 @@ object TextAnalysis {
         round(col("punct_r"), 6).as("punct_ratio"),
         round(col("quality_score"), 6).as("quality_score"))
 
+  /** Lexical-diversity quality signals, integer-exact: type-token ratio
+    * and the Simpson repeat-concentration index
+    * Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two random token draws are
+    * the same type; high values mark keyword-stuffed / low-entropy docs
+    * the repetition gate's fixed n-gram windows can miss. (True Shannon
+    * entropy needs `ln`, which is libm-dependent and not cross-engine
+    * reproducible — Simpson is the standard rational-arithmetic stand-in.)
+    *
+    * Scale shape: one (doc_id, token)-keyed map-side-combining count, one
+    * doc_id rollup — never an in-row O(N·D) fold, which would go quadratic
+    * on long documents. */
+  def diversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(expr("c * (c - 1)")).as("rep"))
+      .withColumn("ttr_micro", expr("(n_distinct * 1000000) div n_tokens"))
+      .withColumn("simpson_micro", when(col("n_tokens") >= 2,
+        expr("(rep * 1000000) div (n_tokens * (n_tokens - 1))")).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("ttr_micro"), col("simpson_micro"))
+
   /** Whitespace vs BPE-ish-regex token counts. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -516,6 +539,7 @@ object TextAnalysis {
     "text_lang_id"     -> ((s, dir) => Util.orderAll(langId(docs(s, dir)))),
     "text_quality"     -> ((s, dir) => Util.orderAll(quality(docs(s, dir)))),
     "text_tokens"      -> ((s, dir) => Util.orderAll(tokenCounts(docs(s, dir)))),
+    "text_diversity"   -> ((s, dir) => Util.orderAll(diversity(docs(s, dir)))),
     "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
     "text_redact"      -> ((s, dir) => Util.orderAll(redact(docs(s, dir)))),
     "doc_split_stratified" -> ((s, dir) => Util.orderAll(stratifiedSplit(docs(s, dir)))),
@@ -596,6 +620,27 @@ object TextAnalysis {
           |    + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2, 6) AS quality_score
           |FROM q""".stripMargin,
         Seq("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score"))),
+
+    // CASTs pin DuckDB's HUGEINT sums to BIGINT; all ratios are integer
+    // micro-units (exact cross-engine arithmetic)
+    "text_diversity" -> (
+      """WITH c AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+        |  FROM c GROUP BY 1
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, n_tokens, n_distinct,
+          |  (n_distinct * 1000000) // n_tokens AS ttr_micro,
+          |  CASE WHEN n_tokens >= 2
+          |       THEN (rep * 1000000) // (n_tokens * (n_tokens - 1))
+          |       ELSE 0 END AS simpson_micro
+          |FROM a""".stripMargin,
+        Seq("doc_id", "n_tokens", "n_distinct", "ttr_micro", "simpson_micro"))),
 
     "text_tokens" -> Util.wrap(
       s"""SELECT doc_id,

@@ -416,6 +416,24 @@ object RelQueries {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // hourly volume anomaly: flag hours whose event count exceeds 2× the
+    // trailing-3-hour mean — the comparison is the integer
+    // cross-multiplication 3n > 2·Σ(prev 3), no floating division. The
+    // unpartitioned window frames HOURS (hundreds of rows), the documented
+    // tiny-frame exception; per-hour counts underneath are a partial agg.
+    "q_anomaly_hours" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("h")).rowsBetween(-3, -1)
+      hourly
+        .withColumn("trailing_n", sum(col("n")).over(w))
+        .filter(col("trailing_n").isNotNull)
+        .withColumn("is_spike", col("n") * 3 > col("trailing_n") * 2)
+        .select(col("h"), col("n"), col("trailing_n"), col("is_spike"))
+        .orderBy(col("h"))
+    }),
+
     // GROUPING SETS — the SQL-surface sibling of rollup/cube (Spark exposes
     // it through the SQL frontend only; same Expand-based single pass)
     "q_grouping_sets" -> ((s, dir) => {
@@ -711,6 +729,19 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT h, n,
+        |    CAST(sum(n) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trailing_n
+        |  FROM hourly
+        |)
+        |SELECT h, n, trailing_n, n * 3 > trailing_n * 2 AS is_spike
+        |FROM t WHERE trailing_n IS NOT NULL
+        |ORDER BY h""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
