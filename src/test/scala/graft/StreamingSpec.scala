@@ -446,6 +446,69 @@ class StreamingSpec extends SparkSpec {
     assert(out((Some(9L), "p1 p2 "))._1 == true, "doc 9 text B falsely contaminated")
   }
 
+  test("stream-stream event-time as-of: decided at watermark time — a late dim with earlier event time wins") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val memF = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val memD = MemoryStream[(String, String, java.sql.Timestamp, Long, Long)](spark)
+    val facts = memF.toDF().toDF("unique_cdr_id", "probe", "ip", "ts")
+      .withWatermark("ts", "0 seconds")
+    val dims = memD.toDF().toDF("probe", "ip", "ts", "imsi", "msisdn")
+      .withWatermark("ts", "0 seconds")
+    val q = streaming.StreamingAsOf.enrich(facts, dims)
+      .writeStream.format("memory").queryName("st_asof").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-stasof")).start()
+    try {
+      // batch 1: dim v1 at 10:00:00, fact at 10:00:30 — watermark (min of
+      // both inputs) is 10:00:00, so the fact must NOT emit yet: a
+      // processing-time lookup would already have matched v1 irrevocably
+      memD.addData(("p1", "9.9.9.9", ts("2024-01-01 10:00:00"), 1L, 501L))
+      memF.addData((100L, "p1", "9.9.9.9", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("st_asof").count() == 0,
+        "fact finalized before the watermark passed it — disorder unsafe")
+      // batch 2: dim v2 arrives LATE in arrival order but carries event
+      // time 10:00:20 — still before the fact, so it must win
+      memD.addData(("p1", "9.9.9.9", ts("2024-01-01 10:00:20"), 2L, 502L))
+      q.processAllAvailable()
+      // batch 3: advance BOTH watermarks past the fact
+      memD.addData(("p1", "9.9.9.9", ts("2024-01-01 10:05:00"), 9L, 509L))
+      memF.addData((200L, "p1", "9.9.9.9", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val out = spark.table("st_asof")
+        .select($"unique_cdr_id", $"imsi", $"msisdn", $"dim_ts")
+        .as[(Long, Option[Long], Option[Long], java.sql.Timestamp)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out.contains(100L), s"fact 100 never finalized: $out")
+      assert(out(100L) == ((Some(2L), Some(502L), ts("2024-01-01 10:00:20"))),
+        s"late dim v2 must win by event time, got ${out(100L)}")
+      // flush fact 200 (needs the watermark past 10:05:00) and check the
+      // whole output equals the batch as-of twin on the same rows
+      memD.addData(("p1", "9.9.9.9", ts("2024-01-01 11:00:00"), 10L, 510L))
+      memF.addData((300L, "p1", "9.9.9.9", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("st_asof")
+        .select($"unique_cdr_id", $"imsi", $"msisdn")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      val batchFacts = Seq(
+        (100L, "p1", "9.9.9.9", ts("2024-01-01 10:00:30")),
+        (200L, "p1", "9.9.9.9", ts("2024-01-01 10:05:00")))
+        .toDF("unique_cdr_id", "probe", "ip", "start_time")
+      val batchDims = Seq(
+        ("p1", "9.9.9.9", ts("2024-01-01 10:00:00"), 1L, 501L),
+        ("p1", "9.9.9.9", ts("2024-01-01 10:00:20"), 2L, 502L),
+        ("p1", "9.9.9.9", ts("2024-01-01 10:05:00"), 9L, 509L))
+        .toDF("probe", "ip", "start_time", "imsi", "msisdn")
+      val batch = graft.operators.AsOfJoin.leftAsOf(
+          batchFacts, batchDims, keys = Seq("probe", "ip"),
+          leftTime = "start_time", rightTime = "start_time",
+          payload = Seq("imsi" -> "_imsi", "msisdn" -> "_msisdn"))
+        .select($"unique_cdr_id", $"_imsi", $"_msisdn")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(batch.subsetOf(streamed),
+        s"stream disagrees with the batch as-of twin: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch: k-bounded state, running estimate == batch sketch of the prefix") {
     val mem = MemoryStream[(Long, String, String)](spark)
     val stream = mem.toDF().toDF("doc_id", "text", "lang")
