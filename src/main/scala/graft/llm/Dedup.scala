@@ -449,6 +449,25 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("cluster").as("doc_id"), col("cluster_size"))
 
+  /** The COMPLETE dedup pipeline in the production order SCALE.md's
+    * hot-bucket analysis prescribes: exact dedup FIRST (collapse identical
+    * texts to their min-doc_id representative — one agg, and the quadratic
+    * identical-text pathology never reaches LSH), then near-dup clustering
+    * over representatives only, then one keeper row per cluster carrying
+    * `n_reps` (distinct texts absorbed) and `n_docs` (ORIGINAL documents
+    * absorbed, exact copies included) — the corpus keeps `keeper`, drops
+    * `n_docs − 1` documents per row. */
+  def dedupPipeline(docs: DataFrame, threshold: Double): DataFrame = {
+    val groups = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .localCheckpoint(eager = true) // reps feed LSH AND the final rollup
+    val clusters = dedupClusters(groups.select(col("doc_id"), col("text")), threshold)
+    clusters.join(groups.select(col("doc_id"), col("n_copies")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_reps"), sum(col("n_copies")).as("n_docs"))
+      .select(col("cluster").as("keeper"), col("n_reps"), col("n_docs"))
+  }
+
   /** Keep-decision for the embedding path: representative (min vec_id) +
     * absorbed count per [[embeddingClusters]] cluster — completes the
     * embedding dedup symmetry with [[dedupKeep]]. */
@@ -621,6 +640,7 @@ object Dedup {
         .select(col("id").as("doc_id"), col("pr_micro")))
     }),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
+    "doc_dedup_pipeline"  -> ((s, dir) => Util.orderAll(dedupPipeline(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
     "doc_dedup_incremental" -> ((s, dir) => Util.orderAll(incrementalMinhash(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
@@ -736,6 +756,33 @@ object Dedup {
          |""".stripMargin +
       prIter("r0", "it1") + prIter("it1", "it2") + prIter("it2", "it3")
 
+  /** [[clustersCte]] with every stage rebased onto exact-dedup
+    * REPRESENTATIVES: `grp` collapses identical texts (keeping min doc_id
+    * + copy count), and tok / vocab / the closure's node set all read
+    * `grp` instead of `documents` — mirroring dedupPipeline's Spark plan,
+    * where minhashLsh runs on the deduplicated frame. */
+  private lazy val pipelineCte =
+    tokCte
+      .replaceFirst("WITH tok AS \\(",
+        """WITH RECURSIVE grp AS (
+          |  SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+          |  FROM documents GROUP BY text
+          |), tok AS (""".stripMargin)
+      .replace("AS words FROM documents", "AS words FROM grp") +
+      minhashChain +
+      s""", pairs AS (
+         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), comp(node, label) AS (
+         |  SELECT doc_id, doc_id FROM grp
+         |  UNION
+         |  SELECT e.a, comp.label FROM e JOIN comp ON comp.node = e.b
+         |)
+         |""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "doc_dedup_pagerank" -> (pagerankCte + Util.wrap(
       "SELECT id AS doc_id, pr AS pr_micro FROM it3",
@@ -807,6 +854,18 @@ object Dedup {
     "doc_dedup_clusters" -> (clustersCte + Util.wrap(
       "SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node",
       Seq("doc_id", "cluster"))),
+
+    // production-order pipeline: exact groups -> LSH over representatives
+    // only (tok/vocab/comp all derive from grp, not documents) -> keeper
+    // with distinct-text and original-document absorption counts
+    "doc_dedup_pipeline" -> (pipelineCte + Util.wrap(
+      """SELECT cluster AS keeper, count(*) AS n_reps,
+        |  CAST(sum(n_copies) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT node, min(label) AS cluster FROM comp GROUP BY node
+        |) cl JOIN grp ON grp.doc_id = cl.node
+        |GROUP BY cluster""".stripMargin,
+      Seq("keeper", "n_reps", "n_docs"))),
 
     // keep-decision: representative + absorbed-count per cluster
     "doc_dedup_keep" -> (clustersCte + Util.wrap(

@@ -182,6 +182,17 @@ class LlmSpec extends SparkSpec {
       s"hashed-id pipeline diverged: base=${base.size} hashed=${viaHashed.size}")
   }
 
+  test("dedup pipeline: exact copies collapse before LSH, keeper absorbs both kinds of duplicate") {
+    val out = Dedup.dedupPipeline(docsDf(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "a b c d e f", // exact copies
+      4L -> "a b c d e g",                                          // near-dup of 1 (J=0.6)
+      5L -> "x y z w"), 0.4)                                        // unrelated
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // cluster {1,4}: 2 distinct texts, 4 original docs; {5}: singleton
+    assert(out == Map(1L -> ((2L, 4L)), 5L -> ((1L, 1L))), s"got $out")
+  }
+
   test("near-dup index: stored bands+shingles reproduce the recompute form bit-for-bit (fixtures)") {
     val docs = Tables.table(spark, sf, "documents")
     // the repo-wide increment convention: doc_id % 7 == 0 is "today"
