@@ -521,6 +521,52 @@ object Dedup {
       .withColumn("keep", col("n_dup_segments") * 2 <= col("n_segments"))
   }
 
+  /** Corpus-level segment dedup with REWRITE (the C4 / CCNet "remove
+    * duplicated lines, keep the rest of the document" operation, at
+    * token-window granularity since the synthetic corpus has no newlines):
+    * segment each document into `window`-token spans (tail span included, so
+    * the rewrite covers every token), elect the globally FIRST occurrence of
+    * each distinct span (min over doc_id, then position), drop every later
+    * occurrence, and re-emit each document's surviving text in original
+    * order. Unlike [[substringDedup]] — which only *reports* duplicated
+    * fractions — this produces the cleaned corpus itself.
+    *
+    * Scale shape: segmentation is in-row (`transform` over the token
+    * array); the first-occurrence election is ONE map-side-combining min()
+    * aggregation keyed on the span (at 100 TB: key on xxhash64(span) so the
+    * shuffle carries 8-byte keys — the [[exactByHash]] argument; the
+    * oracle-checked path keeps the string key the oracle can reproduce);
+    * the join back is a hash join on the same key; the reassembly keys on
+    * doc_id and carries only surviving spans. Nothing is quadratic and no
+    * window function runs over an unpartitioned frame.
+    *
+    * The election key packs (doc_id, pos) into one BIGINT, `doc_id*1e6 +
+    * pos` — injective while every document has < 1e6 spans (10M tokens at
+    * window 10) and doc_id < 9.2e12; both hold by orders of magnitude at
+    * any real scale, and the packing keeps the min() a primitive-long agg
+    * instead of a struct compare. */
+  def segmentDedupRewrite(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"segmentDedupRewrite: window must be >= 1, got $window")
+    val seg = tokenized(docs)
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, (size(words) + $window - 1) div $window)," +
+          s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
+        .as(Seq("pos0", "segment")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("segment"))
+    val firsts = seg.groupBy("segment")
+      .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("first_fk"))
+    seg.join(firsts, "segment")
+      .withColumn("kept", col("doc_id") * lit(1000000L) + col("pos") === col("first_fk"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(CASE WHEN kept THEN struct(pos, segment) END)), x -> x.segment))")
+          .as("clean_text"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold. Brute-force pairwise (the
     * correctness baseline); the ANN/LSH scale path is in [[Similarity]]. */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
@@ -642,6 +688,7 @@ object Dedup {
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
     "doc_dedup_pipeline"  -> ((s, dir) => Util.orderAll(dedupPipeline(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
+    "doc_dedup_rewrite"   -> ((s, dir) => Util.orderAll(segmentDedupRewrite(docs(s, dir), 10))),
     "doc_dedup_incremental" -> ((s, dir) => Util.orderAll(incrementalMinhash(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
@@ -936,6 +983,29 @@ object Dedup {
           |  sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 2 <= count(*) AS keep
           |FROM seg JOIN cnt USING (segment) GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_segments", "n_dup_segments", "dup_fraction", "keep"))),
+
+    // rewrite: tail span included ((len+9)//10 spans), election key packs
+    // (doc_id, pos) as doc_id*1e6+pos on both sides; string_agg skips the
+    // NULLed-out dropped spans exactly as Spark's collect_list does, and
+    // coalesce('') matches concat_ws over an empty array for all-dropped docs
+    "doc_dedup_rewrite" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), seg AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(words, (i-1)*10+1, i*10), ' ') AS segment
+        |  FROM tok, LATERAL (SELECT unnest(range(1, (len(words)+9)//10 + 1)) AS i) ii
+        |  WHERE len(words) >= 1
+        |), firsts AS (
+        |  SELECT segment, min(doc_id * 1000000 + pos) AS first_fk
+        |  FROM seg GROUP BY segment
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, count(*) AS n_segments,
+          |  CAST(sum(CASE WHEN doc_id * 1000000 + pos = first_fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(string_agg(CASE WHEN doc_id * 1000000 + pos = first_fk THEN segment END, ' ' ORDER BY pos), '') AS clean_text
+          |FROM seg JOIN firsts USING (segment) GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "n_segments", "n_kept", "clean_text"))),
 
     "doc_dedup_embedding" -> (
       """WITH e AS (

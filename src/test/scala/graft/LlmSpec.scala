@@ -417,6 +417,24 @@ class LlmSpec extends SparkSpec {
     assert(all == Map(5L -> false, 6L -> false))
   }
 
+  test("segment rewrite: first occurrence survives, later copies are cut, tail span kept") {
+    // window=3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c] (cut) and adds
+    // its own tail [x y] (short tail span — still covered by the rewrite);
+    // doc 3 is an exact copy of doc 1 and loses everything; doc 4 repeats a
+    // span WITHIN itself — second occurrence cut even though same doc
+    val out = Dedup.segmentDedupRewrite(docsDf(
+      1L -> "a b c d e f",
+      2L -> "a b c x y",
+      3L -> "a b c d e f",
+      4L -> "p q r p q r"), 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")), "untouched doc reassembles to its original text")
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((2L, 0L, "")), "full duplicate is rewritten to empty")
+    assert(out(4L) == ((2L, 1L, "p q r")), "self-repeat keeps only the first occurrence")
+  }
+
   test("domain cap: top-k per source by quality, rank ties break by doc_id") {
     val docs = Seq(
       (1L, "the of and to a word word word word word", "s1"),
