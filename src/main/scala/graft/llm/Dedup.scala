@@ -521,6 +521,57 @@ object Dedup {
       .withColumn("keep", col("n_dup_segments") * 2 <= col("n_segments"))
   }
 
+  /** Bloom-prefiltered increment-vs-corpus span membership: which documents
+    * of today's increment (doc_id % 7 == 0, the same split as
+    * [[incrementalMinhash]]) share an exact `window`-token span with the
+    * existing corpus, and how many of their spans are shared. This is the
+    * cheap first gate a crawl-ingest runs before the expensive MinHash pass:
+    * verbatim-copied boilerplate is caught by exact span membership alone.
+    *
+    * Scale shape — the point of the Bloom filter: the corpus side is 100 TB
+    * and the increment is small, so joining increment spans against corpus
+    * spans must NOT shuffle the corpus per increment. Instead:
+    *  1. a Bloom sketch over xxhash64(span) of the corpus's distinct spans
+    *     is built once (`DataFrameStatFunctions.bloomFilter`, a
+    *     treeAggregate — no shuffle) and broadcast to executors;
+    *  2. increment spans probe the sketch in a map-only pass — no false
+    *     negatives, so no true duplicate is lost; ~fpp of clean spans
+    *     survive as false positives;
+    *  3. the few survivors are broadcast into ONE exact hash join against
+    *     the distinct-span index to kill the false positives, so the final
+    *     counts are exact — identical to the naive join the oracle runs.
+    * The distinct-span index is the one corpus-wide shuffle and is
+    * increment-independent: production materializes it once and reuses it
+    * per increment (the [[writeNearDupIndex]] pattern), leaving the
+    * per-increment cost at sketch-probe + broadcast-join. This is the same
+    * sketch-then-exact-verify contract Spark's own runtime row-level
+    * filtering (InjectRuntimeFilter) applies to shuffle joins. */
+  def bloomIncrementalSpans(docs: DataFrame, window: Int,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(window >= 1, s"bloomIncrementalSpans: window must be >= 1, got $window")
+    val seg = tokenized(docs)
+      .filter(size(col("words")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) div $window)," +
+          s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
+        .as("segment"))
+    val corp = seg.filter(col("doc_id") % 7 =!= 0).select("segment").distinct()
+    val incs = seg.filter(col("doc_id") % 7 === 0)
+    val sketch = corp.select(xxhash64(col("segment")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(sketch)
+    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+    val cand = incs.filter(mightContain(xxhash64(col("segment"))))
+    // corp is distinct, so each surviving (doc, span) row matches at most
+    // once: the inner join == cand ⋉ corp, with the small side broadcast
+    val hits = corp.join(broadcast(cand), "segment")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    incs.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id").as("new_doc"), col("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit_spans"))
+  }
+
   /** Corpus-level segment dedup with REWRITE (the C4 / CCNet "remove
     * duplicated lines, keep the rest of the document" operation, at
     * token-window granularity since the synthetic corpus has no newlines):
@@ -689,6 +740,7 @@ object Dedup {
     "doc_dedup_pipeline"  -> ((s, dir) => Util.orderAll(dedupPipeline(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
     "doc_dedup_rewrite"   -> ((s, dir) => Util.orderAll(segmentDedupRewrite(docs(s, dir), 10))),
+    "doc_dedup_bloom_inc" -> ((s, dir) => Util.orderAll(bloomIncrementalSpans(docs(s, dir), 10))),
     "doc_dedup_incremental" -> ((s, dir) => Util.orderAll(incrementalMinhash(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
@@ -983,6 +1035,31 @@ object Dedup {
           |  sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 2 <= count(*) AS keep
           |FROM seg JOIN cnt USING (segment) GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_segments", "n_dup_segments", "dup_fraction", "keep"))),
+
+    // the Bloom sketch has no false negatives and survivors are re-verified
+    // with an exact join, so the result is EXACTLY the naive span-membership
+    // join below — the sketch only changes the plan, never the answer
+    "doc_dedup_bloom_inc" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), seg AS (
+        |  SELECT doc_id, array_to_string(list_slice(words, (i-1)*10+1, i*10), ' ') AS segment
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words)//10 + 1)) AS i) ii
+        |  WHERE len(words) >= 10
+        |), corp AS (
+        |  SELECT DISTINCT segment FROM seg WHERE doc_id % 7 <> 0
+        |), incs AS (
+        |  SELECT doc_id, segment FROM seg WHERE doc_id % 7 = 0
+        |), hit AS (
+        |  SELECT doc_id, count(*) AS n_hit
+        |  FROM incs JOIN corp USING (segment) GROUP BY doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT t.doc_id AS new_doc, t.n_spans,
+          |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit_spans
+          |FROM (SELECT doc_id, count(*) AS n_spans FROM incs GROUP BY doc_id) t
+          |LEFT JOIN hit ON hit.doc_id = t.doc_id""".stripMargin,
+        Seq("new_doc", "n_spans", "n_hit_spans"))),
 
     // rewrite: tail span included ((len+9)//10 spans), election key packs
     // (doc_id, pos) as doc_id*1e6+pos on both sides; string_agg skips the

@@ -435,6 +435,54 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((2L, 1L, "p q r")), "self-repeat keeps only the first occurrence")
   }
 
+  test("bloom incremental spans: exact counts survive any fpp, zero-hit docs included") {
+    // doc 7 (increment: 7 % 7 == 0) shares its first window with corpus
+    // doc 1 and repeats it twice — both occurrences count; doc 14 shares
+    // nothing and must still appear with 0 hits
+    val docs = docsDf(
+      1L  -> "a b c d e f",
+      7L  -> "a b c a b c x y z",
+      14L -> "p q r s t u")
+    val out = Dedup.bloomIncrementalSpans(docs, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(7L -> ((3L, 2L)), 14L -> ((2L, 0L))))
+    // exactness is fpp-independent: a deliberately saturated sketch (tiny
+    // capacity, huge fpp -> nearly every probe is a false positive) must
+    // produce the identical result because the exact join kills every FP
+    val saturated = Dedup.bloomIncrementalSpans(docs, 3, expectedItems = 2, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(saturated == out, "bloom sketch must only change the plan, never the answer")
+  }
+
+  test("bloom prefilter prunes the probe side on the sf fixture") {
+    val docs = Tables.table(spark, sf, "documents")
+    val out = Dedup.bloomIncrementalSpans(docs, 10)
+    val agg = out.agg(
+      sum(col("n_spans")).as("spans"), sum(col("n_hit_spans")).as("hits")).collect()(0)
+    val (spans, hits) = (agg.getLong(0), agg.getLong(1))
+    assert(hits > 0, "fixture must make the membership check non-vacuous")
+    assert(hits < spans, "not everything may hit or the prefilter proves nothing")
+    // the sketch itself must reject the clean bulk: probe the corpus sketch
+    // with every increment span and count survivors — they should be within
+    // fpp-slack of the true hits, far below the unfiltered span count
+    import org.apache.spark.sql.functions.{expr => e}
+    val seg = Dedup.tokenized(docs).filter(size(col("words")) >= 10)
+      .select(col("doc_id"), explode(e(
+        "transform(sequence(1, size(words) div 10), i -> concat_ws(' ', slice(words, (i-1)*10+1, 10)))"))
+        .as("segment"))
+    val corp = seg.filter(col("doc_id") % 7 =!= 0).select("segment").distinct()
+    val sketch = corp.select(xxhash64(col("segment")).as("h")).stat.bloomFilter("h", 1L << 20, 0.01)
+    val incHashes = seg.filter(col("doc_id") % 7 === 0)
+      .select(xxhash64(col("segment")).as("h")).as[Long].collect()
+    val survivors = incHashes.count(sketch.mightContainLong)
+    // no false negatives: every true hit survives the sketch
+    assert(survivors >= hits)
+    // and the clean bulk is rejected: survivors ≈ hits + fpp·clean, which at
+    // fpp=1% must stay under half the unfiltered probe volume
+    assert(survivors * 2 < incHashes.length,
+      s"sketch passed $survivors of ${incHashes.length} spans — not pruning")
+  }
+
   test("domain cap: top-k per source by quality, rank ties break by doc_id") {
     val docs = Seq(
       (1L, "the of and to a word word word word word", "s1"),
