@@ -102,6 +102,20 @@ object VectorFunctions {
   /** L2 norm via the same kernel. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
 
+  /** Codegen'd Bloom-sketch membership probe over a Long column: Spark's own
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression InjectRuntimeFilter plants for runtime row-level
+    * filtering), reached through the GraftSql shim. The serialized sketch is
+    * a foldable binary literal — deserialized once per task, probed inside
+    * whole-stage codegen; no per-row Scala UDF, no broadcast variable to
+    * leak. `value` must be a BIGINT column (e.g. `xxhash64(...)`). */
+  def bloomMightContain(sketchBytes: Array[Byte], value: Column): Column =
+    GraftSql.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          sketchBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSql.expression(value)))
+
   /** Arity-checked SQL builder — a wrong argument count is an analysis
     * error naming the function, not an IndexOutOfBoundsException. */
   def dotBuilder(children: Seq[Expression]): Expression = {

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is arithmetic over *vocabulary ids* (dense_rank over the
   * distinct token set) instead of engine hash functions, so the DuckDB
-  * oracle reproduces results bit-for-bit. The vocabulary window is global
-  * but tiny (distinct tokens ≪ corpus size — that's what makes it a
-  * vocabulary); at 100 TB you'd broadcast it the same way.
+  * oracle reproduces results bit-for-bit. Every vocab consumer has a
+  * vocab-FREE xxhash64 twin for the unbounded-vocabulary regime
+  * ([[shingleIdsHashed]], [[simhashHashed]]) behind the same injectable
+  * switch point, so no operator in this family needs a corpus-wide
+  * vocabulary broadcast at 100 TB.
   *
   * Scale notes (100 TB):
   *  - exact dedup: single hash-shuffle on the text key (at scale: group on a
@@ -287,14 +289,57 @@ object Dedup {
     * √2⁶³) before the multiply so ANSI arithmetic cannot overflow at
     * tens-of-millions-token vocabularies — same guard as
     * [[TextAnalysis.stratifiedSplit]], mirrored in the oracle. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame = simhash(docs, ExactVocabBound)
+
+  /** `exactVocabBound` injects the encoding switch exactly like
+    * [[shingleIds]]: production keeps the default; tests force the hashed
+    * path on a small fixture with `exactVocabBound = 0` so the 100 TB
+    * branch has executed evidence. */
+  def simhash(docs: DataFrame, exactVocabBound: Long): DataFrame = {
     val tok = tokenized(docs)
-    val dt = tok.select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
-      .join(broadcast(vocab(tok)), "token")
-    val bitSums = (0 until 32).map { j =>
-      sum(expr(s"CASE WHEN ((tid % 3037000493) * 2654435761 + $j * 40503) % 65536 >= 32768" +
-        s" THEN 1 ELSE -1 END")).as(s"s$j")
+    val v = vocab(tok)
+    // same switch point as shingleIds: past ~2M distinct tokens the vocab
+    // table stops being "tiny" and the broadcast + per-query corpus-wide
+    // distinct stop being acceptable — derive the pseudo-bits from
+    // xxhash64(token) instead (no vocab at all). Below it, keep the
+    // vocabulary-id arithmetic the DuckDB oracle reproduces bit-for-bit.
+    if (v.count() + 1 > exactVocabBound) simhashHashed(docs)
+    else {
+      val dt = tok.select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
+        .join(broadcast(v), "token")
+      packSimhashBits(dt, j =>
+        expr(s"CASE WHEN ((tid % 3037000493) * 2654435761 + $j * 40503) % 65536 >= 32768" +
+          s" THEN 1 ELSE -1 END"))
     }
+  }
+
+  /** Vocab-free SimHash — the unbounded-vocabulary (100 TB) twin, removing
+    * the last corpus-wide vocabulary broadcast in the operator family: bit
+    * `j`'s pseudo-random sign for a token is bit `j` of `xxhash64(token)`,
+    * so the fingerprint needs ONE linear codegen'd pass — no vocab table,
+    * no broadcast, no per-query corpus-wide distinct, no driver count. The
+    * 64-bit hash supplies 32 independent fair coin flips per token (bits of
+    * a well-mixed hash are pairwise unbiased), which is precisely the
+    * pseudo-bit contract the vocab-id arithmetic in [[simhash]] emulates;
+    * the banding algebra downstream ([[simhashPairsOf]]) is encoding-blind,
+    * operating on the packed 32-bit fingerprint only. Fingerprint VALUES are
+    * engine-specific (xxhash64 seed), which is why the oracle-checked
+    * queries keep the vocab path — the spec asserts the hashed path's
+    * banded pairs obey the same pigeonhole recall guarantee. */
+  def simhashHashed(docs: DataFrame): DataFrame = {
+    val dt = tokenized(docs)
+      .select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    packSimhashBits(dt, j =>
+      expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END"))
+  }
+
+  /** Shared 32-bit packing: per-doc signed bit sums (32 codegen'd
+    * conditional columns in ONE map-side-combining aggregation) → sign →
+    * packed BIGINT fingerprint. `bitExpr(j)` yields the ±1 pseudo-bit of
+    * the current token for bit j — the only thing the two encodings vary. */
+  private def packSimhashBits(dt: DataFrame, bitExpr: Int => org.apache.spark.sql.Column): DataFrame = {
+    val bitSums = (0 until 32).map { j => sum(bitExpr(j)).as(s"s$j") }
     dt.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", (0 until 32).map { j =>
@@ -308,12 +353,21 @@ object Dedup {
     * by pigeonhole any pair within distance 3 agrees exactly on ≥ 1 band, so
     * the join only touches same-band-value candidates — the linear-pass /
     * bucket-join scale shape (same as MinHash LSH), never the N² cross. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsOf(simhash(docs), maxHamming)
+
+  /** [[simhashPairs]] over vocab-free fingerprints ([[simhashHashed]]) —
+    * same banding, no vocabulary anywhere in the plan. */
+  def simhashPairsHashed(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsOf(simhashHashed(docs), maxHamming)
+
+  /** Banded pair mining over any (doc_id, simhash) frame — encoding-blind:
+    * the pigeonhole argument is about the 32-bit fingerprint alone. */
+  private[llm] def simhashPairsOf(sh: DataFrame, maxHamming: Int): DataFrame = {
     // pigeonhole over 4 bands only guarantees full recall for distance ≤ 3;
     // a larger bound would silently miss pairs, so refuse it
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairs: 4-band blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val sh = simhash(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bval", expr("(simhash div CAST(power(2, band * 8) AS BIGINT)) % 256"))
@@ -501,7 +555,16 @@ object Dedup {
     * and pinning corpus-sized blocks in unreplicated executor storage
     * trades a linear in-row recompute for an executor-loss failure mode
     * and cluster-memory pressure — the wrong trade at scale. */
-  def substringDedup(docs: DataFrame, window: Int): DataFrame = {
+  def substringDedup(docs: DataFrame, window: Int): DataFrame =
+    substringDedup(docs, window, hashedKeys = false)
+
+  /** `hashedKeys = true` is the promised 100 TB branch, executable on any
+    * fixture (the shingleIdsHashed injectable-switch pattern): the span
+    * count and the count-join key on `xxhash64(segment)` so both shuffles
+    * carry an 8-byte key instead of the span text — identical output up to
+    * a ~2⁻⁶⁴ hash collision (the [[exactByHash]] argument), spec-asserted
+    * equal to the string-keyed plan. */
+  def substringDedup(docs: DataFrame, window: Int, hashedKeys: Boolean): DataFrame = {
     require(window >= 1, s"substringDedup: window must be >= 1, got $window")
     // guard: sequence(1, 0) counts DOWN in Spark, so short docs must be
     // filtered before the transform (same guard as the bigram builder)
@@ -511,8 +574,9 @@ object Dedup {
         s"transform(sequence(1, size(words) div $window)," +
           s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
         .as("segment"))
-    val counts = seg.groupBy("segment").agg(count(lit(1)).as("n_occ"))
-    seg.join(counts, "segment")
+      .withColumn("k", if (hashedKeys) xxhash64(col("segment")) else col("segment"))
+    val counts = seg.groupBy("k").agg(count(lit(1)).as("n_occ"))
+    seg.join(counts, "k")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("n_occ") >= 2, 1).otherwise(0)).as("n_dup_segments"))
@@ -545,9 +609,21 @@ object Dedup {
     * per increment (the [[writeNearDupIndex]] pattern), leaving the
     * per-increment cost at sketch-probe + broadcast-join. This is the same
     * sketch-then-exact-verify contract Spark's own runtime row-level
-    * filtering (InjectRuntimeFilter) applies to shuffle joins. */
+    * filtering (InjectRuntimeFilter) applies to shuffle joins — and the
+    * probe IS Spark's own codegen'd [[BloomFilterMightContain]] expression
+    * (reached through the GraftSql shim; the sketch bytes ride as a foldable
+    * binary literal, exactly how InjectRuntimeFilter plants them), not a
+    * per-row Scala UDF: the filter stays inside whole-stage codegen and the
+    * sketch is deserialized once per task, with no broadcast variable to
+    * leak across invocations.
+    *
+    * `broadcastCandidates = false` is the dense-increment escape hatch (the
+    * lshTopKMulti pattern): a duplicate-heavy increment can leave survivors
+    * ≈ all increment spans, past driver/broadcast limits — the fallback is
+    * the plain shuffled equi-join on the span key. */
   def bloomIncrementalSpans(docs: DataFrame, window: Int,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      broadcastCandidates: Boolean = true): DataFrame = {
     require(window >= 1, s"bloomIncrementalSpans: window must be >= 1, got $window")
     val seg = tokenized(docs)
       .filter(size(col("words")) >= window)
@@ -559,12 +635,18 @@ object Dedup {
     val incs = seg.filter(col("doc_id") % 7 === 0)
     val sketch = corp.select(xxhash64(col("segment")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
-    val bcast = docs.sparkSession.sparkContext.broadcast(sketch)
-    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
-    val cand = incs.filter(mightContain(xxhash64(col("segment"))))
+    val sketchBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      sketch.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = graft.functions.VectorFunctions.bloomMightContain(
+      sketchBytes, xxhash64(col("segment")))
+    val cand = incs.filter(mightContain)
     // corp is distinct, so each surviving (doc, span) row matches at most
     // once: the inner join == cand ⋉ corp, with the small side broadcast
-    val hits = corp.join(broadcast(cand), "segment")
+    val hits = corp.join(if (broadcastCandidates) broadcast(cand) else cand,
+        "segment")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     incs.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
       .join(hits, Seq("doc_id"), "left_outer")
@@ -593,11 +675,32 @@ object Dedup {
     *
     * The election key packs (doc_id, pos) into one BIGINT, `doc_id*1e6 +
     * pos` — injective while every document has < 1e6 spans (10M tokens at
-    * window 10) and doc_id < 9.2e12; both hold by orders of magnitude at
-    * any real scale, and the packing keeps the min() a primitive-long agg
-    * instead of a struct compare. */
-  def segmentDedupRewrite(docs: DataFrame, window: Int): DataFrame = {
+    * window 10) and |doc_id| ≤ 9.2e12; both hold by orders of magnitude for
+    * sequential ids at any real scale, and the packing keeps the min() a
+    * primitive-long agg instead of a struct compare. The bounds are
+    * RUNTIME-ENFORCED per row (a codegen'd branch, free next to the string
+    * agg): a ≥1e6-span document or a hash-derived doc_id (e.g. the
+    * xxhash64-as-doc_id pattern CorpusIngest.gate uses) would silently
+    * collide or, under ANSI, overflow mid-aggregate — electing a wrong
+    * first occurrence must be impossible, not quiet. Such corpora should
+    * pre-map ids to a dense range (zipWithIndex) before calling this. */
+  def segmentDedupRewrite(docs: DataFrame, window: Int): DataFrame =
+    segmentDedupRewrite(docs, window, hashedKeys = false)
+
+  /** `hashedKeys = true`: the first-occurrence election and its join back
+    * key on `xxhash64(segment)` — 8-byte shuffle keys, the same executable
+    * 100 TB branch as [[substringDedup]]'s; spec-asserted identical. */
+  def segmentDedupRewrite(docs: DataFrame, window: Int, hashedKeys: Boolean): DataFrame = {
     require(window >= 1, s"segmentDedupRewrite: window must be >= 1, got $window")
+    // Long.MaxValue / 1e6, floored: largest |doc_id| whose packed key fits
+    val packBound = 9223372036854L
+    val packed = when(col("pos") >= 1000000L || abs(col("doc_id")) > packBound,
+      raise_error(concat(
+        lit("segmentDedupRewrite: (doc_id, pos) = ("), col("doc_id").cast("string"),
+        lit(", "), col("pos").cast("string"),
+        lit(s") exceeds the doc_id*1e6+pos packing bounds (pos < 1e6, |doc_id| <= $packBound)")))
+        .cast("long"))
+      .otherwise(col("doc_id") * lit(1000000L) + col("pos"))
     val seg = tokenized(docs)
       .filter(size(col("words")) >= 1)
       .select(col("doc_id"), posexplode(expr(
@@ -605,10 +708,12 @@ object Dedup {
           s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
         .as(Seq("pos0", "segment")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("segment"))
-    val firsts = seg.groupBy("segment")
-      .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("first_fk"))
-    seg.join(firsts, "segment")
-      .withColumn("kept", col("doc_id") * lit(1000000L) + col("pos") === col("first_fk"))
+      .withColumn("fk", packed)
+      .withColumn("k", if (hashedKeys) xxhash64(col("segment")) else col("segment"))
+    val firsts = seg.groupBy("k")
+      .agg(min(col("fk")).as("first_fk"))
+    seg.join(firsts, "k")
+      .withColumn("kept", col("fk") === col("first_fk"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),

@@ -421,6 +421,14 @@ object RelQueries {
     // cross-multiplication 3n > 2·Σ(prev 3), no floating division. The
     // unpartitioned window frames HOURS (hundreds of rows), the documented
     // tiny-frame exception; per-hour counts underneath are a partial agg.
+    // Frame semantics, intentionally: ROWS BETWEEN 3 PRECEDING AND 1
+    // PRECEDING ranges over OBSERVED hours — a gap in the hourly series
+    // makes "trailing 3 hours" mean the last 3 hours with any traffic, and
+    // the 2nd/3rd observed rows compare against a partial (1-2 row) Σ, so
+    // 3n > 2Σ there is a stricter-than-2× test. That is the operational
+    // reading (compare against recent *activity*, flag early hours
+    // aggressively); a calendar-exact frame would need a generated hour
+    // spine. The DuckDB oracle mirrors the same ROWS frame bit-for-bit.
     "q_anomaly_hours" -> ((s, dir) => {
       val hourly = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("h"))

@@ -38,10 +38,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAsOf {
 
-  /** (dim versions ts-ascending, pending facts) — all timestamps epoch ms. */
+  /** (dim versions ts-ascending, pending facts) — all timestamps epoch ms.
+    * A fact's cdr_id is Option: a NULL unique_cdr_id is payload, not a join
+    * key, so the row still enriches (NULL id in, NULL id out) — same as the
+    * batch twin, where the id rides along untouched. */
   case class AsOfState(
       dims: List[(Long, Option[Long], Option[Long])], // (ts, imsi, msisdn)
-      facts: List[(Long, Long)])                      // (ts, cdr_id)
+      facts: List[(Long, Option[Long])])              // (ts, cdr_id)
+
+  /** Deterministic per-timestamp tie-break, mirroring the batch twin's
+    * pre-reduction (AsOfJoin step 1: one right row per (keys, rightTime),
+    * winner = max(struct(payload))): two dim versions sharing an event time
+    * collapse to the one with the greatest (imsi, msisdn) — None sorts
+    * below Some exactly like SQL's nulls-smallest struct comparison, so the
+    * streaming result cannot depend on arrival order. */
+  private[graft] def reduceDimTies(
+      dims: List[(Long, Option[Long], Option[Long])])
+      : List[(Long, Option[Long], Option[Long])] =
+    dims.groupBy(_._1).map { case (ts, vs) =>
+      (ts, vs.map(v => (v._2, v._3)).max)
+    }.toList.sortBy(_._1).map { case (ts, (i, m)) => (ts, i, m) }
 
   /** `facts` needs (unique_cdr_id, probe, ip, ts); `dims` needs
     * (probe, ip, ts, imsi, msisdn); both `ts` must already carry
@@ -59,33 +75,34 @@ object StreamingAsOf {
       col("imsi"), col("msisdn"))
     // the watermarked TIMESTAMP column itself must flow into the stateful
     // operator — projecting it away (e.g. to epoch millis) would strip the
-    // event-time tag and EventTimeTimeout refuses to plan
+    // event-time tag and EventTimeTimeout refuses to plan. The group key is
+    // the (probe, ip) PAIR, not a delimited concat: a probe value containing
+    // the delimiter must not be able to smear into the ip column on re-parse.
     val union = taggedFacts.unionByName(taggedDims)
-      .select(concat_ws(" ", col("probe"), col("ip")).as("k"),
-        col("ts"),
+      .select(col("probe"), col("ip"), col("ts"),
         col("side"), col("cdr_id"), col("imsi"), col("msisdn"))
-      .as[(String, java.sql.Timestamp, Int, Option[Long], Option[Long], Option[Long])]
+      .as[(String, String, java.sql.Timestamp, Int, Option[Long], Option[Long], Option[Long])]
 
-    union.groupByKey(_._1)
+    union.groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[AsOfState,
-        (String, Long, Option[Long], Option[Long], Option[Long], Option[Long])](
+        (String, String, Long, Option[Long], Option[Long], Option[Long], Option[Long])](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key, rows, state) =>
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           var dims = prev.dims
           var pend = prev.facts
           rows.foreach {
-            case (_, ts, 0, _, imsi, msisdn) => dims = (ts.getTime, imsi, msisdn) :: dims
-            case (_, ts, _, cdrId, _, _)     => pend = (ts.getTime, cdrId.get) :: pend
+            case (_, _, ts, 0, _, imsi, msisdn) => dims = (ts.getTime, imsi, msisdn) :: dims
+            case (_, _, ts, _, cdrId, _, _)     => pend = (ts.getTime, cdrId) :: pend
           }
-          dims = dims.distinct.sortBy(_._1)
+          dims = reduceDimTies(dims.distinct)
           val wm = state.getCurrentWatermarkMs()
           // finalize every fact the watermark has passed: all dims <= its
           // ts are in the buffer, so "latest at-or-before" is decided
           val (ready, stillPending) = pend.partition(_._1 <= wm)
           val out = ready.sortBy(f => (f._1, f._2)).map { case (fts, cdrId) =>
             val m = dims.takeWhile(_._1 <= fts).lastOption
-            (key, fts, Option(cdrId), m.map(_._1), m.flatMap(_._2), m.flatMap(_._3))
+            (key._1, key._2, fts, cdrId, m.map(_._1), m.flatMap(_._2), m.flatMap(_._3))
           }
           // trim dims to the carry-in (latest <= wm) + every newer version
           val (past, future) = dims.partition(_._1 <= wm)
@@ -99,10 +116,9 @@ object StreamingAsOf {
           }
           out.iterator
       }
-      .toDF("k", "ts_ms", "cdr_id", "dim_ts_ms", "imsi", "msisdn")
+      .toDF("probe", "ip", "ts_ms", "cdr_id", "dim_ts_ms", "imsi", "msisdn")
       .select(
-        split(col("k"), " ").getItem(0).as("probe"),
-        split(col("k"), " ").getItem(1).as("ip"),
+        col("probe"), col("ip"),
         timestamp_millis(col("ts_ms")).as("ts"),
         col("cdr_id").as("unique_cdr_id"),
         col("imsi"), col("msisdn"),

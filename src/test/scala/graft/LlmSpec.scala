@@ -483,6 +483,75 @@ class LlmSpec extends SparkSpec {
       s"sketch passed $survivors of ${incHashes.length} spans — not pruning")
   }
 
+  test("bloom incremental spans: shuffled-join escape hatch matches the broadcast plan (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    val bcast = Dedup.bloomIncrementalSpans(docs, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val shuffled = Dedup.bloomIncrementalSpans(docs, 10, broadcastCandidates = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bcast.nonEmpty && shuffled == bcast,
+      "dense-increment fallback must be plan-only, never answer-changing")
+  }
+
+  test("vocab-free simhash: forced switch engages; banded pairs keep the pigeonhole recall (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    // exactVocabBound = 0 forces the auto-switch down the hashed branch —
+    // the path a tens-of-millions-token vocabulary takes at 100 TB
+    val forced = Dedup.simhash(docs, exactVocabBound = 0L)
+      .as[(Long, Long)].collect().toMap
+    val hashed = Dedup.simhashHashed(docs).as[(Long, Long)].collect().toMap
+    assert(forced == hashed, "forced switch did not take the vocab-free path")
+    assert(hashed.values.forall(v => v >= 0 && v < (1L << 32)))
+    // the hashed space must not be degenerate on the fixture (a constant
+    // fingerprint would make every downstream claim vacuous)
+    assert(hashed.values.toSet.size > hashed.size / 2,
+      s"hashed fingerprints collapsed: ${hashed.values.toSet.size} distinct of ${hashed.size}")
+    // pigeonhole recall: the banded join must find EXACTLY the pairs a
+    // brute-force Hamming<=3 scan over the same fingerprints finds — the
+    // 4x8-bit banding algebra is encoding-blind
+    val fps = hashed.toSeq
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    val banded = Dedup.simhashPairsHashed(docs, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded.nonEmpty, "vacuous: no hashed near-dup pairs on the fixture")
+    assert(banded == brute,
+      s"banding lost recall: banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("hashed segment keys: substring dedup and rewrite are identical under xxhash64 keys (fixtures)") {
+    val docs = Tables.table(spark, sf, "documents")
+    val subStr = Dedup.substringDedup(docs, 10)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    val subHash = Dedup.substringDedup(docs, 10, hashedKeys = true)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(subStr.nonEmpty && subHash == subStr,
+      "substringDedup diverged under 8-byte span keys")
+    val rwStr = Dedup.segmentDedupRewrite(docs, 10)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val rwHash = Dedup.segmentDedupRewrite(docs, 10, hashedKeys = true)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(rwStr.nonEmpty && rwHash == rwStr,
+      "segmentDedupRewrite diverged under 8-byte span keys")
+  }
+
+  test("segment rewrite: packing-bound violations raise instead of silently colliding") {
+    def allMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // hash-scale doc_id (the xxhash64-as-doc_id CorpusIngest pattern) is
+    // outside the |doc_id| <= 9.2e12 packing bound
+    val badId = intercept[Exception] {
+      Dedup.segmentDedupRewrite(
+        docsDf(9223372036855L -> "a b c d"), 2).collect()
+    }
+    assert(allMessages(badId).contains("packing bounds"), allMessages(badId))
+    // in-bounds corpora are untouched by the guard
+    assert(Dedup.segmentDedupRewrite(docsDf(9223372036854L -> "a b"), 2).count() == 1)
+  }
+
   test("domain cap: top-k per source by quality, rank ties break by doc_id") {
     val docs = Seq(
       (1L, "the of and to a word word word word word", "s1"),

@@ -205,4 +205,12 @@ class PlanAuditSpec extends SparkSpec {
       s"bit sums fell out of codegen into higher-order lambdas:\n$p")
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
   }
+
+  test("doc_dedup_bloom_inc: sketch probe is the native expression, not a Scala UDF") {
+    val p = phys("doc_dedup_bloom_inc")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"bloom probe fell back to an interpreted per-row UDF:\n$p")
+    assert(p.contains("might_contain"),
+      s"expected Spark's BloomFilterMightContain in the probe filter:\n$p")
+  }
 }

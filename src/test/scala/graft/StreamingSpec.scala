@@ -567,6 +567,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: same-timestamp dim ties pre-reduce by the batch argmax rule, arrival-order-blind") {
+    // mirror of AsOfJoin step 1 (max(struct(payload)) per (keys, rightTime)):
+    // two versions at ts=10 collapse to the greater (imsi, msisdn) pair no
+    // matter the buffer order; None sorts below Some like SQL's
+    // nulls-smallest struct compare
+    val dims = List(
+      (10L, Option(1L), Option(501L)),
+      (10L, Option(2L), Option(400L)),
+      (10L, None: Option[Long], Option(999L)),
+      (5L, None: Option[Long], None: Option[Long]))
+    val reduced = streaming.StreamingAsOf.reduceDimTies(dims)
+    assert(reduced == List((5L, None, None), (10L, Some(2L), Some(400L))),
+      s"got $reduced")
+    assert(streaming.StreamingAsOf.reduceDimTies(dims.reverse) == reduced,
+      "tie-break must not depend on state-list arrival order")
+  }
+
   test("DimensionCache refreshes only after TTL") {
     var loads = 0
     val cache = new DimensionCache(() => { loads += 1; spark.range(3).toDF() }, 60000L)
