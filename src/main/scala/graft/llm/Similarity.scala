@@ -156,13 +156,87 @@ object Similarity {
     cosineTopK(if (broadcastCandidates) broadcast(q) else q, c, k, Seq("neighbor_id"))
   }
 
+  /** Multi-probe LSH ANN — the recall knob that reuses ONE signature pass:
+    * each query probes its own bucket plus the `probeBits` buckets at
+    * Hamming distance 1 (flip one signature bit), because a near neighbor
+    * that missed the exact bucket most likely sits one flipped hyperplane
+    * away. Compare [[lshTopKMulti]]: extra families multiply the
+    * *signature* cost (another 8-plane projection over the whole corpus
+    * per family); multiprobe multiplies only the probe fan-out on the
+    * query side — the corpus is scanned and bucketed exactly once, and the
+    * join stays an equi-join on the probed bucket value. A neighbor's
+    * single bucket can match at most one of a query's distinct probes, so
+    * each candidate pair is scored exactly once without a distinct. */
+  def lshTopKMultiprobe(emb: DataFrame, nQueries: Int, k: Int,
+                        probeBits: Int = 8): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 8,
+      s"lshTopKMultiprobe: signatures have 8 bits, got probeBits=$probeBits")
+    val b = lshBuckets(emb)
+    val probes = col("bucket") +:
+      (0 until probeBits).map(z => expr(s"bucket ^ ${1L << z}"))
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), explode(array(probes: _*)).as("bucket"))
+    val c = b.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+    cosineTopK(q, c, k, Seq("bucket"))
+  }
+
+  /** Lloyd's-refined IVF centroids, `iters` k-means steps from the
+    * deterministic sample seed. Each step is the linear IVF assignment pass
+    * itself (broadcast centroid table + codegen'd dot + max(struct) argmax
+    * — no window over the corpus) followed by one map-side-combining
+    * per-(cell, dim) mean in EXACT integer micro-units (the
+    * [[labelCentroids]] machinery: order-independent integer sums, so both
+    * engines land on identical centroids regardless of partial-agg order).
+    * Emptied cells drop out; surviving centroids keep their seed id.
+    * Per-step cost at 100 TB: one corpus scan + a #cells×dim-sized shuffle
+    * — the standard distributed Lloyd's shape, bounded by `iters`. */
+  private[graft] def kmeansCentroids(e: DataFrame, centroidMod: Int,
+                                     iters: Int): DataFrame = {
+    var cent = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 0 until iters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("csim", round(
+          VectorFunctions.vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("v"))).as("w"))
+        .select((-col("w.ncid")).as("cid"), col("w.v").as("v"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sm").cast("double") / col("n") / 1e6, 6))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").as("cv"))
+        .withColumn("cnrm", VectorFunctions.vecNorm(col("cv")))
+        // tiny table (#cells × dim); materialize so the next step's
+        // broadcast doesn't re-run the whole previous assignment lineage
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** [[ivfTopK]] with k-means-refined centroids: `iters` Lloyd's steps
+    * tighten the cells around the data's actual clusters, which lifts
+    * recall at the SAME nprobe/join work — the knob that improves the
+    * index instead of widening the probe. */
+  def ivfKmeansTopK(emb: DataFrame, nQueries: Int, k: Int,
+                    centroidMod: Int = 37, nprobe: Int = 2,
+                    iters: Int = 2): DataFrame = {
+    val e = normed(emb).localCheckpoint(true) // feeds training + both sides
+    ivfFrom(e, kmeansCentroids(e, centroidMod, iters), nQueries, k, nprobe)
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
     * nearest centroid, probe only the query's `nprobe` best cells, rescore
     * exactly inside them.
     *
     * Centroids are a deterministic corpus sample (`vec_id % centroidMod`) —
-    * real deployments would k-means them, but the *index shape* is what
-    * matters for the engine: a linear assignment pass against a broadcast
+    * [[ivfKmeansTopK]] refines them with Lloyd's steps; the *index shape*
+    * is the same either way: a linear assignment pass against a broadcast
     * centroid table (the codegen'd dot kernel), then a hash-partitioned
     * cell join. Expected join work is |corpus| × nprobe / #cells of brute
     * force. Complements [[lshTopK]]: IVF gives tunable recall via nprobe,
@@ -173,6 +247,12 @@ object Similarity {
     val e = normed(emb)
     val cent = e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfFrom(e, cent, nQueries, k, nprobe)
+  }
+
+  /** Shared IVF probe/assign/rescore given a centroid table. */
+  private def ivfFrom(e: DataFrame, cent: DataFrame, nQueries: Int, k: Int,
+                      nprobe: Int): DataFrame = {
     def scored(side: DataFrame) = side.crossJoin(broadcast(cent))
       .withColumn("csim",
         round(VectorFunctions.vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
@@ -253,7 +333,9 @@ object Similarity {
     "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),
     "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
     "ann_lsh_multi" -> ((s, dir) => Util.orderAll(lshTopKMulti(emb(s, dir), 5, 10))),
+    "ann_lsh_multiprobe" -> ((s, dir) => Util.orderAll(lshTopKMultiprobe(emb(s, dir), 5, 10))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
+    "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
   )
@@ -268,6 +350,49 @@ object Similarity {
 
   private val annCols = Seq("query_id", "neighbor_id", "cosine", "rk")
 
+  /** 8-plane LCG signature chain (buck + nb), appended to [[normCte]] —
+    * shared by the single-table and multiprobe LSH oracles. */
+  private val lshChainCte =
+    """, buck AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM (
+      |    SELECT vec_id, p,
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
+      |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
+      |  ) pr GROUP BY vec_id
+      |), nb AS (
+      |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
+      |)
+      |""".stripMargin
+
+  /** One unrolled Lloyd's step, centroids `cin` → `cout`. Mirrors
+    * [[kmeansCentroids]] bit-for-bit: rounded-cosine argmax assignment
+    * (csim DESC, cid ASC), then per-(cell, dim) means in exact integer
+    * micro-units (CAST pins DuckDB's HUGEINT sum), list rebuilt in dim
+    * order and the norm recomputed over it. */
+  private def lloydIter(cin: String, asg: String, cout: String): String =
+    s""", $asg AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT n.vec_id, n.v, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+       |        c.cid ASC) AS rk
+       |    FROM n CROSS JOIN $cin c
+       |  ) t WHERE rk = 1
+       |), $cout AS (
+       |  SELECT cid, list(cx ORDER BY dim) AS cv,
+       |    sqrt(list_sum(list_transform(list(cx ORDER BY dim), x -> x * x))) AS cnrm
+       |  FROM (
+       |    SELECT cid, dim,
+       |      round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS cx
+       |    FROM (SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim FROM $asg) u
+       |    GROUP BY cid, dim
+       |  ) m GROUP BY cid
+       |)
+       |""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_brute" -> (normCte + Util.wrap(
       """SELECT query_id, neighbor_id, cosine, rk FROM (
@@ -279,18 +404,27 @@ object Similarity {
         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5
         |) t WHERE rk <= 10""".stripMargin, annCols)),
 
-    "ann_lsh" -> (normCte +
-      """, buck AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
-        |  FROM (
-        |    SELECT vec_id, p,
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> (CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) * v[i])) AS proj
-        |    FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS p) pp
-        |  ) pr GROUP BY vec_id
-        |), nb AS (
-        |  SELECT n.vec_id, v, nrm, bucket FROM n JOIN buck ON n.vec_id = buck.vec_id
+    "ann_lsh" -> (normCte + lshChainCte + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               c.vec_id ASC) AS rk
+          |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // multiprobe: each query's probe set is its own bucket plus the 8
+    // flip-one-bit buckets (DuckDB xor; Spark's ^), then the same equi-join
+    // + rank chain — a neighbor's single bucket matches at most one probe,
+    // so no DISTINCT is needed before ranking
+    "ann_lsh_multiprobe" -> (normCte + lshChainCte +
+      """, probes AS (
+        |  SELECT vec_id, v, nrm,
+        |    CASE WHEN z = 0 THEN bucket
+        |         ELSE xor(bucket, CAST(power(2, z - 1) AS BIGINT)) END AS bucket
+        |  FROM nb CROSS JOIN (SELECT unnest(range(0, 9)) AS z) zz
+        |  WHERE vec_id < 5
         |)
         |""".stripMargin + Util.wrap(
         """SELECT query_id, neighbor_id, cosine, rk FROM (
@@ -299,7 +433,7 @@ object Similarity {
           |    row_number() OVER (PARTITION BY q.vec_id
           |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
           |               c.vec_id ASC) AS rk
-          |  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+          |  FROM probes q JOIN nb c ON q.bucket = c.bucket AND c.vec_id >= 5
           |) t WHERE rk <= 10""".stripMargin, annCols)),
 
     // parallel unnests zip positionally in DuckDB; dim mirrors posexplode's
@@ -381,6 +515,42 @@ object Similarity {
         |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
         |        / (n.nrm * cent.cnrm), 6) AS csim
         |    FROM n CROSS JOIN cent
+        |  ) s
+        |), cells AS (
+        |  SELECT vec_id AS neighbor_id, v AS vb, nrm AS nb, cid
+        |  FROM ranked WHERE vec_id >= 5 AND crk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, v AS va, nrm AS na, cid
+        |  FROM ranked WHERE vec_id < 5 AND crk <= 2
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT query_id, neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) DESC,
+          |               neighbor_id ASC) AS rk
+          |  FROM probes JOIN cells USING (cid)
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // two unrolled Lloyd's steps from the mod-37 seed (the PageRank
+    // unrolled-CTE pattern), then the standard cells/probes/rescore chain
+    // over the refined centroid table
+    "ann_ivf_kmeans" -> (normCte +
+      """, cent0 AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+        |)
+        |""".stripMargin +
+      lloydIter("cent0", "asg1", "cent1") +
+      lloydIter("cent1", "asg2", "cent2") +
+      """, ranked AS (
+        |  SELECT vec_id, v, nrm, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+        |  FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cnrm), 6) AS csim
+        |    FROM n CROSS JOIN cent2 c
         |  ) s
         |), cells AS (
         |  SELECT vec_id AS neighbor_id, v AS vb, nrm AS nb, cid

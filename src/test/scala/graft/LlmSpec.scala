@@ -84,6 +84,36 @@ class LlmSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
   }
 
+  test("multiprobe LSH: flip-1-bit probing never lowers recall vs exact-bucket LSH (fixtures)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, 5, 10))
+    val single = pairs(Similarity.lshTopK(emb, 5, 10))
+    val multi = pairs(Similarity.lshTopKMultiprobe(emb, 5, 10))
+    // candidates(multi) ⊇ candidates(single) per query, and a true top-k
+    // neighbor can only be displaced by another true top-k neighbor, so
+    // recall against brute force is monotone in the probe set
+    assert((multi & brute).size >= (single & brute).size,
+      s"multiprobe lost recall: multi=${(multi & brute).size} single=${(single & brute).size}")
+    assert(multi.size >= single.size)
+    // probeBits = 0 degenerates to exactly the single-bucket table
+    assert(pairs(Similarity.lshTopKMultiprobe(emb, 5, 10, probeBits = 0)) == single)
+  }
+
+  test("kmeans IVF: one Lloyd's step moves the centroid to the cell's exact integer-micro mean") {
+    val e = Seq(
+      (0L, Array(1.0, 0.0)),  // the only mod-37 seed
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0))).toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0d, (a, x) -> a + x * x)")))
+    val cent = Similarity.kmeansCentroids(e, 37, 1)
+      .select("cid", "cv").as[(Long, Seq[Double])].collect()
+    assert(cent.length == 1 && cent.head._1 == 0L)
+    // mean of the three member vectors, in rounded integer micro-units
+    assert(cent.head._2 == Seq(0.666667, 0.333333), s"got ${cent.head._2}")
+  }
+
   test("text metrics: token counts and quality on a crafted doc") {
     val out = TextAnalysis.tokenCounts(docsDf(1L -> "the cat, sat!"))
       .as[(Long, Int, Int, Int)].head()
