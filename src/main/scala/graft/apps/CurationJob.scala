@@ -26,6 +26,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    when set, ingest decontaminates against its shingle sets
   *  - `curation.min-overlap` (2) — shingles shared with the benchmark
   *    before a doc is dropped as contaminated
+  *  - `curation.near-dup-index` (unset) — path of a stored MinHash index
+  *    ([[Dedup.writeNearDupIndex]]); when set, each batch is band-joined
+  *    against it and near-duplicates of the indexed corpus are dropped
+  *  - `curation.near-dup-threshold` (0.4) — Jaccard gate for that drop
   *
   * Usage: `CurationJob <config.properties>`.
   */
@@ -48,7 +52,11 @@ object CurationJob {
       qualityThreshold = conf.getDouble("curation.quality-threshold", 0.45),
       evalMod = conf.getLong("curation.eval-mod", 101L),
       evalShingles = evalShingles,
-      minOverlap = conf.getInt("curation.min-overlap", 2))
+      minOverlap = conf.getInt("curation.min-overlap", 2),
+      nearDupIndex = conf.get("curation.near-dup-index", "") match {
+        case "" => None; case p => Some(p)
+      },
+      nearDupThreshold = conf.getDouble("curation.near-dup-threshold", 0.4))
   }
 
   def main(args: Array[String]): Unit = {

@@ -130,6 +130,20 @@ object RelQueries {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // hopping/sliding event-time window: 1h windows every 30m — each event
+    // lands in exactly 2 overlapping windows. The oracle reproduces Spark's
+    // epoch-aligned window starts with integer-µs floor arithmetic; the
+    // streaming twin is EventWindows.hoppingCounts (same logical expression
+    // under a watermark)
+    "q_hopping_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // native session_window (event-time twin of the CDR pipeline's A2
     // processing-time session dedup): sessionize events per user with a
     // 1h inactivity gap. Oracle reproduces it via the SQL islands trick
@@ -530,6 +544,16 @@ object RelQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // both hop offsets are always in range for win = 2·slide (t − floor₃₀(t)
+    // < 30 min < win − z·slide for z ∈ {0,1}), so no window-validity filter
+    // is needed; make_timestamp(µs) keeps the value naive like the dump
+    "q_hopping_window" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - z) * 1800000000) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS z) zz
         |GROUP BY 1, 2
         |ORDER BY w_start, event_type""".stripMargin,
 

@@ -66,10 +66,23 @@ object CorpusIngest {
     * counts across different texts). Texts are deduplicated before
     * shingling so identical texts can't double-count their own overlap.
     * A doc sharing ≥ `minOverlap` distinct shingles with the benchmark
-    * fails `not_contaminated` and is dropped. */
+    * fails `not_contaminated` and is dropped.
+    *
+    * `nearDupIndex` (path written by [[graft.llm.Dedup.writeNearDupIndex]])
+    * turns on the near-dup-vs-corpus gate: each batch's distinct texts run
+    * through [[graft.llm.Dedup.incrementalAgainstIndex]] — MinHash bands
+    * for the BATCH only, one band equi-join against the stored parquet
+    * index, exact-Jaccard verification against the stored shingle sets —
+    * and a doc whose best Jaccard ≥ `nearDupThreshold` fails
+    * `not_near_dup`. The corpus is never rescanned per batch: the index is
+    * read, which is what makes a near-dup gate affordable inside a
+    * streaming ingest at 100 TB. Keyed on `xxhash64(text)` like the
+    * decontamination gate (near-duplication is a function of the text
+    * alone — NULL/duplicate doc_ids must neither leak nor pool). */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
-           minOverlap: Int = 2): DataFrame = {
+           minOverlap: Int = 2, nearDupIndex: Option[String] = None,
+           nearDupThreshold: Double = 0.4): DataFrame = {
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
     // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
     // the row into no bucket at all — the decode comment's 'silent third
@@ -100,14 +113,27 @@ object CorpusIngest {
           .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
       case None => gated.withColumn("not_contaminated", lit(true))
     }
-    withContam
+    val withNearDup = nearDupIndex match {
+      case Some(path) =>
+        val flagged = graft.llm.Dedup.incrementalAgainstIndex(
+            withContam.select(xxhash64(col("text")).as("doc_id"), col("text"))
+              .distinct(),
+            path, nearDupThreshold)
+          .select(col("new_doc").as("_nhash"), lit(true).as("neardup"))
+        withContam.withColumn("_nhash", xxhash64(col("text")))
+          .join(broadcast(flagged), Seq("_nhash"), "left_outer")
+          .withColumn("not_near_dup", coalesce(!col("neardup"), lit(true)))
+      case None => withContam.withColumn("not_near_dup", lit(true))
+    }
+    withNearDup
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
-        col("not_repetitive") && col("not_contaminated") && col("is_keeper"))
+        col("not_repetitive") && col("not_contaminated") &&
+        col("not_near_dup") && col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("lang_ok"), col("quality_ok"),
         col("not_repetitive"), col("not_contaminated"),
-        col("is_keeper"), col("keep"))
+        col("not_near_dup"), col("is_keeper"), col("keep"))
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
@@ -137,7 +163,8 @@ object CorpusIngest {
           qualityThreshold: Double = 0.45, evalMod: Long = 101L,
           evalShingles: Option[DataFrame] = None,
           onBatchComplete: Long => Unit = _ => (),
-          minOverlap: Int = 2): StreamingQuery =
+          minOverlap: Int = 2, nearDupIndex: Option[String] = None,
+          nearDupThreshold: Double = 0.4): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -145,10 +172,10 @@ object CorpusIngest {
         try {
           writeBatchPartition(
             gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
-              minOverlap)
+              minOverlap, nearDupIndex, nearDupThreshold)
               .filter(col("keep"))
               .drop("lang_ok", "quality_ok", "not_repetitive",
-                "not_contaminated", "is_keeper", "keep"),
+                "not_contaminated", "not_near_dup", "is_keeper", "keep"),
             batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),

@@ -32,6 +32,20 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Hopping (sliding) event-time counts — the `window(ts, win, slide)`
+    * variant: each event lands in win/slide overlapping windows, and append
+    * mode emits each (window, event_type) row exactly once when the
+    * watermark passes that window's end. State is win/slide × the tumbling
+    * equivalent (each open window is an independent keyed-state entry),
+    * still bounded by the watermark horizon; the fan-out is a row-expansion
+    * inside the aggregation exec, not an extra shuffle. */
+  def hoppingCounts(events: DataFrame, delay: String,
+                    win: String, slide: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), win, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   /** Streaming exact dedup on `event_id`: keeps the first arrival, drops
     * re-deliveries that arrive within the watermark horizon; state for a
     * key is evicted once the watermark passes it. */

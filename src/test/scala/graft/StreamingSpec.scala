@@ -169,6 +169,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: each event lands in win/slide overlapping windows, closed once by the watermark") {
+    val mem = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = streaming.EventWindows.hoppingCounts(
+        mem.toDF().toDF("ts", "event_type"), "10 minutes", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("hop_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-hop")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // 10:00 -> windows [9:30, 10:30) and [10:00, 11:00)
+      // 10:40 -> windows [10:00, 11:00) and [10:30, 11:30)
+      mem.addData(ts("2024-01-01 10:00:00") -> "click",
+        ts("2024-01-01 10:40:00") -> "click")
+      q.processAllAvailable()
+      // watermark = 10:40 − 10 min = 10:30: exactly the [9:30, 10:30)
+      // window has closed; the two still-open windows must not have leaked
+      val early = spark.table("hop_out")
+        .select($"w_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(early == Set(("2024-01-01 09:30:00", "click", 1L)),
+        s"only the watermark-passed window may emit: $early")
+      // advance the watermark past every open window's end
+      mem.addData(ts("2024-01-01 13:00:00") -> "view")
+      q.processAllAvailable()
+      val out = spark.table("hop_out")
+        .select($"w_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(out == Set(
+        ("2024-01-01 09:30:00", "click", 1L),
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:30:00", "click", 1L)),
+        s"hopping emission wrong: $out")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark keeps first arrival per event_id") {
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     val q = streaming.EventWindows.dedupEvents(
@@ -342,6 +376,42 @@ class StreamingSpec extends SparkSpec {
       assert(new java.io.File(outDir, "lang=en").exists())
       assert(spark.read.parquet(outDir).columns.contains("n_chars"))
     } finally q.stop()
+  }
+
+  test("ingest near-dup gate: a batch doc near-duplicating the stored index is dropped, batch-parity") {
+    val inDir = tmp("graft-nd-in")
+    val outDir = tmp("graft-nd-out")
+    val qDir = tmp("graft-nd-quarantine")
+    val ckpt = tmp("graft-nd-ckpt")
+    val idx = tmp("graft-nd-idx")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    // one mutated trailing token: 36 of 40 distinct shingles survive ->
+    // Jaccard 0.9 against corpus doc 1, far above the 0.4 gate
+    val nearA = goodText("a").split(" ").dropRight(1).mkString(" ") + " qq9"
+    // the index is built ONCE from the existing corpus; the stream below
+    // never rescans it — each batch band-joins against these parquet files
+    graft.llm.Dedup.writeNearDupIndex(
+      Seq((1L, goodText("a")), (2L, goodText("z"))).toDF("doc_id", "text"), idx)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(10, nearA) + "\n" + doc(11, goodText("b")) + "\n").getBytes)
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      nearDupIndex = Some(idx))
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(11L),
+      s"got $out — doc 10 near-duplicates indexed corpus doc 1 and must be dropped")
+    // batch parity: the stream's drop set IS incrementalAgainstIndex over
+    // the batch's distinct texts (content-hash keyed, same threshold)
+    val flagged = graft.llm.Dedup.incrementalAgainstIndex(
+        Seq(nearA, goodText("b")).toDF("text")
+          .select(xxhash64($"text").as("doc_id"), $"text"), idx, 0.4)
+      .select($"new_doc").as[Long].collect().toSet
+    val nearAHash = Seq(nearA).toDF("text").select(xxhash64($"text")).as[Long].head()
+    assert(flagged == Set(nearAHash),
+      s"batch twin disagrees with the streaming gate: $flagged")
   }
 
   test("CurationJob: config-driven wiring runs the full ingest incl. eval-corpus decontamination") {
