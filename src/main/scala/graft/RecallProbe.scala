@@ -1,0 +1,71 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ANN recall measurement harness behind SCALE.md's "recall vs knobs"
+  * table: recall@10 against brute force for every ANN variant and its
+  * knob settings, over the sf embedding table. A diagnostic main like
+  * [[ScaleStress]] — measurements, not pipeline code — so the table is
+  * re-runnable per round instead of a one-off scratch script.
+  *
+  * Usage: RecallProbe [sfDir]; writes RECALL_LOCAL.json (RECALL_OUT
+  * overrides).
+  */
+object RecallProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val nQ = 50
+    val k = 10
+    def pairs(df: DataFrame): Set[(Long, Long)] = {
+      import spark.implicits._
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    val brute = pairs(Similarity.bruteForceTopK(emb, nQ, k))
+    def recall(df: DataFrame): Double =
+      math.round(10000.0 * (pairs(df) & brute).size / brute.size) / 10000.0
+
+    val rows = Seq(
+      "lsh_fam1" -> recall(Similarity.lshTopK(emb, nQ, k)),
+      "lsh_fam2" -> recall(Similarity.lshTopKMulti(emb, nQ, k, 2)),
+      "lsh_fam4" -> recall(Similarity.lshTopKMulti(emb, nQ, k, 4)),
+      "lsh_multiprobe1" -> recall(Similarity.lshTopKMultiprobe(emb, nQ, k, 1)),
+      "lsh_multiprobe2" -> recall(Similarity.lshTopKMultiprobe(emb, nQ, k, 2)),
+      "lsh_multiprobe4" -> recall(Similarity.lshTopKMultiprobe(emb, nQ, k, 4)),
+      "lsh_multiprobe8" -> recall(Similarity.lshTopKMultiprobe(emb, nQ, k, 8)),
+      "ivf_np2_plain" -> recall(Similarity.ivfTopK(emb, nQ, k, nprobe = 2)),
+      "ivf_np2_kmeans1" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 2, iters = 1)),
+      "ivf_np2_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 2, iters = 2)),
+      "ivf_np2_kmeans3" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 2, iters = 3)),
+      "ivf_np4_plain" -> recall(Similarity.ivfTopK(emb, nQ, k, nprobe = 4)),
+      "ivf_np4_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 4, iters = 2)),
+      "ivf_np8_plain" -> recall(Similarity.ivfTopK(emb, nQ, k, nprobe = 8)),
+      "ivf_np8_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 8, iters = 2)))
+    rows.foreach { case (n, r) => System.err.println(f"[recall] $n%-18s $r%.4f") }
+    val json = rows.map { case (n, r) => "\"" + n + "\":" + r }
+      .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")
+    println(json)
+    val outPath = sys.env.getOrElse("RECALL_OUT", "RECALL_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[recall] could not write $outPath: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

@@ -206,6 +206,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
   }
 
+  test("ann_lsh_multiprobe: candidate mining is a hash equi-join on the probed bucket, never a nested loop") {
+    val p = phys("ann_lsh_multiprobe")
+    // the probe fan-out must stay a row-expansion feeding an EQUI-join on
+    // the bucket key; a lost equi-key would degrade to a nested loop over
+    // corpus × probes
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"no equi-join on the probed bucket:\n$p")
+    // the only nested loops allowed are the broadcast 8×64 plane-table
+    // crosses inside lshBuckets (one per join side) — never corpus×corpus
+    assert(!p.contains("CartesianProduct"), s"cartesian in the probe join:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"nested loop beyond the two broadcast plane-table crosses:\n$p")
+  }
+
+  test("ann_ivf_kmeans: every centroid join broadcasts the tiny table; no corpus-side cartesian") {
+    val p = phys("ann_ivf_kmeans")
+    // assignment passes cross the corpus with the BROADCAST centroid table
+    // (BroadcastNestedLoopJoin is the intended shape for a hint-broadcast
+    // cross join); the corpus itself must never be on both sides
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unbroadcast cartesian in the assignment pass:\n$p")
+  }
+
   test("doc_dedup_bloom_inc: sketch probe is the native expression, not a Scala UDF") {
     val p = phys("doc_dedup_bloom_inc")
     assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
