@@ -169,6 +169,18 @@ object ScaleStress {
       if (skipSimhash) (-1L, -1.0)
       else timed("simhash pairs x" + factor)(
         graft.llm.Dedup.simhashPairs(docsN, 3).count())
+    // the vocab-free twin at the same ×N volume — EXECUTED evidence that
+    // the 100 TB branch runs at scale, not a race: pair counts differ by
+    // design (different pseudo-bit family ⇒ different fingerprints ⇒
+    // different collision structure on this dense synthetic corpus), and
+    // on a corpus this small-vocabed the vocab path's sort is nearly free,
+    // so wall times are answer-size-bound and NOT comparable. The hashed
+    // path's advantage is structural: no corpus-wide distinct, no vocab
+    // broadcast — the terms that explode at 10M+ distinct tokens.
+    val (nSimH, tSimH) =
+      if (skipSimhash) (-1L, -1.0)
+      else timed("simhash hashed x" + factor)(
+        graft.llm.Dedup.simhashPairsHashed(docsN, 3).count())
     val (nSub, tSub) = timed("substring dedup x" + factor)(
       graft.llm.Dedup.substringDedup(docsN, 10).count())
     val (nCap, tCap) = timed("domain cap x" + factor)(
@@ -182,6 +194,7 @@ object ScaleStress {
     val (nTfi, tTfi) = timed("tfidf topk x" + factor)(
       graft.llm.TextAnalysis.tfidfTopK(docsN, 3).count())
     System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
+      s" simpairs_hashed=$nSimH" +
       s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
 
     // ---- adversarial LSH hot bucket: 10% of the ×N corpus is ONE identical
@@ -240,7 +253,7 @@ object ScaleStress {
         s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms")
     }
 
-    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}"""
+    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: the driver's stdout tail is
     // bounded, a file is not — ×N numbers stay diffable across rounds

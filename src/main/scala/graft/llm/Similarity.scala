@@ -250,31 +250,71 @@ object Similarity {
     ivfFrom(e, cent, nQueries, k, nprobe)
   }
 
-  /** Shared IVF probe/assign/rescore given a centroid table. */
-  private def ivfFrom(e: DataFrame, cent: DataFrame, nQueries: Int, k: Int,
-                      nprobe: Int): DataFrame = {
-    def scored(side: DataFrame) = side.crossJoin(broadcast(cent))
+  private def centroidScored(side: DataFrame, cent: DataFrame) =
+    side.crossJoin(broadcast(cent))
       .withColumn("csim",
         round(VectorFunctions.vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-    // corpus-side assignment is an aggregation argmax, not a window:
-    // max(struct(csim, -cid)) == argmax by (csim DESC, cid ASC) — -cid is
-    // unique so comparison never reaches the payload fields, and the plan
-    // avoids sorting the corpus×centroid cross by the whole chain (same
-    // lesson as CdrPipeline.dedupLatestAgg / SCALE.md "argmax at scale")
-    val cells = scored(e.filter(col("vec_id") >= nQueries))
+
+  /** Corpus-side cell assignment: an aggregation argmax, not a window —
+    * max(struct(csim, -cid)) == argmax by (csim DESC, cid ASC); -cid is
+    * unique so comparison never reaches the payload fields, and the plan
+    * avoids sorting the corpus×centroid cross by the whole chain (same
+    * lesson as CdrPipeline.dedupLatestAgg / SCALE.md "argmax at scale"). */
+  private def assignToCells(side: DataFrame, cent: DataFrame): DataFrame =
+    centroidScored(side, cent)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
         col("v"), col("nrm"))).as("w"))
       .select(col("vec_id").as("neighbor_id"), col("w.v").as("vb"),
         col("w.nrm").as("nb"), (-col("w.ncid")).as("cid"))
-    // query side is nQueries rows — the top-nprobe window is trivial
+
+  /** Query-side probe list: top-nprobe cells per query (a window — the
+    * query side is small by nature). */
+  private def probesOf(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val cw = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = scored(e.filter(col("vec_id") < nQueries))
+    centroidScored(q, cent)
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("va"),
         col("nrm").as("na"), col("cid"))
-    cosineTopK(probes, cells, k, Seq("cid"))
+  }
+
+  /** Shared IVF probe/assign/rescore given a centroid table. */
+  private def ivfFrom(e: DataFrame, cent: DataFrame, nQueries: Int, k: Int,
+                      nprobe: Int): DataFrame =
+    cosineTopK(
+      probesOf(e.filter(col("vec_id") < nQueries), cent, nprobe),
+      assignToCells(e.filter(col("vec_id") >= nQueries), cent),
+      k, Seq("cid"))
+
+  /** Materialize the reusable IVF index — the [[graft.llm.Dedup.writeNearDupIndex]]
+    * pattern for the ANN path: k-means-refined centroids and the corpus's
+    * cell assignment, both parquet. The corpus is scanned once at
+    * index-build time (`iters` + 1 linear passes); afterwards EVERY query
+    * batch costs a broadcast probe against the tiny centroid table plus one
+    * cell equi-join against the stored cells — the corpus is READ, never
+    * re-assigned, which is what makes ANN affordable against a 100 TB
+    * corpus that queries arrive against continuously. */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    centroidMod: Int = 37, iters: Int = 2): Unit = {
+    val e = normed(corpus).localCheckpoint(true)
+    val cent = kmeansCentroids(e, centroidMod, iters)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCells(e, cent).write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** ANN top-k for a fresh query batch against a stored [[writeIvfIndex]]
+    * index. Same ranking contract as every other top-k surface. With
+    * `nprobe` = the stored cell count this is EXACTLY brute force over the
+    * indexed corpus (every vector sits in exactly one cell and every cell
+    * is probed — spec-asserted), which anchors the index path's
+    * correctness independent of recall tuning. */
+  def ivfTopKAgainstIndex(queries: DataFrame, path: String, k: Int,
+                          nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    cosineTopK(probesOf(normed(queries), cent, nprobe), cells, k, Seq("cid"))
   }
 
   /** Per-label element-wise centroids — the class-prototype / k-means-step

@@ -114,6 +114,35 @@ class LlmSpec extends SparkSpec {
     assert(cent.head._2 == Seq(0.666667, 0.333333), s"got ${cent.head._2}")
   }
 
+  test("stored IVF index: probe-all equals brute force; default probes lose only recall, never precision (fixtures)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    // build from the corpus side only — queries arrive later, the
+    // production shape (the index must not have trained on them)
+    llm.Similarity.writeIvfIndex(emb.filter($"vec_id" >= 5), idx)
+    val queries = emb.filter($"vec_id" < 5)
+    val nCells = spark.read.parquet(s"$idx/centroids").count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    // probing every stored cell IS brute force: each corpus vector sits in
+    // exactly one cell and every cell is probed, so the rescore set is the
+    // full corpus and the shared ranking contract does the rest
+    val viaIndex = rows(llm.Similarity.ivfTopKAgainstIndex(queries, idx, 10, nprobe = nCells))
+    val brute = rows(llm.Similarity.bruteForceTopK(emb, 5, 10))
+    assert(viaIndex == brute,
+      s"probe-all index path diverged from brute force: ${viaIndex.size} vs ${brute.size}")
+    // a narrow probe returns a subset of candidates scored by the same
+    // contract: every returned (query, neighbor, cosine) is the brute pair
+    // (possibly at a later brute rank — recall loss only, never a wrong score)
+    val narrow = rows(llm.Similarity.ivfTopKAgainstIndex(queries, idx, 10, nprobe = 1))
+    val bruteScores = brute.map(r => (r._1, r._2) -> r._3).toMap ++
+      rows(llm.Similarity.bruteForceTopK(emb, 5, 2000)).map(r => (r._1, r._2) -> r._3)
+    narrow.foreach { case (q, n, c, _) =>
+      assert(bruteScores.get((q, n)).contains(c),
+        s"index path produced a score brute force disagrees with: ($q, $n, $c)")
+    }
+  }
+
   test("text metrics: token counts and quality on a crafted doc") {
     val out = TextAnalysis.tokenCounts(docsDf(1L -> "the cat, sat!"))
       .as[(Long, Int, Int, Int)].head()
