@@ -249,6 +249,35 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Asymmetric CONTAINMENT near-dup over the same banded MinHash
+    * candidates: cont_a = |A∩B| / |A| and cont_b = |A∩B| / |B| — "how much
+    * of this document is inside the other". Jaccard systematically misses
+    * an excerpt quoted inside a much larger document (the union term
+    * dominates: a fully-contained 40-token quote in a 4 000-token page has
+    * J ≈ 0.01); containment is the Broder resemblance twin built for
+    * exactly that, and a training-data pipeline runs it to catch
+    * boilerplate/quotation duplication that symmetric dedup passes over.
+    * A pair is emitted when EITHER direction reaches `threshold` (both
+    * rounded values are reported; containment ≥ Jaccard always, so the
+    * candidate recall of the banding is at least the Jaccard path's).
+    * Same scale shape as [[minhashLsh]]: linear signatures, banded
+    * equi-join mining, exact verification touches candidates only. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
+    val cand = candidatesOf(signaturesOf(shid), 1)
+    val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
+    val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
+    cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .withColumn("cont_a", round(col("inter").cast("double") / col("ca"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("cb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** Sketch-only Jaccard ESTIMATE for LSH candidate pairs: the fraction of
     * the 16 MinHash components on which the two documents agree is an
     * unbiased estimator of their Jaccard similarity — no shingle-set
@@ -828,6 +857,7 @@ object Dedup {
     "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
     "doc_dedup_minhash_est" -> ((s, dir) => Util.orderAll(minhashEstimate(docs(s, dir)))),
+    "doc_dedup_containment" -> ((s, dir) => Util.orderAll(containmentPairs(docs(s, dir), 0.5))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
@@ -1018,6 +1048,20 @@ object Dedup {
 
     "doc_dedup_minhash" -> (tokCte + minhashChain +
       Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    // same candidate/intersection chain, asymmetric normalization: either
+    // direction over the threshold emits the pair (filter on the ROUNDED
+    // values, like jaccardVerify)
+    "doc_dedup_containment" -> (tokCte + minhashChain + Util.wrap(
+      """SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / ca.c, 6) AS cont_a,
+        |  round(CAST(i AS DOUBLE) / cb.c, 6) AS cont_b
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = doc_a
+        |JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE greatest(round(CAST(i AS DOUBLE) / ca.c, 6),
+        |               round(CAST(i AS DOUBLE) / cb.c, 6)) >= 0.5""".stripMargin,
+      Seq("doc_a", "doc_b", "cont_a", "cont_b"))),
 
     // signature-agreement estimate: same sig/cand chain, no shingle re-join
     "doc_dedup_minhash_est" -> (tokCte + minhashChain + Util.wrap(

@@ -531,6 +531,48 @@ object TextAnalysis {
         col("not_repetitive"),
         (col("lang_ok") && col("quality_ok") && col("not_repetitive")).as("keep"))
 
+  /** Corpus-trained bigram language-model score — the classic LM-based
+    * quality gate (C4/CCNet run a KenLM perplexity filter; this is that
+    * component's engine shape with exact arithmetic): P(w_i | w_{i-1}) is
+    * estimated from the corpus's own bigram/prefix counts and each
+    * document is scored by its mean transition probability. Probabilities
+    * are snapped to integer micro-units BEFORE the per-doc mean (the count
+    * ratio divides exactly the same on both engines; integer sums are
+    * order-independent — the [[Similarity.labelCentroids]] trick), so the
+    * result hash-matches DuckDB regardless of partial-aggregation order.
+    * Deliberately log-free: `ln` is libm-dependent (not IEEE
+    * correctly-rounded), and mean transition probability ranks documents
+    * the same direction a mean log-prob does for gating.
+    *
+    * Scale shape: one in-row bigram explode, two map-side-combining count
+    * aggregations (the bigram table holds only OBSERVED bigrams — corpus-
+    * bounded, never vocab²), two hash joins back on the bigram/prefix key,
+    * one per-doc rollup. At 100 TB, key the count tables on
+    * xxhash64(w1, w2) / xxhash64(w1) (the [[Dedup.exactByHash]] argument)
+    * and train the counts on a corpus sample — the estimator is a count
+    * ratio, which uniform subsampling preserves in expectation. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bg = Dedup.tokenized(docs)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // the mean stays in INTEGER micro-units end-to-end: a double mean
+    // re-rounded to 6 dp can land on a decimal half (observed: sum 378378
+    // over 12 transitions → 0.0315315) where Spark's BigDecimal HALF_UP
+    // and DuckDB's double rounding disagree by one micro. round(sum/n) of
+    // the same correctly-rounded quotient is tie-stable on both engines
+    // (exact .5 halves round away from zero in each), and a BIGINT output
+    // cannot drift in display either.
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("n2") * 1e6 / col("n1")).cast("long")).cast("double")
+          / count(lit(1))).cast("long").as("mean_bigram_p_micro"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -557,6 +599,7 @@ object TextAnalysis {
     "doc_quality_percentiles" -> ((s, dir) => Util.orderAll(qualityPercentiles(docs(s, dir)))),
     "doc_sample_exact"  -> ((s, dir) => Util.orderAll(sampleExact(docs(s, dir), 20))),
     "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
+    "text_bigram_lm"    -> ((s, dir) => Util.orderAll(bigramLm(docs(s, dir)))),
   )
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
@@ -926,5 +969,27 @@ object TextAnalysis {
           |FROM gates g LEFT JOIN cont c ON g.doc_id = c.doc_id""".stripMargin,
         Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
           "not_contaminated", "is_keeper", "keep"))),
+
+    // per-transition probability snapped to micro-units BEFORE the mean
+    // (integer sums are order-independent); CASTs pin DuckDB's HUGEINT
+    "text_bigram_lm" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), bg AS (
+        |  SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words))) AS i) ii
+        |  WHERE len(words) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(round(CAST(sum(CAST(round(n2 * 1000000.0 / n1) AS BIGINT)) AS DOUBLE)
+          |    / count(*)) AS BIGINT) AS mean_bigram_p_micro
+          |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+          |GROUP BY doc_id""".stripMargin,
+        Seq("doc_id", "n_bigrams", "mean_bigram_p_micro"))),
   )
 }

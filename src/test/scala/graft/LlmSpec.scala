@@ -42,6 +42,40 @@ class LlmSpec extends SparkSpec {
     lsh.foreach { case (k, v) => assert(exact(k) == v) }
   }
 
+  test("containment: a fully-quoted excerpt is caught even where Jaccard misses it") {
+    // doc 2 is doc 1's text embedded verbatim in a much larger page:
+    // containment(1 in 2) = 1.0 while Jaccard stays far below any useful
+    // threshold — the case this operator exists for
+    val quote = "alpha beta gamma delta epsilon"
+    val page = quote + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = docsDf(1L -> quote, 2L -> page, 3L -> "unrelated words entirely here")
+    val out = Dedup.containmentPairs(docs, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0, out.head._4)), s"got ${out.toSeq}")
+    assert(out.head._4 < 0.1, "the big page must NOT be contained in the quote")
+    val jac = Dedup.minhashLsh(docs, 0.4).as[(Long, Long, Double)].collect()
+    assert(!jac.exists(r => r._1 == 1L && r._2 == 2L),
+      "fixture invalid: Jaccard found the pair, so containment proves nothing")
+  }
+
+  test("bigram LM: deterministic transitions score 1.0, per-doc mean is the exact micro-unit mean") {
+    // corpus: "a b" occurs 3x and is a's only continuation -> P(b|a) = 1;
+    // "c d" and "c e" split c's continuations -> P = 1/2 each
+    val out = TextAnalysis.bigramLm(docsDf(
+      1L -> "a b", 2L -> "a b", 3L -> "a b",
+      4L -> "c d", 5L -> "c e")).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 1000000L)) && out(2L) == ((1L, 1000000L)) &&
+      out(3L) == ((1L, 1000000L)))
+    assert(out(4L) == ((1L, 500000L)) && out(5L) == ((1L, 500000L)))
+    // mixed doc: transitions 1.0 ("a b") and 0.5 ("c d"-shape) average exactly
+    val mixed = TextAnalysis.bigramLm(docsDf(
+      1L -> "a b", 2L -> "a b",
+      6L -> "c d", 7L -> "c e"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(mixed(6L) == 500000L && mixed(1L) == 1000000L)
+  }
+
   test("simhash: identical docs get identical fingerprints; fingerprints are 32-bit") {
     val out = Dedup.simhash(docsDf(1L -> "a b c d", 2L -> "a b c d", 3L -> "w x y z"))
       .as[(Long, Long)].collect().toMap
