@@ -231,6 +231,24 @@ class PlanAuditSpec extends SparkSpec {
       s"unbroadcast cartesian in the assignment pass:\n$p")
   }
 
+  test("q_hopping_window: hop fan-out is an in-operator expansion feeding a partial aggregate") {
+    val p = phys("q_hopping_window")
+    // window(ts, win, slide) lowers to Expand (each row → win/slide window
+    // rows) + hash aggregation with a map-side partial — the fan-out must
+    // not become a join or an extra shuffle
+    assert(p.contains("Expand"), s"hop fan-out lost the Expand lowering:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(exchanges(p) <= 2, // agg shuffle + harness sort
+      s"hopping agg should shuffle once plus the harness sort:\n$p")
+  }
+
+  test("text_bigram_lm: count tables aggregate map-side; joins stay equi-joins") {
+    val p = phys("text_bigram_lm")
+    assert(p.contains("partial_count"), s"bigram counts not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"count join-back degraded to a non-equi join:\n$p")
+  }
+
   test("doc_dedup_bloom_inc: sketch probe is the native expression, not a Scala UDF") {
     val p = phys("doc_dedup_bloom_inc")
     assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
