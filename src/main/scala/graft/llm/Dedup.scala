@@ -392,7 +392,7 @@ object Dedup {
 
   /** Banded pair mining over any (doc_id, simhash) frame — encoding-blind:
     * the pigeonhole argument is about the 32-bit fingerprint alone. */
-  private[llm] def simhashPairsOf(sh: DataFrame, maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairsOf(sh: DataFrame, maxHamming: Int): DataFrame = {
     // pigeonhole over 4 bands only guarantees full recall for distance ≤ 3;
     // a larger bound would silently miss pairs, so refuse it
     require(maxHamming >= 0 && maxHamming <= 3,

@@ -80,4 +80,32 @@ object OperatorProps extends Properties("operators") {
       val expected = ufLabels(10, edges)
       Prop(got == expected) :| s"got $got expected $expected"
     }
+
+  /** Clustered 32-bit fingerprints: a few base values, each perturbed by
+    * flipping 0-6 random bit positions — Hamming distances straddle the
+    * ≤3 banding boundary from both sides, so the property is never
+    * vacuous (uniform random 32-bit values almost never pair within 3). */
+  private val genFingerprints: Gen[List[Long]] = {
+    val cluster = for {
+      base <- Gen.choose(0L, (1L << 32) - 1)
+      members <- Gen.listOfN(4,
+        Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, Gen.choose(0, 31))))
+    } yield members.map(_.foldLeft(base)((v, b) => v ^ (1L << b)))
+    Gen.listOfN(3, cluster).map(_.flatten)
+  }
+
+  property("simhash banding == brute-force Hamming<=3 over arbitrary fingerprints") =
+    Prop.forAll(genFingerprints) { fps =>
+      // the pigeonhole claim is encoding-blind — it must hold for ANY
+      // fingerprint assignment, not just ones simhash produces
+      val rows = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      val got = graft.llm.Dedup.simhashPairsOf(rows.toDF("doc_id", "simhash"), 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        (fa, ia) <- rows.map(r => (r._2, r._1))
+        (fb, ib) <- rows.map(r => (r._2, r._1))
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+      } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+      Prop(got == expected) :| s"got ${got.size} expected ${expected.size}"
+    }
 }
