@@ -58,14 +58,8 @@ object Bench {
     println(json)
     // also persist to a file: the driver captures a bounded stdout tail, and
     // at 76+ queries the one-line JSON outgrew it (BENCH_r03.json arrived
-    // truncated mid-object with parsed=null). A file can't be truncated by
-    // tail-capture; BENCH_OUT overrides the default path.
-    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    // truncated mid-object with parsed=null). BENCH_OUT overrides the path.
+    Util.writeJson("BENCH_OUT", "BENCH_LOCAL.json", json)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

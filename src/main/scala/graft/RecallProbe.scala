@@ -60,12 +60,7 @@ object RecallProbe {
     val json = rows.map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")
     println(json)
-    val outPath = sys.env.getOrElse("RECALL_OUT", "RECALL_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[recall] could not write $outPath: ${e.getMessage}")
-    }
+    Util.writeJson("RECALL_OUT", "RECALL_LOCAL.json", json)
     spark.stop()
   }
 }

@@ -255,15 +255,9 @@ object ScaleStress {
 
     val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}"""
     println(json)
-    // persist like Bench's BENCH_LOCAL.json: the driver's stdout tail is
-    // bounded, a file is not — ×N numbers stay diffable across rounds
-    // without log scraping. STRESS_OUT overrides the default path.
-    val outPath = sys.env.getOrElse("STRESS_OUT", s"STRESS_LOCAL_x$factor.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[stress] could not write $outPath: ${e.getMessage}")
-    }
+    // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
+    // across rounds without log scraping. STRESS_OUT overrides the path.
+    Util.writeJson("STRESS_OUT", s"STRESS_LOCAL_x$factor.json", json)
     spark.stop()
   }
 }

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions.col
 /** Shared helpers for driver-checkable queries. */
 object Util {
 
+  /** Shared measurement-JSON persistence for the diagnostic mains (Bench /
+    * ScaleStress / RecallProbe): stdout tails get truncated by the driver's
+    * bounded capture, a file does not. `envVar` overrides `defaultPath`;
+    * failure to write is a warning, never a run failure. */
+  def writeJson(envVar: String, defaultPath: String, json: String): Unit = {
+    val outPath = sys.env.getOrElse(envVar, defaultPath)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[json-out] could not write $outPath: ${e.getMessage}")
+    }
+  }
+
   /** Deterministic total order over every output column (sorted by name,
     * ASC NULLS FIRST) — mirrored by [[ob]] on the oracle side so the driver's
     * hash compare can never be broken by row order.

@@ -89,15 +89,30 @@ object Dedup {
     * the default; tests force the hashed path on a small fixture with
     * `exactVocabBound = 0` so the 100 TB branch has executed evidence
     * instead of only engaging past 2.1M distinct tokens. */
+  /** Cheap branch decision for the vocab/hashed switch: approx distinct
+    * (map-side HLL — no distributed sort, no zipWithIndex, no checkpoint)
+    * with a 10% safety margin. Past the bound the full vocabulary pipeline
+    * must not run AT ALL — avoiding it is the hashed path's whole point,
+    * and building it just to count-and-discard would pay the very cost the
+    * switch exists to skip. Over-switching near the boundary is harmless
+    * (hashed ids are always correct); an HLL under-estimate is caught by
+    * the exact recheck on the vocab the exact path builds anyway. */
+  private def vocabOverBound(tok: DataFrame, bound: Long): Boolean = {
+    val approx = tok.select(explode(col("words")).as("token"))
+      .agg(approx_count_distinct(col("token")).as("a")).head().getLong(0)
+    approx + 1 > bound - bound / 10
+  }
+
   def shingleIds(tok: DataFrame, exactVocabBound: Long): DataFrame = {
+    if (vocabOverBound(tok, exactVocabBound)) return shingleIdsHashed(tok)
     val v = vocab(tok)
-    // driver-side count is cheap (vocab is checkpointed) and picks the
-    // encoding: base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but
-    // sid < v^3 must fit a Long, so v must stay under 2^21 (~2.1M distinct
-    // tokens). Beyond that — tens of millions of distinct tokens is exactly
-    // the 100 TB regime the distributed vocab was built for — switch to
-    // opaque hashed ids: consumers only need id equality (Jaccard over ids
-    // == Jaccard over shingles for any injective-up-to-collisions map).
+    // exact count on the checkpointed vocab picks the encoding for real:
+    // base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but sid < v^3
+    // must fit a Long, so v must stay under 2^21 (~2.1M distinct tokens).
+    // Beyond that — tens of millions of distinct tokens is exactly the
+    // 100 TB regime — switch to opaque hashed ids: consumers only need id
+    // equality (Jaccard over ids == Jaccard over shingles for any
+    // injective-up-to-collisions map).
     val vBase = v.count() + 1
     if (vBase > exactVocabBound) shingleIdsHashed(tok)
     else {
@@ -249,26 +264,35 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Asymmetric CONTAINMENT near-dup over the same banded MinHash
-    * candidates: cont_a = |A∩B| / |A| and cont_b = |A∩B| / |B| — "how much
-    * of this document is inside the other". Jaccard systematically misses
-    * an excerpt quoted inside a much larger document (the union term
-    * dominates: a fully-contained 40-token quote in a 4 000-token page has
-    * J ≈ 0.01); containment is the Broder resemblance twin built for
-    * exactly that, and a training-data pipeline runs it to catch
-    * boilerplate/quotation duplication that symmetric dedup passes over.
-    * A pair is emitted when EITHER direction reaches `threshold` (both
-    * rounded values are reported; containment ≥ Jaccard always, so the
-    * candidate recall of the banding is at least the Jaccard path's).
-    * Same scale shape as [[minhashLsh]]: linear signatures, banded
-    * equi-join mining, exact verification touches candidates only. */
+  /** Asymmetric CONTAINMENT near-dup: cont_a = |A∩B| / |A| and
+    * cont_b = |A∩B| / |B| — "how much of this document is inside the
+    * other". Jaccard systematically misses an excerpt quoted inside a much
+    * larger document (the union term dominates: a fully-contained 40-token
+    * quote in a 4 000-token page has J ≈ 0.01); containment is the Broder
+    * resemblance twin built for exactly that, and a training-data pipeline
+    * runs it to catch boilerplate/quotation duplication that symmetric
+    * dedup passes over. A pair is emitted when EITHER direction reaches
+    * `threshold` (both rounded values are reported).
+    *
+    * Candidate mining is the shingle INVERTED-INDEX join (the
+    * [[ngramJaccard]] shape), deliberately NOT the Jaccard-tuned MinHash
+    * banding: an 8×2 band collides with probability 1−(1−J²)⁸, which at
+    * the motivating J ≈ 0.01 is ~8·10⁻⁴ — the banding would drop
+    * precisely the contained pairs this operator exists to find. The
+    * index join is recall-COMPLETE for any threshold > 0 (a τ-containment
+    * pair shares ≥ τ·|A| ≥ 1 shingles, so it always meets in the index);
+    * cost is output-proportional on shared shingles — quadratic on a hot
+    * shingle, like ngramJaccard, which is why production prunes stop-
+    * shingles first. The sub-linear 100 TB path is containment-aware LSH
+    * (LSH Ensemble, Zhu et al. VLDB'16: partition by set size, re-tune
+    * bands per partition) — a documented non-goal here; the exact index
+    * join is the correctness baseline it would be verified against. */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
-    val cand = candidatesOf(signaturesOf(shid), 1)
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
     val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
-    cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
+    xa.join(xb, Seq("sid")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
@@ -326,12 +350,15 @@ object Dedup {
     * branch has executed evidence. */
   def simhash(docs: DataFrame, exactVocabBound: Long): DataFrame = {
     val tok = tokenized(docs)
+    // same switch point as shingleIds, decided the same cheap way
+    // (approx distinct + exact recheck — see [[vocabOverBound]]): past
+    // ~2M distinct tokens the vocab table stops being "tiny" and the
+    // broadcast + per-query corpus-wide distinct stop being acceptable —
+    // derive the pseudo-bits from xxhash64(token) instead (no vocab at
+    // all). Below it, keep the vocabulary-id arithmetic the DuckDB oracle
+    // reproduces bit-for-bit.
+    if (vocabOverBound(tok, exactVocabBound)) return simhashHashed(docs)
     val v = vocab(tok)
-    // same switch point as shingleIds: past ~2M distinct tokens the vocab
-    // table stops being "tiny" and the broadcast + per-query corpus-wide
-    // distinct stop being acceptable — derive the pseudo-bits from
-    // xxhash64(token) instead (no vocab at all). Below it, keep the
-    // vocabulary-id arithmetic the DuckDB oracle reproduces bit-for-bit.
     if (v.count() + 1 > exactVocabBound) simhashHashed(docs)
     else {
       val dt = tok.select(col("doc_id"), explode(array_distinct(col("words"))).as("token"))
@@ -468,6 +495,12 @@ object Dedup {
     val shid = shingleIdsHashed(tokenized(docs)).localCheckpoint(eager = true)
     shid.write.mode("overwrite").parquet(s"$path/shingles")
     bandsOf(signaturesOf(shid)).write.mode("overwrite").parquet(s"$path/bands")
+    // per-doc shingle-set sizes, materialized AT BUILD TIME: the Jaccard
+    // denominator needs |B| for every matched corpus doc, and recomputing
+    // it per increment would be a corpus-wide aggregation on every
+    // micro-batch — the exact cost the stored index exists to avoid
+    shid.groupBy("doc_id").agg(count(lit(1)).as("co"))
+      .write.mode("overwrite").parquet(s"$path/counts")
   }
 
   /** Which documents of `newDocs` near-duplicate the indexed corpus —
@@ -489,9 +522,15 @@ object Dedup {
         Seq("band", "bval"))
       .select("new_doc", "existing_doc").distinct()
     val cntNew = newShid.groupBy("doc_id").agg(count(lit(1)).as("cn"))
-    val cntOld = corpusShid.groupBy("doc_id").agg(count(lit(1)).as("co"))
-    val inter = cand
-      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc")
+    // READ, not recomputed: a per-increment groupBy over the stored
+    // shingle table would be a corpus-wide aggregation on every call —
+    // the denominators were materialized once at index-build time
+    val cntOld = spark.read.parquet(s"$path/counts")
+    // the (candidate × increment-shingle) side is increment-bounded;
+    // broadcast it so the corpus shingle table streams through the verify
+    // join in place — one scan, no corpus shuffle
+    val inter = broadcast(cand
+      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc"))
       .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")),
         Seq("existing_doc", "sid"))
       .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
@@ -721,9 +760,14 @@ object Dedup {
     * 100 TB branch as [[substringDedup]]'s; spec-asserted identical. */
   def segmentDedupRewrite(docs: DataFrame, window: Int, hashedKeys: Boolean): DataFrame = {
     require(window >= 1, s"segmentDedupRewrite: window must be >= 1, got $window")
-    // Long.MaxValue / 1e6, floored: largest |doc_id| whose packed key fits
-    val packBound = 9223372036854L
-    val packed = when(col("pos") >= 1000000L || abs(col("doc_id")) > packBound,
+    // largest |doc_id| such that doc_id*1e6 + pos fits a Long for EVERY
+    // pos < 1e6: floor((Long.MaxValue - 999999) / 1e6). One less than the
+    // naive Long.MaxValue/1e6 floor, which admits keys that overflow at
+    // high pos. Explicit two-sided comparison, not abs(): abs(Long.MinValue)
+    // overflows and would bypass (non-ANSI) or pre-empt (ANSI) the guard.
+    val packBound = 9223372036853L
+    val packed = when(col("pos") >= 1000000L ||
+        col("doc_id") > packBound || col("doc_id") < -packBound,
       raise_error(concat(
         lit("segmentDedupRewrite: (doc_id, pos) = ("), col("doc_id").cast("string"),
         lit(", "), col("pos").cast("string"),
@@ -1049,10 +1093,19 @@ object Dedup {
     "doc_dedup_minhash" -> (tokCte + minhashChain +
       Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
 
-    // same candidate/intersection chain, asymmetric normalization: either
-    // direction over the threshold emits the pair (filter on the ROUNDED
-    // values, like jaccardVerify)
-    "doc_dedup_containment" -> (tokCte + minhashChain + Util.wrap(
+    // inverted-index intersection (recall-complete — NOT the band-
+    // restricted chain), asymmetric normalization: either direction over
+    // the threshold emits the pair (filter on the ROUNDED values, like
+    // jaccardVerify)
+    "doc_dedup_containment" -> (tokCte +
+      """, cnt AS (
+        |  SELECT doc_id, count(*) AS c FROM shid GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM shid a JOIN shid b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin + Util.wrap(
       """SELECT doc_a, doc_b,
         |  round(CAST(i AS DOUBLE) / ca.c, 6) AS cont_a,
         |  round(CAST(i AS DOUBLE) / cb.c, 6) AS cont_b

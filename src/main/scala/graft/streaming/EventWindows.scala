@@ -23,14 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Tumbling event-time counts. With `delay` watermark, append mode emits
-    * a (window, event_type) row exactly once — when the watermark passes
+  /** Tumbling event-time counts — the slide == win special case of
+    * [[hoppingCounts]] (window(ts, win) IS window(ts, win, win)): one
+    * definition, so the aggregation/projection can never drift between
+    * the twins. With `delay` watermark, append mode emits a
+    * (window, event_type) row exactly once — when the watermark passes
     * the window end — and rows later than the watermark are dropped. */
   def tumblingCounts(events: DataFrame, delay: String, win: String): DataFrame =
-    events.withWatermark("ts", delay)
-      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+    hoppingCounts(events, delay, win, win)
 
   /** Hopping (sliding) event-time counts — the `window(ts, win, slide)`
     * variant: each event lands in win/slide overlapping windows, and append

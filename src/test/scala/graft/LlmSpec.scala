@@ -635,14 +635,21 @@ class LlmSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     // hash-scale doc_id (the xxhash64-as-doc_id CorpusIngest pattern) is
-    // outside the |doc_id| <= 9.2e12 packing bound
+    // outside the packing bound — 9223372036854 would overflow at
+    // pos >= 775808, so the bound must already reject it
     val badId = intercept[Exception] {
       Dedup.segmentDedupRewrite(
-        docsDf(9223372036855L -> "a b c d"), 2).collect()
+        docsDf(9223372036854L -> "a b c d"), 2).collect()
     }
     assert(allMessages(badId).contains("packing bounds"), allMessages(badId))
-    // in-bounds corpora are untouched by the guard
-    assert(Dedup.segmentDedupRewrite(docsDf(9223372036854L -> "a b"), 2).count() == 1)
+    // the extreme negative id must hit the guard's raise, not abs() overflow
+    val minId = intercept[Exception] {
+      Dedup.segmentDedupRewrite(docsDf(Long.MinValue -> "a b c d"), 2).collect()
+    }
+    assert(allMessages(minId).contains("packing bounds"), allMessages(minId))
+    // in-bounds corpora are untouched by the guard (bound is tight: this
+    // id is safe for every pos < 1e6)
+    assert(Dedup.segmentDedupRewrite(docsDf(9223372036853L -> "a b"), 2).count() == 1)
   }
 
   test("domain cap: top-k per source by quality, rank ties break by doc_id") {
