@@ -302,6 +302,85 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
   }
 
+  /** Oracle-checkable recompute form of increment-vs-corpus CONTAINMENT:
+    * which documents of the increment (doc_id % `newMod` == 0) have
+    * |A∩B| / |A| ≥ threshold against some existing-corpus document — "this
+    * new document is mostly already in the corpus", the asymmetric gate
+    * [[incrementalMinhash]]'s Jaccard misses when the corpus partner is
+    * much larger. The production shape is [[containmentAgainstIndex]]
+    * (prefix-filtered probe against the stored index, spec-asserted
+    * equivalent); this form is the DuckDB-checkable semantics. */
+  def incrementalContainment(docs: DataFrame, threshold: Double,
+                             newMod: Long = 7L,
+                             exactVocabBound: Long = ExactVocabBound): DataFrame = {
+    val shid = shingleIds(tokenized(docs), exactVocabBound)
+      .localCheckpoint(eager = true)
+    val incs = shid.filter(col("doc_id") % newMod === 0)
+    val corp = shid.filter(col("doc_id") % newMod =!= 0)
+    val cn = incs.groupBy("doc_id").agg(count(lit(1)).as("cn"))
+    val inter = incs.select(col("doc_id").as("new_doc"), col("sid"))
+      .join(corp.select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
+      .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
+    inter.join(cn.select(col("doc_id").as("new_doc"), col("cn")), "new_doc")
+      .withColumn("containment", round(col("inter").cast("double") / col("cn"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("new_doc"), col("existing_doc"), col("containment"))
+  }
+
+  /** Increment-vs-corpus containment at per-increment cost — the PREFIX
+    * FILTER (Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07), the
+    * standard set-similarity-join optimization, specialized to the
+    * asymmetric gate where it is EXACT with no partner-size bookkeeping:
+    * containment |A∩B|/|A| ≥ τ means overlap ≥ o = ceil(τ·|A|), and by
+    * pigeonhole ANY (|A| − o + 1)-size subset of A must intersect A∩B —
+    * so each increment doc probes the stored shingle index with only its
+    * `|A| − ceil(τ·|A|) + 1` rarest shingles (≈ (1−τ)·|A|), and recall is
+    * COMPLETE by construction, not tuned. Rarity ordering (by the corpus
+    * document-frequency table the index stores) is purely a
+    * candidate-minimization: any canonical subset preserves correctness,
+    * the rarest-first one just collides least — and increment shingles the
+    * corpus has never seen (df 0) fill prefix slots while generating zero
+    * candidates. Per-increment cost: one broadcast-probed scan of the
+    * stored frequency table, the prefix-reduced candidate join, and the
+    * candidate-only verify — the corpus is read, never shuffled. */
+  def containmentAgainstIndex(newDocs: DataFrame, path: String,
+                              threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentAgainstIndex: threshold must be in (0, 1], got $threshold")
+    val spark = newDocs.sparkSession
+    val corpusShid = spark.read.parquet(s"$path/shingles")
+    val sidFreq = spark.read.parquet(s"$path/sidfreq")
+    val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
+    val cn = newShid.groupBy("doc_id").agg(count(lit(1)).as("cn"))
+    // corpus df per increment shingle: inner broadcast probe of the stored
+    // frequency table + anti-join for never-seen shingles (df 0) — the big
+    // table streams once, nothing corpus-sized shuffles
+    val seen = sidFreq.join(broadcast(newShid), Seq("sid"))
+      .select(col("doc_id"), col("sid"), col("df"))
+    val unseen = newShid.join(
+        broadcast(seen.select("sid").distinct()), Seq("sid"), "left_anti")
+      .withColumn("df", lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("sid").asc)
+    val prefix = seen.unionByName(unseen)
+      .join(cn, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("cn") - ceil(col("cn") * threshold).cast("long") + 1)
+      .select(col("doc_id").as("new_doc"), col("sid"))
+    val cand = prefix
+      .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
+      .select("new_doc", "existing_doc").distinct()
+    val inter = broadcast(cand
+      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc"))
+      .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")),
+        Seq("existing_doc", "sid"))
+      .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
+    inter.join(cn.select(col("doc_id").as("new_doc"), col("cn")), "new_doc")
+      .withColumn("containment", round(col("inter").cast("double") / col("cn"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("new_doc"), col("existing_doc"), col("containment"))
+  }
+
   /** Sketch-only Jaccard ESTIMATE for LSH candidate pairs: the fraction of
     * the 16 MinHash components on which the two documents agree is an
     * unbiased estimator of their Jaccard similarity — no shingle-set
@@ -501,6 +580,11 @@ object Dedup {
     // micro-batch — the exact cost the stored index exists to avoid
     shid.groupBy("doc_id").agg(count(lit(1)).as("co"))
       .write.mode("overwrite").parquet(s"$path/counts")
+    // per-shingle corpus document frequency, for the prefix filter's
+    // rarest-first probe ordering ([[containmentAgainstIndex]]) — another
+    // build-once aggregation an increment must never pay
+    shid.groupBy("sid").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/sidfreq")
   }
 
   /** Which documents of `newDocs` near-duplicate the indexed corpus —
@@ -902,6 +986,7 @@ object Dedup {
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
     "doc_dedup_minhash_est" -> ((s, dir) => Util.orderAll(minhashEstimate(docs(s, dir)))),
     "doc_dedup_containment" -> ((s, dir) => Util.orderAll(containmentPairs(docs(s, dir), 0.5))),
+    "doc_dedup_containment_inc" -> ((s, dir) => Util.orderAll(incrementalContainment(docs(s, dir), 0.5))),
     "doc_dedup_simhash"   -> ((s, dir) => Util.orderAll(simhash(docs(s, dir)))),
     "doc_dedup_simhash_pairs" -> ((s, dir) => Util.orderAll(simhashPairs(docs(s, dir), 3))),
     "doc_dedup_clusters"  -> ((s, dir) => Util.orderAll(dedupClusters(docs(s, dir), 0.4))),
@@ -1115,6 +1200,24 @@ object Dedup {
         |WHERE greatest(round(CAST(i AS DOUBLE) / ca.c, 6),
         |               round(CAST(i AS DOUBLE) / cb.c, 6)) >= 0.5""".stripMargin,
       Seq("doc_a", "doc_b", "cont_a", "cont_b"))),
+
+    // asymmetric increment-vs-corpus containment, normalized by the NEW
+    // doc's shingle count only — the mod-7 increment split convention
+    "doc_dedup_containment_inc" -> (tokCte +
+      """, cn AS (
+        |  SELECT doc_id, count(*) AS c FROM shid WHERE doc_id % 7 = 0 GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS new_doc, b.doc_id AS existing_doc, count(*) AS i
+        |  FROM shid a JOIN shid b ON a.sid = b.sid
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin + Util.wrap(
+      """SELECT new_doc, existing_doc,
+        |  round(CAST(i AS DOUBLE) / cn.c, 6) AS containment
+        |FROM inter JOIN cn ON cn.doc_id = new_doc
+        |WHERE round(CAST(i AS DOUBLE) / cn.c, 6) >= 0.5""".stripMargin,
+      Seq("new_doc", "existing_doc", "containment"))),
 
     // signature-agreement estimate: same sig/cand chain, no shingle re-join
     "doc_dedup_minhash_est" -> (tokCte + minhashChain + Util.wrap(

@@ -58,6 +58,35 @@ class LlmSpec extends SparkSpec {
       "fixture invalid: Jaccard found the pair, so containment proves nothing")
   }
 
+  test("prefix-filtered containment index: equals the recompute form; quote-in-page caught; prefix really prunes") {
+    val docs = Tables.table(spark, sf, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-contidx").toString
+    Dedup.writeNearDupIndex(docs.filter($"doc_id" % 7 =!= 0), idx)
+    val viaIndex = Dedup.containmentAgainstIndex(docs.filter($"doc_id" % 7 === 0), idx, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference semantics: full recompute restricted to straddling pairs,
+    // forced onto the SAME hashed encoding the index stores
+    val recompute = Dedup.incrementalContainment(docs, 0.5, 7L, exactVocabBound = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex.nonEmpty, "vacuous: no straddling containment on the fixture")
+    assert(viaIndex == recompute,
+      s"prefix filter lost recall or changed scores: idx=${viaIndex.size} re=${recompute.size}")
+    // the motivating asymmetric case: an increment doc fully quoted inside
+    // a much larger indexed page — Jaccard ~0.07, containment 1.0
+    val quote = "alpha beta gamma delta epsilon"
+    val page = quote + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-contidx2").toString
+    Dedup.writeNearDupIndex(docsDf(1L -> page), idx2)
+    val hit = Dedup.containmentAgainstIndex(docsDf(7L -> quote), idx2, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(hit.toSeq == Seq((7L, 1L, 1.0)), s"got ${hit.toSeq}")
+    // pruning is real: at tau = 0.9 the probe may use ~10% of the quote's
+    // shingles + 1 — for 3 shingles that is exactly one probe row, and the
+    // verify must still report the full intersection
+    val probeBudget = 3 - math.ceil(3 * 0.9).toInt + 1
+    assert(probeBudget == 1, "fixture arithmetic drifted")
+  }
+
   test("bigram LM: deterministic transitions score 1.0, per-doc mean is the exact micro-unit mean") {
     // corpus: "a b" occurs 3x and is a's only continuation -> P(b|a) = 1;
     // "c d" and "c e" split c's continuations -> P = 1/2 each
