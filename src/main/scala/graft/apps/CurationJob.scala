@@ -30,6 +30,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    ([[Dedup.writeNearDupIndex]]); when set, each batch is band-joined
   *    against it and near-duplicates of the indexed corpus are dropped
   *  - `curation.near-dup-threshold` (0.4) — Jaccard gate for that drop
+  *  - `curation.containment-threshold` (unset) — when set (needs
+  *    `curation.near-dup-index`), also drops a batch doc whose shingle
+  *    CONTAINMENT |A∩B|/|A| vs any indexed doc reaches the threshold —
+  *    the asymmetric excerpt-of-a-bigger-page case Jaccard misses
   *
   * Usage: `CurationJob <config.properties>`.
   */
@@ -56,7 +60,10 @@ object CurationJob {
       nearDupIndex = conf.get("curation.near-dup-index", "") match {
         case "" => None; case p => Some(p)
       },
-      nearDupThreshold = conf.getDouble("curation.near-dup-threshold", 0.4))
+      nearDupThreshold = conf.getDouble("curation.near-dup-threshold", 0.4),
+      containmentThreshold = conf.get("curation.containment-threshold", "") match {
+        case "" => None; case t => Some(t.toDouble)
+      })
   }
 
   def main(args: Array[String]): Unit = {

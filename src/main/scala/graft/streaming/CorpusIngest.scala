@@ -78,11 +78,24 @@ object CorpusIngest {
     * read, which is what makes a near-dup gate affordable inside a
     * streaming ingest at 100 TB. Keyed on `xxhash64(text)` like the
     * decontamination gate (near-duplication is a function of the text
-    * alone — NULL/duplicate doc_ids must neither leak nor pool). */
+    * alone — NULL/duplicate doc_ids must neither leak nor pool).
+    *
+    * `containmentThreshold` (requires `nearDupIndex`) additionally turns
+    * on the ASYMMETRIC gate the Jaccard one misses: a short batch doc
+    * mostly quoted inside a much larger indexed page has Jaccard ≈
+    * |A|/|B| ≈ 0 but containment |A∩B|/|A| ≈ 1, and
+    * [[graft.llm.Dedup.containmentAgainstIndex]] catches it at
+    * per-increment cost (prefix-filtered probe of the stored df table —
+    * recall-complete by pigeonhole, the corpus is read, never shuffled).
+    * A doc whose containment vs any indexed doc ≥ the threshold fails
+    * `not_contained`. Same content-hash keying as the other gates. */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
            minOverlap: Int = 2, nearDupIndex: Option[String] = None,
-           nearDupThreshold: Double = 0.4): DataFrame = {
+           nearDupThreshold: Double = 0.4,
+           containmentThreshold: Option[Double] = None): DataFrame = {
+    require(containmentThreshold.isEmpty || nearDupIndex.nonEmpty,
+      "containmentThreshold needs nearDupIndex: the containment gate probes the same stored index")
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
     // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
     // the row into no bucket at all — the decode comment's 'silent third
@@ -125,15 +138,28 @@ object CorpusIngest {
           .withColumn("not_near_dup", coalesce(!col("neardup"), lit(true)))
       case None => withContam.withColumn("not_near_dup", lit(true))
     }
-    withNearDup
+    val withContained = (nearDupIndex, containmentThreshold) match {
+      case (Some(path), Some(tau)) =>
+        val flagged = graft.llm.Dedup.containmentAgainstIndex(
+            withNearDup.select(xxhash64(col("text")).as("doc_id"), col("text"))
+              .distinct(),
+            path, tau)
+          .select(col("new_doc")).distinct()
+          .select(col("new_doc").as("_cohash"), lit(true).as("contained"))
+        withNearDup.withColumn("_cohash", xxhash64(col("text")))
+          .join(broadcast(flagged), Seq("_cohash"), "left_outer")
+          .withColumn("not_contained", coalesce(!col("contained"), lit(true)))
+      case _ => withNearDup.withColumn("not_contained", lit(true))
+    }
+    withContained
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
         col("not_repetitive") && col("not_contaminated") &&
-        col("not_near_dup") && col("is_keeper"))
+        col("not_near_dup") && col("not_contained") && col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("lang_ok"), col("quality_ok"),
         col("not_repetitive"), col("not_contaminated"),
-        col("not_near_dup"), col("is_keeper"), col("keep"))
+        col("not_near_dup"), col("not_contained"), col("is_keeper"), col("keep"))
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
@@ -164,7 +190,8 @@ object CorpusIngest {
           evalShingles: Option[DataFrame] = None,
           onBatchComplete: Long => Unit = _ => (),
           minOverlap: Int = 2, nearDupIndex: Option[String] = None,
-          nearDupThreshold: Double = 0.4): StreamingQuery =
+          nearDupThreshold: Double = 0.4,
+          containmentThreshold: Option[Double] = None): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -172,10 +199,11 @@ object CorpusIngest {
         try {
           writeBatchPartition(
             gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
-              minOverlap, nearDupIndex, nearDupThreshold)
+              minOverlap, nearDupIndex, nearDupThreshold, containmentThreshold)
               .filter(col("keep"))
               .drop("lang_ok", "quality_ok", "not_repetitive",
-                "not_contaminated", "not_near_dup", "is_keeper", "keep"),
+                "not_contaminated", "not_near_dup", "not_contained",
+                "is_keeper", "keep"),
             batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),

@@ -414,6 +414,48 @@ class StreamingSpec extends SparkSpec {
       s"batch twin disagrees with the streaming gate: $flagged")
   }
 
+  test("ingest containment gate: an excerpt of an indexed page is dropped where the Jaccard gate passes it") {
+    val inDir = tmp("graft-cont-in")
+    val outDir = tmp("graft-cont-out")
+    val qDir = tmp("graft-cont-quarantine")
+    val ckpt = tmp("graft-cont-ckpt")
+    val idx = tmp("graft-cont-idx")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    val page = goodText("a") // 40 tokens -> 38 shingles
+    // a 12-token excerpt of the page: 10 shingles, ALL inside the page's
+    // set -> containment 1.0 but Jaccard 10/38 ~ 0.26, under the 0.4 gate
+    val excerpt = page.split(" ").take(12).mkString(" ")
+    graft.llm.Dedup.writeNearDupIndex(
+      Seq((1L, page), (2L, goodText("z"))).toDF("doc_id", "text"), idx)
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(10, excerpt) + "\n" + doc(11, goodText("b")) + "\n").getBytes)
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      nearDupIndex = Some(idx), containmentThreshold = Some(0.9))
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(11L),
+      s"got $out — excerpt doc 10 is contained in indexed page 1 and must be dropped")
+    // the distinction is real: the Jaccard near-dup twin does NOT flag it
+    val jaccardFlagged = graft.llm.Dedup.incrementalAgainstIndex(
+        Seq(excerpt).toDF("text").select(xxhash64($"text").as("doc_id"), $"text"),
+        idx, 0.4)
+      .select($"new_doc").as[Long].collect().toSet
+    assert(jaccardFlagged.isEmpty,
+      "fixture invalid: the Jaccard gate already drops the excerpt, so containment proves nothing")
+    // batch parity: the stream's drop set IS containmentAgainstIndex over
+    // the batch's distinct texts (content-hash keyed, same threshold)
+    val flagged = graft.llm.Dedup.containmentAgainstIndex(
+        Seq(excerpt, goodText("b")).toDF("text")
+          .select(xxhash64($"text").as("doc_id"), $"text"), idx, 0.9)
+      .select($"new_doc").as[Long].collect().toSet
+    val excerptHash = Seq(excerpt).toDF("text").select(xxhash64($"text")).as[Long].head()
+    assert(flagged == Set(excerptHash),
+      s"batch twin disagrees with the streaming gate: $flagged")
+  }
+
   test("CurationJob: config-driven wiring runs the full ingest incl. eval-corpus decontamination") {
     val inDir = tmp("graft-cjob-in")
     val outDir = tmp("graft-cjob-out")
