@@ -573,6 +573,47 @@ object TextAnalysis {
           / count(lit(1))).cast("long").as("mean_bigram_p_micro"))
   }
 
+  /** Gopher-style composite document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the rule FAMILY, with the word
+    * bounds parameterized): per-document structural gates that kill the
+    * pathological shapes a weighted score can average away. Every rule is
+    * integer arithmetic — ratio thresholds compare via cross-
+    * multiplication (`10 * n_alpha >= 8 * n_words`, never a double
+    * division), so the booleans are bit-identical on any engine and the
+    * whole thing is one codegen'd per-row projection: no shuffle, no UDF,
+    * scans prune to (doc_id, text).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanLen, maxMeanLen] (chars-per-word, bounds integral so the
+    * compare is exact); symbol-to-word ratio < 1/10 (`#` + non-overlapping
+    * `...` occurrences); ≥ 8/10 of words contain an alphabetic character;
+    * ≥ minStopHits distinct stopwords present (the corpus marker set). */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                  minStopHits: Int = 2): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_chars", length(replace(col("text"), lit(" "), lit(""))))
+      .withColumn("n_symbols",
+        regexp_count(col("text"), lit("#")) + regexp_count(col("text"), lit("\\.\\.\\.")))
+      .withColumn("n_alpha", expr("size(filter(words, w -> w rlike '[A-Za-z]'))"))
+      .withColumn("n_stop", expr(
+        s"size(filter(array$enStops, st -> array_contains(words, st)))"))
+      .withColumn("wc_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mwl_ok",
+        col("n_chars") >= col("n_words") * minMeanLen &&
+          col("n_chars") <= col("n_words") * maxMeanLen)
+      .withColumn("sym_ok", col("n_symbols") * 10 < col("n_words"))
+      .withColumn("alpha_ok", col("n_alpha") * 10 >= col("n_words") * 8)
+      .withColumn("stop_ok", col("n_stop") >= minStopHits)
+      .withColumn("gopher_ok",
+        col("wc_ok") && col("mwl_ok") && col("sym_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+      .select(col("doc_id"), col("n_words"), col("wc_ok"), col("mwl_ok"),
+        col("sym_ok"), col("alpha_ok"), col("stop_ok"), col("gopher_ok"))
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
@@ -600,6 +641,10 @@ object TextAnalysis {
     "doc_sample_exact"  -> ((s, dir) => Util.orderAll(sampleExact(docs(s, dir), 20))),
     "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
     "text_bigram_lm"    -> ((s, dir) => Util.orderAll(bigramLm(docs(s, dir)))),
+    // word bounds tightened so the fixture discriminates on every live rule
+    // (canonical 50 passes too few 10-99-word synthetic docs)
+    "text_gopher_rules" -> ((s, dir) => Util.orderAll(
+      gopherRules(docs(s, dir), minWords = 25, minMeanLen = 4))),
   )
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
@@ -991,5 +1036,36 @@ object TextAnalysis {
           |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_bigrams", "mean_bigram_p_micro"))),
+
+    // all-integer cross-multiplied rule set — no double division anywhere,
+    // so booleans can't drift between engines
+    "text_gopher_rules" -> (
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    length(replace(text, ' ', '')) AS n_chars,
+         |    len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+         |    len(list_filter(string_split(text, ' '),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |    len(list_filter(${enStops.replace("(", "[").replace(")", "]")},
+         |        st -> list_contains(string_split(text, ' '), st))) AS n_stop
+         |  FROM documents
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT doc_id, n_words,
+          |  n_words >= 25 AND n_words <= 100000 AS wc_ok,
+          |  n_chars >= n_words * 4 AND n_chars <= n_words * 10 AS mwl_ok,
+          |  n_symbols * 10 < n_words AS sym_ok,
+          |  n_alpha * 10 >= n_words * 8 AS alpha_ok,
+          |  n_stop >= 2 AS stop_ok,
+          |  n_words >= 25 AND n_words <= 100000
+          |    AND n_chars >= n_words * 4 AND n_chars <= n_words * 10
+          |    AND n_symbols * 10 < n_words
+          |    AND n_alpha * 10 >= n_words * 8
+          |    AND n_stop >= 2 AS gopher_ok
+          |FROM g""".stripMargin,
+        Seq("doc_id", "n_words", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok",
+          "stop_ok", "gopher_ok"))),
   )
 }

@@ -87,6 +87,26 @@ class LlmSpec extends SparkSpec {
     assert(probeBudget == 1, "fixture arithmetic drifted")
   }
 
+  test("gopher rules: each rule trips on its own pathological doc, clean doc passes all") {
+    val filler = (1 to 26).map(i => s"word$i").mkString(" ")
+    val clean = s"the a $filler word27 word28"                       // 30 words, 2 stops
+    val short = "the a tiny doc here"                                // 5 words
+    val symbols = s"the a #### ... #x ... ## $filler"                // 7 '#' + 2 '...' in 33 words
+    val numeric = s"the a ${(1 to 10).map(_ => "12345").mkString(" ")} $filler" // 10/38 non-alpha... 28 alpha of 38
+    val noStops = s"$filler word27 word28 word29 word30"             // 30 words, 0 stops
+    val out = TextAnalysis.gopherRules(
+        docsDf(1L -> clean, 2L -> short, 3L -> symbols, 4L -> numeric, 5L -> noStops),
+        minWords = 25, minMeanLen = 4)
+      .select($"doc_id", $"wc_ok", $"mwl_ok", $"sym_ok", $"alpha_ok", $"stop_ok", $"gopher_ok")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == (1L, true, true, true, true, true, true), s"clean: ${out(0)}")
+    assert(!out(1)._2 && !out(1)._7, s"short must fail wc: ${out(1)}")
+    assert(!out(2)._4 && !out(2)._7, s"symbols must fail sym: ${out(2)}")
+    assert(!out(3)._5 && !out(3)._7, s"numeric must fail alpha: ${out(3)}")
+    assert(out(4)._2 && !out(4)._6 && !out(4)._7, s"noStops must fail stop only via stop_ok: ${out(4)}")
+  }
+
   test("bigram LM: deterministic transitions score 1.0, per-doc mean is the exact micro-unit mean") {
     // corpus: "a b" occurs 3x and is a's only continuation -> P(b|a) = 1;
     // "c d" and "c e" split c's continuations -> P = 1/2 each
