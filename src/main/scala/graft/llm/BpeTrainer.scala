@@ -1,0 +1,196 @@
+package graft.llm
+
+import graft.{Tables, Util}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer TRAINING — the missing first
+  * stage of a training-data pipeline (the corpus ops downstream all assume
+  * a tokenizer exists). Implements the classic word-frequency formulation
+  * (Sennrich et al. 2016): the merge loop runs over the DISTINCT-WORD
+  * frequency table, not the corpus — the corpus is scanned exactly once to
+  * build `(word, freq)`, after which every iteration costs one in-row
+  * pair explode + one map-side-combining `groupBy(pair).sum(freq)` over a
+  * vocabulary-sized table. That is precisely how single-node BPE trainers
+  * scale to web corpora, re-expressed as Spark aggregations.
+  *
+  * Per step: pair statistics count every ADJACENT symbol pair (overlapping
+  * — "aaa" contributes (a,a) twice), weighted by word frequency; the merge
+  * winner is the (count DESC, pair ASC) argmax — deterministic where the
+  * reference implementations leave ties arbitrary; applying a merge is a
+  * per-row left-to-right non-overlapping fold (`aggregate` over the symbol
+  * array): the merged token can never re-merge within a pass because
+  * `a || b` differs from `a` for any non-empty `b`, so the fold IS the
+  * left-to-right scan. No shuffle touches merge application at all.
+  *
+  * Driver state is k rows (the learned merges) — the same bounded-collect
+  * convention as the LSH plane table; the word table itself stays
+  * distributed and is `localCheckpoint`ed per step to keep the k-step
+  * lineage flat.
+  */
+object BpeTrainer {
+
+  /** (word, f) frequency table — one corpus scan, the only corpus-sized
+    * job in the trainer. */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** One learned merge. */
+  final case class Merge(step: Int, a: String, b: String, count: Long)
+
+  /** Left-to-right non-overlapping application of merge (a, b) to a symbol
+    * array, as a single codegen-friendly fold. */
+  private def applyMerge(syms: org.apache.spark.sql.Column, a: String, b: String) =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, s) => when(element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Run k merge steps; returns the learned merges and the final
+    * (word, f, syms) table (still distributed). Stops early if no pair is
+    * left to merge. */
+  def train(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    var words = wordFreq(docs)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(step, a, b, cnt)
+        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** The learned merge table — (step, pair_a, pair_b, pair_count). */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _) = train(docs, k)
+    merges.map(m => (m.step, m.a, m.b, m.count))
+      .toDF("step", "pair_a", "pair_b", "pair_count")
+  }
+
+  /** APPLY the trained tokenizer: per-document token count after k merges —
+    * the compression diagnostic every tokenizer build reports (chars never
+    * change; the token count shrinks by one per merged occurrence). One
+    * equi-join of the corpus's exploded words against the vocabulary-sized
+    * final word table. */
+  def bpeTokenCounts(docs: DataFrame, k: Int): DataFrame = {
+    val (_, words) = train(docs, k)
+    val wordLens = words.select(col("word"), size(col("syms")).as("n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordLens, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_syms")).cast("long").as("n_bpe_tokens"),
+        count(lit(1)).cast("long").as("n_words"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+
+  val MergeSteps = 6
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> ((s, dir) => Util.orderAll(bpeMerges(docs(s, dir), MergeSteps))),
+    "text_bpe_tokens" -> ((s, dir) => Util.orderAll(bpeTokenCounts(docs(s, dir), MergeSteps))),
+  )
+
+  /** The oracle unrolls the k merge steps as CTE chains — same shape as the
+    * PageRank / IVF-k-means unrolled oracles. Merge application in SQL uses
+    * the windowed gaps-and-islands form of the same left-to-right rule:
+    * a position starts a merge iff its pair matches AND it sits at an odd
+    * index within its maximal run of consecutive matching positions
+    * (runs longer than 1 only exist when a = b, where the pigeonhole
+    * parity IS the left-to-right scan). */
+  private def stepCtes(prev: String, t: Int): String =
+    s""", p$t AS MATERIALIZED (
+       |  SELECT s.s AS a, s2.s AS b, CAST(sum(s.f) AS BIGINT) AS cnt
+       |  FROM $prev s JOIN $prev s2 ON s.w = s2.w AND s2.pos = s.pos + 1
+       |  GROUP BY 1, 2
+       |), top$t AS MATERIALIZED (
+       |  SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+       |), f$t AS MATERIALIZED (
+       |  SELECT s.w, s.f, s.pos, s.s, t.a, t.b,
+       |    CASE WHEN s.s = t.a
+       |           AND lead(s.s) OVER (PARTITION BY s.w ORDER BY s.pos) = t.b
+       |         THEN 1 ELSE 0 END AS flg
+       |  FROM $prev s CROSS JOIN top$t t
+       |), m$t AS MATERIALIZED (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+       |    FROM (SELECT w, pos,
+       |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+       |          FROM f$t WHERE flg = 1) g) r
+       |  WHERE rk % 2 = 1
+       |), s$t AS MATERIALIZED (
+       |  SELECT w, f, CAST(row_number() OVER (PARTITION BY w ORDER BY opos) AS INT) AS pos, s
+       |  FROM (
+       |    SELECT x.w, x.f, x.pos AS opos,
+       |      CASE WHEN m.pos IS NOT NULL THEN x.a || x.b ELSE x.s END AS s
+       |    FROM f$t x
+       |    LEFT JOIN m$t m ON m.w = x.w AND m.pos = x.pos
+       |    LEFT JOIN m$t c ON c.w = x.w AND c.pos = x.pos - 1
+       |    WHERE c.pos IS NULL) q
+       |)
+       |""".stripMargin
+
+  private lazy val baseCtes: String =
+    """WITH w0 AS MATERIALIZED (
+      |  SELECT word AS w, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE length(word) >= 1 GROUP BY 1
+      |), s0 AS MATERIALIZED (
+      |  SELECT w, f, CAST(i AS INT) AS pos, substr(w, CAST(i AS INT), 1) AS s
+      |  FROM w0, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ii
+      |)
+      |""".stripMargin
+
+  private lazy val unrolled: String =
+    baseCtes + (1 to MergeSteps).map(t => stepCtes(s"s${t - 1}", t)).mkString
+
+  def oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> (unrolled + Util.wrap(
+      (1 to MergeSteps).map(t =>
+        s"SELECT $t AS step, a AS pair_a, b AS pair_b, cnt AS pair_count FROM top$t")
+        .mkString("\nUNION ALL\n"),
+      Seq("step", "pair_a", "pair_b", "pair_count"))),
+
+    "text_bpe_tokens" -> (unrolled +
+      s""", wl AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_syms FROM s$MergeSteps GROUP BY w
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT d.doc_id, CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+        |JOIN wl USING (w)
+        |GROUP BY d.doc_id""".stripMargin,
+      Seq("doc_id", "n_bpe_tokens", "n_words"))),
+  )
+}

@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sketches.queries
+      Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
-      Multimodal.oracle ++ Sketches.oracle
+      Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle
 }

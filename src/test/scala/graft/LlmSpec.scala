@@ -107,6 +107,24 @@ class LlmSpec extends SparkSpec {
     assert(out(4)._2 && !out(4)._6 && !out(4)._7, s"noStops must fail stop only via stop_ok: ${out(4)}")
   }
 
+  test("BPE training: hand-computed merge sequence, early exhaustion, deterministic tie-break, apply counts") {
+    import graft.llm.BpeTrainer
+    // word freqs aaab:2, ab:1 — step1 (a,a) 4 (overlapping pairs), step2
+    // (a,b) 3, step3 (aa,ab) 2, then no pairs remain
+    val (merges, _) = BpeTrainer.train(docsDf(1L -> "aaab aaab ab"), 4)
+    assert(merges.map(m => (m.step, m.a, m.b, m.count)) ==
+      Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)),
+      s"got $merges")
+    // left-to-right non-overlap: after merging (a,a), "aaab" is [aa, a, b]
+    // — NOT [a, aa, b] — which is why step2's winner is (a,b), not (aa,a)
+    val counts = BpeTrainer.bpeTokenCounts(docsDf(1L -> "aaab aaab ab"), 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts == Seq((1L, 3L, 3L)), s"got $counts")
+    // count tie resolves to the lexicographically smallest pair
+    val (tied, _) = BpeTrainer.train(docsDf(1L -> "ba ba ca ca"), 1)
+    assert(tied.map(m => (m.a, m.b, m.count)) == Seq(("b", "a", 2L)), s"got $tied")
+  }
+
   test("bigram LM: deterministic transitions score 1.0, per-doc mean is the exact micro-unit mean") {
     // corpus: "a b" occurs 3x and is a's only continuation -> P(b|a) = 1;
     // "c d" and "c e" split c's continuations -> P = 1/2 each
