@@ -419,6 +419,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("HLL distinct sketch: calibrated-range accuracy both hash families; disjoint-slice merge == single pass") {
+    import graft.llm.Sketches
+    // 4000 distinct tokens across 40 docs — well above the ~2.5m raw-HLL
+    // bias floor; m=64 ⇒ σ≈13%, bounds are ~3σ
+    val big = docsDf((0 until 40).map(i =>
+      (i + 1).toLong -> (0 until 100).map(j => s"tok${i}_$j").mkString(" ")): _*)
+    for ((name, est) <- Seq(
+        "oracle-mix" -> Sketches.hllDistinct(big),
+        "xxhash64" -> Sketches.hllDistinctHashed(big))) {
+      val e = est.select("est_distinct").as[Long].head()
+      assert(e > 2400 && e < 5600, s"$name estimate off: $e for 4000 true")
+    }
+    // production merge: registers built over disjoint halves, max-merged,
+    // must equal the single-pass register table (and thus the estimate)
+    val halfA = big.filter($"doc_id" <= 20)
+    val halfB = big.filter($"doc_id" > 20)
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegistersHashed(halfA), Sketches.hllRegistersHashed(halfB))
+      .as[(String, Long, Int)].collect().toSet
+    val single = Sketches.hllRegistersHashed(big)
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == single, "merged sketch must equal the single-pass sketch")
+    // small-range bias is real and documented: tiny corpora overestimate
+    val small = Sketches.hllDistinct(docsDf(1L -> "a b c d e"))
+      .select("est_distinct").as[Long].head()
+    assert(small >= 5, s"estimate must not undercount a tiny set: $small")
+  }
+
   test("feature hashing: identical texts share vectors, distinct texts diverge, weights count signed occurrences") {
     import graft.llm.Sketches
     val docs = docsDf(
