@@ -654,6 +654,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch("fr")._1 == 30L && batch("fr")._2 == 30L, "below-k path must be exact")
   }
 
+  test("streaming HLL sketch: fixed 64-register state, running estimate == batch sketch incl. mid-stream") {
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text", "lang")
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = streaming.StreamingHll.run(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-hll"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    def doc(id: Long, p: String, lang: String) =
+      (id, (1 to 10).map(j => s"$p${id}_$j").mkString(" "), lang)
+    val b1 = (1L to 30L).map(doc(_, "en", "en"))
+    val b2 = (31L to 60L).map(doc(_, "en", "en")) ++ (61L to 63L).map(doc(_, "fr", "fr"))
+    def batchOf(rows: Seq[(Long, String, String)]) =
+      graft.llm.Sketches.hllDistinctHashed(rows.toDF("doc_id", "text", "lang"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // HLL merges exactly (elementwise max), so even the MID-stream state
+      // must equal the batch sketch of the prefix — stronger than final-only
+      assert(latest.toMap == batchOf(b1),
+        s"mid-stream state diverged from the prefix batch sketch: $latest vs ${batchOf(b1)}")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(latest.toMap == batchOf(b1 ++ b2),
+      s"final state diverged from the batch sketch: $latest vs ${batchOf(b1 ++ b2)}")
+    assert(latest.values.forall(_._1 <= 64), s"register count exceeded 64: $latest")
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
