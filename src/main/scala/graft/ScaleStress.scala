@@ -197,6 +197,35 @@ object ScaleStress {
       s" simpairs_hashed=$nSimH" +
       s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
 
+    // ---- containment prefix filter at ×N: increments (doc_id % 7 == 0)
+    // probe the stored index built from the rest. Two measured claims:
+    // the stored-index probe never rescans/reshuffles the corpus, and the
+    // prefix filter cuts candidate pairs vs the naive any-shared-shingle
+    // join — pruning evidence, not an argument.
+    val contIdx = s"/tmp/graft-stress-contidx-x$factor"
+    val contIncs = docsN.filter(col("doc_id") % 7 === 0)
+    val contCorp = docsN.filter(col("doc_id") % 7 =!= 0)
+    val (_, tContBuild) = timed("containment idx build")(
+      graft.llm.Dedup.writeNearDupIndex(contCorp, contIdx))
+    val incShid = graft.llm.Dedup.shingleIdsHashed(
+      graft.llm.Dedup.tokenized(contIncs)).localCheckpoint(true)
+    val incCn = incShid.groupBy(col("doc_id")).agg(count(lit(1)).as("cn"))
+    val (nCandNaive, tCandNaive) = timed("cont cand naive")(
+      incShid.select(col("doc_id").as("new_doc"), col("sid"))
+        .join(spark.read.parquet(s"$contIdx/shingles")
+          .select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
+        .select("new_doc", "existing_doc").distinct().count())
+    val (nCandPrefix, tCandPrefix) = timed("cont cand prefix")(
+      graft.llm.Dedup.containmentPrefixCandidates(incShid, incCn, contIdx, 0.8).count())
+    // broadcastCandidates = false: every increment doc here near-duplicates
+    // ~9 sibling copies, so the candidate side is corpus-dense — the
+    // documented escape-hatch regime
+    val (nContHits, tContGate) = timed("containment gate x" + factor)(
+      graft.llm.Dedup.containmentAgainstIndex(contIncs, contIdx, 0.8,
+        broadcastCandidates = false).count())
+    System.err.println(s"[stress] cont_cand_naive=$nCandNaive cont_cand_prefix=$nCandPrefix" +
+      s" cont_hits=$nContHits")
+
     // ---- adversarial LSH hot bucket: 10% of the ×N corpus is ONE identical
     // text, so one (band, bval) key per band carries every duplicate and its
     // pair fan-out is quadratic in the bucket. AQE's skew split keys on
@@ -253,7 +282,7 @@ object ScaleStress {
         s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms")
     }
 
-    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi}"""
+    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

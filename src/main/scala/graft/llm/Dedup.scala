@@ -344,14 +344,46 @@ object Dedup {
     * stored frequency table, the prefix-reduced candidate join, and the
     * candidate-only verify — the corpus is read, never shuffled. */
   def containmentAgainstIndex(newDocs: DataFrame, path: String,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              broadcastCandidates: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containmentAgainstIndex: threshold must be in (0, 1], got $threshold")
     val spark = newDocs.sparkSession
     val corpusShid = spark.read.parquet(s"$path/shingles")
-    val sidFreq = spark.read.parquet(s"$path/sidfreq")
     val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
     val cn = newShid.groupBy("doc_id").agg(count(lit(1)).as("cn"))
+    val cand = containmentPrefixCandidates(newShid, cn, path, threshold)
+    // (candidate pair × increment shingle) side: broadcast by default (an
+    // ordinary increment's survivors are few), but on a DUPLICATE-DENSE
+    // increment candidates ≈ increment × siblings and the broadcast blows
+    // the driver result cap (measured: 1.85 GiB at ×10 stress) — the same
+    // failure mode lshTopKMulti's escape hatch exists for; false degrades
+    // to a shuffled join, answer unchanged (spec-asserted)
+    val candShingles = cand
+      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc")
+    val inter = (if (broadcastCandidates) broadcast(candShingles) else candShingles)
+      .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")),
+        Seq("existing_doc", "sid"))
+      .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
+    inter.join(cn.select(col("doc_id").as("new_doc"), col("cn")), "new_doc")
+      .withColumn("containment", round(col("inter").cast("double") / col("cn"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("new_doc"), col("existing_doc"), col("containment"))
+  }
+
+  /** The prefix-filtered candidate stage of [[containmentAgainstIndex]],
+    * exposed so the stress harness can measure prefix pruning (candidate
+    * pairs vs the naive any-shared-shingle join) as executed evidence.
+    * Given the increment's hashed shingles and per-doc counts: rank each
+    * doc's shingles by stored corpus document frequency (never-seen
+    * shingles rank first at df 0), keep the (1−τ)·|A|+1 prefix, and join
+    * only the prefix against the stored corpus shingle table. */
+  private[graft] def containmentPrefixCandidates(newShid: DataFrame, cn: DataFrame,
+                                                 path: String,
+                                                 threshold: Double): DataFrame = {
+    val spark = newShid.sparkSession
+    val corpusShid = spark.read.parquet(s"$path/shingles")
+    val sidFreq = spark.read.parquet(s"$path/sidfreq")
     // corpus df per increment shingle: inner broadcast probe of the stored
     // frequency table + anti-join for never-seen shingles (df 0) — the big
     // table streams once, nothing corpus-sized shuffles
@@ -367,18 +399,9 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("cn") - ceil(col("cn") * threshold).cast("long") + 1)
       .select(col("doc_id").as("new_doc"), col("sid"))
-    val cand = prefix
+    prefix
       .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
       .select("new_doc", "existing_doc").distinct()
-    val inter = broadcast(cand
-      .join(newShid.select(col("doc_id").as("new_doc"), col("sid")), "new_doc"))
-      .join(corpusShid.select(col("doc_id").as("existing_doc"), col("sid")),
-        Seq("existing_doc", "sid"))
-      .groupBy("new_doc", "existing_doc").agg(count(lit(1)).as("inter"))
-    inter.join(cn.select(col("doc_id").as("new_doc"), col("cn")), "new_doc")
-      .withColumn("containment", round(col("inter").cast("double") / col("cn"), 6))
-      .filter(col("containment") >= threshold)
-      .select(col("new_doc"), col("existing_doc"), col("containment"))
   }
 
   /** Sketch-only Jaccard ESTIMATE for LSH candidate pairs: the fraction of
