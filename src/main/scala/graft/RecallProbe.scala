@@ -55,7 +55,12 @@ object RecallProbe {
       "ivf_np4_plain" -> recall(Similarity.ivfTopK(emb, nQ, k, nprobe = 4)),
       "ivf_np4_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 4, iters = 2)),
       "ivf_np8_plain" -> recall(Similarity.ivfTopK(emb, nQ, k, nprobe = 8)),
-      "ivf_np8_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 8, iters = 2)))
+      "ivf_np8_kmeans2" -> recall(Similarity.ivfKmeansTopK(emb, nQ, k, nprobe = 8, iters = 2)),
+      // PQ-ADC scans COMPRESSED codes (4 ids vs 64 floats, ~64×): its knob
+      // is codebook granularity — smaller codeMod ⇒ more codewords
+      "pq_mod61" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 61)),
+      "pq_mod23" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 23)),
+      "pq_mod7" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 7)))
     rows.foreach { case (n, r) => System.err.println(f"[recall] $n%-18s $r%.4f") }
     val json = rows.map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")

@@ -317,6 +317,93 @@ object Similarity {
     cosineTopK(probesOf(normed(queries), cent, nprobe), cells, k, Seq("cid"))
   }
 
+  /** Product-quantization geometry: m = 4 subspaces × 16 dims (the corpus
+    * is 64-dim). */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+
+  /** Per-subspace PQ codebooks from a deterministic corpus sample
+    * (`vec_id % codeMod`): (s, cid, cv, cc) where cv is the seed vector's
+    * s-th subvector and cc its squared norm. K-means refinement per
+    * subspace is the [[kmeansCentroids]] machinery and orthogonal to the
+    * PQ encode/ADC algebra demonstrated here. */
+  private def pqCodebook(e: DataFrame, codeMod: Int): DataFrame = {
+    val subs = e.sparkSession.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    e.filter(col("vec_id") % codeMod === 0)
+      .select(col("vec_id").as("cid"), col("v"))
+      .crossJoin(broadcast(subs))
+      .select(col("s"), col("cid"),
+        slice(col("v"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("cv"))
+      .withColumn("cc", VectorFunctions.vecDot(col("cv"), col("cv")))
+  }
+
+  /** (vec_id, s, sub, xx) — each vector split into its m subvectors with
+    * per-subvector squared norms (one codegen'd pass, no shuffle). */
+  private def pqSubvectors(e: DataFrame): DataFrame = {
+    val subs = e.sparkSession.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(subs))
+      .select(col("vec_id"), col("s"),
+        slice(col("v"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
+  }
+
+  /** Squared-L2 in integer micro-units via the codegen'd dot kernel:
+    * ‖x−c‖² = xx + cc − 2·x·c — three array-order accumulations and one
+    * fixed-order combination, so both engines produce the identical double
+    * before the single micro rounding. */
+  private val pqDistMicro =
+    round((col("xx") + col("cc") - lit(2.0) * VectorFunctions.vecDot(col("sub"), col("cv"))) * 1e6)
+      .cast("long")
+
+  /** PQ ENCODE: assignment is an aggregation argmin
+    * (min(struct(dist_micro, cid)) — never a sort of the vector×codeword
+    * cross), distances in integer micro-units end-to-end. */
+  private def pqEncode(side: DataFrame, cb: DataFrame): DataFrame =
+    side.join(broadcast(cb), Seq("s"))
+      .withColumn("dm", pqDistMicro)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dm"), col("cid"))).as("w"))
+      .select(col("vec_id"), col("s"), col("w.cid").as("cid"))
+
+  /** PQ codes for every vector — m small integers in place of 64 floats
+    * (≈64× smaller, the reason PQ is the memory-bound ANN path at 100 TB:
+    * a billion-vector corpus's codes fit in executor memory where its
+    * vectors cannot). */
+  def pqCodes(emb: DataFrame, codeMod: Int = 61): DataFrame = {
+    val e = normed(emb)
+    pqEncode(pqSubvectors(e), pqCodebook(e, codeMod))
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
+  }
+
+  /** PQ-ADC ANN top-k (Jégou et al. 2011, the FAISS IndexPQ shape):
+    * queries never touch corpus VECTORS — each query computes one m×K
+    * distance table against the codebooks (asymmetric distance
+    * computation), the corpus contributes only its CODES, and the approx
+    * distance is a m-term integer table-lookup sum. The scan is linear in
+    * the corpus but over 4-int codes, not 64-float vectors; the table join
+    * is an equi-join on (s, cid) with the (queries × m × K)-row table
+    * broadcast. Exact-integer micro-unit distances everywhere — the sum of
+    * m table entries is exact Long arithmetic, so no float summation order
+    * exists and ranking (approx ASC, neighbor ASC) is deterministic. */
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int, codeMod: Int = 61): DataFrame = {
+    val e = normed(emb)
+    val cb = pqCodebook(e, codeMod)
+    val codes = pqEncode(pqSubvectors(e.filter(col("vec_id") >= nQueries)), cb)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cid"))
+    val qtab = pqSubvectors(e.filter(col("vec_id") < nQueries))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"), col("cid"), pqDistMicro.as("qdm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist_micro").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab), Seq("s", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdm")).as("approx_dist_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
+  }
+
   /** Per-label element-wise centroids — the class-prototype / k-means-step
     * computation (a real IVF index trains its coarse quantizer exactly
     * like this). One explode to (label, dim, x) rows, one
@@ -376,6 +463,7 @@ object Similarity {
     "ann_lsh_multiprobe" -> ((s, dir) => Util.orderAll(lshTopKMultiprobe(emb(s, dir), 5, 10))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
+    "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
   )
@@ -443,6 +531,52 @@ object Similarity {
         |               c.vec_id ASC) AS rk
         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5
         |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // PQ-ADC: subvector slices + squared norms per (vector, subspace); the
+    // codebook is the vec_id % 61 sample's subvectors; dm is the identical
+    // xx + cc − 2·x·c combination rounded ONCE to integer micros; encode =
+    // per-(vector, subspace) argmin; approx distance = exact BIGINT sum of
+    // the m table entries
+    "ann_pq" -> (normCte +
+      s""", ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
+         |, sp AS (
+         |  SELECT vec_id, s,
+         |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM n, ss
+         |), cb AS (
+         |  SELECT s, vec_id AS cid,
+         |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS cv,
+         |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS cc
+         |  FROM n, ss WHERE vec_id % 61 = 0
+         |), alldist AS (
+         |  SELECT sp.vec_id, sp.s, cb.cid,
+         |    CAST(round((sp.xx + cb.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |      i -> sp.sub[i] * cb.cv[i]))) * 1000000) AS BIGINT) AS dm
+         |  FROM sp JOIN cb ON sp.s = cb.s
+         |), codes AS (
+         |  SELECT vec_id AS neighbor_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dm ASC, cid ASC) AS rk
+         |    FROM alldist WHERE vec_id >= 5) t
+         |  WHERE rk = 1
+         |), qtab AS (
+         |  SELECT vec_id AS query_id, s, cid, dm AS qdm
+         |  FROM alldist WHERE vec_id < 5
+         |), approx AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
+         |  FROM codes JOIN qtab USING (s, cid)
+         |  GROUP BY 1, 2
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, approx_dist_micro, rk FROM (
+          |  SELECT query_id, neighbor_id, approx_dist_micro,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS rk
+          |  FROM approx) t WHERE rk <= 10""".stripMargin,
+        Seq("query_id", "neighbor_id", "approx_dist_micro", "rk"))),
 
     "ann_lsh" -> (normCte + lshChainCte + Util.wrap(
         """SELECT query_id, neighbor_id, cosine, rk FROM (

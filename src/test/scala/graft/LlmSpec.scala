@@ -71,6 +71,11 @@ class LlmSpec extends SparkSpec {
     assert(viaIndex.nonEmpty, "vacuous: no straddling containment on the fixture")
     assert(viaIndex == recompute,
       s"prefix filter lost recall or changed scores: idx=${viaIndex.size} re=${recompute.size}")
+    // the dense-increment escape hatch changes the plan, never the answer
+    val shuffled = Dedup.containmentAgainstIndex(docs.filter($"doc_id" % 7 === 0), idx, 0.5,
+        broadcastCandidates = false)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(shuffled == viaIndex, "broadcastCandidates=false changed the answer")
     // the motivating asymmetric case: an increment doc fully quoted inside
     // a much larger indexed page — Jaccard ~0.07, containment 1.0
     val quote = "alpha beta gamma delta epsilon"
@@ -183,6 +188,33 @@ class LlmSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val out = Similarity.ivfTopK(emb, 1, 2).as[(Long, Long, Double, Int)].collect()
     assert(out.exists(r => r._1 == 0L && r._2 == 5L && r._3 == 1.0 && r._4 == 1))
+  }
+
+  test("PQ-ADC ANN: m codes per vector, equal vectors share codes, zero-distance self-match ranks first, fixture recall") {
+    val a = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val b = Array.tabulate(64)(i => math.cos(i + 1.0).toFloat)
+    val crafted = Seq((0L, a), (61L, a), (62L, b)).toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(crafted)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(codes.keySet == Set(0L, 61L, 62L) && codes.values.forall(_.size == Similarity.PqSubspaces),
+      s"every vector needs exactly m codes: $codes")
+    assert(codes(0L) == codes(61L), "equal vectors must encode identically")
+    // query 0 == corpus vector 61 == a codeword seed: its ADC distance is
+    // exactly 0 in every subspace, so it must rank first at 0 micro
+    val out = Similarity.pqTopK(crafted, 1, 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.head == ((0L, 61L, 0L, 1)), s"got ${out.toSeq}")
+    // fixture recall vs exact brute force (5 queries, k=10): PQ with a
+    // 9-codeword sample codebook is coarse — pin a floor, not a race
+    val emb = Tables.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, 5, 10))
+    val pq = pairs(Similarity.pqTopK(emb, 5, 10))
+    val recall = (pq & brute).size.toDouble / brute.size
+    info(s"PQ recall@10 vs brute: $recall")
+    assert(recall >= 0.1, s"PQ recall collapsed: $recall")
   }
 
   test("multiprobe LSH: flip-1-bit probing never lowers recall vs exact-bucket LSH (fixtures)") {

@@ -256,4 +256,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("might_contain"),
       s"expected Spark's BloomFilterMightContain in the probe filter:\n$p")
   }
+
+  test("text_gopher_rules: one per-row projection — harness sort is the only exchange, 2-column scan") {
+    val p = phys("text_gopher_rules")
+    assert(exchanges(p) <= 1, s"structural rules must not shuffle the corpus:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan should prune to (doc_id, text): $readSchema")
+  }
+
+  test("text_bpe_tokens: apply is one equi-join against the word table, never a cartesian") {
+    val p = phys("text_bpe_tokens")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"BPE apply degraded to a non-equi join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-doc token counts must aggregate map-side:\n$p")
+  }
+
+  test("ann_pq: codebook and distance-table joins broadcast; corpus codes never cartesian") {
+    val p = phys("ann_pq")
+    assert(p.contains("BroadcastHashJoin"), s"codebook/table join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scan degraded to a cartesian:\n$p")
+  }
+
+  test("doc_distinct_hll: register build is two map-side-combining aggregations, no vocab-wide window") {
+    val p = phys("doc_distinct_hll")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"register max must partially aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window may touch the token stream:\n$p")
+  }
 }
