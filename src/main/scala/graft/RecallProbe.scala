@@ -60,7 +60,14 @@ object RecallProbe {
       // is codebook granularity — smaller codeMod ⇒ more codewords
       "pq_mod61" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 61)),
       "pq_mod23" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 23)),
-      "pq_mod7" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 7)))
+      "pq_mod7" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 7)),
+      // IVFPQ composes both knobs: nprobe widens the scanned cells, codeMod
+      // refines the residual codebook — at equal codeMod vs plain PQ the
+      // delta is pure residual-quantization gain
+      "ivfpq_np2" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 2)),
+      "ivfpq_np4" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 4)),
+      "ivfpq_np8" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8)),
+      "ivfpq_np8_mod7" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8, codeMod = 7)))
     rows.foreach { case (n, r) => System.err.println(f"[recall] $n%-18s $r%.4f") }
     val json = rows.map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")

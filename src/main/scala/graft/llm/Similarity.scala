@@ -404,6 +404,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
   }
 
+  /** IVF-PQ ANN top-k (the FAISS IVFPQ composition): IVF's coarse cells
+    * bound WHICH vectors are scored (nprobe/#cells of the corpus) and PQ
+    * bounds WHAT is read per scored vector (m codes, not the vector) — the
+    * two knobs compose, which is why this is the billion-vector default in
+    * practice. PQ here quantizes the RESIDUAL v − centroid(cell(v)) rather
+    * than v itself: residuals concentrate near 0 so a shared codebook
+    * covers them far better than raw vectors (Jégou et al. 2011, §IV).
+    *
+    * Everything stays exact-integer deterministic: residuals are exact IEEE
+    * subtractions (zip_with), per-subspace distances round ONCE to micros,
+    * encode is an aggregation argmin, and the ADC distance is an exact
+    * BIGINT m-term sum. The final join carries the cell id, so a neighbor
+    * is scored only inside probed cells — candidate work is
+    * |corpus| × nprobe / #cells rows of 4-int codes. */
+  def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int,
+                centroidMod: Int = 37, nprobe: Int = 2,
+                codeMod: Int = 61): DataFrame = {
+    val e = normed(emb).localCheckpoint(eager = true)
+    val cent = e.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val subs = e.sparkSession.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    // every vector's residual against its OWN best cell (the codebook
+    // trains on these, so it must cover queries too — both engines filter
+    // the same deterministic sample out of the same assignment)
+    val rsub = assignToCells(e, cent)
+      .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
+      .select(col("neighbor_id").as("vec_id"), col("cid"),
+        zip_with(col("vb"), col("cv"), (a, b) => a - b).as("rv"))
+      .crossJoin(broadcast(subs))
+      .select(col("vec_id"), col("cid"), col("s"),
+        slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
+    val cbr = rsub.filter(col("vec_id") % codeMod === 0)
+      .select(col("s"), col("vec_id").as("code"), col("sub").as("cv"), col("xx").as("cc"))
+      .localCheckpoint(eager = true) // tiny; feeds both encode joins
+    val codes = rsub.filter(col("vec_id") >= nQueries)
+      .join(broadcast(cbr), Seq("s"))
+      .withColumn("dm", pqDistMicro)
+      .groupBy(col("vec_id"), col("cid"), col("s"))
+      .agg(min(struct(col("dm"), col("code"))).as("w"))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("s"),
+        col("w.code").as("code"))
+    // query residuals are per PROBED cell (nprobe of them), not just the
+    // best cell — the ADC table is relative to each probed centroid
+    val qtab = probesOf(e.filter(col("vec_id") < nQueries), cent, nprobe)
+      .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
+      .select(col("query_id"), col("cid"),
+        zip_with(col("va"), col("cv"), (a, b) => a - b).as("rv"))
+      .crossJoin(broadcast(subs))
+      .select(col("query_id"), col("cid"), col("s"),
+        slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
+      .join(broadcast(cbr), Seq("s"))
+      .select(col("query_id"), col("cid"), col("s"), col("code"), pqDistMicro.as("qdm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist_micro").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qtab), Seq("cid", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdm")).as("approx_dist_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
+  }
+
   /** Per-label element-wise centroids — the class-prototype / k-means-step
     * computation (a real IVF index trains its coarse quantizer exactly
     * like this). One explode to (label, dim, x) rows, one
@@ -464,6 +528,7 @@ object Similarity {
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
+    "ann_ivfpq" -> ((s, dir) => Util.orderAll(ivfPqTopK(emb(s, dir), 5, 10))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
   )
@@ -568,6 +633,72 @@ object Similarity {
          |), approx AS (
          |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
          |  FROM codes JOIN qtab USING (s, cid)
+         |  GROUP BY 1, 2
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, approx_dist_micro, rk FROM (
+          |  SELECT query_id, neighbor_id, approx_dist_micro,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS rk
+          |  FROM approx) t WHERE rk <= 10""".stripMargin,
+        Seq("query_id", "neighbor_id", "approx_dist_micro", "rk"))),
+
+    // IVF-PQ: ann_ivf's cent/ranked chain supplies cell assignment (crk=1)
+    // and probe lists (crk<=2); residuals are exact IEEE subtractions
+    // against the cell centroid; then the ann_pq chain runs on residual
+    // subvectors with the cell id carried through the code/table join so a
+    // neighbor is scored only inside probed cells
+    "ann_ivfpq" -> (normCte +
+      s""", cent AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+         |), ranked AS (
+         |  SELECT vec_id, v, nrm, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+         |  FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+         |        / (n.nrm * cent.cnrm), 6) AS csim
+         |    FROM n CROSS JOIN cent
+         |  ) s
+         |), ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
+         |, rsub AS (
+         |  SELECT r.vec_id, r.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN cent USING (cid) WHERE crk = 1
+         |  ) r, ss
+         |), cbr AS (
+         |  SELECT s, vec_id AS code, sub AS cv, xx AS cc FROM rsub WHERE vec_id % 61 = 0
+         |), codes AS (
+         |  SELECT vec_id AS neighbor_id, cid, s, code FROM (
+         |    SELECT r.vec_id, r.cid, r.s, c.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, r.s ORDER BY
+         |        CAST(round((r.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |          i -> r.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) ASC, c.code ASC) AS rk
+         |    FROM rsub r JOIN cbr c ON r.s = c.s WHERE r.vec_id >= 5) t
+         |  WHERE rk = 1
+         |), qsub AS (
+         |  SELECT q.query_id, q.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id AS query_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN cent USING (cid) WHERE vec_id < 5 AND crk <= 2
+         |  ) q, ss
+         |), qtab AS (
+         |  SELECT q.query_id, q.cid, q.s, c.code,
+         |    CAST(round((q.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |      i -> q.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) AS qdm
+         |  FROM qsub q JOIN cbr c ON q.s = c.s
+         |), approx AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
+         |  FROM codes JOIN qtab USING (cid, s, code)
          |  GROUP BY 1, 2
          |)
          |""".stripMargin + Util.wrap(

@@ -217,6 +217,38 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall collapsed: $recall")
   }
 
+  test("IVF-PQ ANN: residual of a codebook seed encodes to itself, zero-distance self-match ranks first, recall >= plain PQ") {
+    // one cell (vec 0 is the only %37 centroid), codebook seeds 0 and 61:
+    // vec 61 == vec 0 == the centroid, so its residual is the zero vector
+    // and IS codeword 0's residual — query 0 must match it at exactly 0
+    val a = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val b = Array.tabulate(64)(i => math.cos(i + 1.0).toFloat)
+    val crafted = Seq((0L, a), (61L, a), (62L, b)).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(crafted, 1, 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.head == ((0L, 61L, 0L, 1)), s"got ${out.toSeq}")
+    // composition sanity on the real fixture, apples-to-apples: at
+    // PROBE-ALL (nprobe >= #cells, the ivfTopKAgainstIndex anchor trick)
+    // the cell restriction vanishes and the ONLY delta vs raw-vector PQ is
+    // quantizing residuals instead of vectors — which must not hurt
+    // (residuals cluster near 0, so the shared codebook covers them
+    // better; the reason IVFPQ quantizes residuals at all). nprobe=2 is
+    // NOT comparable to plain PQ: it scores 2 of ~14 cells by design.
+    val emb = Tables.table(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, 5, 10))
+    val probeAll = pairs(Similarity.ivfPqTopK(emb, 5, 10, nprobe = 10000))
+    val pq = pairs(Similarity.pqTopK(emb, 5, 10))
+    val np2 = pairs(Similarity.ivfPqTopK(emb, 5, 10))
+    val rAll = (probeAll & brute).size.toDouble / brute.size
+    val rPq = (pq & brute).size.toDouble / brute.size
+    val rNp2 = (np2 & brute).size.toDouble / brute.size
+    info(s"IVFPQ recall@10 vs brute: probe-all=$rAll nprobe2=$rNp2 (plain PQ: $rPq)")
+    assert(rAll >= rPq, s"residual PQ under-performed raw PQ at probe-all: $rAll < $rPq")
+    assert(rNp2 > 0.0, s"nprobe=2 IVFPQ found nothing")
+  }
+
   test("multiprobe LSH: flip-1-bit probing never lowers recall vs exact-bucket LSH (fixtures)") {
     val emb = Tables.table(spark, sf, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =

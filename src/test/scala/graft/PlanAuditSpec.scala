@@ -280,6 +280,14 @@ class PlanAuditSpec extends SparkSpec {
       s"PQ scan degraded to a cartesian:\n$p")
   }
 
+  test("ann_ivfpq: codebook/table joins broadcast, cell id in the join key, never cartesian") {
+    val p = phys("ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"code/table join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVFPQ scan degraded to a cartesian:\n$p")
+    assert(p.contains("cid"), s"cell id must gate the ADC join:\n$p")
+  }
+
   test("doc_distinct_hll: register build is two map-side-combining aggregations, no vocab-wide window") {
     val p = phys("doc_distinct_hll")
     assert(p.contains("partial_max") || p.contains("partial_"),
