@@ -16,4 +16,4 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $OPENS -Xms${SPARK_DRIVER_MEM:-8g} -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" "$MAIN" "$SF" "$OUT"
+  -cp "$CP" "$MAIN" "$SF" "$OUT" "${@:4}"

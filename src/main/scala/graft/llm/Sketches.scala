@@ -184,6 +184,109 @@ object Sketches {
     regTables.reduce(_ unionByName _)
       .groupBy("lang", "bucket").agg(max(col("register")).as("register"))
 
+  /** CountMin sketch geometry: depth 4 hash rows × width 512 buckets.
+    * Standard guarantees: overestimate-only error ≤ ε·N with probability
+    * 1−δ where ε = e/width ≈ 0.0053 and δ = e^−depth ≈ 0.018 — at 100 TB
+    * the sketch is still 4·512 longs (16 KiB), mergeable by elementwise
+    * SUM across any corpus split. */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 512
+
+  /** Pairwise-independent row hashes ((a·h + b) mod p) mod w. p is the
+    * repo's 2^31.5 prime; every aᵢ < p keeps aᵢ·h < 2^63 (max product
+    * 2654435761·(p−1) ≈ 8.1e18) so signed-64 ANSI arithmetic never
+    * overflows on either engine. */
+  private[graft] val CmsP: Long = 3037000493L
+  private val CmsA: Array[Long] = Array(1L, 2654435761L, 2246822519L, 1779033703L)
+  private val CmsB: Array[Long] = Array(0L, 88172645L, 362436069L, 521288629L)
+
+  /** The d per-row buckets of one mixed hash `hm` (< p), as a lateral
+    * array of (row, bucket) structs — in-row fan-out, no join. */
+  private[graft] def cmsBuckets = (0 until CmsDepth).map { r =>
+    s"struct($r AS row, ((${CmsA(r)} * hm + ${CmsB(r)}) % $CmsP) % $CmsWidth AS bucket)"
+  }.mkString("array(", ", ", ")")
+
+  /** CMS counter table (row, bucket, cnt) over every token OCCURRENCE —
+    * the sketch itself: d·w rows regardless of corpus size.
+    *
+    * Scale shape: tokenization is in-row, the per-row bucket fan-out is a
+    * lateral array explode (×4, no join), and the counter build is ONE
+    * map-side-combining count aggregation whose key space is d·w = 2048 —
+    * every map task pre-reduces to ≤ 2048 rows before the exchange, so the
+    * shuffle volume is #partitions·2048 rows at any corpus size. */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    cmsCountersOf(
+      oracleMix(
+        docs.select(explode(split(col("text"), " ")).as("token"))
+          .join(broadcast(Dedup.vocab(Dedup.tokenized(docs))), "token")))
+
+  private def cmsCountersOf(hashed: DataFrame): DataFrame =
+    hashed
+      .withColumn("hm", expr(s"h % $CmsP"))
+      .select(explode(expr(cmsBuckets)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Top-k heavy hitters by CountMin ESTIMATE: est(token) = min over the d
+    * rows of that row's bucket counter — overestimate-only (every counter
+    * ≥ the true count, spec-asserted), deterministic integer arithmetic,
+    * ties broken by token so both engines elect the same k.
+    *
+    * Scale shape: the counter table (2048 rows) broadcasts to the
+    * candidate side; candidates here are the distinct token set (the
+    * oracle-reproducible form). At 100 TB the candidate set is NOT the
+    * full vocabulary — it's each partition's local top-k′ (a map-side
+    * WindowGroupLimit; a true heavy hitter is a local heavy hitter in at
+    * least one partition for k′ ≥ k by pigeonhole over uniform shards) —
+    * the estimate join is unchanged. The vocab-id mix is the oracle path;
+    * [[cmsHeavyHittersHashed]] is the unbounded-vocabulary twin. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
+    val hashed = oracleMix(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(Dedup.vocab(Dedup.tokenized(docs))), "token"))
+    cmsTopK(hashed, k)
+  }
+
+  /** [[cmsHeavyHitters]] over `xxhash64(token)` — no vocab table, no
+    * broadcast, no per-query corpus distinct. Engine-specific hash ⇒ no
+    * DuckDB oracle; the overestimate bound and top-k agreement with exact
+    * counts are spec-asserted instead. */
+  def cmsHeavyHittersHashed(docs: DataFrame, k: Int = 20): DataFrame =
+    cmsTopK(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .select(col("token"), expr(s"xxhash64(token) & ${Long.MaxValue}L").as("h")),
+      k)
+
+  /** xxhash64 counter table — the production sketch. Token hashes don't
+    * depend on the input corpus (no vocab ranks), so counter tables over
+    * DISJOINT corpus slices merge exactly by elementwise SUM
+    * ([[cmsMerge]], spec-asserted ≡ the single-pass table) — build per
+    * partition/day/increment, add, estimate, never rescan. */
+  def cmsCountersHashed(docs: DataFrame): DataFrame =
+    cmsCountersOf(
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .select(expr(s"xxhash64(token) & ${Long.MaxValue}L").as("h")))
+
+  /** Merge CMS counter tables by elementwise sum — the sketch union. */
+  def cmsMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  private def cmsTopK(hashed: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"cmsHeavyHitters needs k >= 1, got $k")
+    val hm = hashed.withColumn("hm", expr(s"h % $CmsP"))
+    val counters = cmsCountersOf(hm.select(col("h")))
+    val est = hm.select(col("token"), col("hm")).distinct()
+      .select(col("token"), explode(expr(cmsBuckets)).as("rb"))
+      .join(broadcast(counters),
+        col("rb.row") === counters("row") && col("rb.bucket") === counters("bucket"))
+      .groupBy("token").agg(min(col("cnt")).as("est_count"))
+    val w = Window.orderBy(col("est_count").desc, col("token").asc)
+    est.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("token"), col("est_count"))
+  }
+
   /** Model-free document vectors via the hashing trick (feature hashing):
     * every token occurrence lands in dim = hash(token) mod d with a ±1
     * sign from the next hash bit, summed per (doc, dim). Long-form output
@@ -239,6 +342,7 @@ object Sketches {
     "doc_feature_hash" -> ((s, dir) => Util.orderAll(featureHashEmbed(docs(s, dir)))),
     "doc_temperature_mix" -> ((s, dir) => Util.orderAll(temperatureMix(docs(s, dir), 10000L))),
     "doc_distinct_hll"  -> ((s, dir) => Util.orderAll(hllDistinct(docs(s, dir)))),
+    "doc_heavy_hitters" -> ((s, dir) => Util.orderAll(cmsHeavyHitters(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -310,6 +414,44 @@ object Sketches {
            |    // (1000 * (s_nonempty + ($HllBuckets - n_nonempty) * 1048576)) AS est_distinct
            |FROM agg""".stripMargin,
         Seq("lang", "n_nonempty", "est_distinct"))),
+
+    // the full CMS pipeline in SQL: vocab-mix hash, hm = h % p, 4-row
+    // bucket fan-out via a VALUES cross join, counter table, per-token
+    // min-over-rows estimate, deterministic top-20. Every step is the
+    // identical integer arithmetic the Spark side runs.
+    "doc_heavy_hitters" -> (
+      s"""WITH vocab AS (
+         |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+         |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) t
+         |), occ AS (
+         |  SELECT token, xor(v3, v3 >> 13) % $CmsP AS hm FROM (
+         |    SELECT token, (xor(v1, v1 >> 16) * 2246822519) % 3037000493 AS v3 FROM (
+         |      SELECT o.token, ((tid % 3037000493) * 2654435761) % 3037000493 AS v1
+         |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) o
+         |      JOIN vocab USING (token)) q1) q2
+         |), rows_cte AS (
+         |  SELECT * FROM (VALUES (0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+         |                        (1, CAST(2654435761 AS BIGINT), CAST(88172645 AS BIGINT)),
+         |                        (2, CAST(2246822519 AS BIGINT), CAST(362436069 AS BIGINT)),
+         |                        (3, CAST(1779033703 AS BIGINT), CAST(521288629 AS BIGINT)))
+         |         AS v(rw, a, b)
+         |), counters AS (
+         |  SELECT rw, ((a * hm + b) % $CmsP) % $CmsWidth AS bucket, count(*) AS cnt
+         |  FROM occ CROSS JOIN rows_cte GROUP BY 1, 2
+         |), est AS (
+         |  SELECT token, min(cnt) AS est_count
+         |  FROM (SELECT DISTINCT token, hm FROM occ) d
+         |  CROSS JOIN rows_cte
+         |  JOIN counters ON counters.rw = rows_cte.rw
+         |    AND counters.bucket = ((a * hm + b) % $CmsP) % $CmsWidth
+         |  GROUP BY token
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT CAST(rk AS BIGINT) AS rk, token, est_count FROM (
+          |  SELECT token, est_count,
+          |    row_number() OVER (ORDER BY est_count DESC, token) AS rk
+          |  FROM est) r WHERE rk <= 20""".stripMargin,
+        Seq("rk", "token", "est_count"))),
 
     "doc_temperature_mix" -> Util.wrap(
       """SELECT lang, n_docs, weight,

@@ -511,6 +511,42 @@ class LlmSpec extends SparkSpec {
     assert(small >= 5, s"estimate must not undercount a tiny set: $small")
   }
 
+  test("CountMin heavy hitters: overestimate-only, top-k == exact on a skewed corpus, disjoint-slice merge == single pass") {
+    import graft.llm.Sketches
+    // Zipf-ish corpus: 'hot' appears 60×, 'warm' 25×, a tail of 200 singletons
+    val docs = docsDf(
+      1L -> (("hot " * 60) + ("warm " * 25)).trim,
+      2L -> (0 until 200).map(i => s"tail$i").mkString(" "))
+    for ((name, hh) <- Seq(
+        "oracle-mix" -> Sketches.cmsHeavyHitters(docs, 5),
+        "xxhash64" -> Sketches.cmsHeavyHittersHashed(docs, 5))) {
+      val top = hh.as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(top.length == 5, s"$name: expected 5 rows, got ${top.length}")
+      // the two true heavy hitters lead, in order
+      assert(top(0)._2 == "hot" && top(1)._2 == "warm",
+        s"$name: top-2 should be hot/warm, got ${top.toSeq}")
+      // CMS never undercounts: est >= exact for the known-frequency tokens
+      assert(top(0)._3 >= 60L, s"$name: hot underestimated: ${top(0)._3}")
+      assert(top(1)._3 >= 25L, s"$name: warm underestimated: ${top(1)._3}")
+      // with 202 distinct tokens vs 4×512 counters the error bound ε·N
+      // (N=285) allows slack but a 2× blow-up would mean broken hashing
+      assert(top(0)._3 <= 120L && top(1)._3 <= 60L,
+        s"$name: estimates blew past the error bound: ${top.toSeq}")
+    }
+    // production merge: counters over disjoint halves, sum-merged, must
+    // equal the single-pass counter table
+    val halfA = docs.filter($"doc_id" === 1L)
+    val halfB = docs.filter($"doc_id" === 2L)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCountersHashed(halfA), Sketches.cmsCountersHashed(halfB))
+      .as[(Int, Long, Long)].collect().toSet
+    val single = Sketches.cmsCountersHashed(docs)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == single, "sum-merged sketch must equal the single-pass sketch")
+    // the sketch is d·w rows max regardless of corpus size
+    assert(single.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+  }
+
   test("feature hashing: identical texts share vectors, distinct texts diverge, weights count signed occurrences") {
     import graft.llm.Sketches
     val docs = docsDf(

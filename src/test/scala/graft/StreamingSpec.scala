@@ -687,6 +687,41 @@ class StreamingSpec extends SparkSpec {
     assert(latest.values.forall(_._1 <= 64), s"register count exceeded 64: $latest")
   }
 
+  test("streaming CMS sketch: row-sharded counter state, running counters == batch sketch incl. mid-stream") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // counters are monotone, so latest-per-(row,bucket) IS the current sketch
+    val latest = scala.collection.concurrent.TrieMap.empty[(Int, Long), Long]
+    val q = streaming.StreamingCms.run(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-cms"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest((r.getInt(0), r.getLong(1))) = r.getLong(2))
+        ()
+      }.start()
+    val b1 = (1L to 20L).map(i => (i, (1 to 8).map(j => s"w${i}_$j").mkString(" ")))
+    val b2 = (21L to 40L).map(i => (i, s"hot hot hot w${i}_x"))
+    def batchOf(rows: Seq[(Long, String)]) =
+      graft.llm.Sketches.cmsCountersHashed(rows.toDF("doc_id", "text"))
+        .as[(Int, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // CMS merges exactly (elementwise sum), so the MID-stream state must
+      // equal the batch sketch of the prefix — stronger than final-only
+      assert(latest.toMap == batchOf(b1),
+        s"mid-stream state diverged from the prefix batch sketch")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(latest.toMap == batchOf(b1 ++ b2),
+      s"final state diverged from the batch sketch")
+    // the state is row-sharded: no key outside the d rows, no bucket >= w
+    assert(latest.keys.forall { case (r, b) =>
+      r >= 0 && r < graft.llm.Sketches.CmsDepth &&
+        b >= 0 && b < graft.llm.Sketches.CmsWidth })
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
