@@ -193,9 +193,22 @@ object ScaleStress {
       graft.llm.TextAnalysis.packGreedy(docsN, 256).count())
     val (nTfi, tTfi) = timed("tfidf topk x" + factor)(
       graft.llm.TextAnalysis.tfidfTopK(docsN, 3).count())
+    // CMS at ×N: the counter table must stay ≤ d·w rows no matter the
+    // corpus (the require is the claim), and the top-k estimate join is
+    // vocab-side work, not corpus-side — both timed on the xxhash64
+    // production path (no vocab table anywhere)
+    val (nCtr, tCtr) = timed("cms counters x" + factor) {
+      val n = graft.llm.Sketches.cmsCountersHashed(docsN).count()
+      require(n <= graft.llm.Sketches.CmsDepth * graft.llm.Sketches.CmsWidth,
+        s"CMS counter table grew past d*w: $n")
+      n
+    }
+    val (nCms, tCms) = timed("cms topk x" + factor)(
+      graft.llm.Sketches.cmsHeavyHittersHashed(docsN, 20).count())
     System.err.println(s"[stress] rep=$nRep dec=$nDec cur=$nCur simpairs=$nSim" +
       s" simpairs_hashed=$nSimH" +
-      s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi")
+      s" substr=$nSub cap=$nCap samp=$nSamp chunk=$nChk pack=$nPack tfidf=$nTfi" +
+      s" cms_rows=$nCtr cms_topk=$nCms")
 
     // ---- containment prefix filter at ×N: increments (doc_id % 7 == 0)
     // probe the stored index built from the rest. Two measured claims:
@@ -282,7 +295,7 @@ object ScaleStress {
         s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms")
     }
 
-    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate}"""
+    val json = s"""{"metric":"stress_x$factor","src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -468,6 +468,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop documents that are
+    * semantic near-duplicates of another document in the SAME k-means
+    * cluster. The published recipe exactly: cluster the embedding space
+    * (here the [[kmeansCentroids]] Lloyd's refinement over a deterministic
+    * seed), then compare pairs only WITHIN a cluster and drop one side of
+    * every pair whose cosine ≥ `threshold`. The kept side is the smaller
+    * vec_id — a deterministic stand-in for the paper's keep-the-
+    * low-centroid-similarity rule, same keeper convention as
+    * [[Dedup.embeddingKeep]].
+    *
+    * Scale shape — the whole point of SemDeDup vs all-pairs: the quadratic
+    * term is per-CLUSTER, (N/k)² × k instead of N², and k grows with the
+    * corpus so cluster sizes stay bounded (the paper runs k = 11k clusters
+    * on LAION). The pair join is a hash equi-join partitioned on the
+    * cluster id (plan-audited: no cartesian, no broadcast of the corpus);
+    * centroid assignment is the broadcast-centroid linear pass every IVF
+    * query here shares. A pathologically hot cluster (mass duplication)
+    * degrades like the LSH hot bucket — and the same mitigation applies:
+    * exact-dedup FIRST (SCALE.md's measured 5.7× pipeline ordering), since
+    * identical texts are identical vectors. */
+  def semDedup(emb: DataFrame, threshold: Double,
+               centroidMod: Int = 37, iters: Int = 2): DataFrame = {
+    val e = normed(emb).localCheckpoint(true) // feeds training + assignment
+    val asg = assignToCells(e, kmeansCentroids(e, centroidMod, iters))
+      .select(col("neighbor_id").as("vec_id"), col("vb").as("v"),
+        col("nb").as("nrm"), col("cid"))
+      .localCheckpoint(true) // both pair sides + the output read it
+    val a = asg.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.select(col("vec_id"), col("cid"))
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"),
+        (!coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
   /** Per-label element-wise centroids — the class-prototype / k-means-step
     * computation (a real IVF index trains its coarse quantizer exactly
     * like this). One explode to (label, dim, x) rows, one
@@ -529,6 +573,9 @@ object Similarity {
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
     "ann_ivfpq" -> ((s, dir) => Util.orderAll(ivfPqTopK(emb(s, dir), 5, 10))),
+    // threshold 0.35: the fixture's highest within-cell cosine is 0.472
+    // (same argument as doc_dedup_embedding_lsh) — 0.5 would be vacuous
+    "doc_dedup_semantic" -> ((s, dir) => Util.orderAll(semDedup(emb(s, dir), 0.35))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
   )
@@ -873,5 +920,34 @@ object Similarity {
           |               neighbor_id ASC) AS rk
           |  FROM probes JOIN cells USING (cid)
           |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // SemDeDup: the ann_ivf_kmeans centroid chain (two unrolled Lloyd's
+    // steps) supplies the final cluster assignment; pairs join within a
+    // cluster only, and a vector is dropped iff a smaller-id vector in its
+    // cluster clears the cosine threshold
+    "doc_dedup_semantic" -> (normCte +
+      """, cent0 AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+        |)
+        |""".stripMargin +
+      lloydIter("cent0", "asg1", "cent1") +
+      lloydIter("cent1", "asg2", "cent2") +
+      """, asgF AS (
+        |  SELECT vec_id, v, nrm, cid FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+        |        c.cid ASC) AS rk
+        |    FROM n CROSS JOIN cent2 c
+        |  ) t WHERE rk = 1
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asgF a JOIN asgF b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.35
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT asgF.vec_id, asgF.cid,
+          |  asgF.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+          |FROM asgF""".stripMargin, Seq("vec_id", "cid", "keep"))),
   )
 }

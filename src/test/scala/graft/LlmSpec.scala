@@ -217,6 +217,45 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall collapsed: $recall")
   }
 
+  test("SemDeDup: within-cluster near-identical pair drops the larger id, distinct vectors survive, fixture keep count") {
+    // vec 0 is the only %37 centroid ⇒ one cluster holds all three; 5 is an
+    // exact semantic dup of 0 (cos 1.0) and must be the dropped side
+    // (keeper = smaller vec_id); 6 is near-orthogonal (cos ≈ 0.1) and kept
+    val a = Array.tabulate(8)(i => (i + 1).toFloat)
+    val emb = Seq(
+      (0L, a),
+      (5L, a),
+      (6L, Array.tabulate(8)(i => ((i % 2) * 2 - 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, 0.9).as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map(0L -> true, 5L -> false, 6L -> true), s"keep flags: $out")
+    // real fixture at the query threshold: every drop must be justified by
+    // a smaller-id vector in the SAME final cell clearing the threshold —
+    // cross-checked against an independently computed within-cell pair set
+    val embF = Tables.table(spark, sf, "embeddings")
+    val sd = Similarity.semDedup(embF, 0.35)
+    val dropped = sd.filter(!$"keep").as[(Long, Long, Boolean)].collect()
+    val cells = sd.select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val vecs = embF.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      BigDecimal(d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def witness(id: Long, cid: Long): Boolean = cells.exists { case (other, ocid) =>
+      ocid == cid && other < id && cos(vecs(other), vecs(id)) >= 0.35 }
+    dropped.foreach { case (id, cid, _) =>
+      assert(witness(id, cid), s"vec $id dropped without a smaller-id witness in cell $cid")
+    }
+    // and the converse: every kept vector with a witness would be a miss
+    sd.filter($"keep").as[(Long, Long, Boolean)].collect().foreach { case (id, cid, _) =>
+      assert(!witness(id, cid), s"vec $id kept despite a witness in cell $cid")
+    }
+    assert(dropped.nonEmpty, "fixture threshold produced no drops (vacuous)")
+  }
+
   test("IVF-PQ ANN: residual of a codebook seed encodes to itself, zero-distance self-match ranks first, recall >= plain PQ") {
     // one cell (vec 0 is the only %37 centroid), codebook seeds 0 and 61:
     // vec 61 == vec 0 == the centroid, so its residual is the zero vector

@@ -308,6 +308,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window may touch the token stream:\n$p")
   }
 
+  test("doc_dedup_semantic: pair mining is a cid equi-join, never a corpus cartesian") {
+    val p = phys("doc_dedup_semantic")
+    // centroid scoring is a broadcast nested-loop BY DESIGN (tiny centroid
+    // table × corpus); the corpus×corpus pair side must never be
+    assert(!p.contains("CartesianProduct"), s"corpus pair cartesian:\n$p")
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join".r.findFirstIn(p).isDefined,
+      s"within-cluster pairs must be an equi-join on the cell id:\n$p")
+  }
+
   test("doc_heavy_hitters: counter build is a partial count agg; the 2048-row sketch broadcasts to the estimate join") {
     val p = phys("doc_heavy_hitters")
     // the occurrence stream pre-reduces to <= d·w rows per mapper before
