@@ -573,6 +573,89 @@ object TextAnalysis {
           / count(lit(1))).cast("long").as("mean_bigram_p_micro"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw-pool
+    * document by how target-like its hashed-bigram distribution is —
+    * importance = Π_b (p_target(b)/p_raw(b))^{n_b(doc)} over hashed bigram
+    * buckets with add-1 smoothing — then keep the `perLang` highest-scoring
+    * docs per raw-pool language. Here the target distribution is the
+    * corpus's `targetLang` slice and the raw pool is everything else.
+    *
+    * Deliberately log-free (the [[bigramLm]] argument): each bucket's
+    * smoothed probability RATIO is snapped to integer micro-units, and a
+    * document scores the MEAN ratio over its bigram occurrences — ranking
+    * documents the same direction the paper's mean log-ratio does, in
+    * arithmetic both engines reproduce bit-for-bit. Docs with < 2 tokens
+    * have no bigrams and drop out (the bigramLm convention).
+    *
+    * Scale shape: the bucket-count table is `nBuckets` rows (broadcast
+    * everywhere it's used); totals ride a 1-row broadcast cross join, never
+    * a driver action; the per-doc rollup is one map-side-combining
+    * aggregation. The bigram→bucket map here is the ORACLE path (dense ids
+    * from [[Dedup.vocab]], reproducible as a dense_rank in SQL);
+    * [[dsirSampleHashed]] is the production twin — `xxhash64(bigram) %
+    * nBuckets`, no vocabulary, no corpus-wide distinct, which is exactly
+    * the paper's hashed-n-gram construction. The per-language keep rank is
+    * a window over scored raw-pool docs; at 100 TB production replaces the
+    * exact rank with a score-threshold cut (quantile from
+    * [[qualityPercentiles]]' machinery) so no global sort is needed —
+    * selection semantics, not engine limits. */
+  def dsirSample(docs: DataFrame, nBuckets: Int = 64, perLang: Int = 25,
+                 targetLang: String = "en"): DataFrame = {
+    val bg = bigramsOf(docs)
+    // vocab() wants a `words` array column; a 1-element array makes each
+    // bigram its own token, so ids are dense ranks over distinct bigrams
+    val bgv = Dedup.vocab(bg.select(array(col("bg")).as("words")))
+    dsirFrom(bg.join(bgv, bg("bg") === bgv("token"))
+        .select(col("doc_id"), col("lang"), (col("tid") % nBuckets).as("bucket")),
+      nBuckets, perLang, targetLang)
+  }
+
+  /** [[dsirSample]] over `xxhash64(bigram) % nBuckets` — the paper's actual
+    * hashed-n-gram bucketing and the unbounded-vocabulary path: no vocab
+    * table, no distinct, no broadcast beyond the nBuckets-row count table.
+    * Engine-specific hash ⇒ no DuckDB oracle; the target-vs-raw ranking
+    * property is spec-asserted instead. */
+  def dsirSampleHashed(docs: DataFrame, nBuckets: Int = 64, perLang: Int = 25,
+                       targetLang: String = "en"): DataFrame =
+    dsirFrom(bigramsOf(docs)
+        .select(col("doc_id"), col("lang"), pmod(xxhash64(col("bg")), lit(nBuckets)).as("bucket")),
+      nBuckets, perLang, targetLang)
+
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")).as("bg"))
+
+  private def dsirFrom(occ: DataFrame, nBuckets: Int, perLang: Int,
+                       targetLang: String): DataFrame = {
+    val isTarget = col("lang") === targetLang
+    val bcounts = occ.groupBy("bucket").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("tb"),
+      sum(when(!isTarget, 1L).otherwise(0L)).as("sb"))
+    val totals = occ.agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ttot"),
+      sum(when(!isTarget, 1L).otherwise(0L)).as("stot"))
+    // ((tb+1) · 1e6 · (S+B)) / (sb+1) / (T+B), associated left-to-right so
+    // both engines round the identical double
+    val ratios = bcounts.crossJoin(broadcast(totals))
+      .withColumn("ratio_micro",
+        round((col("tb") + lit(1)) * lit(1000000.0) * (col("stot") + lit(nBuckets))
+          / (col("sb") + lit(1)) / (col("ttot") + lit(nBuckets))).cast("long"))
+      .select("bucket", "ratio_micro")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("imp_micro").desc, col("doc_id").asc)
+    occ.filter(!isTarget)
+      .join(broadcast(ratios), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("ratio_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("imp_micro"))
+      .withColumn("dsir_keep", row_number().over(w) <= perLang)
+      .select("doc_id", "lang", "n_bigrams", "imp_micro", "dsir_keep")
+  }
+
   /** Gopher-style composite document-quality rules (Rae et al. 2021,
     * "Scaling Language Models", Table A1 — the rule FAMILY, with the word
     * bounds parameterized): per-document structural gates that kill the
@@ -641,6 +724,7 @@ object TextAnalysis {
     "doc_sample_exact"  -> ((s, dir) => Util.orderAll(sampleExact(docs(s, dir), 20))),
     "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
     "text_bigram_lm"    -> ((s, dir) => Util.orderAll(bigramLm(docs(s, dir)))),
+    "doc_dsir_sample"   -> ((s, dir) => Util.orderAll(dsirSample(docs(s, dir)))),
     // word bounds tightened so the fixture discriminates on every live rule
     // (canonical 50 passes too few 10-99-word synthetic docs)
     "text_gopher_rules" -> ((s, dir) => Util.orderAll(
@@ -1036,6 +1120,49 @@ object TextAnalysis {
           |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_bigrams", "mean_bigram_p_micro"))),
+
+    // the full DSIR chain: dense-rank bigram ids % 64 as buckets, smoothed
+    // target/raw ratio per bucket in micro-units (left-associated double
+    // arithmetic, rounded once), mean ratio per raw-pool doc, top-25 per
+    // language. CASTs pin DuckDB's HUGEINT sums.
+    "doc_dsir_sample" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang, words[i] || ' ' || words[i+1] AS bg
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words))) AS i) ii
+        |  WHERE len(words) >= 2
+        |), bgv AS (
+        |  SELECT bg AS token, dense_rank() OVER (ORDER BY bg) AS tid
+        |  FROM (SELECT DISTINCT bg FROM bg) d
+        |), occ AS (
+        |  SELECT doc_id, lang, tid % 64 AS bucket
+        |  FROM bg JOIN bgv ON bg.bg = bgv.token
+        |), bc AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tb,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS sb
+        |  FROM occ GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ttot,
+        |         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS stot
+        |  FROM occ
+        |), ratios AS (
+        |  SELECT bucket,
+        |    CAST(round((tb + 1) * 1000000.0 * (stot + 64) / (sb + 1) / (ttot + 64)) AS BIGINT) AS ratio_micro
+        |  FROM bc CROSS JOIN tot
+        |), score AS (
+        |  SELECT doc_id, lang, count(*) AS n_bigrams,
+        |    CAST(round(CAST(sum(ratio_micro) AS DOUBLE) / count(*)) AS BIGINT) AS imp_micro
+        |  FROM occ JOIN ratios USING (bucket)
+        |  WHERE lang <> 'en'
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, lang, n_bigrams, imp_micro,
+          |  row_number() OVER (PARTITION BY lang ORDER BY imp_micro DESC, doc_id) <= 25 AS dsir_keep
+          |FROM score""".stripMargin,
+        Seq("doc_id", "lang", "n_bigrams", "imp_micro", "dsir_keep"))),
 
     // all-integer cross-multiplied rule set — no double division anywhere,
     // so booleans can't drift between engines

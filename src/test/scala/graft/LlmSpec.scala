@@ -586,6 +586,33 @@ class LlmSpec extends SparkSpec {
     assert(single.size <= Sketches.CmsDepth * Sketches.CmsWidth)
   }
 
+  test("DSIR importance: target-like raw docs outrank junk in both the oracle and hashed bucketings") {
+    import graft.llm.TextAnalysis
+    // target distribution: en docs over the alpha/beta/gamma bigram family;
+    // raw pool: one doc re-using those bigrams, one of never-seen-in-target
+    // junk bigrams — the former must score higher and win the keep slot
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma", "en"),
+      (2L, "beta gamma delta alpha beta gamma delta", "en"),
+      (10L, "alpha beta gamma delta alpha beta", "xx"),
+      (11L, "junk1 junk2 junk3 junk4 junk5 junk6", "xx")
+    ).toDF("doc_id", "text", "lang")
+    for ((name, out) <- Seq(
+        "oracle-bucket" -> TextAnalysis.dsirSample(docs, perLang = 1),
+        "hashed-bucket" -> TextAnalysis.dsirSampleHashed(docs, perLang = 1))) {
+      val r = out.as[(Long, String, Long, Long, Boolean)].collect()
+        .map(x => x._1 -> (x._4, x._5)).toMap
+      assert(r.keySet == Set(10L, 11L), s"$name: raw pool rows wrong: $r")
+      assert(r(10L)._1 > r(11L)._1,
+        s"$name: target-like doc must outscore junk: $r")
+      assert(r(10L)._2 && !r(11L)._2, s"$name: keep slot misassigned: $r")
+    }
+    // smoothing keeps never-seen buckets finite: junk-only doc still scores
+    val junkOnly = TextAnalysis.dsirSample(docs, perLang = 1)
+      .filter($"doc_id" === 11L).select("imp_micro").as[Long].head()
+    assert(junkOnly > 0L, s"smoothed score must stay positive: $junkOnly")
+  }
+
   test("feature hashing: identical texts share vectors, distinct texts diverge, weights count signed occurrences") {
     import graft.llm.Sketches
     val docs = docsDf(
