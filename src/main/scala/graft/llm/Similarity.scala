@@ -492,7 +492,15 @@ object Similarity {
   def semDedup(emb: DataFrame, threshold: Double,
                centroidMod: Int = 37, iters: Int = 2): DataFrame = {
     val e = normed(emb).localCheckpoint(true) // feeds training + assignment
-    val asg = assignToCells(e, kmeansCentroids(e, centroidMod, iters))
+    semDedupAssign(e, kmeansCentroids(e, centroidMod, iters), threshold)
+      .select(col("vec_id"), col("cid"), col("keep"))
+  }
+
+  /** The semDedup core: cell assignment + keep decision, vectors kept in
+    * the output so the index writer can persist members. */
+  private def semDedupAssign(e: DataFrame, cent: DataFrame,
+                             threshold: Double): DataFrame = {
+    val asg = assignToCells(e, cent)
       .select(col("neighbor_id").as("vec_id"), col("vb").as("v"),
         col("nb").as("nrm"), col("cid"))
       .localCheckpoint(true) // both pair sides + the output read it
@@ -506,8 +514,51 @@ object Similarity {
         VectorFunctions.vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
-    asg.select(col("vec_id"), col("cid"))
-      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+    asg.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"),
+        (!coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
+  /** Materialize the reusable semantic-dedup index — the
+    * [[writeIvfIndex]]/[[graft.llm.Dedup.writeNearDupIndex]] pattern for
+    * the SemDeDup family: the refined centroid table plus every KEPT
+    * vector's cell assignment, both parquet. The corpus pays the k-means
+    * training and its own within-cluster dedup ONCE; afterwards each
+    * increment batch is gated by [[semDedupAgainstIndex]] without
+    * re-clustering or re-reading the corpus. */
+  def writeSemDedupIndex(corpus: DataFrame, path: String, threshold: Double,
+                         centroidMod: Int = 37, iters: Int = 2): Unit = {
+    val e = normed(corpus).localCheckpoint(true)
+    val cent = kmeansCentroids(e, centroidMod, iters)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    semDedupAssign(e, cent, threshold).filter(col("keep"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .write.mode("overwrite").parquet(s"$path/members")
+  }
+
+  /** Incremental SemDeDup: gate new vectors against the STORED index — a
+    * new vector is assigned to its nearest stored centroid (broadcast
+    * probe of the tiny centroid table) and dropped iff some KEPT corpus
+    * member of that cell clears the cosine threshold (one cid equi-join
+    * against the stored members, the corpus itself is read, never
+    * re-clustered). Returns (vec_id, cid, keep) for the increment — the
+    * same contract as [[semDedup]], decided against the indexed corpus
+    * instead of within the batch. */
+  def semDedupAgainstIndex(newEmb: DataFrame, path: String,
+                           threshold: Double): DataFrame = {
+    val session = newEmb.sparkSession
+    val cent = session.read.parquet(s"$path/centroids")
+    val members = session.read.parquet(s"$path/members")
+      .select(col("cid"), col("v").as("mv"), col("nrm").as("mnrm"))
+    val asg = assignToCells(normed(newEmb), cent)
+      .select(col("neighbor_id").as("vec_id"), col("vb").as("v"),
+        col("nb").as("nrm"), col("cid"))
+    val dropped = asg.join(members, Seq("cid"))
+      .withColumn("cos", round(
+        VectorFunctions.vecDot(col("v"), col("mv")) / (col("nrm") * col("mnrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id")).distinct()
+    asg.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"),
         (!coalesce(col("dup"), lit(false))).as("keep"))
   }

@@ -573,6 +573,37 @@ object TextAnalysis {
           / count(lit(1))).cast("long").as("mean_bigram_p_micro"))
   }
 
+  /** CCNet-style language-model quality bucketing (Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per language, rank documents by LM quality and split into
+    * head / middle / tail thirds — the standard corpus-quality
+    * stratification downstream mixers consume. The score is
+    * [[bigramLm]]'s mean transition probability in integer micro-units
+    * (HIGHER = more corpus-typical, playing lower-perplexity's role —
+    * the same log-free direction argument). Thirds are exact integer
+    * boundaries (rn·3 vs n), never ntile, so both engines cut
+    * identically; ties break on doc_id.
+    *
+    * Scale shape: bigramLm's two count joins + one per-doc rollup, then
+    * one window per language partition. At 100 TB the per-lang rank
+    * becomes two quantile cuts from [[qualityPercentiles]]' machinery —
+    * selection semantics, not engine limits (the DSIR keep note). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_bigram_p_micro").desc, col("doc_id").asc)
+    val wc = Window.partitionBy("lang")
+    bigramLm(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("ppl_bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"),
+        col("mean_bigram_p_micro").as("lm_micro"), col("ppl_bucket"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw-pool
     * document by how target-like its hashed-bigram distribution is —
@@ -622,14 +653,43 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), pmod(xxhash64(col("bg")), lit(nBuckets)).as("bucket")),
       nBuckets, perLang, targetLang)
 
-  private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")).as("bg"))
+  /** Materialize the production (hashed-bucket) DSIR ratio table — the
+    * [[Dedup.writeNearDupIndex]] pattern for importance scoring: the
+    * target/raw corpus is scanned ONCE to build an nBuckets-row parquet
+    * table; afterwards any batch (or ingest micro-batch) scores against it
+    * with one broadcast join, never re-reading the corpus. */
+  def writeDsirRatios(docs: DataFrame, path: String, nBuckets: Int = 64,
+                      targetLang: String = "en"): Unit =
+    dsirRatiosOf(
+      bigramsOf(docs).select(col("lang"),
+        pmod(xxhash64(col("bg")), lit(nBuckets)).as("bucket")),
+      nBuckets, targetLang)
+      .write.mode("overwrite").parquet(path)
 
-  private def dsirFrom(occ: DataFrame, nBuckets: Int, perLang: Int,
-                       targetLang: String): DataFrame = {
+  /** Score any (doc_id, text) frame against a stored ratio table: mean
+    * bucket ratio in micro-units, same arithmetic as [[dsirSampleHashed]] —
+    * scoring a raw-pool doc against ratios written from the same corpus
+    * returns the identical imp_micro (spec-asserted). Lang-free: importance
+    * is a function of the text's bigram distribution alone. */
+  def dsirScoreAgainstRatios(docs: DataFrame, path: String,
+                             nBuckets: Int = 64): DataFrame =
+    dsirScoreOf(
+      bigramsOf(docs, Seq("doc_id")).select(col("doc_id"),
+        pmod(xxhash64(col("bg")), lit(nBuckets)).as("bucket")),
+      docs.sparkSession.read.parquet(path))
+
+  private def bigramsOf(docs: DataFrame,
+                        keep: Seq[String] = Seq("doc_id", "lang")): DataFrame =
+    docs.select(keep.map(col) :+ split(col("text"), " ").as("words"): _*)
+      .filter(size(col("words")) >= 2)
+      .select(keep.map(col) :+ explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))")).as("bg"): _*)
+
+  /** The nBuckets-row smoothed ratio table from a bucketed occurrence
+    * stream (bucket, lang): ((tb+1) · 1e6 · (S+B)) / (sb+1) / (T+B),
+    * associated left-to-right so both engines round the identical double. */
+  private def dsirRatiosOf(occ: DataFrame, nBuckets: Int,
+                           targetLang: String): DataFrame = {
     val isTarget = col("lang") === targetLang
     val bcounts = occ.groupBy("bucket").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("tb"),
@@ -637,13 +697,27 @@ object TextAnalysis {
     val totals = occ.agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ttot"),
       sum(when(!isTarget, 1L).otherwise(0L)).as("stot"))
-    // ((tb+1) · 1e6 · (S+B)) / (sb+1) / (T+B), associated left-to-right so
-    // both engines round the identical double
-    val ratios = bcounts.crossJoin(broadcast(totals))
+    bcounts.crossJoin(broadcast(totals))
       .withColumn("ratio_micro",
         round((col("tb") + lit(1)) * lit(1000000.0) * (col("stot") + lit(nBuckets))
           / (col("sb") + lit(1)) / (col("ttot") + lit(nBuckets))).cast("long"))
       .select("bucket", "ratio_micro")
+  }
+
+  /** Mean stored-ratio score per doc — the scoring half of [[dsirSample]]
+    * against any precomputed ratio table (bucket, ratio_micro). Shared by
+    * the batch path and the streaming ingest gate. */
+  private[graft] def dsirScoreOf(occ: DataFrame, ratios: DataFrame): DataFrame =
+    occ.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("ratio_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("imp_micro"))
+
+  private def dsirFrom(occ: DataFrame, nBuckets: Int, perLang: Int,
+                       targetLang: String): DataFrame = {
+    val isTarget = col("lang") === targetLang
+    val ratios = dsirRatiosOf(occ, nBuckets, targetLang)
     val w = Window.partitionBy("lang")
       .orderBy(col("imp_micro").desc, col("doc_id").asc)
     occ.filter(!isTarget)
@@ -725,6 +799,7 @@ object TextAnalysis {
     "doc_corpus_stats"  -> ((s, dir) => Util.orderAll(corpusStats(docs(s, dir)))),
     "text_bigram_lm"    -> ((s, dir) => Util.orderAll(bigramLm(docs(s, dir)))),
     "doc_dsir_sample"   -> ((s, dir) => Util.orderAll(dsirSample(docs(s, dir)))),
+    "doc_ccnet_buckets" -> ((s, dir) => Util.orderAll(ccnetBuckets(docs(s, dir)))),
     // word bounds tightened so the fixture discriminates on every live rule
     // (canonical 50 passes too few 10-99-word synthetic docs)
     "text_gopher_rules" -> ((s, dir) => Util.orderAll(
@@ -1120,6 +1195,38 @@ object TextAnalysis {
           |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
           |GROUP BY doc_id""".stripMargin,
         Seq("doc_id", "n_bigrams", "mean_bigram_p_micro"))),
+
+    // the bigram-LM chain + lang join + exact-integer third boundaries
+    "doc_ccnet_buckets" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), bg AS (
+        |  SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words))) AS i) ii
+        |  WHERE len(words) >= 2
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+        |), lm AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(sum(CAST(round(n2 * 1000000.0 / n1) AS BIGINT)) AS DOUBLE)
+        |      / count(*)) AS BIGINT) AS lm_micro
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT lm.doc_id, d.lang, lm.lm_micro,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY lm.lm_micro DESC, lm.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, lang, lm_micro,
+          |  CASE WHEN rn * 3 <= n THEN 'head'
+          |       WHEN rn * 3 <= n * 2 THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM ranked""".stripMargin,
+        Seq("doc_id", "lang", "lm_micro", "ppl_bucket"))),
 
     // the full DSIR chain: dense-rank bigram ids % 64 as buckets, smoothed
     // target/raw ratio per bucket in micro-units (left-associated double

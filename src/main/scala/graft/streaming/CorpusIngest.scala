@@ -88,12 +88,24 @@ object CorpusIngest {
     * per-increment cost (prefix-filtered probe of the stored df table —
     * recall-complete by pigeonhole, the corpus is read, never shuffled).
     * A doc whose containment vs any indexed doc ≥ the threshold fails
-    * `not_contained`. Same content-hash keying as the other gates. */
+    * `not_contained`. Same content-hash keying as the other gates.
+    *
+    * `dsirRatios` (path written by
+    * [[graft.llm.TextAnalysis.writeDsirRatios]]) turns on the IMPORTANCE
+    * gate: each batch's distinct texts score their mean hashed-bigram
+    * ratio against the stored nBuckets-row table (one broadcast join —
+    * the corpus that trained the ratios is never touched) and a doc
+    * scoring below `dsirMinScoreMicro` fails `target_like`. Docs with no
+    * bigrams (< 2 tokens) have no importance evidence and pass — the
+    * structural gates already police degenerate texts. Same content-hash
+    * keying as the other gates. */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
            minOverlap: Int = 2, nearDupIndex: Option[String] = None,
            nearDupThreshold: Double = 0.4,
-           containmentThreshold: Option[Double] = None): DataFrame = {
+           containmentThreshold: Option[Double] = None,
+           dsirRatios: Option[String] = None,
+           dsirMinScoreMicro: Long = 0L): DataFrame = {
     require(containmentThreshold.isEmpty || nearDupIndex.nonEmpty,
       "containmentThreshold needs nearDupIndex: the containment gate probes the same stored index")
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
@@ -151,15 +163,30 @@ object CorpusIngest {
           .withColumn("not_contained", coalesce(!col("contained"), lit(true)))
       case _ => withNearDup.withColumn("not_contained", lit(true))
     }
-    withContained
+    val withDsir = dsirRatios match {
+      case Some(path) =>
+        val lowScore = graft.llm.TextAnalysis.dsirScoreAgainstRatios(
+            withContained.select(xxhash64(col("text")).as("doc_id"), col("text"))
+              .distinct(),
+            path)
+          .filter(col("imp_micro") < dsirMinScoreMicro)
+          .select(col("doc_id").as("_dhash"), lit(true).as("low_imp"))
+        withContained.withColumn("_dhash", xxhash64(col("text")))
+          .join(broadcast(lowScore), Seq("_dhash"), "left_outer")
+          .withColumn("target_like", coalesce(!col("low_imp"), lit(true)))
+      case None => withContained.withColumn("target_like", lit(true))
+    }
+    withDsir
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
         col("not_repetitive") && col("not_contaminated") &&
-        col("not_near_dup") && col("not_contained") && col("is_keeper"))
+        col("not_near_dup") && col("not_contained") && col("target_like") &&
+        col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("lang_ok"), col("quality_ok"),
         col("not_repetitive"), col("not_contaminated"),
-        col("not_near_dup"), col("not_contained"), col("is_keeper"), col("keep"))
+        col("not_near_dup"), col("not_contained"), col("target_like"),
+        col("is_keeper"), col("keep"))
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
@@ -191,7 +218,9 @@ object CorpusIngest {
           onBatchComplete: Long => Unit = _ => (),
           minOverlap: Int = 2, nearDupIndex: Option[String] = None,
           nearDupThreshold: Double = 0.4,
-          containmentThreshold: Option[Double] = None): StreamingQuery =
+          containmentThreshold: Option[Double] = None,
+          dsirRatios: Option[String] = None,
+          dsirMinScoreMicro: Long = 0L): StreamingQuery =
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -199,11 +228,12 @@ object CorpusIngest {
         try {
           writeBatchPartition(
             gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
-              minOverlap, nearDupIndex, nearDupThreshold, containmentThreshold)
+              minOverlap, nearDupIndex, nearDupThreshold, containmentThreshold,
+              dsirRatios, dsirMinScoreMicro)
               .filter(col("keep"))
               .drop("lang_ok", "quality_ok", "not_repetitive",
                 "not_contaminated", "not_near_dup", "not_contained",
-                "is_keeper", "keep"),
+                "target_like", "is_keeper", "keep"),
             batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),

@@ -256,6 +256,39 @@ class LlmSpec extends SparkSpec {
     assert(dropped.nonEmpty, "fixture threshold produced no drops (vacuous)")
   }
 
+  test("SemDeDup stored index: increments gate against kept members without re-clustering") {
+    val embF = Tables.table(spark, sf, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    Similarity.writeSemDedupIndex(embF, idx, 0.35)
+    // increment: re-idd copies of corpus vectors 0..9 plus one basis vector
+    // the corpus is nowhere near
+    val novel = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val inc = embF.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+      .unionByName(Seq((20000L, novel)).toDF("vec_id", "embedding"))
+    val out = Similarity.semDedupAgainstIndex(inc, idx, 0.35)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 11)
+    // a copy of ANY corpus vector must drop: if the original was kept it is
+    // its own witness (cos 1.0); if it was dropped, its smaller-id witness
+    // is in the members table and scores >= tau against the copy too
+    (10000L to 10009L).foreach(id =>
+      assert(!out(id), s"corpus-duplicate increment $id survived the gate"))
+    // ground truth for the novel vector: its best cosine against ALL kept
+    // members (cell restriction only removes comparisons, so a global max
+    // under tau forces keep)
+    val kept = spark.read.parquet(s"$idx/members")
+      .select($"vec_id", $"v").as[(Long, Array[Double])].collect()
+    val nd = novel.map(_.toDouble)
+    def cosRaw(x: Array[Double], y: Array[Double]) = {
+      val d = x.indices.map(i => x(i) * y(i)).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val best = kept.map(m => cosRaw(nd, m._2)).max
+    assert(best < 0.349, s"fixture invalid: novel vector's best kept-cosine $best")
+    assert(out(20000L), "novel vector must pass the incremental gate")
+  }
+
   test("IVF-PQ ANN: residual of a codebook seed encodes to itself, zero-distance self-match ranks first, recall >= plain PQ") {
     // one cell (vec 0 is the only %37 centroid), codebook seeds 0 and 61:
     // vec 61 == vec 0 == the centroid, so its residual is the zero vector
@@ -584,6 +617,25 @@ class LlmSpec extends SparkSpec {
     assert(merged == single, "sum-merged sketch must equal the single-pass sketch")
     // the sketch is d·w rows max regardless of corpus size
     assert(single.size <= Sketches.CmsDepth * Sketches.CmsWidth)
+  }
+
+  test("CCNet buckets: per-language exact thirds, score-monotone head >= middle >= tail") {
+    import graft.llm.TextAnalysis
+    val out = TextAnalysis.ccnetBuckets(Tables.table(spark, sf, "documents"))
+      .as[(Long, String, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byB.getOrElse("head", Array.empty[Long]).length == n / 3,
+        s"$lang: head must be floor(n/3) of $n")
+      assert(byB.getOrElse("middle", Array.empty[Long]).length == 2 * n / 3 - n / 3,
+        s"$lang: middle boundary wrong for n=$n")
+      for {h <- byB.get("head"); m <- byB.get("middle")}
+        assert(h.min >= m.max, s"$lang: head score below middle")
+      for {m <- byB.get("middle"); t <- byB.get("tail")}
+        assert(m.min >= t.max, s"$lang: middle score below tail")
+    }
   }
 
   test("DSIR importance: target-like raw docs outrank junk in both the oracle and hashed bucketings") {

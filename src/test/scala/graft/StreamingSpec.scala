@@ -456,6 +456,52 @@ class StreamingSpec extends SparkSpec {
       s"batch twin disagrees with the streaming gate: $flagged")
   }
 
+  test("ingest DSIR gate: a raw-pool-typical doc scores under the stored ratio cut and is dropped, batch-parity") {
+    val inDir = tmp("graft-dsir-in")
+    val outDir = tmp("graft-dsir-out")
+    val qDir = tmp("graft-dsir-quarantine")
+    val ckpt = tmp("graft-dsir-ckpt")
+    val ratios = tmp("graft-dsir-ratios")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    // ratio table trained ONCE: target (en) speaks the t-bigram family, the
+    // raw pool (xx) speaks the j-family — the stream below only reads the
+    // 64-row table, never this corpus
+    graft.llm.TextAnalysis.writeDsirRatios(Seq(
+      (1L, goodText("t"), "en"), (2L, goodText("t") + " tail", "en"),
+      (3L, goodText("j"), "xx"), (4L, goodText("j") + " tail", "xx")
+    ).toDF("doc_id", "text", "lang"), ratios)
+    // both streamed docs pass every structural gate; they differ only in
+    // which bigram family they speak
+    val targetLike = goodText("t").split(" ").dropRight(1).mkString(" ") + " qq9"
+    val junky = goodText("j").split(" ").dropRight(1).mkString(" ") + " qq9"
+    val scores = graft.llm.TextAnalysis.dsirScoreAgainstRatios(
+        Seq((10L, targetLike), (11L, junky)).toDF("doc_id", "text"), ratios)
+      .select($"doc_id", $"imp_micro").as[(Long, Long)].collect().toMap
+    assert(scores(10L) > scores(11L),
+      s"fixture invalid: target-like must outscore raw-typical: $scores")
+    val cut = (scores(10L) + scores(11L)) / 2
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(10, targetLike) + "\n" + doc(11, junky) + "\n").getBytes)
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      dsirRatios = Some(ratios), dsirMinScoreMicro = cut)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(10L),
+      s"got $out — doc 11 speaks the raw pool's bigram family and must be dropped")
+    // batch parity: the stream's drop set IS dsirScoreAgainstRatios below
+    // the cut over the batch's distinct texts (content-hash keyed)
+    val flagged = graft.llm.TextAnalysis.dsirScoreAgainstRatios(
+        Seq(targetLike, junky).toDF("text")
+          .select(xxhash64($"text").as("doc_id"), $"text"), ratios)
+      .filter($"imp_micro" < cut).select($"doc_id").as[Long].collect().toSet
+    val junkyHash = Seq(junky).toDF("text").select(xxhash64($"text")).as[Long].head()
+    assert(flagged == Set(junkyHash),
+      s"batch twin disagrees with the streaming gate: $flagged")
+  }
+
   test("CurationJob: config-driven wiring runs the full ingest incl. eval-corpus decontamination") {
     val inDir = tmp("graft-cjob-in")
     val outDir = tmp("graft-cjob-out")
