@@ -768,6 +768,41 @@ class StreamingSpec extends SparkSpec {
         b >= 0 && b < graft.llm.Sketches.CmsWidth })
   }
 
+  test("streaming exact-N sample: k-bounded state, current sample == batch sampleExact of the prefix incl. mid-stream") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "lang")
+    val perStratum = 3
+    // Update-mode re-emit per touched lang: latest emit per lang IS the sample
+    val latest = scala.collection.concurrent.TrieMap.empty[String, Set[(Long, Long)]]
+    val q = streaming.StreamingSample.run(stream, perStratum)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-ssample"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getString(0)).foreach { case (lang, rows) =>
+          latest(lang) = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+        }
+        ()
+      }.start()
+    val b1 = Seq((1L, "en"), (7L, "en"), (13L, "en"), (2L, "de"), (5L, "de"))
+    val b2 = Seq((21L, "en"), (4L, "en"), (9L, "de"), (11L, "de"), (6L, "de"))
+    def batchOf(rows: Seq[(Long, String)]) =
+      graft.llm.TextAnalysis.sampleExact(
+          rows.toDF("doc_id", "lang").withColumn("text", lit("x")), perStratum)
+        .select($"lang", $"doc_id", $"rk".cast("long"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(latest.toMap == batchOf(b1),
+        s"mid-stream sample diverged from the prefix batch sample")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(latest.toMap == batchOf(b1 ++ b2),
+      s"final sample diverged from the batch sample")
+    // bounded emission: no language ever exceeds perStratum rows
+    assert(latest.values.forall(_.size <= perStratum))
+  }
+
   test("stream-stream interval join pairs within horizon and matches the batch operator") {
     val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
     val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
