@@ -473,11 +473,24 @@ object Similarity {
     * semantic near-duplicates of another document in the SAME k-means
     * cluster. The published recipe exactly: cluster the embedding space
     * (here the [[kmeansCentroids]] Lloyd's refinement over a deterministic
-    * seed), then compare pairs only WITHIN a cluster and drop one side of
-    * every pair whose cosine ≥ `threshold`. The kept side is the smaller
-    * vec_id — a deterministic stand-in for the paper's keep-the-
-    * low-centroid-similarity rule, same keeper convention as
-    * [[Dedup.embeddingKeep]].
+    * seed), then compare pairs only WITHIN a cluster and drop the larger
+    * vec_id of every over-threshold pair — a deterministic stand-in for
+    * the paper's keep-the-low-centroid-similarity rule, same keeper
+    * convention as [[Dedup.embeddingKeep]].
+    *
+    * Drop semantics are PAIR-LOCAL, not group-wise: a vector is dropped
+    * if ANY smaller-id cell-mate clears the threshold, even when that
+    * witness was itself dropped. On a similarity chain A~B, B~C with
+    * A!~C this removes BOTH B and C, which over-deletes relative to a
+    * keep-one-per-connected-group reading of the paper (that reading
+    * would keep C, the chain's far end). This is deliberate: pair-local
+    * drops are one equi-join — group-wise retention needs connected
+    * components per cell (the [[graft.operators.ConnectedComponents]]
+    * machinery, available downstream via [[Dedup.embeddingClusters]] /
+    * `embeddingKeep` when paper-faithful retention matters). Near the
+    * threshold, transitivity is a weak assumption anyway: B and C both
+    * sit within ε of a kept duplicate witness. The oracle pins exactly
+    * these pair-local semantics.
     *
     * Scale shape — the whole point of SemDeDup vs all-pairs: the quadratic
     * term is per-CLUSTER, (N/k)² × k instead of N², and k grows with the

@@ -687,7 +687,14 @@ object TextAnalysis {
 
   /** The nBuckets-row smoothed ratio table from a bucketed occurrence
     * stream (bucket, lang): ((tb+1) · 1e6 · (S+B)) / (sb+1) / (T+B),
-    * associated left-to-right so both engines round the identical double. */
+    * associated left-to-right so both engines round the identical double.
+    * ALL nBuckets rows are emitted, not just buckets the training corpus
+    * happened to hit: add-1 smoothing gives an unseen bucket the finite
+    * default ratio (1·(S+B))/(1·(T+B)), so a later doc whose bigrams hash
+    * to a bucket the corpus never produced still contributes that smoothed
+    * ratio to its mean instead of silently dropping out of the score (and
+    * a doc whose bigrams ALL land on unseen buckets still gets a score,
+    * keeping the ingest gate honest). */
   private def dsirRatiosOf(occ: DataFrame, nBuckets: Int,
                            targetLang: String): DataFrame = {
     val isTarget = col("lang") === targetLang
@@ -695,9 +702,12 @@ object TextAnalysis {
       sum(when(isTarget, 1L).otherwise(0L)).as("tb"),
       sum(when(!isTarget, 1L).otherwise(0L)).as("sb"))
     val totals = occ.agg(
-      sum(when(isTarget, 1L).otherwise(0L)).as("ttot"),
-      sum(when(!isTarget, 1L).otherwise(0L)).as("stot"))
-    bcounts.crossJoin(broadcast(totals))
+      coalesce(sum(when(isTarget, 1L).otherwise(0L)), lit(0L)).as("ttot"),
+      coalesce(sum(when(!isTarget, 1L).otherwise(0L)), lit(0L)).as("stot"))
+    occ.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+      .join(bcounts, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("tb", "sb"))
+      .crossJoin(broadcast(totals))
       .withColumn("ratio_micro",
         round((col("tb") + lit(1)) * lit(1000000.0) * (col("stot") + lit(nBuckets))
           / (col("sb") + lit(1)) / (col("ttot") + lit(nBuckets))).cast("long"))

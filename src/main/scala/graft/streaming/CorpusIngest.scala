@@ -108,6 +108,11 @@ object CorpusIngest {
            dsirMinScoreMicro: Long = 0L): DataFrame = {
     require(containmentThreshold.isEmpty || nearDupIndex.nonEmpty,
       "containmentThreshold needs nearDupIndex: the containment gate probes the same stored index")
+    // imp_micro is always >= 0, so a dsirRatios path with the default
+    // threshold 0 would be a silently-enabled no-op gate (every doc passes
+    // target_like) — exactly the misconfiguration worth failing fast on
+    require(dsirRatios.isEmpty || dsirMinScoreMicro > 0L,
+      "dsirRatios needs dsirMinScoreMicro > 0: imp_micro >= 0 always, so a zero threshold gates nothing")
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
     // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
     // the row into no bucket at all — the decode comment's 'silent third
