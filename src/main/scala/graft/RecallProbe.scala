@@ -29,7 +29,7 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
 
-    val emb = Tables.table(spark, sfDir, "embeddings")
+    val emb = Tables.embeddings(spark, sfDir)
     val nQ = 50
     val k = 10
     def pairs(df: DataFrame): Set[(Long, Long)] = {

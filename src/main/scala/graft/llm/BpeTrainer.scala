@@ -112,7 +112,7 @@ object BpeTrainer {
 
   // ------------------------------------------------------------- registry
 
-  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   val MergeSteps = 6
 

@@ -999,8 +999,8 @@ object Dedup {
 
   // ------------------------------------------------------------- registry
 
-  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String)  = Tables.table(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String)  = Tables.embeddings(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact"     -> ((s, dir) => Util.orderAll(exact(docs(s, dir)))),

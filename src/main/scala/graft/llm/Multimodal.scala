@@ -93,13 +93,13 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) =>
-      Util.orderAll(decodedMeta(mediaTable(Tables.table(s, dir, "documents"))))),
+      Util.orderAll(decodedMeta(mediaTable(Tables.documents(s, dir))))),
 
     // frame sampling: pseudo-duration from the payload, ≤5 evenly spaced
     // byte offsets per clip — integer arithmetic only, so the real
     // frame-grab (ffmpeg seek at each offset) can slot into the same plan
     "mm_frame_sample" -> ((s, dir) => {
-      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      val m = decodedMeta(mediaTable(Tables.documents(s, dir)))
       // frame_offsets is emitted as a canonical comma-joined string — the
       // driver's hash compare can't sort/hash an array<bigint> column
       Util.orderAll(m
@@ -118,7 +118,7 @@ object Multimodal {
     // codegen'd DotProduct kernel. The capability story: media columns
     // flow into the same vector operators as the embeddings table.
     "mm_embed_topk" -> ((s, dir) => {
-      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      val m = decodedMeta(mediaTable(Tables.documents(s, dir)))
       val emb = m.withColumn("v", expr(
         "transform(sequence(0, 7), j -> CAST((n_bytes * (j+1) * 2654435761 + width * 7919 * j + height * 40503 + channels * 97 + j) % 1000 AS DOUBLE) / 500.0 - 1.0)"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecNorm(col("v")))
@@ -136,7 +136,7 @@ object Multimodal {
     // In-row sequence+explode: no shuffle, patches never leave their doc's
     // partition. Sampled to every 10th doc to keep the oracle dump lean.
     "mm_patch_grid" -> ((s, dir) => {
-      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      val m = decodedMeta(mediaTable(Tables.documents(s, dir)))
         .filter(col("doc_id") % 10 === 0)
         .withColumn("out_w", lit(224))
         .withColumn("out_h", expr("(height * 224) div width"))
@@ -154,7 +154,7 @@ object Multimodal {
     // resize planning: scale to width 224 preserving aspect (integer
     // division both engines) — the geometry half of a real resize UDF
     "mm_resize" -> ((s, dir) => {
-      val m = decodedMeta(mediaTable(Tables.table(s, dir, "documents")))
+      val m = decodedMeta(mediaTable(Tables.documents(s, dir)))
       Util.orderAll(m
         .withColumn("out_w", lit(224))
         .withColumn("out_h", expr("(height * 224) div width"))

@@ -480,17 +480,20 @@ object Similarity {
     *
     * Drop semantics are PAIR-LOCAL, not group-wise: a vector is dropped
     * if ANY smaller-id cell-mate clears the threshold, even when that
-    * witness was itself dropped. On a similarity chain A~B, B~C with
-    * A!~C this removes BOTH B and C, which over-deletes relative to a
-    * keep-one-per-connected-group reading of the paper (that reading
-    * would keep C, the chain's far end). This is deliberate: pair-local
-    * drops are one equi-join — group-wise retention needs connected
-    * components per cell (the [[graft.operators.ConnectedComponents]]
-    * machinery, available downstream via [[Dedup.embeddingClusters]] /
-    * `embeddingKeep` when paper-faithful retention matters). Near the
-    * threshold, transitivity is a weak assumption anyway: B and C both
-    * sit within ε of a kept duplicate witness. The oracle pins exactly
-    * these pair-local semantics.
+    * witness was itself dropped. Pair-local drops are neither a superset
+    * nor a subset of connected-component keep-min retention: on a chain
+    * A~B, B~C (ids A<B<C, A!~C) both readings drop B AND C (CC groups
+    * {A,B,C}, keeps min-id A); but on edges (1,3),(2,3) pair-local keeps
+    * 2 while CC drops it. (A sequential kept-witness scan — drop only
+    * against surviving witnesses — is the reading that would keep C on
+    * the chain; that is a different, order-dependent algorithm, not CC.)
+    * This is deliberate: pair-local drops are one equi-join — group-wise
+    * retention needs connected components per cell (the
+    * [[graft.operators.ConnectedComponents]] machinery, available
+    * downstream via [[Dedup.embeddingClusters]] / `embeddingKeep` when
+    * group-wise retention matters). Near the threshold, transitivity is
+    * a weak assumption anyway: every dropped vector sits within ε of
+    * SOME witness. The oracle pins exactly these pair-local semantics.
     *
     * Scale shape — the whole point of SemDeDup vs all-pairs: the quadratic
     * term is per-CLUSTER, (N/k)² × k instead of N², and k grows with the
@@ -626,7 +629,7 @@ object Similarity {
 
   // ------------------------------------------------------------- registry
 
-  private def emb(s: SparkSession, dir: String) = Tables.table(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> ((s, dir) => Util.orderAll(bruteForceTopK(emb(s, dir), 5, 10))),

@@ -335,7 +335,7 @@ object Sketches {
 
   // ------------------------------------------------------------- registry
 
-  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_distinct_kmv" -> ((s, dir) => Util.orderAll(kmvDistinct(docs(s, dir)))),

@@ -783,7 +783,7 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- registry
 
-  private def docs(s: SparkSession, dir: String) = Tables.table(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id"     -> ((s, dir) => Util.orderAll(langId(docs(s, dir)))),

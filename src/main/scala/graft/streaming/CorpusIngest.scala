@@ -106,13 +106,7 @@ object CorpusIngest {
            containmentThreshold: Option[Double] = None,
            dsirRatios: Option[String] = None,
            dsirMinScoreMicro: Long = 0L): DataFrame = {
-    require(containmentThreshold.isEmpty || nearDupIndex.nonEmpty,
-      "containmentThreshold needs nearDupIndex: the containment gate probes the same stored index")
-    // imp_micro is always >= 0, so a dsirRatios path with the default
-    // threshold 0 would be a silently-enabled no-op gate (every doc passes
-    // target_like) — exactly the misconfiguration worth failing fast on
-    require(dsirRatios.isEmpty || dsirMinScoreMicro > 0L,
-      "dsirRatios needs dsirMinScoreMicro > 0: imp_micro >= 0 always, so a zero threshold gates nothing")
+    validateGateParams(nearDupIndex, containmentThreshold, dsirRatios, dsirMinScoreMicro)
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
     // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
     // the row into no bucket at all — the decode comment's 'silent third
@@ -197,6 +191,24 @@ object CorpusIngest {
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
     * overwrite — a replayed batch replaces its own output (replay
     * idempotence is spec-asserted like CdrStreamJob.writeBatch's). */
+  /** Cross-parameter invariants shared by [[gate]] and [[run]]. Validated at
+    * [[run]] setup too (not just inside the per-batch [[gate]] call) so a
+    * misconfigured stream fails before the StreamingQuery starts instead of
+    * on its first micro-batch.
+    */
+  private def validateGateParams(nearDupIndex: Option[String],
+                                 containmentThreshold: Option[Double],
+                                 dsirRatios: Option[String],
+                                 dsirMinScoreMicro: Long): Unit = {
+    require(containmentThreshold.isEmpty || nearDupIndex.nonEmpty,
+      "containmentThreshold needs nearDupIndex: the containment gate probes the same stored index")
+    // imp_micro is always >= 0, so a dsirRatios path with the default
+    // threshold 0 would be a silently-enabled no-op gate (every doc passes
+    // target_like) — exactly the misconfiguration worth failing fast on
+    require(dsirRatios.isEmpty || dsirMinScoreMicro > 0L,
+      "dsirRatios needs dsirMinScoreMicro > 0: imp_micro >= 0 always, so a zero threshold gates nothing")
+  }
+
   private[graft] def writeBatchPartition(out: DataFrame, batchId: Long,
                                          partCols: Seq[String], path: String,
                                          format: String): Unit =
@@ -225,7 +237,8 @@ object CorpusIngest {
           nearDupThreshold: Double = 0.4,
           containmentThreshold: Option[Double] = None,
           dsirRatios: Option[String] = None,
-          dsirMinScoreMicro: Long = 0L): StreamingQuery =
+          dsirMinScoreMicro: Long = 0L): StreamingQuery = {
+    validateGateParams(nearDupIndex, containmentThreshold, dsirRatios, dsirMinScoreMicro)
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -248,4 +261,5 @@ object CorpusIngest {
         ()
       }
       .start()
+  }
 }

@@ -13,19 +13,31 @@ class PlanAuditSpec extends SparkSpec {
 
   private def phys(name: String): String = exec(name).toString
 
-  /** SHUFFLE exchanges only — BroadcastExchange is a dim broadcast, which
-    * is precisely what these tests want to see instead of a shuffle.
+  /** KEYED shuffle exchanges only — the audited property is "the operator
+    * moves data by key exactly where its semantics require".
+    * - BroadcastExchange doesn't count: a dim broadcast is precisely what
+    *   these tests want to see instead of a shuffle.
+    * - RoundRobinPartitioning doesn't count: that is the
+    *   `Tables.ensureParallelism` input-conditioning rebalance (the fixture
+    *   is single-row-group parquet, so the scan is ONE task; the floor buys
+    *   back the other cores). It carries no key, merges with no join/agg,
+    *   and is a no-op at real scale where the scan is already parallel —
+    *   counting it would flunk every narrow per-row operator for a property
+    *   of the FIXTURE, not the plan. SinglePartition (the harness ORDER BY)
+    *   still counts, as before.
     * Counted on the plan TREE, not its printout: `InMemoryTableScan`
     * prints its cached plan (built by whichever suite populated the cache
     * first, so its shape varies with test order) but executes none of it —
     * the scan reads cached blocks, so those exchanges must not count. */
   private def exchanges(name: String): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     def cnt(p: SparkPlan): Int = p.collect {
       case a: AdaptiveSparkPlanExec => cnt(a.inputPlan)
-      case _: ShuffleExchangeLike   => 1
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => 1
     }.sum
     cnt(exec(name))
   }

@@ -130,6 +130,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A2 gap stress: bursts inside ONE micro-batch merge into one session; a post-emit burst opens a new one") {
+    // Pins the semantics where Spark's ProcessingTimeTimeout mapping differs
+    // from Flink's ProcessingTimeSessionWindows (EnrichmentApp.java:145-148)
+    // when the micro-batch interval exceeds the 1 s gap: Flink splits
+    // sessions by per-record ARRIVAL time, Spark by BATCH boundary (timers
+    // are only evaluated between batches). Consequences pinned here:
+    //   1. two bursts landing in the same micro-batch — however far apart
+    //      they arrived in wall-clock — fold into ONE session whose emission
+    //      is the argmax across BOTH bursts (sessions can merge, never split
+    //      wrongly; no row is lost, none duplicated);
+    //   2. once the gap fires and the session emits, state is gone — a later
+    //      burst for the same key opens a NEW session (second emission),
+    //      matching Flink's new-window-after-close behavior.
+    import java.sql.Timestamp
+    import graft.streaming.EnrichedCdr
+    def row(stime: String, dim: String): EnrichedCdr = EnrichedCdr(
+      Timestamp.valueOf(stime), "vi_probe", Some(900L), Some(111L), "10.0.0.1",
+      77L, "2024-01-15", "vi", Some("10.0.0.1"), Some(Timestamp.valueOf(dim)))
+    val mem = MemoryStream[EnrichedCdr](spark)
+    // both bursts queued BEFORE the query starts ⇒ guaranteed same batch 0,
+    // the exact shape a gap-length stall under a slow micro-batch produces
+    mem.addData(row("2024-01-15 10:00:00", "2024-01-15 08:00:00"))
+    mem.addData(row("2024-01-15 10:00:01", "2024-01-15 09:00:00"))
+    val q = SessionDedup(mem.toDF(), gapMs = 500L)
+      .writeStream.format("memory").queryName("gap_stress")
+      .outputMode("append").option("checkpointLocation", tmp("graft-ckpt-gap")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      def n() = spark.table("gap_stress").count()
+      while (n() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val first = spark.table("gap_stress").collect()
+      assert(first.length == 1, s"same-batch bursts must merge to ONE session, got ${first.toSeq}")
+      assert(first.head.getAs[Timestamp]("_start_time") ===
+        Timestamp.valueOf("2024-01-15 09:00:00"), "argmax must span both merged bursts")
+      // session emitted ⇒ state removed ⇒ this burst is a NEW session
+      mem.addData(row("2024-01-15 10:05:00", "2024-01-15 08:30:00"))
+      while (n() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val second = spark.table("gap_stress").collect().sortBy(_.getAs[Timestamp]("start_time").getTime)
+      assert(second.length == 2, s"post-emit burst must open a new session, got ${second.toSeq}")
+      assert(second.last.getAs[Timestamp]("_start_time") ===
+        Timestamp.valueOf("2024-01-15 08:30:00"),
+        "new session's argmax must NOT see the closed session's rows")
+    } finally q.stop()
+  }
+
   test("S5: synthetic generator is deterministic and schema-complete") {
     val a = CdrStreamJob.syntheticCdr(spark.range(100).select($"id".as("i")))
     val b = CdrStreamJob.syntheticCdr(spark.range(100).select($"id".as("i")))
