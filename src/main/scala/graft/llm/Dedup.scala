@@ -800,12 +800,19 @@ object Dedup {
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
       broadcastCandidates: Boolean = true): DataFrame = {
     require(window >= 1, s"bloomIncrementalSpans: window must be >= 1, got $window")
+    // seg feeds FOUR consumers (sketch build, exact-verify join, candidate
+    // probe, per-doc span count); without materialization each re-runs the
+    // scan + tokenize + explode. One eager localCheckpoint = one pass, and
+    // its blocks free with the plan. (In production the corp side is a
+    // stored index — writeNearDupIndex — and only the increment's spans are
+    // materialized, so the checkpoint is increment-sized, not corpus-sized.)
     val seg = tokenized(docs)
       .filter(size(col("words")) >= window)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(words) div $window)," +
           s" i -> concat_ws(' ', slice(words, (i-1)*$window+1, $window)))"))
         .as("segment"))
+      .localCheckpoint(eager = true)
     val corp = seg.filter(col("doc_id") % 7 =!= 0).select("segment").distinct()
     val incs = seg.filter(col("doc_id") % 7 === 0)
     val sketch = corp.select(xxhash64(col("segment")).as("h"))
