@@ -215,29 +215,41 @@ object ScaleStress {
     // the stored-index probe never rescans/reshuffles the corpus, and the
     // prefix filter cuts candidate pairs vs the naive any-shared-shingle
     // join — pruning evidence, not an argument.
-    val contIdx = s"/tmp/graft-stress-contidx-x$factor"
-    val contIncs = docsN.filter(col("doc_id") % 7 === 0)
-    val contCorp = docsN.filter(col("doc_id") % 7 =!= 0)
-    val (_, tContBuild) = timed("containment idx build")(
-      graft.llm.Dedup.writeNearDupIndex(contCorp, contIdx))
-    val incShid = graft.llm.Dedup.shingleIdsHashed(
-      graft.llm.Dedup.tokenized(contIncs)).localCheckpoint(true)
-    val incCn = incShid.groupBy(col("doc_id")).agg(count(lit(1)).as("cn"))
-    val (nCandNaive, tCandNaive) = timed("cont cand naive")(
-      incShid.select(col("doc_id").as("new_doc"), col("sid"))
-        .join(spark.read.parquet(s"$contIdx/shingles")
-          .select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
-        .select("new_doc", "existing_doc").distinct().count())
-    val (nCandPrefix, tCandPrefix) = timed("cont cand prefix")(
-      graft.llm.Dedup.containmentPrefixCandidates(incShid, incCn, contIdx, 0.8).count())
-    // broadcastCandidates = false: every increment doc here near-duplicates
-    // ~9 sibling copies, so the candidate side is corpus-dense — the
-    // documented escape-hatch regime
-    val (nContHits, tContGate) = timed("containment gate x" + factor)(
-      graft.llm.Dedup.containmentAgainstIndex(contIncs, contIdx, 0.8,
-        broadcastCandidates = false).count())
-    System.err.println(s"[stress] cont_cand_naive=$nCandNaive cont_cand_prefix=$nCandPrefix" +
-      s" cont_hits=$nContHits")
+    // skippable like simhash: the naive-candidate contrast stage is
+    // ANSWER-SIZE-bound on this dense synthetic corpus (~quadratic in
+    // replication — 27.7M candidate pairs at ×10), so at big factors the
+    // answer, not the algorithm, dominates and the contrast is on record
+    val skipCont = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("containment"))
+    var (tContBuild, tCandNaive, tCandPrefix, tContGate) = (-1.0, -1.0, -1.0, -1.0)
+    var (nCandNaive, nCandPrefix, nContHits) = (-1L, -1L, -1L)
+    if (!skipCont) {
+      val contIdx = s"/tmp/graft-stress-contidx-x$factor"
+      val contIncs = docsN.filter(col("doc_id") % 7 === 0)
+      val contCorp = docsN.filter(col("doc_id") % 7 =!= 0)
+      tContBuild = timed("containment idx build")(
+        graft.llm.Dedup.writeNearDupIndex(contCorp, contIdx))._2
+      val incShid = graft.llm.Dedup.shingleIdsHashed(
+        graft.llm.Dedup.tokenized(contIncs)).localCheckpoint(true)
+      val incCn = incShid.groupBy(col("doc_id")).agg(count(lit(1)).as("cn"))
+      val (nn, tn) = timed("cont cand naive")(
+        incShid.select(col("doc_id").as("new_doc"), col("sid"))
+          .join(spark.read.parquet(s"$contIdx/shingles")
+            .select(col("doc_id").as("existing_doc"), col("sid")), Seq("sid"))
+          .select("new_doc", "existing_doc").distinct().count())
+      nCandNaive = nn; tCandNaive = tn
+      val (np, tp) = timed("cont cand prefix")(
+        graft.llm.Dedup.containmentPrefixCandidates(incShid, incCn, contIdx, 0.8).count())
+      nCandPrefix = np; tCandPrefix = tp
+      // broadcastCandidates = false: every increment doc here near-duplicates
+      // ~9 sibling copies, so the candidate side is corpus-dense — the
+      // documented escape-hatch regime
+      val (nh, tg) = timed("containment gate x" + factor)(
+        graft.llm.Dedup.containmentAgainstIndex(contIncs, contIdx, 0.8,
+          broadcastCandidates = false).count())
+      nContHits = nh; tContGate = tg
+      System.err.println(s"[stress] cont_cand_naive=$nCandNaive cont_cand_prefix=$nCandPrefix" +
+        s" cont_hits=$nContHits")
+    }
 
     // ---- adversarial LSH hot bucket: 10% of the ×N corpus is ONE identical
     // text, so one (band, bval) key per band carries every duplicate and its
