@@ -31,7 +31,11 @@ object Bench {
     // get an anomaly re-run — see below. Missing/unparsable file ⇒ no re-runs.
     val baseline: Map[String, Double] = (
       for {
-        path <- Seq(sys.env.getOrElse("BENCH_BASELINE", "BENCH_LOCAL.json"))
+        // CWD-relative first (local iteration), repo-absolute fallback (a
+        // driver running from elsewhere must not silently lose the baseline)
+        path <- sys.env.get("BENCH_BASELINE").map(Seq(_)).getOrElse(
+            Seq("BENCH_LOCAL.json", "/root/repo/BENCH_LOCAL.json"))
+          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).toSeq
         text <- scala.util.Try(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")).toOption.toSeq
         m <- """"([a-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(text)
