@@ -287,6 +287,71 @@ object Sketches {
       .select(col("rk").cast("long").as("rk"), col("token"), col("est_count"))
   }
 
+  /** Sub-buckets per power-of-two octave in the log-bucket quantile
+    * histogram: relative error of any quantile estimate is < 1/QSub
+    * (6.25%), because bucket lower bounds within an octave are pe·(1+i/16)
+    * and every value in a bucket is within one sub-step of its rep. */
+  val QSub: Int = 16
+
+  /** DDSketch-style mergeable quantile histogram over document length
+    * (`n_chars`), per language — the missing member of the sketch family:
+    * exact percentiles (`q_percentile`) need a full sort and cannot merge,
+    * while a 100 TB corpus wants "p50/p90/p99 length per language" from
+    * fixed-size mergeable state. Bucket = log-scale with [[QSub]] linear
+    * sub-buckets per octave, ALL integer arithmetic (octave from the
+    * binary-digit count — `length(bin(v)) - 1`, identical in DuckDB —
+    * sub-bucket and representative by integer multiply/divide), so the
+    * sketch is deterministic across engines and bit-reproducible by the
+    * oracle.
+    *
+    * Fixed size: ≤ 64·QSub rows per language no matter the corpus (the
+    * spec pins it); union+sum merges sketches ([[quantileMerge]]), so
+    * per-executor partial histograms combine map-side exactly like any
+    * count aggregate — ONE narrow aggregation shuffle carrying
+    * (lang, bucket) keys, nothing else. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).cast("long").as("v"))
+      .withColumn("e", (length(expr("bin(v)")) - 1).cast("long"))
+      .withColumn("pe", expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+      .withColumn("sub", expr(s"((v - pe) * $QSub) div pe"))
+      .select(col("lang"), (col("e") * QSub + col("sub")).as("bucket"),
+        expr(s"pe + (sub * pe) div $QSub").as("rep"))
+      .groupBy("lang", "bucket", "rep").agg(count(lit(1)).as("n"))
+
+  /** Merge quantile histograms by bucket-count sum — the sketch union
+    * (same contract as [[cmsMerge]]/[[hllMerge]]). */
+  def quantileMerge(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("lang", "bucket", "rep").agg(sum(col("n")).as("n"))
+
+  /** Quantile read-out: smallest bucket whose cumulative count reaches
+    * rank ceil(q·N/100); the estimate is that bucket's lower-bound
+    * representative (monotone in bucket, so `min(rep)` is the argmin).
+    * The rank window partitions by `lang` — per-language state, never a
+    * global sort. */
+  def quantilesFromHistogram(hist: DataFrame, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be integer percents in [1,100], got $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = hist.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy("lang").orderBy("bucket")))
+    val totals = hist.groupBy("lang").agg(sum(col("n")).as("n_total"))
+    cum.join(totals, "lang")
+      .crossJoin(broadcast(qs.toDF("q_pct")))
+      .filter(col("cum") >= expr("(q_pct * n_total + 99) div 100"))
+      .groupBy("lang", "q_pct", "n_total")
+      .agg(min(col("rep")).as("est_len"))
+      .select(col("lang"), col("q_pct").cast("long").as("q_pct"),
+        col("n_total"), col("est_len"))
+  }
+
+  /** p50/p90/p99 document length per language from the mergeable
+    * log-bucket sketch. */
+  def lengthQuantiles(docs: DataFrame, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    quantilesFromHistogram(lengthHistogram(docs), qs)
+
   /** Model-free document vectors via the hashing trick (feature hashing):
     * every token occurrence lands in dim = hash(token) mod d with a ±1
     * sign from the next hash bit, summed per (doc, dim). Long-form output
@@ -343,6 +408,7 @@ object Sketches {
     "doc_temperature_mix" -> ((s, dir) => Util.orderAll(temperatureMix(docs(s, dir), 10000L))),
     "doc_distinct_hll"  -> ((s, dir) => Util.orderAll(hllDistinct(docs(s, dir)))),
     "doc_heavy_hitters" -> ((s, dir) => Util.orderAll(cmsHeavyHitters(docs(s, dir)))),
+    "doc_quantile_sketch" -> ((s, dir) => Util.orderAll(lengthQuantiles(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -452,6 +518,40 @@ object Sketches {
           |    row_number() OVER (ORDER BY est_count DESC, token) AS rk
           |  FROM est) r WHERE rk <= 20""".stripMargin,
         Seq("rk", "token", "est_count"))),
+
+    // the identical integer log-bucket pipeline: octave from binary-digit
+    // count (DuckDB bin() == Spark bin()), sub-bucket and representative by
+    // integer multiply/divide, cumulative rank read-out; every step maps
+    // 1:1 onto the Spark side so the estimate is bit-identical
+    "doc_quantile_sketch" -> (
+      s"""WITH v AS (
+         |  SELECT lang, GREATEST(COALESCE(n_chars, 1), 1) AS v FROM documents
+         |), eb AS (
+         |  SELECT lang, v, length(bin(v)) - 1 AS e FROM v
+         |), sb AS (
+         |  SELECT lang, e, (1::BIGINT << e) AS pe,
+         |    ((v - (1::BIGINT << e)) * $QSub) // (1::BIGINT << e) AS sub
+         |  FROM eb
+         |), hist AS (
+         |  SELECT lang, e * $QSub + sub AS bucket,
+         |    pe + (sub * pe) // $QSub AS rep, count(*) AS n
+         |  FROM sb GROUP BY 1, 2, 3
+         |), cum AS (
+         |  SELECT lang, bucket, rep,
+         |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum
+         |  FROM hist
+         |), tot AS (
+         |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_total FROM hist GROUP BY lang
+         |), qs AS (
+         |  SELECT CAST(q_pct AS BIGINT) AS q_pct
+         |  FROM (VALUES (50), (90), (99)) q(q_pct)
+         |)
+         |""".stripMargin + Util.wrap(
+        s"""SELECT lang, q_pct, n_total, CAST(min(rep) AS BIGINT) AS est_len
+           |FROM cum JOIN tot USING (lang) CROSS JOIN qs
+           |WHERE cum >= (q_pct * n_total + 99) // 100
+           |GROUP BY lang, q_pct, n_total""".stripMargin,
+        Seq("lang", "q_pct", "n_total", "est_len"))),
 
     "doc_temperature_mix" -> Util.wrap(
       """SELECT lang, n_docs, weight,

@@ -619,6 +619,42 @@ class LlmSpec extends SparkSpec {
     assert(single.size <= Sketches.CmsDepth * Sketches.CmsWidth)
   }
 
+  test("quantile sketch: bounded relative error vs exact, merge == single-pass, fixed size") {
+    import graft.llm.Sketches
+    val docs = Tables.documents(spark, sf)
+    val est = Sketches.lengthQuantiles(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // exact per-language percentiles (ceil-rank convention, same as sketch)
+    val exact = docs.select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.foreach { case (lang, q, nTotal, estLen) =>
+      val vs = exact(lang)
+      assert(nTotal == vs.length.toLong, s"$lang: sketch total != corpus count")
+      val rank = ((q * nTotal + 99) / 100).toInt // ceil(q*N/100)
+      val truth = vs(rank - 1) max 1L
+      // rep is the bucket lower bound: est <= truth always, and the
+      // relative error is < 1/QSub + one sub-bucket rounding step
+      assert(estLen <= truth, s"$lang p$q: lower-bound rep $estLen above exact $truth")
+      assert((truth - estLen).toDouble / truth <= 2.0 / Sketches.QSub,
+        s"$lang p$q: est $estLen vs exact $truth breaks the 2/QSub bound")
+    }
+    // production merge: histograms over disjoint halves, sum-merged, must
+    // equal the single-pass histogram (the mergeable-state contract)
+    val halfA = docs.filter($"doc_id" % 2 === 0)
+    val halfB = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = Sketches.quantileMerge(
+      Sketches.lengthHistogram(halfA), Sketches.lengthHistogram(halfB))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val single = Sketches.lengthHistogram(docs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == single, "sum-merged histogram must equal single-pass")
+    // fixed size: <= 64 octaves * QSub sub-buckets rows per language
+    single.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size <= 64 * Sketches.QSub, s"$lang histogram exceeded fixed bound")
+    }
+  }
+
   test("CCNet buckets: per-language exact thirds, score-monotone head >= middle >= tail") {
     import graft.llm.TextAnalysis
     val out = TextAnalysis.ccnetBuckets(Tables.table(spark, sf, "documents"))
