@@ -813,6 +813,50 @@ class StreamingSpec extends SparkSpec {
         b >= 0 && b < graft.llm.Sketches.CmsWidth })
   }
 
+  test("streaming quantile sketch: lang-sharded histogram state, running counters == batch sketch incl. mid-stream") {
+    val mem = MemoryStream[(Long, String, Long)](spark)
+    val stream = mem.toDF().toDF("doc_id", "lang", "n_chars")
+    // counts are monotone, so latest-per-(lang,bucket) IS the current sketch
+    val latest = scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, Long)]
+    val q = streaming.StreamingQuantile.run(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-squant"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest((r.getString(0), r.getLong(1))) = (r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    val b1 = (1L to 30L).map(i => (i, if (i % 2 == 0) "en" else "fr", i * 37L))
+    val b2 = (31L to 60L).map(i => (i, "en", 100000L + i))
+    def batchOf(rows: Seq[(Long, String, Long)]) =
+      graft.llm.Sketches.lengthHistogram(rows.toDF("doc_id", "lang", "n_chars"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // the histogram merges exactly (bucket-count sum), so the MID-stream
+      // state must equal the batch sketch of the prefix — stronger than
+      // final-only
+      assert(latest.toMap == batchOf(b1),
+        s"mid-stream state diverged from the prefix batch sketch")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(latest.toMap == batchOf(b1 ++ b2),
+      s"final state diverged from the batch sketch")
+    // per-language state is fixed-size: bucket ids inside 64 octaves * QSub
+    assert(latest.keys.forall { case (_, b) =>
+      b >= 0 && b < 64L * graft.llm.Sketches.QSub })
+    // and the read-out over the streamed state matches the batch quantiles
+    val histDf = latest.toSeq.map { case ((lang, b), (rep, n)) => (lang, b, rep, n) }
+      .toDF("lang", "bucket", "rep", "n")
+    val fromStream = graft.llm.Sketches.quantilesFromHistogram(histDf, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fromBatch = graft.llm.Sketches.lengthQuantiles(
+        (b1 ++ b2).toDF("doc_id", "lang", "n_chars"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(fromStream == fromBatch, "quantile read-out diverged between stream state and batch")
+  }
+
   test("streaming exact-N sample: k-bounded state, current sample == batch sampleExact of the prefix incl. mid-stream") {
     val mem = MemoryStream[(Long, String)](spark)
     val stream = mem.toDF().toDF("doc_id", "lang")
