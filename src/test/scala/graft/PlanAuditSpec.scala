@@ -82,6 +82,21 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter not pushed below the exchange — every mapper would ship its whole vocab:\n$p")
   }
 
+  test("doc_quantile_sketch: partial histogram aggregates map-side; read-out joins broadcast") {
+    val p = phys("doc_quantile_sketch")
+    // the ONE corpus pass must combine map-side: a partial HashAggregate
+    // below the (lang, bucket) exchange, so executors ship <= 64*QSub rows
+    // per language, never documents
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"histogram not map-side combined:\n$p")
+    // the percent list is a 3-row broadcast, never a shuffled join side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quantile read-out did not broadcast the tiny percent table:\n$p")
+    // keyed shuffles: histogram agg + window/totals + harness sort — small
+    assert(exchanges("doc_quantile_sketch") <= 5,
+      s"too many keyed exchanges (${exchanges("doc_quantile_sketch")}):\n$p")
+  }
+
   test("doc_dedup_embedding_lsh_multi: candidate mining is equi-join only, never a cartesian") {
     val p = phys("doc_dedup_embedding_lsh_multi")
     assert(!p.contains("CartesianProduct"), s"cartesian leaked into pair mining:\n$p")
