@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Tables, Util}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -781,6 +781,116 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("wc_ok"), col("mwl_ok"),
         col("sym_ok"), col("alpha_ok"), col("stop_ok"), col("gopher_ok"))
 
+  /** fastText-style quality classifier (Joulin et al. 2017, "Bag of
+    * Tricks for Efficient Text Classification" — the linear
+    * bag-of-features model; the GPT-3 / DCLM curation recipe: train on a
+    * curated-vs-crawl seed, score the pool, keep high scorers). The seed
+    * labeling is metadata-only — `source ∈ posSources` is "curated" —
+    * exactly how the production recipe bootstraps labels without human
+    * annotation.
+    *
+    * The model is the Naive-Bayes member of the linear family: each
+    * word's weight is its add-1-smoothed positive-class posterior
+    * snapped to integer micro-units, `round(1e6·(n_pos+1)/(n_pos+n_neg+2))`,
+    * and a document scores the MEAN weight over its token occurrences —
+    * a mean posterior vote. Deliberately log-free (the [[bigramLm]]
+    * argument: `ln` is libm-dependent; the mean vote ranks documents the
+    * same direction the mean log-odds does), and the per-word weight is
+    * snapped to integer micros BEFORE the mean so partial-aggregation
+    * order can't move the sum. `quality_pred` is the ≥ `threshMicro`
+    * gate (500000 micro = the smoothed coin-flip posterior — exactly the
+    * weight an unseen word would get, so the threshold is prior-neutral).
+    *
+    * Scale shape: training is one map-side-combining count aggregation
+    * over (word, label) — the weight table holds only OBSERVED words,
+    * corpus-bounded like [[bigramLm]]'s count tables; scoring is one hash
+    * join back on the word key + one per-doc rollup. This word-keyed form
+    * is the ORACLE path (reproducible in SQL); [[nbClassifyHashed]] is
+    * the production twin — `xxhash64(word) % nFeat` buckets, a FIXED
+    * nFeat-row weight table that broadcasts everywhere (fastText's actual
+    * hashing-trick feature space), with [[writeNbWeights]] /
+    * [[nbScoreAgainstWeights]] the train-once-score-forever split the
+    * ingest gate consumes ([[dsirSampleHashed]]'s stored-table pattern). */
+  def nbClassify(docs: DataFrame, posSources: Seq[String] = Seq("src0", "src1"),
+                 threshMicro: Long = 500000L): DataFrame = {
+    val tok = Dedup.tokenized(docs)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+    val lab = docs.select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+    scoreTokens(tok, weightsOf(tok.join(lab, "doc_id"), col("word")), threshMicro)
+  }
+
+  /** [[nbClassify]] over `xxhash64(word) % nFeat` — the hashing trick:
+    * vocabulary-free, the weight table is EXACTLY nFeat rows whatever the
+    * corpus (broadcast at any scale), at the price of engine-specific
+    * hashing (no DuckDB oracle; spec-asserted against the word-keyed
+    * form's predictions instead). */
+  def nbClassifyHashed(docs: DataFrame, posSources: Seq[String] = Seq("src0", "src1"),
+                       nFeat: Int = 1 << 18, threshMicro: Long = 500000L): DataFrame = {
+    val tok = Dedup.tokenized(docs)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(nFeat.toLong)).as("word"))
+    val lab = docs.select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+    scoreTokens(tok, weightsOf(tok.join(lab, "doc_id"), col("word")), threshMicro)
+  }
+
+  /** Train once, persist the hashed weight table ([[Dedup.writeNearDupIndex]]
+    * pattern): the labeled seed is scanned ONCE; afterwards any batch (or
+    * ingest micro-batch) scores with one broadcast join against an
+    * ≤ nFeat-row parquet table, never re-reading the seed. */
+  def writeNbWeights(docs: DataFrame, path: String,
+                     posSources: Seq[String] = Seq("src0", "src1"),
+                     nFeat: Int = 1 << 18): Unit = {
+    val tok = Dedup.tokenized(docs)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(nFeat.toLong)).as("word"))
+    val lab = docs.select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+    weightsOf(tok.join(lab, "doc_id"), col("word"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score any (doc_id, text) frame against a stored weight table. A word
+    * hashing to a bucket the seed never produced contributes the smoothed
+    * coin-flip weight 500000 (the add-1 default `(0+1)/(0+0+2)`), so
+    * out-of-vocabulary text still gets a calibrated score instead of
+    * silently dropping tokens — the [[dsirRatiosOf]] unseen-bucket
+    * argument. Scoring the training corpus against its own stored weights
+    * returns [[nbClassifyHashed]]'s exact output (spec-asserted). */
+  def nbScoreAgainstWeights(docs: DataFrame, path: String,
+                            nFeat: Int = 1 << 18,
+                            threshMicro: Long = 500000L): DataFrame = {
+    val tok = Dedup.tokenized(docs)
+      .select(col("doc_id"), explode(col("words")).as("w"))
+      .select(col("doc_id"), pmod(xxhash64(col("w")), lit(nFeat.toLong)).as("word"))
+    val stored = docs.sparkSession.read.parquet(path)
+    scoreTokens(tok,
+      tok.select("word").distinct()
+        .join(stored, Seq("word"), "left")
+        .select(col("word"), coalesce(col("w_micro"), lit(500000L)).as("w_micro")),
+      threshMicro)
+  }
+
+  /** The smoothed-posterior weight table from a labeled token stream:
+    * (word key, w_micro). `(n_pos+1)·1e6/(n_pos+n_neg+2)` associated
+    * left-to-right so both engines round the identical double. */
+  private def weightsOf(occ: DataFrame, key: Column): DataFrame =
+    occ.groupBy(key.as("word")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+      .select(col("word"),
+        round((col("n_pos") + lit(1)) * lit(1e6) / (col("n_pos") + col("n_neg") + lit(2)))
+          .cast("long").as("w_micro"))
+
+  /** Mean-weight rollup shared by every scoring path: integer micro sum,
+    * [[bigramLm]]'s round(sum/n) convention, then the threshold gate. */
+  private def scoreTokens(tok: DataFrame, weights: DataFrame,
+                          threshMicro: Long): DataFrame =
+    tok.join(weights, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("w_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("nb_micro"))
+      .withColumn("quality_pred", col("nb_micro") >= threshMicro)
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -814,6 +924,7 @@ object TextAnalysis {
     // (canonical 50 passes too few 10-99-word synthetic docs)
     "text_gopher_rules" -> ((s, dir) => Util.orderAll(
       gopherRules(docs(s, dir), minWords = 25, minMeanLen = 4))),
+    "text_classify"     -> ((s, dir) => Util.orderAll(nbClassify(docs(s, dir)))),
   )
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
@@ -1311,5 +1422,31 @@ object TextAnalysis {
           |FROM g""".stripMargin,
         Seq("doc_id", "n_words", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok",
           "stop_ok", "gopher_ok"))),
+
+    // per-word smoothed posterior snapped to micro BEFORE the mean
+    // (the bigram-LM convention); CASTs pin DuckDB's HUGEINT sums
+    "text_classify" -> (
+      """WITH lab AS (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS pos FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), ws AS (
+        |  SELECT word,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM tok JOIN lab USING (doc_id) GROUP BY word
+        |), w AS (
+        |  SELECT word,
+        |    CAST(round((n_pos + 1) * 1000000.0 / (n_pos + n_neg + 2)) AS BIGINT) AS w_micro
+        |  FROM ws
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(round(CAST(sum(w_micro) AS DOUBLE) / count(*)) AS BIGINT) AS nb_micro
+        |  FROM tok JOIN w USING (word) GROUP BY doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT doc_id, n_tokens, nb_micro, nb_micro >= 500000 AS quality_pred
+          |FROM sc""".stripMargin,
+        Seq("doc_id", "n_tokens", "nb_micro", "quality_pred"))),
   )
 }

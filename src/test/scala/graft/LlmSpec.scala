@@ -1157,6 +1157,56 @@ class LlmSpec extends SparkSpec {
     assert(out.toSet == again.toSet, "selection must be partition-invariant")
   }
 
+  test("NB classifier: hand-checked smoothed-posterior weights, tie-at-threshold keeps") {
+    // pos seed = src0. "good": n_pos=3 (doc1 ×2, doc2 ×1), n_neg=1 (doc4)
+    //   → w = round(1e6·(3+1)/(3+1+2)) = 666667
+    // "bad":  n_pos=1 (doc2), n_neg=3 (doc3 ×2, doc4) → w = 333333
+    val docs = Seq(
+      (1L, "good good", "src0"), (2L, "good bad", "src0"),
+      (3L, "bad bad", "src9"), (4L, "good bad", "src9")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.nbClassify(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out(1L) == (666667L, true), s"got $out")
+    assert(out(3L) == (333333L, false), s"got $out")
+    // mean(666667, 333333) = 500000 — exactly the threshold, kept (>=)
+    assert(out(2L) == (500000L, true) && out(4L) == (500000L, true), s"got $out")
+  }
+
+  test("NB classifier: hashed twin matches word-keyed on a collision-free vocab; stored weights replay exactly") {
+    import org.apache.spark.sql.Row
+    val docs = Seq(
+      (1L, "good good", "src0"), (2L, "good bad", "src0"),
+      (3L, "bad bad", "src9"), (4L, "good bad", "src9")
+    ).toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.select("doc_id", "n_tokens", "nb_micro", "quality_pred").collect().toSet
+    val wordKeyed = rows(TextAnalysis.nbClassify(docs))
+    val hashed = rows(TextAnalysis.nbClassifyHashed(docs))
+    assert(hashed == wordKeyed, "2-word vocab in 2^18 buckets cannot collide")
+    // train-once-score-forever: stored table replays the direct run
+    val w = java.nio.file.Files.createTempDirectory("graft-nbw").toString
+    TextAnalysis.writeNbWeights(docs, w)
+    assert(rows(TextAnalysis.nbScoreAgainstWeights(docs, w)) == hashed)
+    // a doc of words the seed never saw scores the smoothed coin flip
+    val unseen = TextAnalysis.nbScoreAgainstWeights(
+      Seq((9L, "zork quux blart", "srcX")).toDF("doc_id", "text", "source"), w)
+      .select("nb_micro").as[Long].head()
+    assert(unseen == 500000L, s"OOV default must be 500000 micro, got $unseen")
+  }
+
+  test("NB classifier: fixture separation — curated-seed docs outscore the pool on average") {
+    val docs = Tables.table(spark, sf, "documents")
+    val scored = TextAnalysis.nbClassify(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy($"source".isin("src0", "src1").as("pos"))
+      .agg(avg($"nb_micro").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(scored(true) > scored(false),
+      s"seed-positive mean ${scored(true)} must exceed pool mean ${scored(false)}")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
