@@ -414,6 +414,84 @@ object TextAnalysis {
     * iteration. A pathologically hot shard serializes its own scan (the
     * fundamental order-dependence of packing); the mitigation is sharding
     * granularity, not a different algorithm. */
+  /** Content-defined chunking (the LBFS/FastCDC family — Muthitacharoen
+    * et al. 2001 "A low-bandwidth network file system"; Xia et al. 2016
+    * FastCDC — applied at token granularity): a chunk boundary falls after
+    * token `i` whenever the rolling hash of the last 4 tokens lands on
+    * `0 mod modBoundary`, so boundaries are decided by CONTENT, not
+    * position. That is the property fixed-stride chunking ([[chunk]],
+    * [[Dedup.substringSpans]]) lacks: inserting one token near the front
+    * shifts every downstream fixed window, but here all boundaries after
+    * the edit's 4-token horizon re-align and the shared suffix yields
+    * byte-identical chunks again (spec-asserted) — which is what makes
+    * cross-document chunk-hash dedup robust to edits.
+    *
+    * Arithmetic is engine-portable by construction (the [[bigramLm]]
+    * argument): token code = `fold (a·31 + codepoint) mod 1000003` over
+    * characters, window hash = the 4-term polynomial
+    * `c₋₃·31³ + c₋₂·31² + c₋₁·31 + c₀ mod modBoundary` — integer ops only,
+    * no engine-specific hash, so DuckDB reproduces every boundary exactly.
+    * Expected chunk length is `modBoundary` tokens; the final token always
+    * closes the last chunk.
+    *
+    * Scale shape: one narrow per-row projection — the nested
+    * transform/filter/slice battery is whole-stage-codegen'd array work,
+    * no shuffle, no UDF; the explode fans out to one row per chunk. At
+    * 100 TB the chunk key for dedup is `xxhash64(chunk_text)` (the
+    * [[Dedup.exactByHash]] 8-byte-key argument); chunk_text itself ships
+    * only where the rewrite needs it. */
+  def cdcChunks(docs: DataFrame, modBoundary: Int = 8): DataFrame = {
+    require(modBoundary >= 2, s"cdcChunks: modBoundary >= 2, got $modBoundary")
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("codes", expr(
+        "transform(words, w -> aggregate(split(w, ''), 0L, (a, ch) -> (a * 31 + ascii(ch)) % 1000003))"))
+      .withColumn("n", size(col("words")))
+      .withColumn("raw", expr(
+        s"""filter(sequence(1, n), i -> i >= 4 AND
+           |  (element_at(codes, i-3) * 29791 + element_at(codes, i-2) * 961 +
+           |   element_at(codes, i-1) * 31 + element_at(codes, i)) % $modBoundary = 0)""".stripMargin))
+      .withColumn("bs", expr(
+        "CASE WHEN size(raw) = 0 OR element_at(raw, -1) != n THEN concat(raw, array(n)) ELSE raw END"))
+      .select(col("doc_id"), col("words"), col("bs"),
+        explode(expr("sequence(1, size(bs))")).as("k"))
+      .withColumn("start_tok", expr(
+        "CAST(CASE WHEN k = 1 THEN 1 ELSE element_at(bs, k - 1) + 1 END AS BIGINT)"))
+      .withColumn("end_tok", expr("CAST(element_at(bs, k) AS BIGINT)"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_chunk_tokens"),
+        expr("array_join(slice(words, CAST(start_tok AS INT), CAST(end_tok - start_tok + 1 AS INT)), ' ')")
+          .as("chunk_text"))
+  }
+
+  /** Cross-document segment dedup over [[cdcChunks]]: a chunk text seen in
+    * ≥ 2 distinct documents is a shared segment — the boilerplate /
+    * quoted-passage detector, shift-robust where
+    * [[Dedup.substringSpans]]'s fixed stride is not. `minTokens` drops
+    * sub-phrase chunks too short to be meaningful evidence. Keeper is the
+    * min doc_id ([[Dedup.exact]]'s convention). One map-side-combining
+    * aggregation on the chunk key.
+    *
+    * The length gate is deliberately `coalesce(n, 0) >= minTokens`, not a
+    * bare `>=`: from the bare form Catalyst infers `isnotnull` on the
+    * predicate's inputs and pushes that constraint through every Project
+    * to the scan, INLINING the whole boundary pipeline — `codes` is then
+    * re-evaluated inside each of the rolling hash's four `element_at`s,
+    * O(n²·chars) per document, executed on the pre-repartition scan
+    * partition (measured: 78 s vs 3.9 s at sf0.1). `n_chunk_tokens` is
+    * non-null by construction, so coalesce only suppresses the inference,
+    * never changes a row. The same applies to ANY downstream filter over
+    * [[cdcChunks]] output — gate null-safely or materialize first. */
+  def cdcDedup(docs: DataFrame, minTokens: Int = 3): DataFrame =
+    cdcChunks(docs)
+      .filter(coalesce(col("n_chunk_tokens"), lit(0L)) >= minTokens)
+      .groupBy("chunk_text")
+      .agg(min(col("doc_id")).as("keeper"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+
   def packGreedy(docs: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"packGreedy: budget must be >= 1, got $budget")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
@@ -925,6 +1003,8 @@ object TextAnalysis {
     "text_gopher_rules" -> ((s, dir) => Util.orderAll(
       gopherRules(docs(s, dir), minWords = 25, minMeanLen = 4))),
     "text_classify"     -> ((s, dir) => Util.orderAll(nbClassify(docs(s, dir)))),
+    "doc_chunk_cdc"     -> ((s, dir) => Util.orderAll(cdcChunks(docs(s, dir)))),
+    "doc_dedup_cdc"     -> ((s, dir) => Util.orderAll(cdcDedup(docs(s, dir)))),
   )
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
@@ -1448,5 +1528,51 @@ object TextAnalysis {
         """SELECT doc_id, n_tokens, nb_micro, nb_micro >= 500000 AS quality_pred
           |FROM sc""".stripMargin,
         Seq("doc_id", "n_tokens", "nb_micro", "quality_pred"))),
+
+    "doc_chunk_cdc" -> (cdcCte + Util.wrap(
+      """SELECT doc_id, chunk_idx, start_tok, end_tok,
+        |  end_tok - start_tok + 1 AS n_chunk_tokens, chunk_text
+        |FROM ck""".stripMargin,
+      Seq("doc_id", "chunk_idx", "start_tok", "end_tok",
+        "n_chunk_tokens", "chunk_text"))),
+
+    "doc_dedup_cdc" -> (cdcCte + Util.wrap(
+      """SELECT chunk_text, min(doc_id) AS keeper,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM ck WHERE end_tok - start_tok + 1 >= 3
+        |GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+      Seq("chunk_text", "keeper", "n_docs", "n_occurrences"))),
   )
+
+  /** The content-defined chunk table in DuckDB SQL — the single source both
+    * cdc oracles interpolate (token codes, 4-token polynomial boundary at
+    * 0 mod 8, final-token close), mirroring [[cdcChunks]] step for step. */
+  private lazy val cdcCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), c AS (
+      |  SELECT doc_id, words, len(words) AS n,
+      |    list_transform(words, w -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(w, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 1000003)) AS codes
+      |  FROM tok
+      |), b AS (
+      |  SELECT doc_id, words, n,
+      |    list_filter(range(4, n + 1), i ->
+      |      (codes[i-3] * 29791 + codes[i-2] * 961 + codes[i-1] * 31 + codes[i]) % 8 = 0) AS raw
+      |  FROM c
+      |), bounds AS (
+      |  SELECT doc_id, words,
+      |    CASE WHEN len(raw) = 0 OR raw[-1] <> n THEN list_append(raw, n) ELSE raw END AS bs
+      |  FROM b
+      |), ck AS (
+      |  SELECT doc_id, u.k AS chunk_idx,
+      |    CAST(CASE WHEN u.k = 1 THEN 1 ELSE bs[u.k - 1] + 1 END AS BIGINT) AS start_tok,
+      |    CAST(bs[u.k] AS BIGINT) AS end_tok,
+      |    array_to_string(list_slice(words,
+      |      CASE WHEN u.k = 1 THEN 1 ELSE bs[u.k - 1] + 1 END, bs[u.k]), ' ') AS chunk_text
+      |  FROM bounds, LATERAL (SELECT unnest(range(1, len(bs) + 1)) AS k) u
+      |)
+      |""".stripMargin
 }

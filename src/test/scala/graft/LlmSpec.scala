@@ -1207,6 +1207,58 @@ class LlmSpec extends SparkSpec {
       s"seed-positive mean ${scored(true)} must exceed pool mean ${scored(false)}")
   }
 
+  test("CDC chunking: boundaries re-align after a front edit; fixed-stride chunks don't") {
+    val base = "the quick brown fox jumps over the lazy dog today and tomorrow forever more"
+    val edited = s"INSERTED $base" // one token prepended
+    val out = TextAnalysis.cdcChunks(docsDf(1L -> base, 2L -> edited))
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the CDC property: all boundaries past the edit's 4-token horizon are
+    // content-decided, so the suffix chunks are byte-identical across docs
+    val shared = out(1L) intersect out(2L)
+    assert(shared.nonEmpty, s"no chunk survived a 1-token front edit: $out")
+    // fixed-stride chunking (same docs, chunkSize 8 no overlap) shares NOTHING
+    val fixedShared = TextAnalysis.chunk(docsDf(1L -> base, 2L -> edited), 8, 0)
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fixedShared(1L) intersect fixedShared(2L)).isEmpty,
+      "fixed stride should shift every window — that's the contrast")
+  }
+
+  test("CDC chunking: chunks tile the doc exactly; short docs yield one whole-text chunk") {
+    val docs = docsDf(1L -> "a b c", 2L -> "one two three four five six seven eight nine ten")
+    val rows = TextAnalysis.cdcChunks(docs)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    // 3 tokens < the 4-token window: exactly one chunk covering 1..3
+    assert(rows(1L).map(r => (r._2, r._3, r._4)).toSeq == Seq((1L, 1L, 3L)))
+    // every doc: chunk k starts where k-1 ended + 1, first at 1, last at n
+    for ((_, rs) <- rows) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 == 1L)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        assert(b._3 == a._4 + 1, s"gap between chunks: $a -> $b")
+    }
+  }
+
+  test("CDC dedup: a shared passage is found across docs, short chunks filtered") {
+    // 40 tokens — long enough that several content-decided boundaries fall
+    // INSIDE the passage in both docs, so whole chunks re-align despite the
+    // different prefix offsets (verified against the DuckDB twin)
+    val passage = "lambda epsilon phi gamma sigma mu beta rho beta xi gamma gamma " +
+      "xi green delta theta phi copper tau nu stone beta gold kappa epsilon delta " +
+      "kappa green zeta tau phi mu sigma gamma beta eta chi xi lambda tau"
+    val docs = docsDf(
+      1L -> s"intro words here $passage closing remarks",
+      2L -> s"$passage totally different tail content now",
+      3L -> "unrelated text with no shared passage at all whatsoever")
+    val out = TextAnalysis.cdcDedup(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "the shared 12-token passage must surface")
+    assert(out.forall(_._2 == 1L), s"keeper must be min doc_id: ${out.toSeq}")
+    assert(out.forall(r => r._1.split(" ").length >= 3), "minTokens filter")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
