@@ -98,14 +98,25 @@ object CorpusIngest {
     * scoring below `dsirMinScoreMicro` fails `target_like`. Docs with no
     * bigrams (< 2 tokens) have no importance evidence and pass — the
     * structural gates already police degenerate texts. Same content-hash
-    * keying as the other gates. */
+    * keying as the other gates.
+    *
+    * `nbWeights` (trained once by [[graft.llm.TextAnalysis.writeNbWeights]])
+    * adds the fastText-style classifier gate: each batch's distinct texts
+    * score their mean hashed-word posterior against the stored ≤ nFeat-row
+    * weight table (one broadcast join) and a doc below `nbThresholdMicro`
+    * fails `classifier_ok`. Out-of-vocabulary words contribute the
+    * smoothed coin-flip 500000, so a fully-OOV doc sits exactly AT the
+    * default threshold and passes — the classifier abstains without
+    * evidence, same philosophy as the DSIR no-bigram pass. */
   def gate(batch: DataFrame, qualityThreshold: Double = 0.45,
            evalMod: Long = 101L, evalShingles: Option[DataFrame] = None,
            minOverlap: Int = 2, nearDupIndex: Option[String] = None,
            nearDupThreshold: Double = 0.4,
            containmentThreshold: Option[Double] = None,
            dsirRatios: Option[String] = None,
-           dsirMinScoreMicro: Long = 0L): DataFrame = {
+           dsirMinScoreMicro: Long = 0L,
+           nbWeights: Option[String] = None,
+           nbThresholdMicro: Long = 500000L): DataFrame = {
     validateGateParams(nearDupIndex, containmentThreshold, dsirRatios, dsirMinScoreMicro)
     // null-safe: a doc with a missing doc_id cannot be a held-out eval doc
     // (NULL % evalMod is NULL, and a bare =!= filter would silently drop
@@ -175,17 +186,30 @@ object CorpusIngest {
           .withColumn("target_like", coalesce(!col("low_imp"), lit(true)))
       case None => withContained.withColumn("target_like", lit(true))
     }
-    withDsir
+    val withNb = nbWeights match {
+      case Some(path) =>
+        val lowScore = graft.llm.TextAnalysis.nbScoreAgainstWeights(
+            withDsir.select(xxhash64(col("text")).as("doc_id"), col("text"))
+              .distinct(),
+            path)
+          .filter(col("nb_micro") < nbThresholdMicro)
+          .select(col("doc_id").as("_nbhash"), lit(true).as("low_nb"))
+        withDsir.withColumn("_nbhash", xxhash64(col("text")))
+          .join(broadcast(lowScore), Seq("_nbhash"), "left_outer")
+          .withColumn("classifier_ok", coalesce(!col("low_nb"), lit(true)))
+      case None => withDsir.withColumn("classifier_ok", lit(true))
+    }
+    withNb
       .withColumn("is_keeper", row_number().over(keeperWin) === 1)
       .withColumn("keep", col("lang_ok") && col("quality_ok") &&
         col("not_repetitive") && col("not_contaminated") &&
         col("not_near_dup") && col("not_contained") && col("target_like") &&
-        col("is_keeper"))
+        col("classifier_ok") && col("is_keeper"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("lang_ok"), col("quality_ok"),
         col("not_repetitive"), col("not_contaminated"),
         col("not_near_dup"), col("not_contained"), col("target_like"),
-        col("is_keeper"), col("keep"))
+        col("classifier_ok"), col("is_keeper"), col("keep"))
   }
 
   /** Idempotent per-batch write: trailing batch_id partition + dynamic
@@ -237,7 +261,9 @@ object CorpusIngest {
           nearDupThreshold: Double = 0.4,
           containmentThreshold: Option[Double] = None,
           dsirRatios: Option[String] = None,
-          dsirMinScoreMicro: Long = 0L): StreamingQuery = {
+          dsirMinScoreMicro: Long = 0L,
+          nbWeights: Option[String] = None,
+          nbThresholdMicro: Long = 500000L): StreamingQuery = {
     validateGateParams(nearDupIndex, containmentThreshold, dsirRatios, dsirMinScoreMicro)
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
@@ -247,11 +273,11 @@ object CorpusIngest {
           writeBatchPartition(
             gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
               minOverlap, nearDupIndex, nearDupThreshold, containmentThreshold,
-              dsirRatios, dsirMinScoreMicro)
+              dsirRatios, dsirMinScoreMicro, nbWeights, nbThresholdMicro)
               .filter(col("keep"))
               .drop("lang_ok", "quality_ok", "not_repetitive",
                 "not_contaminated", "not_near_dup", "not_contained",
-                "target_like", "is_keeper", "keep"),
+                "target_like", "classifier_ok", "is_keeper", "keep"),
             batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),

@@ -547,6 +547,49 @@ class StreamingSpec extends SparkSpec {
       s"batch twin disagrees with the streaming gate: $flagged")
   }
 
+  test("ingest classifier gate: a crawl-typical doc scores under the stored NB cut and is dropped; balanced/OOV text abstains") {
+    val inDir = tmp("graft-nb-in")
+    val outDir = tmp("graft-nb-out")
+    val qDir = tmp("graft-nb-quarantine")
+    val ckpt = tmp("graft-nb-ckpt")
+    val weights = tmp("graft-nb-weights")
+    def goodText(p: String) =
+      (1 to 8).flatMap(i => Seq("the", s"${p}w$i", s"${p}x$i", s"${p}y$i", s"${p}z$i")).mkString(" ")
+    // weight table trained ONCE: the curated seed (src0) speaks the c-word
+    // family, the crawl rest speaks the j-family — the stream below only
+    // probes the stored table, never this seed corpus
+    graft.llm.TextAnalysis.writeNbWeights(Seq(
+      (1L, goodText("c"), "src0"), (2L, goodText("c") + " tail", "src0"),
+      (3L, goodText("j"), "crawl"), (4L, goodText("j") + " tail", "crawl")
+    ).toDF("doc_id", "text", "source"), weights)
+    val curatedLike = goodText("c").split(" ").dropRight(1).mkString(" ") + " qq9"
+    val junky = goodText("j").split(" ").dropRight(1).mkString(" ") + " qq9"
+    // "the" is class-balanced in the seed (weight exactly 500000) and the
+    // o-family is out-of-vocabulary (the smoothed default 500000) — this doc
+    // scores exactly the prior-neutral threshold and must PASS: the
+    // classifier abstains without evidence
+    val oovish = goodText("o")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","n_chars":${text.length}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "f1.json"),
+      (doc(10, curatedLike) + "\n" + doc(11, junky) + "\n" + doc(12, oovish) + "\n").getBytes)
+    val q = streaming.CorpusIngest.run(spark, inDir, outDir, qDir, ckpt,
+      nbWeights = Some(weights))
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L),
+      s"got $out — doc 11 speaks the crawl's word family and must be dropped; 12 abstains")
+    // batch parity: the same batch through gate() carries the per-doc verdict
+    val batch = Seq((10L, curatedLike), (11L, junky), (12L, oovish))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length($"text"))
+    val gated = streaming.CorpusIngest.gate(batch, nbWeights = Some(weights))
+      .select($"doc_id", $"classifier_ok").as[(Long, Boolean)].collect().toMap
+    assert(gated == Map(10L -> true, 11L -> false, 12L -> true),
+      s"batch twin disagrees with the streaming gate: $gated")
+  }
+
   test("CurationJob: config-driven wiring runs the full ingest incl. eval-corpus decontamination") {
     val inDir = tmp("graft-cjob-in")
     val outDir = tmp("graft-cjob-out")
