@@ -627,6 +627,60 @@ object Similarity {
         col("n_neighbors"), col("purity"))
   }
 
+  /** SQ8 scalar quantization (the FAISS IndexScalarQuantizer QT_8bit
+    * shape): per-DIMENSION min/max over the corpus define 256 uniform
+    * levels and every coordinate stores as one byte-range integer —
+    * 8× smaller than float64 work vectors, 4× smaller than the float32
+    * on disk, with NO codebook training (the contrast to [[pqCodes]]:
+    * PQ compresses harder but needs k-means codebooks; SQ8 is the
+    * train-free first rung of the quantization ladder).
+    *
+    * Determinism: `floor((x − mn)/(mx − mn) · 255)` is one IEEE divide +
+    * multiply + floor per coordinate — both engines produce the identical
+    * double and therefore the identical integer code; a constant
+    * dimension (mx = mn) codes to 0 instead of dividing by zero. Stats
+    * are selections (min/max), not accumulations, so partial-aggregation
+    * order cannot move them. */
+  def sq8Codes(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val mm = x.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    x.join(broadcast(mm), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255)
+            .cast("long")).as("code"))
+  }
+
+  /** Brute-force top-k over SQ8 codes — the memory-bound linear-scan twin
+    * of [[bruteForceTopK]]: squared-L2 in CODE space is an exact integer
+    * sum (≤ 64·255², no float summation order exists), so ranking
+    * (dist ASC, neighbor ASC) is deterministic. The corpus side ships
+    * 64 small ints per vector instead of 64 doubles; at 100 TB the code
+    * table plays the [[pqTopK]] role — resident where the vectors can't
+    * be — with better fidelity per dimension and zero training. The
+    * per-vector code ARRAY is rebuilt via a sort-free argmax-style
+    * collect: array_sort(collect_list(struct(dim, code))) is
+    * order-insensitive to partial-aggregation order. */
+  def sq8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val arrs = sq8Codes(emb)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, code))), s -> s.code)")
+        .as("codes"))
+    val q = arrs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val c = arrs.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("codes").as("cc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_sq8").asc, col("neighbor_id").asc)
+    c.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qc, cc, (a, b) -> (a - b) * (a - b)), 0L, (acc, y) -> acc + y)")
+          .as("dist_sq8"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
@@ -645,6 +699,8 @@ object Similarity {
     "doc_dedup_semantic" -> ((s, dir) => Util.orderAll(semDedup(emb(s, dir), 0.35))),
     "emb_centroids"    -> ((s, dir) => Util.orderAll(labelCentroids(emb(s, dir)))),
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
+    "emb_quantize"     -> ((s, dir) => Util.orderAll(sq8Codes(emb(s, dir)))),
+    "ann_sq8"          -> ((s, dir) => Util.orderAll(sq8TopK(emb(s, dir), 5, 10))),
   )
 
   private val normCte =
@@ -1016,5 +1072,46 @@ object Similarity {
         """SELECT asgF.vec_id, asgF.cid,
           |  asgF.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
           |FROM asgF""".stripMargin, Seq("vec_id", "cid", "keep"))),
+
+    "emb_quantize" -> (sq8Cte + Util.wrap(
+      "SELECT vec_id, i - 1 AS dim, code FROM qc",
+      Seq("vec_id", "dim", "code"))),
+
+    // symmetric quantized squared-L2: exact BIGINT 64-term sum, then the
+    // ann-family window (dist ASC, neighbor ASC)
+    "ann_sq8" -> (sq8Cte +
+      """, d AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum((q.code - c.code) * (q.code - c.code)) AS BIGINT) AS dist_sq8
+        |  FROM qc q JOIN qc c ON q.i = c.i
+        |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |  GROUP BY q.vec_id, c.vec_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, dist_sq8, rk FROM (
+          |  SELECT query_id, neighbor_id, dist_sq8,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY dist_sq8 ASC, neighbor_id ASC) AS rk
+          |  FROM d) t WHERE rk <= 10""".stripMargin,
+        Seq("query_id", "neighbor_id", "dist_sq8", "rk"))),
   )
+
+  /** The SQ8 code table in DuckDB SQL — per-dim min/max levels, the single
+    * floor((x−mn)/(mx−mn)·255) rounding both sq8 oracles interpolate,
+    * mirroring [[sq8Codes]] (constant dims code to 0, 1-based i). */
+  private lazy val sq8Cte: String =
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+      |    unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings
+      |), mm AS (
+      |  SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i
+      |), qc AS (
+      |  SELECT vec_id, i,
+      |    CAST(CASE WHEN mx = mn THEN 0
+      |              ELSE floor((x - mn) / (mx - mn) * 255) END AS BIGINT) AS code
+      |  FROM x JOIN mm USING (i)
+      |)
+      |""".stripMargin
 }

@@ -1259,6 +1259,33 @@ class LlmSpec extends SparkSpec {
     assert(out.forall(r => r._1.split(" ").length >= 3), "minTokens filter")
   }
 
+  test("SQ8: per-dim extremes map to 0/255, hand-checked codes, quantized ranking preserves the obvious order") {
+    val emb = Seq(
+      (0L, Array(0.0, 0.0, 0.0, 0.0)),
+      (10L, Array(0.1, 0.1, 0.1, 0.1)),
+      (11L, Array(10.0, 10.0, 10.0, 10.0))
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.sq8Codes(emb)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    // mn=0 → 0, mx=10 → 255, 0.1 → floor(0.01·255) = 2, every dim alike
+    assert(codes(0L) == Set(0L) && codes(11L) == Set(255L) && codes(10L) == Set(2L),
+      s"got $codes")
+    val tk = Similarity.sq8TopK(emb, 1, 2)
+      .select("query_id", "neighbor_id", "dist_sq8", "rk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(tk.map(r => (r._2, r._3)).toSeq == Seq((10L, 4L * 2 * 2), (11L, 4L * 255 * 255)),
+      s"got ${tk.toSeq}")
+    // fixture-level invariants: codes stay in byte range, every dimension's
+    // min and max vector hit the 0 and 255 levels exactly
+    val fix = Similarity.sq8Codes(Tables.table(spark, sf, "embeddings"))
+    val span = fix.agg(min($"code"), max($"code")).as[(Long, Long)].head()
+    assert(span == ((0L, 255L)), s"got $span")
+    val perDim = fix.groupBy($"dim").agg(min($"code").as("mn"), max($"code").as("mx"))
+      .filter($"mn" =!= 0L || $"mx" =!= 255L).count()
+    assert(perDim == 0L, "every dim must attain both extreme levels")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
