@@ -468,6 +468,19 @@ object RelQueries {
           |                        (l_returnflag, l_linestatus))
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
+
+    // Morton curve key for the (user, day-of-year) layout — the pruning
+    // effect itself is measured in OperatorsSpec; this query pins the
+    // bit-interleave arithmetic against the oracle
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          ZOrder.bounded(col("user_id")).as("zx"),
+          dayofyear(col("ts")).cast("long").as("zy"))
+        .withColumn("zval", ZOrder.zValue(col("zx"), col("zy")))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -782,5 +795,20 @@ object RelQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |                        (l_returnflag, l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // the interleave formula is GENERATED from the same (bits, positions)
+    // loop the Spark expression uses, so the two sides cannot drift
+    "q_zorder" ->
+      s"""WITH z AS (
+         |  SELECT event_id,
+         |    CAST(user_id % 65536 AS BIGINT) AS zx,
+         |    CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS zy
+         |  FROM events
+         |)
+         |SELECT event_id, zx, zy,
+         |  ${(0 until 16).map(i =>
+              s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+              .mkString(" + ")} AS zval
+         |FROM z ORDER BY event_id""".stripMargin,
   )
 }

@@ -237,4 +237,42 @@ class OperatorsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("ZOrder: hand-checked interleave; a user-range filter touches fewer files than on a time-ordered layout") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions.{col, dayofyear, input_file_name}
+    // x=0b011, y=0b001: x bits land at even positions (0,2), y at odd (1)
+    // → 0b111 = 7; asymmetric pair pins the (even=x, odd=y) convention
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("z")).as[Long].head()
+    assert(z == 7L, s"interleave(3, 1) must be 7, got $z")
+    val z2 = Seq((1L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("z")).as[Long].head()
+    assert(z2 == 11L, s"interleave(1, 3) must be 0b1011 = 11, got $z2")
+
+    // layout contrast on the real fixture: same rows, same file count,
+    // time-ordered vs z-ordered by (user, day) — then the same narrow
+    // user-range scan. Files are counted by which actually yield rows:
+    // that is precisely what clustering changes (and what footer min/max
+    // pruning skips at scale).
+    val ev = Tables.events(spark, sf)
+    val users = ev.select($"user_id").distinct().as[Long].collect().sorted
+    val (lo, hi) = (users(0), users(math.min(2, users.length - 1)))
+    val nFiles = 16
+    val timeDir = java.nio.file.Files.createTempDirectory("graft-ztime").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zcurve").toString
+    ev.repartitionByRange(nFiles, $"ts").sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(timeDir)
+    ZOrder.writeZOrdered(ev, zDir, ZOrder.bounded($"user_id"),
+      dayofyear($"ts").cast("long"), numFiles = nFiles)
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .filter($"user_id" >= lo && $"user_id" <= hi)
+        .select(input_file_name()).distinct().count()
+    val (tFiles, zFiles) = (filesTouched(timeDir), filesTouched(zDir))
+    assert(zFiles < tFiles,
+      s"z-order must confine a user range to fewer files: time=$tFiles z=$zFiles")
+    // layout must not change content
+    assert(spark.read.parquet(zDir).count() == ev.count())
+  }
 }
