@@ -110,6 +110,48 @@ object BpeTrainer {
         count(lit(1)).cast("long").as("n_words"))
   }
 
+  /** Persist the learned merge table — train once, tokenize forever (the
+    * [[graft.llm.TextAnalysis.writeNbWeights]] stored-artifact pattern):
+    * after this the training corpus is never re-read; any batch tokenizes
+    * against the k-row parquet table alone. */
+  def writeBpeMerges(docs: DataFrame, path: String, k: Int): Unit =
+    bpeMerges(docs, k).write.mode("overwrite").parquet(path)
+
+  /** APPLY a stored tokenizer to any (doc_id, text) frame — including
+    * words the trainer never saw: each new word starts as characters and
+    * replays the k merges in training order (the exact inference rule of
+    * BPE tokenizers), so "abab" under a stored (a,b) merge becomes 2
+    * tokens whether or not it occurred in training. The merge table is a
+    * k-row bounded driver collect (the LSH-plane convention); per merge
+    * the work is one in-row fold over the DISTINCT words of the batch —
+    * k narrow passes over a vocabulary-sized table, no shuffle, then the
+    * same corpus join/rollup as [[bpeTokenCounts]].
+    *
+    * Scoring the training corpus against its own stored merges reproduces
+    * [[bpeTokenCounts]] exactly (that identity IS the oracle for
+    * `text_bpe_apply`). */
+  def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
+    val merges = docs.sparkSession.read.parquet(path)
+      .orderBy(col("step")).select("pair_a", "pair_b").collect()
+    require(merges.length <= 64,
+      s"bpeTokensAgainstMerges: ${merges.length} merges — the k nested " +
+        "fold expressions assume a small stored tokenizer")
+    var words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1).distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    for (m <- merges)
+      words = words.withColumn("syms",
+        applyMerge(col("syms"), m.getString(0), m.getString(1)))
+    val wordLens = words.select(col("word"), size(col("syms")).as("n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordLens, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_syms")).cast("long").as("n_bpe_tokens"),
+        count(lit(1)).cast("long").as("n_words"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -119,6 +161,14 @@ object BpeTrainer {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> ((s, dir) => Util.orderAll(bpeMerges(docs(s, dir), MergeSteps))),
     "text_bpe_tokens" -> ((s, dir) => Util.orderAll(bpeTokenCounts(docs(s, dir), MergeSteps))),
+    // train-once / apply-from-store round trip: write the merge table,
+    // tokenize the same corpus against it — must equal text_bpe_tokens,
+    // which is exactly what the shared oracle asserts
+    "text_bpe_apply" -> ((s, dir) => {
+      val store = java.nio.file.Files.createTempDirectory("graft-bpe-merges").toString
+      writeBpeMerges(docs(s, dir), store, MergeSteps)
+      Util.orderAll(bpeTokensAgainstMerges(docs(s, dir), store))
+    }),
   )
 
   /** The oracle unrolls the k merge steps as CTE chains — same shape as the
@@ -174,7 +224,13 @@ object BpeTrainer {
   private lazy val unrolled: String =
     baseCtes + (1 to MergeSteps).map(t => stepCtes(s"s${t - 1}", t)).mkString
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] =
+    // text_bpe_apply's oracle IS text_bpe_tokens': scoring the training
+    // corpus against its own stored merges must reproduce the direct
+    // train-and-count result — the round-trip identity the query pins
+    oracleBase + ("text_bpe_apply" -> oracleBase("text_bpe_tokens"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "text_bpe_merges" -> (unrolled + Util.wrap(
       (1 to MergeSteps).map(t =>
         s"SELECT $t AS step, a AS pair_a, b AS pair_b, cnt AS pair_count FROM top$t")

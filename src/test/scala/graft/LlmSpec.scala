@@ -1286,6 +1286,26 @@ class LlmSpec extends SparkSpec {
     assert(perDim == 0L, "every dim must attain both extreme levels")
   }
 
+  test("BPE apply-from-store: unseen words replay the stored merges; training corpus round-trips exactly") {
+    import graft.llm.BpeTrainer
+    // training corpus makes (a, b) the clear top pair
+    val train = docsDf(1L -> "ab ab ab cd", 2L -> "ab ab xy")
+    val store = java.nio.file.Files.createTempDirectory("graft-bpe-store").toString
+    BpeTrainer.writeBpeMerges(train, store, 1)
+    // "abab" never occurred in training: chars a,b,a,b + stored (a,b) merge
+    // → 2 tokens; "ba" has no match → 2 chars stay 2 tokens
+    val newDocs = docsDf(9L -> "abab ba")
+    val out = BpeTrainer.bpeTokensAgainstMerges(newDocs, store)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((9L, 4L, 2L)), s"abab→2 + ba→2 tokens over 2 words, got $out")
+    // round trip: the training corpus against its own store == direct count
+    val direct = BpeTrainer.bpeTokenCounts(train, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val replayed = BpeTrainer.bpeTokensAgainstMerges(train, store)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == direct, s"store replay drifted: $replayed vs $direct")
+  }
+
   test("lshBuckets: over-64-dim embeddings fail loudly per row, not silently bucket-0") {
     val bad = Seq((1L, Array.fill(65)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
