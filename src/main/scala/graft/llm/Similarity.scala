@@ -681,6 +681,64 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003, "Database-
+    * friendly random projections": a ±1 sign matrix preserves pairwise
+    * distances in expectation as well as a Gaussian one): d-dim embedding →
+    * `outDims` integer coordinates. The sign matrix is a deterministic
+    * hash of (input dim i, output dim j) — `(i·31 + j·17) mod 2` — so no
+    * materialized matrix is shipped anywhere and both engines derive the
+    * identical projection from arithmetic alone.
+    *
+    * Integer-exact: each input coordinate snaps to micro-units
+    * (round(x·10⁶) as BIGINT) BEFORE the signed sum, so the fold over
+    * input dims is integer addition — no FP summation order exists, on
+    * either engine.
+    *
+    * Scale shape: pure in-row array work (zip_with + aggregate inside
+    * whole-stage codegen), zero shuffle, scan pruned to (vec_id,
+    * embedding). This is the dim-reduction pass that runs BEFORE ANN
+    * indexing at 100 TB — a 64→16 projection cuts every downstream
+    * distance computation and shuffle 4×. */
+  def jlProject(emb: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"jlProject: outDims must be >= 1, got $outDims")
+    emb.select(col("vec_id"), posexplode(jlArray(outDims)).as(Seq("dim_j", "proj_micro")))
+  }
+
+  /** The projected integer vector as an array<bigint> column expression. */
+  private def jlArray(outDims: Int) = expr(
+    s"""transform(sequence(0, ${outDims - 1}), j ->
+       |  aggregate(
+       |    zip_with(embedding, sequence(0, size(embedding) - 1), (x, i) ->
+       |      CASE WHEN (i * 31 + j * 17) % 2 = 0
+       |           THEN CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+       |           ELSE -CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) END),
+       |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin)
+
+  /** Brute-force top-k in [[jlProject]]ed space: squared-L2 over the
+    * 16 integer coordinates — an exact BIGINT sum (max |coord| ≤ d·10⁶ =
+    * 6.4e7, so Σ diff² ≤ 16·(1.28e8)² ≈ 2.6e17, well inside BIGINT), fully
+    * deterministic ranking (dist ASC, neighbor ASC). The JL twin of
+    * [[sq8TopK]]: SQ8 compresses per-coordinate precision at full
+    * dimensionality, JL compresses dimensionality at full precision —
+    * at scale the projected table is the one small enough to broadcast
+    * or pin, and candidates it surfaces re-rank in full space exactly
+    * like the IVF/PQ paths. */
+  def jlTopK(emb: DataFrame, outDims: Int, nQueries: Int, k: Int): DataFrame = {
+    val p = emb.select(col("vec_id"), jlArray(outDims).as("pv"))
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pv").as("qv"))
+    val c = p.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("pv").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_jl").asc, col("neighbor_id").asc)
+    c.join(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, y) -> acc + y)")
+          .as("dist_jl"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
@@ -701,6 +759,8 @@ object Similarity {
     "emb_label_purity" -> ((s, dir) => Util.orderAll(labelPurity(emb(s, dir), 50, 10))),
     "emb_quantize"     -> ((s, dir) => Util.orderAll(sq8Codes(emb(s, dir)))),
     "ann_sq8"          -> ((s, dir) => Util.orderAll(sq8TopK(emb(s, dir), 5, 10))),
+    "emb_project"      -> ((s, dir) => Util.orderAll(jlProject(emb(s, dir), 16))),
+    "ann_jl"           -> ((s, dir) => Util.orderAll(jlTopK(emb(s, dir), 16, 5, 10))),
   )
 
   private val normCte =
@@ -1094,7 +1154,46 @@ object Similarity {
           |      ORDER BY dist_sq8 ASC, neighbor_id ASC) AS rk
           |  FROM d) t WHERE rk <= 10""".stripMargin,
         Seq("query_id", "neighbor_id", "dist_sq8", "rk"))),
+
+    "emb_project" -> (jlCte + Util.wrap(
+      "SELECT vec_id, j AS dim_j, proj_micro FROM pj",
+      Seq("vec_id", "dim_j", "proj_micro"))),
+
+    "ann_jl" -> (jlCte +
+      """, pv AS (
+        |  SELECT vec_id, list(proj_micro ORDER BY j) AS pvv FROM pj GROUP BY vec_id
+        |), d AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      t -> (q.pvv[t] - c.pvv[t]) * (q.pvv[t] - c.pvv[t]))) AS BIGINT) AS dist_jl
+        |  FROM pv q JOIN pv c ON q.vec_id < 5 AND c.vec_id >= 5
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, dist_jl, rk FROM (
+          |  SELECT query_id, neighbor_id, dist_jl,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY dist_jl ASC, neighbor_id ASC) AS rk
+          |  FROM d) t WHERE rk <= 10""".stripMargin,
+        Seq("query_id", "neighbor_id", "dist_jl", "rk"))),
   )
+
+  /** The signed-sum JL projection table in DuckDB SQL — micro-snap each
+    * coordinate, THEN the integer signed sum, mirroring [[jlArray]]'s
+    * zip_with/aggregate fold exactly (16 output dims). */
+  private lazy val jlCte: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i - 1 AS i,
+      |    CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+      |  FROM (SELECT vec_id, unnest(embedding) AS e,
+      |        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) u
+      |), pj AS (
+      |  SELECT vec_id, j,
+      |    CAST(sum(CASE WHEN (i * 31 + j * 17) % 2 = 0 THEN m ELSE -m END)
+      |      AS BIGINT) AS proj_micro
+      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS j) jj
+      |  GROUP BY vec_id, j
+      |)
+      |""".stripMargin
 
   /** The SQ8 code table in DuckDB SQL — per-dim min/max levels, the single
     * floor((x−mn)/(mx−mn)·255) rounding both sq8 oracles interpolate,

@@ -969,6 +969,131 @@ object TextAnalysis {
           .cast("long").as("nb_micro"))
       .withColumn("quality_pred", col("nb_micro") >= threshMicro)
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, "The probabilistic
+    * relevance framework: BM25 and beyond") for a fixed query-term set:
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Two deliberate deviations for cross-engine hash stability, both
+    * rank-preserving per term:
+    *   - idf is the RATIONAL Robertson–Spärck-Jones core
+    *     (N−df+0.5)/(df+0.5) without the ln(1+·) wrap — ln is
+    *     libm-dependent in the last ulp (the [[bigramLm]]/[[tfidfTopK]]
+    *     convention), while the quotient is IEEE correctly rounded.
+    *   - each per-(doc,term) score snaps to integer MICRO-units before the
+    *     per-doc sum, so FP summation order can never flip the hash.
+    *   avgdl is folded in exactly: b·dl/avgdl = b·dl·N/total_tokens, no
+    *   pre-divided average that would round twice.
+    *
+    * Scale shape — a term-selective inverted probe, not a corpus scan for
+    * scoring: the explode filters to the query's terms BEFORE the
+    * (doc,term) aggregation, so the shuffled postings volume is
+    * O(matching tokens), not O(corpus tokens); df and the corpus stats
+    * (N, total_tokens) are broadcast one-row/|q|-row aggregates. The final
+    * row_number window is unpartitioned by construction (global top-k) but
+    * runs over the CANDIDATE set only — documents containing ≥1 query
+    * term; at 100 TB the candidate set for a keyword query is
+    * posting-list-sized. dl comes from one map-side pass fused into the
+    * same tokenize scan. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: need at least one query term")
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val tok = Dedup.tokenized(docs).withColumn("dl", size(col("words")))
+    val stats = tok.agg(count(lit(1)).as("n_corpus"),
+      sum(col("dl").cast("long")).as("total_tokens"))
+    val postings = tok
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("token"))
+      .filter(col("token").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    def d(c: Column): Column = c.cast("double")
+    // k1 = 1.2, b = 0.75 (the canonical defaults), pre-folded as the SAME
+    // decimal literals the oracle SQL parses (2.2, 1.2, 0.25, 0.75): a
+    // runtime `k1 + 1` can land one ulp off the parsed literal `2.2`.
+    // Association mirrors the oracle SQL token for token: every
+    // sub-expression is a correctly-rounded double op in the same order.
+    val satur = (d(col("tf")) * lit(2.2)) /
+      (d(col("tf")) + lit(1.2) * (lit(0.25) +
+        lit(0.75) * d(col("dl")) * d(col("n_corpus")) / d(col("total_tokens"))))
+    val idf = (d(col("n_corpus")) - d(col("df")) + lit(0.5)) /
+      (d(col("df")) + lit(0.5))
+    postings
+      .join(broadcast(dfTbl), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_micro", round((idf * satur) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_match"), sum(col("s_micro")).as("bm25_micro"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_match"), col("bm25_micro"), col("rk"))
+  }
+
+  /** Corpus snapshot diff: classify every document as added / removed /
+    * changed between two corpus versions by CONTENT HASH, the incremental-
+    * ingest primitive (what changed since the last crawl?) that gates
+    * re-tokenization and index maintenance downstream. Unchanged documents
+    * are not emitted — at 100 TB that is ~all of them, and the diff's
+    * output must be delta-sized, not corpus-sized.
+    *
+    * Both snapshots are derived deterministically from the fixture (there
+    * is only one documents table): `old` drops doc_id ≡ 3 (mod 17) — those
+    * become `added` — and rewrites text for doc_id ≡ 5 (mod 13) — those
+    * become `changed`; `new` drops doc_id ≡ 7 (mod 19) — those become
+    * `removed`. The production entry point is [[snapshotDiffOf]].
+    *
+    * Scale shape (in [[snapshotDiffOf]]): each side is projected to
+    * (doc_id, md5(text)) BEFORE the full-outer join, so the shuffle moves
+    * 16-byte digests, never document bodies; the join key is doc_id, the
+    * natural co-partitioning key of both snapshots (two corpus versions
+    * written by the same pipeline share layout, making this a colocated
+    * merge at scale). One shuffle total. */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text", when(col("doc_id") % 13 === 5,
+        concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 19 =!= 7)
+    snapshotDiffOf(oldSnap, newSnap)
+  }
+
+  /** The production diff: `old` vs `new` corpus versions → delta rows
+    * (doc_id, status ∈ added|removed|changed). See [[snapshotDiff]]. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("old_h"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("new_h"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_h").isNull, lit("added"))
+          .when(col("new_h").isNull, lit("removed"))
+          .when(col("old_h") =!= col("new_h"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
+  /** Length-bucket batching stats: group documents into power-of-two
+    * token-length buckets — the dynamic-batching layout that pads each
+    * batch only to its bucket ceiling instead of the corpus max — and
+    * report per-bucket document count, real token mass, and the padding
+    * waste a bucket-padded batcher would spend. Integer-exact throughout:
+    * floor(log2 n) is `length(bin(n)) − 1` (no libm log2), the ceiling is
+    * a shiftleft.
+    *
+    * Scale shape: one map-side-combining groupBy over ~60 distinct bucket
+    * keys; the scan prunes to (text) only and the token count is a fused
+    * split+size, no explode. */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    Dedup.tokenized(docs)
+      .select((length(bin(size(col("words")).cast("long"))) - 1)
+        .cast("int").as("bucket_log2"), size(col("words")).cast("long").as("n"))
+      .groupBy("bucket_log2")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), bucket_log2 + 1)") - col("n"))
+          .as("padding_waste"))
+      .select(col("bucket_log2"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket_log2)").as("bucket_lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket_log2 + 1)").as("bucket_cap"),
+        col("n_docs"), col("sum_tokens"), col("padding_waste"))
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1005,6 +1130,10 @@ object TextAnalysis {
     "text_classify"     -> ((s, dir) => Util.orderAll(nbClassify(docs(s, dir)))),
     "doc_chunk_cdc"     -> ((s, dir) => Util.orderAll(cdcChunks(docs(s, dir)))),
     "doc_dedup_cdc"     -> ((s, dir) => Util.orderAll(cdcDedup(docs(s, dir)))),
+    "text_bm25_topk"    -> ((s, dir) => Util.orderAll(
+      bm25TopK(docs(s, dir), Seq("spark", "vector", "scan"), 10))),
+    "doc_snapshot_diff" -> ((s, dir) => Util.orderAll(snapshotDiff(docs(s, dir)))),
+    "doc_length_buckets" -> ((s, dir) => Util.orderAll(lengthBuckets(docs(s, dir)))),
   )
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
@@ -1542,6 +1671,88 @@ object TextAnalysis {
         |FROM ck WHERE end_tok - start_tok + 1 >= 3
         |GROUP BY chunk_text HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
       Seq("chunk_text", "keeper", "n_docs", "n_occurrences"))),
+
+    // every double op CAST-pinned and associated exactly as the Spark side;
+    // per-(doc,term) scores snap to integer micros BEFORE the per-doc sum
+    "text_bm25_topk" -> (
+      """WITH dlt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    len(string_split(text, ' ')) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT count(*) AS n_corpus, sum(dl) AS total_tokens FROM dlt
+        |), post AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(words) AS token FROM dlt) u
+        |  WHERE token IN ('spark', 'vector', 'scan')
+        |  GROUP BY doc_id, dl, token
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY token
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round((
+        |      (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |        / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+        |            / CAST(total_tokens AS DOUBLE))))
+        |    ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_micro
+        |  FROM post JOIN dfq USING (token) CROSS JOIN st
+        |), ag AS (
+        |  SELECT doc_id, count(*) AS n_match,
+        |    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+        |  FROM sc GROUP BY doc_id
+        |), r AS (
+        |  SELECT doc_id, n_match, bm25_micro,
+        |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+        |  FROM ag
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT doc_id, n_match, bm25_micro, rk FROM r WHERE rk <= 10",
+        Seq("doc_id", "n_match", "bm25_micro", "rk"))),
+
+    // content-hash diff of two derived snapshots; unchanged rows not emitted
+    "doc_snapshot_diff" -> (
+      """WITH olds AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' legacy revision'
+        |             ELSE text END) AS old_h
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |), news AS (
+        |  SELECT doc_id, md5(text) AS new_h FROM documents WHERE doc_id % 19 <> 7
+        |), j AS (
+        |  SELECT coalesce(olds.doc_id, news.doc_id) AS doc_id,
+        |    CASE WHEN old_h IS NULL THEN 'added'
+        |         WHEN new_h IS NULL THEN 'removed'
+        |         WHEN old_h <> new_h THEN 'changed' END AS status
+        |  FROM olds FULL OUTER JOIN news ON olds.doc_id = news.doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT doc_id, status FROM j WHERE status IS NOT NULL",
+        Seq("doc_id", "status"))),
+
+    // floor(log2 n) = len(bin(n)) - 1, shifts for the bounds: integer-exact,
+    // no libm log2 on either engine
+    "doc_length_buckets" -> (
+      """WITH tk AS (
+        |  SELECT CAST(length(bin(len(string_split(text, ' ')))) - 1 AS INT)
+        |    AS bucket_log2,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), ag AS (
+        |  SELECT bucket_log2, count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |    CAST(sum((CAST(1 AS BIGINT) << (bucket_log2 + 1)) - n) AS BIGINT)
+        |      AS padding_waste
+        |  FROM tk GROUP BY bucket_log2
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT bucket_log2, CAST(1 AS BIGINT) << bucket_log2 AS bucket_lo,
+          |  CAST(1 AS BIGINT) << (bucket_log2 + 1) AS bucket_cap,
+          |  n_docs, sum_tokens, padding_waste FROM ag""".stripMargin,
+        Seq("bucket_log2", "bucket_lo", "bucket_cap", "n_docs", "sum_tokens",
+          "padding_waste"))),
   )
 
   /** The content-defined chunk table in DuckDB SQL — the single source both

@@ -1315,4 +1315,60 @@ class LlmSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("65-dim")), s"got: ${msgs(ex)}")
   }
+
+  test("BM25: tf raises, length normalization lowers, non-matching docs absent") {
+    val docs = docsDf(
+      1L -> "rare a a a",          // tf=1, dl=4
+      2L -> "rare rare a a",       // tf=2, dl=4 — must outrank doc 1
+      3L -> "rare a a a a a a a",  // tf=1, dl=8 — longer, must rank below doc 1
+      4L -> "a b")                 // no query term — must not appear
+    val out = TextAnalysis.bm25TopK(docs, Seq("rare"), 10)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L), s"rank order wrong: ${out.toSeq}")
+    assert(out.forall(_._2 == 1L), s"n_match must be 1 for a 1-term query: ${out.toSeq}")
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3,
+      s"scores must strictly decrease: ${out.toSeq}")
+  }
+
+  test("snapshot diff: added/removed/changed classified by content hash, unchanged silent") {
+    val oldSnap = docsDf(1L -> "gone", 2L -> "same", 3L -> "before")
+    val newSnap = docsDf(2L -> "same", 3L -> "after", 4L -> "fresh")
+    val out = TextAnalysis.snapshotDiffOf(oldSnap, newSnap)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"got $out")
+  }
+
+  test("length buckets: power-of-two bounds and padding waste, integer-exact") {
+    val docs = docsDf(
+      1L -> "a",            // n=1 → bucket 0 [1,2): waste 1
+      2L -> "a b",          // n=2 → bucket 1 [2,4): waste 2
+      3L -> "a b c",        // n=3 → bucket 1: waste 1
+      4L -> "a b c d e f g h") // n=8 → bucket 3 [8,16): waste 8
+    val out = TextAnalysis.lengthBuckets(docs)
+      .orderBy("bucket_log2").as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (0, 1L, 2L, 1L, 1L, 1L),
+      (1, 2L, 4L, 2L, 5L, 3L),
+      (3, 8L, 16L, 1L, 8L, 8L)), s"got ${out.toSeq}")
+  }
+
+  test("JL projection: hand-checked signed sums; identical vectors are JL-distance 0") {
+    import graft.llm.Similarity
+    val one = Seq((0L, Array(1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val pj = Similarity.jlProject(one, 2).as[(Long, Int, Long)].collect().sortBy(_._2)
+    // i=0 micro=+1e6, i=1 micro=-5e5; signs: (i*31 + j*17) % 2 == 0 → +
+    // j=0: +1e6 - (-5e5) = 1.5e6;  j=1: -1e6 + (-5e5) = -1.5e6
+    assert(pj.toSeq == Seq((0L, 0, 1500000L), (0L, 1, -1500000L)), s"got ${pj.toSeq}")
+
+    val base = Array.tabulate(8)(i => (if (i % 2 == 0) 0.5f else -0.25f))
+    val far = base.map(x => -x)
+    val emb = Seq((0L, base), (5L, base), (6L, far)).toDF("vec_id", "embedding")
+    val top = Similarity.jlTopK(emb, 4, 5, 2)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect()
+    assert(top.head._2 == 5L && top.head._3 == 0L,
+      s"identical vector must rank first at distance 0: ${top.toSeq}")
+    assert(top(1)._2 == 6L && top(1)._3 > 0L, s"got ${top.toSeq}")
+  }
 }
