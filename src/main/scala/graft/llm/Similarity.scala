@@ -739,6 +739,75 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Top principal component by POWER ITERATION (the classic matvec loop:
+    * v ← normalize(X̃ᵀ(X̃v)), X̃ mean-centered) — the data-dependent
+    * counterpart of [[jlProject]]: JL preserves distances obliviously,
+    * PCA finds the direction the corpus actually varies in (embedding
+    * drift monitoring, whitening, 1-D ordering for layout).
+    *
+    * Deterministic and cross-engine exact at every step, the
+    * [[kmeansCentroids]] discipline: the per-dim mean and the per-dim
+    * matvec accumulation Σ_r y_r·x̃_r[i] snap to integer micro-units
+    * before their row-wise sums (no FP summation order); the normalized
+    * component rounds to 6 dp each iteration; v₀ = all-ones (fixed, so
+    * the sign of the result is pinned); `iters` is a FIXED count, not a
+    * convergence test — both engines run the identical unrolled
+    * computation.
+    *
+    * Scale shape: each iteration is one pass over the centered corpus —
+    * a broadcast of the 1-row v table, a codegen'd in-row fold for
+    * y_r = ⟨x̃_r, v⟩, then a (dim)-keyed map-side-combining aggregation
+    * into 64 cells; the centered corpus is computed once
+    * (localCheckpoint) and re-scanned, never re-derived. Nothing ever
+    * shuffles more than #dims rows. */
+  def pcaPower(emb: DataFrame, iters: Int = 3): DataFrame =
+    pcaVector(emb, iters)
+      .select(posexplode(col("vv")).as(Seq("dim", "component")))
+
+  /** Per-vector projection onto the [[pcaPower]] component (6-dp): the
+    * 1-D corpus ordering / whitening coordinate. */
+  def pcaScores(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val (centered, v) = pcaParts(emb, iters)
+    centered.crossJoin(broadcast(v))
+      .select(col("vec_id"), round(dotFold("cx", "vv"), 6).as("pc1"))
+  }
+
+  private def pcaVector(emb: DataFrame, iters: Int): DataFrame =
+    pcaParts(emb, iters)._2
+
+  /** Ordered in-row dot product fold (sequential over dims, the same
+    * evaluation order as DuckDB's list_sum ∘ list_transform). */
+  private def dotFold(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+
+  private def pcaParts(emb: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"pcaPower: iters must be >= 1, got $iters")
+    val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val mu = x.select(posexplode(col("xd")).as(Seq("dim", "xv")))
+      .groupBy("dim")
+      .agg(sum(round(col("xv") * lit(1e6)).cast("long")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("m", round(col("sm").cast("double") / col("n") / lit(1e6), 6))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("mu"))
+    val centered = x.crossJoin(broadcast(mu))
+      .select(col("vec_id"), expr("zip_with(xd, mu, (a, b) -> a - b)").as("cx"))
+      .localCheckpoint(true) // one materialization feeds every iteration
+    var v = mu.select(expr("transform(mu, z -> CAST(1.0 AS DOUBLE))").as("vv"))
+    for (_ <- 0 until iters) {
+      val y = centered.crossJoin(broadcast(v))
+        .select(col("vec_id"), col("cx"), dotFold("cx", "vv").as("y"))
+      v = y.select(col("y"), posexplode(col("cx")).as(Seq("dim", "c")))
+        .groupBy("dim")
+        .agg(sum(round(col("y") * col("c") * lit(1e6)).cast("long")).as("wm"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, wm))), s -> CAST(s.wm AS DOUBLE) / 1000000.0)")
+          .as("wd"))
+        .select(expr(
+          "transform(wd, x -> round(x / sqrt(aggregate(transform(wd, z -> z * z), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)), 6))")
+          .as("vv"))
+        .localCheckpoint(true) // 1-row vector; truncate the iteration lineage
+    }
+    (centered, v)
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
@@ -761,6 +830,8 @@ object Similarity {
     "ann_sq8"          -> ((s, dir) => Util.orderAll(sq8TopK(emb(s, dir), 5, 10))),
     "emb_project"      -> ((s, dir) => Util.orderAll(jlProject(emb(s, dir), 16))),
     "ann_jl"           -> ((s, dir) => Util.orderAll(jlTopK(emb(s, dir), 16, 5, 10))),
+    "emb_pca"          -> ((s, dir) => Util.orderAll(pcaPower(emb(s, dir)))),
+    "emb_pca_scores"   -> ((s, dir) => Util.orderAll(pcaScores(emb(s, dir)))),
   )
 
   private val normCte =
@@ -1175,7 +1246,64 @@ object Similarity {
           |      ORDER BY dist_jl ASC, neighbor_id ASC) AS rk
           |  FROM d) t WHERE rk <= 10""".stripMargin,
         Seq("query_id", "neighbor_id", "dist_jl", "rk"))),
+
+    "emb_pca" -> (pcaCte + Util.wrap(
+      """SELECT dim - 1 AS dim, component FROM (
+        |  SELECT unnest(vv) AS component,
+        |    unnest(range(1, len(vv) + 1)) AS dim FROM v3) u""".stripMargin,
+      Seq("dim", "component"))),
+
+    "emb_pca_scores" -> (pcaCte + Util.wrap(
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, len(cxv) + 1),
+        |    i -> cxv[i] * vv[i])), 6) AS pc1
+        |FROM cxt CROSS JOIN v3""".stripMargin,
+      Seq("vec_id", "pc1"))),
   )
+
+  /** One unrolled power-iteration step `vin` → `v$k`: ordered in-row dot
+    * for y, per-dim matvec snapped to integer micros before the row sum,
+    * 6-dp normalized component — mirroring [[pcaParts]] bit-for-bit. */
+  private def pcaIter(vin: String, k: Int): String =
+    s""", y$k AS (
+       |  SELECT vec_id, cxv,
+       |    list_sum(list_transform(range(1, len(cxv) + 1), i -> cxv[i] * vv[i])) AS y
+       |  FROM cxt CROSS JOIN $vin
+       |), w$k AS (
+       |  SELECT list(wd ORDER BY dim) AS wd FROM (
+       |    SELECT dim, CAST(sum(CAST(round(y * c * 1000000) AS BIGINT)) AS DOUBLE)
+       |      / 1000000.0 AS wd
+       |    FROM (SELECT y, unnest(cxv) AS c,
+       |          unnest(range(1, len(cxv) + 1)) AS dim FROM y$k) u
+       |    GROUP BY dim) t
+       |), v$k AS (
+       |  SELECT list_transform(wd, x -> round(x /
+       |    sqrt(list_sum(list_transform(wd, z -> z * z))), 6)) AS vv FROM w$k
+       |)
+       |""".stripMargin
+
+  /** Mean-centering + v₀ = ones + three unrolled power iterations —
+    * the shared chain both PCA oracles read (`cxt`, `v3`). */
+  private lazy val pcaCte: String =
+    """WITH x AS (
+      |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd
+      |  FROM embeddings
+      |), muv AS (
+      |  SELECT list(m ORDER BY dim) AS mu FROM (
+      |    SELECT dim,
+      |      round(CAST(sum(CAST(round(xv * 1000000) AS BIGINT)) AS DOUBLE)
+      |        / count(*) / 1000000.0, 6) AS m
+      |    FROM (SELECT unnest(xd) AS xv,
+      |          unnest(range(1, len(xd) + 1)) AS dim FROM x) u
+      |    GROUP BY dim) t
+      |), cxt AS (
+      |  SELECT vec_id, list_transform(range(1, len(xd) + 1), i -> xd[i] - mu[i]) AS cxv
+      |  FROM x CROSS JOIN muv
+      |), v0 AS (
+      |  SELECT list_transform(mu, z -> CAST(1.0 AS DOUBLE)) AS vv FROM muv
+      |)
+      |""".stripMargin +
+      pcaIter("v0", 1) + pcaIter("v1", 2) + pcaIter("v2", 3)
 
   /** The signed-sum JL projection table in DuckDB SQL — micro-snap each
     * coordinate, THEN the integer signed sum, mirroring [[jlArray]]'s

@@ -1371,4 +1371,25 @@ class LlmSpec extends SparkSpec {
       s"identical vector must rank first at distance 0: ${top.toSeq}")
     assert(top(1)._2 == 6L && top(1)._3 > 0L, s"got ${top.toSeq}")
   }
+
+  test("PCA power iteration: collinear data recovers the line, scores order along it") {
+    import graft.llm.Similarity
+    // every centered point lies on the (1,1) axis, so ONE matvec already
+    // lands on the exact principal direction (1,1)/sqrt(2)
+    val emb = Seq(
+      0L -> Array(1.0f, 1.0f), 1L -> Array(2.0f, 2.0f),
+      2L -> Array(-1.0f, -1.0f), 3L -> Array(3.0f, 3.0f))
+      .toDF("vec_id", "embedding")
+    val comp = Similarity.pcaPower(emb, 3).orderBy("dim")
+      .as[(Int, Double)].collect()
+    assert(comp.length == 2)
+    assert(comp.forall(c => math.abs(c._2 - 0.707107) < 1e-4),
+      s"component must be (1,1)/sqrt(2) with the v0=ones sign: ${comp.toSeq}")
+    val scores = Similarity.pcaScores(emb, 3).as[(Long, Double)].collect().toMap
+    // projections order the points along the line; mean removal centers them
+    assert(scores(3L) > scores(1L) && scores(1L) > scores(0L) && scores(0L) > scores(2L),
+      s"scores must order along the principal axis: $scores")
+    assert(math.abs(scores.values.sum) < 1e-4,
+      s"centered projections must sum to ~0: $scores")
+  }
 }

@@ -360,4 +360,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no nested-loop anywhere in the sketch path:\n$p")
   }
+
+  test("text_bm25_topk: df/corpus stats broadcast; no sort-merge join; term filter precedes the postings agg") {
+    val p = phys("text_bm25_topk")
+    // df is a <=|query|-row table, corpus stats a 1-row aggregate — both
+    // must broadcast (the stats crossJoin as a 1-row BNLJ is the design)
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"postings must never shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the scoring path:\n$p")
+    // the term-selective filter must run before the (doc,term) aggregation
+    // so shuffled postings volume is O(matching tokens), not corpus tokens
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      s"query-term filter missing from the physical plan:\n$p")
+  }
+
+  test("doc_snapshot_diff: digests joined, not bodies — md5 projected below the full-outer join") {
+    val p = phys("doc_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    // the join input projections must carry (doc_id, md5) — never `text`;
+    // at scale the shuffle moves 16-byte digests, not document bodies
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).get
+    assert(!joinLine.contains("text"), s"document body reaches the join: $joinLine")
+    assert(exchanges("doc_snapshot_diff") <= 3,
+      s"diff needs at most 2 keyed join exchanges + harness sort:\n$p")
+  }
+
+  test("emb_project / doc_length_buckets: narrow per-row work — harness sort (+1 agg) only") {
+    // JL projection is pure in-row array math: zero keyed shuffles beyond
+    // the harness ORDER BY
+    assert(exchanges("emb_project") <= 1, s"JL projection must not shuffle")
+    // length buckets: one map-side-combining agg over ~60 keys + harness sort
+    val p = phys("doc_length_buckets")
+    assert(p.contains("partial_"), s"bucket agg must map-side combine:\n$p")
+    assert(exchanges("doc_length_buckets") <= 2, s"extra shuffle in bucket stats:\n$p")
+  }
+
+  test("ann_jl / emb_pca_scores: projected corpus never cartesians; v/query side broadcasts") {
+    val pj = phys("ann_jl")
+    assert(!pj.contains("CartesianProduct"), s"JL ANN cartesian:\n$pj")
+    assert(pj.contains("BroadcastNestedLoopJoin") || pj.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$pj")
+    val ps = phys("emb_pca_scores")
+    assert(!ps.contains("CartesianProduct"), s"PCA scores cartesian:\n$ps")
+    // the 1-row component vector broadcasts onto the centered corpus scan
+    assert(ps.contains("BroadcastNestedLoopJoin"), s"v not broadcast:\n$ps")
+    assert(exchanges("emb_pca_scores") <= 1,
+      s"scoring is per-row work — harness sort only:\n$ps")
+  }
 }
