@@ -34,8 +34,13 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // a.initialPlan, NOT a.inputPlan: in Spark 4 inputPlan is the tree
+    // BEFORE EnsureRequirements, i.e. it contains no exchanges at all and
+    // every count over it is silently 0 — initialPlan is the static plan
+    // with exchanges inserted (verified against a plan whose printout
+    // shows the Exchange while inputPlan has none)
     def cnt(p: SparkPlan): Int = p.collect {
-      case a: AdaptiveSparkPlanExec => cnt(a.inputPlan)
+      case a: AdaptiveSparkPlanExec => cnt(a.initialPlan)
       case s: ShuffleExchangeLike
           if !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => 1
     }.sum

@@ -987,4 +987,37 @@ class StreamingSpec extends SparkSpec {
     assert(loads == 3)
     cache.invalidate(); fast.invalidate()
   }
+
+  test("streaming postings: running (df, tf_sum) + corpus totals == batch stats of any prefix") {
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val q = graft.streaming.StreamingPostings.run(stream)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-postings"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    val b1 = Seq(1L -> "spark scan spark", 2L -> "scan merge")
+    val b2 = Seq(3L -> "spark merge merge window")
+    def batchOf(rows: Seq[(Long, String)]) =
+      graft.streaming.StreamingPostings.batchStats(rows.toDF("doc_id", "text"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // mid-stream: df counts DOCS (spark df=1 despite tf 2), corpus row
+      // carries (n_docs=2, total_tokens=5)
+      assert(latest.toMap == batchOf(b1), s"prefix parity broke: $latest vs ${batchOf(b1)}")
+      assert(latest("spark") == ((1L, 2L)) && latest("__corpus__") == ((2L, 5L)),
+        s"hand-checked mid-stream stats wrong: $latest")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val full = batchOf(b1 ++ b2)
+    assert(latest.toMap == full, s"stream $latest != batch $full")
+    assert(latest("merge") == ((2L, 3L)) && latest("__corpus__") == ((3L, 9L)),
+      s"hand-checked final stats wrong: $latest")
+  }
 }
