@@ -808,6 +808,64 @@ object Similarity {
     (centered, v)
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal — the
+    * 2-approximation of Gonzalez 1985, the diversity objective of
+    * Sener & Savarese ICLR'18 "Active learning for CNNs: a core-set
+    * approach"): pick the seed, then `k−1` times pick the vector FARTHEST
+    * from everything selected so far. The selected rows are the most
+    * mutually-diverse k-subset a greedy pass can find — the
+    * data-SELECTION primitive (which k docs to label / keep / inspect),
+    * where [[kmeansCentroids]] is the data-SUMMARY one.
+    *
+    * Exact integer arithmetic end-to-end: coordinates snap to micro-units
+    * once ([[jlProject]]'s convention), squared-L2 distances are BIGINT
+    * sums (≤ d·(2·10⁶)² ≈ 2.6e14), the argmax tie-breaks on min vec_id —
+    * no FP anywhere, so both engines select the identical sequence.
+    *
+    * Scale shape: each round is ONE corpus pass against ONE broadcast
+    * center — the running `dmin` column carries the min distance to all
+    * previously-selected centers (k·N distance evaluations total, not
+    * k²·N/2), and the argmax is a global max(struct) aggregate (map-side
+    * partial, one row per partition to the final reduce). The state is
+    * localCheckpointed per round so round r+1 never re-derives rounds
+    * 1..r. At 100 TB the standard play is running it on the
+    * [[jlProject]]ed or [[sq8Codes]] table — same operator, 4–8× less
+    * data per pass. */
+  def kCenter(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCenter: k must be >= 1, got $k")
+    val session = emb.sparkSession
+    import session.implicits._
+    val m = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      .as("mv")).localCheckpoint(true)
+    // incremental invariant: `state.dmin` is the min distance to the
+    // ALREADY-selected set, so each round folds in only the NEWEST center
+    // — k·N distance evaluations total, not k²·N/2 (the textbook
+    // farthest-first bookkeeping, here as a checkpointed running column).
+    // Seed = vec_id 0 (fixed, so the whole trajectory is deterministic).
+    var latest = m.filter(col("vec_id") === 0L).select(col("mv").as("cv"))
+    var state = m.withColumn("dmin", lit(Long.MaxValue))
+    var selected = Seq((1, 0L, 0L)).toDF("rank", "sel_id", "dist_micro2")
+    for (r <- 2 to k) {
+      state = state.crossJoin(broadcast(latest))
+        .select(col("vec_id"), col("mv"), least(col("dmin"),
+          expr("aggregate(zip_with(mv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+          .as("dmin"))
+        .localCheckpoint(true)
+      // farthest-first argmax, ties to the smaller vec_id (an all-
+      // duplicates corpus would re-pick the seed at dmin 0 — degenerate
+      // input, exact-dedup first); one map-side-partial global agg
+      val next = state
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"), col("mv"))).as("w"))
+        .select(lit(r).as("rank"), (-col("w.nid")).as("sel_id"),
+          col("w.mv").as("sv"), col("w.dmin").as("dist_micro2"))
+        .localCheckpoint(true)
+      latest = next.select(col("sv").as("cv"))
+      selected = selected.unionByName(next.select(col("rank"), col("sel_id"), col("dist_micro2")))
+    }
+    selected
+  }
+
   // ------------------------------------------------------------- registry
 
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
@@ -832,6 +890,7 @@ object Similarity {
     "ann_jl"           -> ((s, dir) => Util.orderAll(jlTopK(emb(s, dir), 16, 5, 10))),
     "emb_pca"          -> ((s, dir) => Util.orderAll(pcaPower(emb(s, dir)))),
     "emb_pca_scores"   -> ((s, dir) => Util.orderAll(pcaScores(emb(s, dir)))),
+    "emb_kcenter"      -> ((s, dir) => Util.orderAll(kCenter(emb(s, dir), 8))),
   )
 
   private val normCte =
@@ -1259,7 +1318,45 @@ object Similarity {
         |    i -> cxv[i] * vv[i])), 6) AS pc1
         |FROM cxt CROSS JOIN v3""".stripMargin,
       Seq("vec_id", "pc1"))),
+
+    "emb_kcenter" -> (kcCte + Util.wrap(
+      "SELECT CAST(1 AS INT) AS rank, CAST(0 AS BIGINT) AS sel_id, " +
+        "CAST(0 AS BIGINT) AS dist_micro2" +
+        (2 to 8).map(r =>
+          s"\nUNION ALL SELECT CAST($r AS INT), sel_id, dmin FROM p$r").mkString,
+      Seq("rank", "sel_id", "dist_micro2"))),
   )
+
+  /** One farthest-first step: `p$r` = argmax of the running min-distance
+    * table `st${r-1}` (ties to min vec_id), `st$r` = that table with the
+    * new center folded in — mirroring [[kCenter]]'s incremental loop. */
+  private def kcStep(r: Int): String =
+    s""", p$r AS (
+       |  SELECT vec_id AS sel_id, mv, dmin FROM st${r - 1}
+       |  ORDER BY dmin DESC, vec_id ASC LIMIT 1
+       |), st$r AS (
+       |  SELECT s.vec_id, s.mv, least(s.dmin,
+       |    CAST(list_sum(list_transform(range(1, len(s.mv) + 1),
+       |      i -> (s.mv[i] - p.mv[i]) * (s.mv[i] - p.mv[i]))) AS BIGINT)) AS dmin
+       |  FROM st${r - 1} s CROSS JOIN p$r p
+       |)
+       |""".stripMargin
+
+  /** Micro-snapped coordinates, the seed (vec 0) distance table, and
+    * seven unrolled farthest-first selections. */
+  private lazy val kcCte: String =
+    """WITH m AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS mv
+      |  FROM embeddings
+      |), c1 AS (SELECT mv AS cv FROM m WHERE vec_id = 0
+      |), st1 AS (
+      |  SELECT vec_id, mv,
+      |    CAST(list_sum(list_transform(range(1, len(mv) + 1),
+      |      i -> (mv[i] - cv[i]) * (mv[i] - cv[i]))) AS BIGINT) AS dmin
+      |  FROM m CROSS JOIN c1
+      |)
+      |""".stripMargin + (2 to 8).map(kcStep).mkString
 
   /** One unrolled power-iteration step `vin` → `v$k`: ordered in-row dot
     * for y, per-dim matvec snapped to integer micros before the row sum,

@@ -1392,4 +1392,22 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(scores.values.sum) < 1e-4,
       s"centered projections must sum to ~0: $scores")
   }
+
+  test("k-center: farthest-first order on a hand-built line, radii non-increasing") {
+    import graft.llm.Similarity
+    // points on a line at 0, 1, 10, 4: seed=0, then farthest-first picks
+    // 10 (d²=100), then 4 (min-dist to {0,10}: 16), then 1 (1)
+    val emb = Seq(
+      0L -> Array(0.0f), 1L -> Array(1.0f), 2L -> Array(10.0f), 3L -> Array(4.0f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenter(emb, 4).orderBy("rank")
+      .as[(Int, Long, Long)].collect()
+    val t = 1000000L * 1000000L // micro² per unit²
+    assert(out.toSeq == Seq((1, 0L, 0L), (2, 2L, 100L * t), (3, 3L, 16L * t),
+      (4, 1L, 1L * t)), s"selection trajectory wrong: ${out.toSeq}")
+    // coverage radius (dist at selection) never increases after round 2
+    val radii = out.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii must be non-increasing: ${radii.toSeq}")
+  }
 }
