@@ -1094,6 +1094,78 @@ object TextAnalysis {
         expr("shiftleft(CAST(1 AS BIGINT), bucket_log2 + 1)").as("bucket_cap"),
         col("n_docs"), col("sum_tokens"), col("padding_waste"))
 
+  /** PMI collocation mining (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): the top-k adjacent
+    * bigrams by pointwise mutual information — P(ab) / (P(a)·P(b)) — the
+    * phrase-detection pass (new terms, named entities, tokenizer merge
+    * candidates) a corpus pipeline runs before vocabulary decisions.
+    *
+    * The score is the RATIONAL PMI core without the log wrap (monotone,
+    * the [[tfidfTopK]]/[[bigramLm]] argument), expanded to counts in one
+    * fixed association — (((10⁶·n_ab)·T1)·T1)/n_a/n_b/T2 — so both
+    * engines round the identical double; `minCount` kills the
+    * hapax-pair noise PMI is notorious for.
+    *
+    * Scale shape: one explode for unigram counts, one in-row transform +
+    * explode for bigram counts (both map-side-combining aggregations);
+    * unigram counts join the bigram table twice — broadcast under a real
+    * vocabulary, the [[Dedup.vocab]] shuffled-join escape hatch for raw
+    * web-scale token sets; totals are broadcast 1-row aggregates; top-k
+    * ranks only rows past `minCount`. */
+  def pmiTopK(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"pmiTopK: k, minCount >= 1")
+    val tok = Dedup.tokenized(docs)
+    val uni = tok.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val bg = tok.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val totals = uni.agg(sum(col("n")).as("t1"))
+      .crossJoin(bg.agg(sum(col("n_ab")).as("t2")))
+    bg.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        round(lit(1e6) * col("n_ab") * col("t1") * col("t1")
+          / col("n_a") / col("n_b") / col("t2")).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)))
+      .filter(col("rk") <= k)
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi_micro"), col("rk"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09: RRF(d) = Σ_lists 1/(60 + rank_d)): fuse the [[bm25TopK]]
+    * keyword ranking with the dense cosine ranking against query vector
+    * 0 ([[Similarity.bruteForceTopK]] — `vec_id` is the fixture's
+    * `doc_id`). RRF is the standard production fusion precisely because
+    * it needs NO score calibration between lists — only ranks — which
+    * also makes it hash-exact: each 1/(60+rk) term snaps to integer
+    * micros before the sum, a document missing from one list contributes
+    * 0 from it.
+    *
+    * Scale shape: both legs are the already-audited operators; fusion
+    * adds one full-outer join on doc_id over two ≤candidate-sized rank
+    * lists and a top-k over their union. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                   k: Int, depth: Int = 1000): DataFrame = {
+    val bm = bm25TopK(docs, queryTerms, depth)
+      .select(col("doc_id"), col("rk").as("rk_bm"))
+    val an = Similarity.bruteForceTopK(emb, 1, depth)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("rk_ann"))
+    bm.join(an, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(round(lit(1e6) / (lit(60) + col("rk_bm"))).cast("long"), lit(0L)) +
+          coalesce(round(lit(1e6) / (lit(60) + col("rk_ann"))).cast("long"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk_bm"), col("rk_ann"), col("rrf_micro"), col("rk"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1132,6 +1204,9 @@ object TextAnalysis {
     "doc_dedup_cdc"     -> ((s, dir) => Util.orderAll(cdcDedup(docs(s, dir)))),
     "text_bm25_topk"    -> ((s, dir) => Util.orderAll(
       bm25TopK(docs(s, dir), Seq("spark", "vector", "scan"), 10))),
+    "text_pmi_topk"     -> ((s, dir) => Util.orderAll(pmiTopK(docs(s, dir), 5, 20))),
+    "doc_hybrid_search" -> ((s, dir) => Util.orderAll(hybridSearch(
+      docs(s, dir), Tables.embeddings(s, dir), Seq("spark", "vector", "scan"), 10))),
     "doc_snapshot_diff" -> ((s, dir) => Util.orderAll(snapshotDiff(docs(s, dir)))),
     "doc_length_buckets" -> ((s, dir) => Util.orderAll(lengthBuckets(docs(s, dir)))),
   )
@@ -1711,6 +1786,98 @@ object TextAnalysis {
         |""".stripMargin + Util.wrap(
         "SELECT doc_id, n_match, bm25_micro, rk FROM r WHERE rk <= 10",
         Seq("doc_id", "n_match", "bm25_micro", "rk"))),
+
+    // rational PMI core, one fixed association, minCount 5, top-20
+    "text_pmi_topk" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(words) AS w FROM tok) u GROUP BY w
+        |), bgr AS (
+        |  SELECT words[i] AS w1, words[i+1] AS w2, count(*) AS n_ab
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words))) AS i) ii
+        |  WHERE len(words) >= 2
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT (SELECT sum(n) FROM uni) AS t1, (SELECT sum(n_ab) FROM bgr) AS t2
+        |), sc AS (
+        |  SELECT w1, w2, n_ab,
+        |    CAST(round(CAST(1000000 AS DOUBLE) * n_ab * t1 * t1
+        |      / a.n / b.n / t2) AS BIGINT) AS pmi_micro
+        |  FROM bgr JOIN uni a ON bgr.w1 = a.w JOIN uni b ON bgr.w2 = b.w
+        |  CROSS JOIN tot
+        |  WHERE n_ab >= 5
+        |), r AS (
+        |  SELECT w1, w2, n_ab, pmi_micro,
+        |    row_number() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS rk
+        |  FROM sc
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT w1, w2, n_ab, pmi_micro, rk FROM r WHERE rk <= 20",
+        Seq("w1", "w2", "n_ab", "pmi_micro", "rk"))),
+
+    // RRF fusion of the bm25 ranking and the dense cosine ranking vs
+    // query vector 0; per-list reciprocal terms snap to micros pre-sum
+    "doc_hybrid_search" -> (
+      """WITH dlt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    len(string_split(text, ' ')) AS dl
+        |  FROM documents
+        |), st AS (
+        |  SELECT count(*) AS n_corpus, sum(dl) AS total_tokens FROM dlt
+        |), post AS (
+        |  SELECT doc_id, dl, token, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(words) AS token FROM dlt) u
+        |  WHERE token IN ('spark', 'vector', 'scan')
+        |  GROUP BY doc_id, dl, token
+        |), dfq AS (
+        |  SELECT token, count(*) AS df FROM post GROUP BY token
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round((
+        |      (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |        / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+        |            / CAST(total_tokens AS DOUBLE))))
+        |    ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_micro
+        |  FROM post JOIN dfq USING (token) CROSS JOIN st
+        |), bmr AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY CAST(sum(s_micro) AS BIGINT) DESC, doc_id ASC) AS rk_bm
+        |  FROM sc GROUP BY doc_id
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+        |), anr AS (
+        |  SELECT neighbor_id AS doc_id,
+        |    row_number() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rk_ann
+        |  FROM (
+        |    SELECT c.vec_id AS neighbor_id,
+        |      round(list_sum(list_transform(range(1, len(q.v) + 1),
+        |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+        |    FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id >= 1
+        |  ) t
+        |), fused AS (
+        |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.rk_bm, a.rk_ann,
+        |    coalesce(CAST(round(CAST(1000000 AS DOUBLE) / (60 + b.rk_bm)) AS BIGINT), 0) +
+        |    coalesce(CAST(round(CAST(1000000 AS DOUBLE) / (60 + a.rk_ann)) AS BIGINT), 0)
+        |      AS rrf_micro
+        |  FROM (SELECT * FROM bmr WHERE rk_bm <= 1000) b
+        |  FULL OUTER JOIN (SELECT * FROM anr WHERE rk_ann <= 1000) a
+        |    ON b.doc_id = a.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, rk_bm, rk_ann, rrf_micro,
+        |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+        |  FROM fused
+        |)
+        |""".stripMargin + Util.wrap(
+        "SELECT doc_id, rk_bm, rk_ann, rrf_micro, rk FROM ranked WHERE rk <= 10",
+        Seq("doc_id", "rk_bm", "rk_ann", "rrf_micro", "rk"))),
 
     // content-hash diff of two derived snapshots; unchanged rows not emitted
     "doc_snapshot_diff" -> (

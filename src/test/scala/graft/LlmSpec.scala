@@ -1410,4 +1410,39 @@ class LlmSpec extends SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
       s"radii must be non-increasing: ${radii.toSeq}")
   }
+
+  test("PMI: an exclusive pair outranks a frequent-word pair; hapax pairs are gated") {
+    // "rare gem" co-occurs always and its words appear nowhere else —
+    // maximal PMI; "the cat" words are frequent everywhere — low PMI
+    val docs = docsDf(
+      1L -> "rare gem the cat the dog", 2L -> "rare gem the cat the dog",
+      3L -> "rare gem the cat the dog", 4L -> "rare gem the cat the dog",
+      5L -> "rare gem the cat the dog", 6L -> "once only the dog the cat")
+    val out = TextAnalysis.pmiTopK(docs, 5, 10)
+      .orderBy("rk").as[(String, String, Long, Long, Int)].collect()
+    assert(out.head._1 == "rare" && out.head._2 == "gem",
+      s"exclusive collocation must rank first: ${out.toSeq}")
+    assert(!out.exists(r => r._1 == "once"), s"hapax pair must be count-gated: ${out.toSeq}")
+    assert(out.forall(_._3 >= 5), "minCount gate leaked")
+  }
+
+  test("hybrid RRF: a doc ranked well by both lists beats single-list docs; missing list contributes 0") {
+    import org.apache.spark.sql.functions.lit
+    // doc 1 matches the keyword AND is the closest vector; doc 2 only
+    // matches keywords; doc 3 is only vector-close; doc 0 is the query vec
+    val docs = docsDf(
+      0L -> "query stub", 1L -> "hit hit hit", 2L -> "hit hit hit hit", 3L -> "nothing here")
+    val emb = Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.9f, 0.1f),
+      2L -> Array(-1.0f, 0.0f), 3L -> Array(0.8f, 0.2f))
+      .toDF("vec_id", "embedding")
+    val out = TextAnalysis.hybridSearch(docs, emb, Seq("hit"), 10)
+      .orderBy("rk").as[(Long, java.lang.Integer, java.lang.Integer, Long, Int)].collect()
+    assert(out.head._1 == 1L, s"dual-list doc must fuse to the top: ${out.toSeq}")
+    val d3 = out.find(_._1 == 3L).get
+    assert(d3._2 == null && d3._3 != null,
+      s"keyword-less doc must carry a null bm rank and a real ann rank: $d3")
+    // its fused score is exactly the single reciprocal term
+    assert(d3._4 == math.round(1e6 / (60 + d3._3.toInt)), s"missing list must contribute 0: $d3")
+  }
 }
