@@ -481,6 +481,11 @@ object RelQueries {
         .withColumn("zval", ZOrder.zValue(col("zx"), col("zy")))
         .orderBy(col("event_id"))
     }),
+
+    // one-pass column profile of orders (see operators/TableProfile for the
+    // plan shape and the approx_count_distinct scale twin)
+    "q_profile" -> ((s, dir) =>
+      graft.Util.orderAll(graft.operators.TableProfile(orders(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -810,5 +815,36 @@ object RelQueries {
               s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
               .mkString(" + ")} AS zval
          |FROM z ORDER BY event_id""".stripMargin,
+
+    // one aggregate over one scan, then 6 projections of the 1-row result —
+    // mirrors TableProfile's agg+stack. Encodings per type match the Spark
+    // side: integrals verbatim, doubles as round(x*100) cents, timestamps as
+    // epoch micros; distinct counts always over the RAW column. CASTs pin
+    // DuckDB's HUGEINT sums to BIGINT (Spark long).
+    "q_profile" -> {
+      val perCol = Seq(
+        ("o_orderkey",      "CAST(min(o_orderkey) AS VARCHAR)",
+                            "CAST(max(o_orderkey) AS VARCHAR)"),
+        ("o_custkey",       "CAST(min(o_custkey) AS VARCHAR)",
+                            "CAST(max(o_custkey) AS VARCHAR)"),
+        ("o_orderstatus",   "min(o_orderstatus)", "max(o_orderstatus)"),
+        ("o_totalprice",    "CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)",
+                            "CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)"),
+        ("o_orderdate",     "CAST(min(epoch_us(o_orderdate)) AS VARCHAR)",
+                            "CAST(max(epoch_us(o_orderdate)) AS VARCHAR)"),
+        ("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+      val aggSelect = perCol.zipWithIndex.map { case ((c, mn, mx), i) =>
+        s"""    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i,
+           |    count(DISTINCT $c) AS nd$i,
+           |    $mn AS mn$i, $mx AS mx$i""".stripMargin
+      }.mkString(",\n")
+      val rows = perCol.zipWithIndex.map { case ((c, _, _), i) =>
+        s"SELECT '$c' AS col_name, n_rows, nn$i AS n_null, nd$i AS n_distinct, " +
+          s"mn$i AS min_v, mx$i AS max_v FROM a"
+      }.mkString("\nUNION ALL\n")
+      s"WITH a AS (\n  SELECT count(*) AS n_rows,\n$aggSelect\n  FROM orders\n)\n" +
+        graft.Util.wrap(rows,
+          Seq("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v"))
+    },
   )
 }

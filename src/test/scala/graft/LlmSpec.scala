@@ -1445,4 +1445,51 @@ class LlmSpec extends SparkSpec {
     // its fused score is exactly the single reciprocal term
     assert(d3._4 == math.round(1e6 / (60 + d3._3.toInt)), s"missing list must contribute 0: $d3")
   }
+
+  test("fuzzy pairs: bound drops band-colliding far pairs; kept distances == unbounded levenshtein") {
+    // 1~2: one-word edit inside a shared shingle bed (tiny distance).
+    // 3~4: identical 8-word prefix (bands collide: J = 6/16 shingles shared
+    // means some band of 2 minhashes likely agrees — asserted below via the
+    // maxDist=1000 run), but the suffixes differ by ~60 chars of edits.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(
+      1L -> (base + " iota kappa"),
+      2L -> (base + " iotb kappa"),
+      3L -> (base + " one two three four five six seven eight"),
+      4L -> (base + " uno dos tres cuatro cinco seis siete ocho"),
+      5L -> "entirely unrelated words in this document here")
+    val wide = Dedup.fuzzyPairs(docs, 1000)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(wide.contains((1L, 2L)) && wide((1L, 2L)) == 1L, s"got $wide")
+    assert(wide.contains((3L, 4L)) && wide((3L, 4L)) > 20L,
+      s"3~4 must band-collide with a large distance, got $wide")
+    // the bounded run keeps ONLY the close pair — the early-exit -1 path
+    val tight = Dedup.fuzzyPairs(docs, 5)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(tight == Map((1L, 2L) -> 1L), s"got $tight")
+    // kept distances agree with the unbounded two-arg levenshtein
+    wide.foreach { case ((a, b), d) =>
+      val Seq(ta, tb) = Seq(a, b).map(i =>
+        docs.filter(col("doc_id") === i).select("text").as[String].head())
+      val exact = spark.range(1)
+        .select(levenshtein(lit(ta), lit(tb)).cast("long")).as[Long].head()
+      assert(d == exact, s"pair ($a,$b): bounded $d != unbounded $exact")
+    }
+  }
+
+  test("triangle counts: a 3-clique scores one triangle per member, an open edge none") {
+    // 1,2,3 pairwise near-identical (one word apart) → a 3-clique;
+    // 4~5 an isolated edge; 6 unrelated (absent from the output)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = docsDf(
+      1L -> (base + " one"), 2L -> (base + " two"), 3L -> (base + " three"),
+      4L -> "uno dos tres cuatro cinco seis siete ocho nueve diez",
+      5L -> "uno dos tres cuatro cinco seis siete ocho nueve once",
+      6L -> "entirely unrelated words in this document right here")
+    val out = Dedup.triangleCounts(docs, 0.4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L)),
+      4L -> ((1L, 0L)), 5L -> ((1L, 0L))), s"got $out")
+  }
 }

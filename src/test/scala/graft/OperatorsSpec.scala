@@ -275,4 +275,37 @@ class OperatorsSpec extends SparkSpec {
     // layout must not change content
     assert(spark.read.parquet(zDir).count() == ev.count())
   }
+
+  test("TableProfile: hand-checked long-format profile; min/max in native order; one Expand") {
+    import graft.operators.TableProfile
+    val df = Seq(
+      (Some(3L), Some("b"), Some(1.25), Some("2024-01-01 00:00:01")),
+      (Some(20L), None, Some(-0.5), Some("2024-01-01 00:00:02")),
+      (None, Some("a"), Some(1.25), None)
+    ).toDF("id", "s", "d", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val prof = TableProfile(df)
+    val rows = prof.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // numeric order, not lexicographic: max id is "20" (lexicographic max is "3")
+    assert(rows("id") == ((3L, 1L, 2L, "3", "20")), s"got ${rows("id")}")
+    assert(rows("s")  == ((3L, 1L, 2L, "a", "b")), s"got ${rows("s")}")
+    // doubles as cents; -0.5 sorts below 1.25
+    assert(rows("d")  == ((3L, 0L, 2L, "-50", "125")), s"got ${rows("d")}")
+    // timestamps as epoch micros (session tz UTC)
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 1)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(rows("ts") == ((3L, 1L, 2L, base.toString, (base + 1000000L).toString)),
+      s"got ${rows("ts")}")
+    // the exact-distinct battery costs exactly one Expand over one scan
+    val expands = prof.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size == 1, s"expected 1 Expand, got ${expands.size}")
+    // unsupported column types fail loudly, naming the column
+    val err = intercept[IllegalArgumentException] {
+      TableProfile(Seq((1L, Array(1.0f))).toDF("k", "vec"))
+    }
+    assert(err.getMessage.contains("vec"), err.getMessage)
+  }
 }
