@@ -627,6 +627,44 @@ object Similarity {
         col("n_neighbors"), col("purity"))
   }
 
+  /** Embedding outlier scoring — diagonal-Mahalanobis (per-dimension
+    * z-score) distance from the corpus mean, top-k highest. The embedding
+    * QA question this answers: which vectors sit farthest from the bulk of
+    * the space (corrupt inputs, encoder failures, off-distribution
+    * content) — the per-dimension variance normalization is what makes a
+    * large deviation on a tight dimension count more than the same
+    * deviation on a naturally wide one (the full-covariance Mahalanobis
+    * needs Σ⁻¹; the diagonal form is the standard train-free first rung).
+    *
+    * Two passes over the exploded coordinates, one broadcast each: pass 1
+    * aggregates per-dim (n, Σx) → means; pass 2 aggregates per-dim
+    * Σ(x−μ)² → variances; scoring joins both 64-row tables broadcast, so
+    * vectors never shuffle. All arithmetic is EXACT integer micro-units
+    * (the [[labelCentroids]] convention): x in [-0.6, 0.6] ⇒ |d| ≤ 1.2·10⁶,
+    * d²·10⁴ ≤ 1.5·10¹⁶ — far from Long overflow; score_q is the z² sum in
+    * 10⁻⁴ units (integer floor-div per dim, both engines truncate toward
+    * zero). Top-k lowers to TakeOrderedAndProject — per-partition heap,
+    * never a global sort. */
+  def zscoreOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val x = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xd")))
+      .withColumn("xm", round(col("xd") * 1e6).cast("long"))
+      .drop("xd")
+      .localCheckpoint(true) // three consumers; explode once
+    val mu = x.groupBy("dim")
+      .agg(expr("sum(xm) div count(1)").as("mu"))
+    val dev = x.join(broadcast(mu), "dim")
+      .withColumn("d", col("xm") - col("mu"))
+    val vr = dev.groupBy("dim")
+      .agg(expr("sum(d * d) div count(1)").as("v"))
+    dev.join(broadcast(vr), "dim")
+      .filter(col("v") > 0) // a constant dimension carries no z-score signal
+      .groupBy("vec_id")
+      .agg(sum(expr("(d * d * 10000) div v")).as("score_q"))
+      .orderBy(col("score_q").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** SQ8 scalar quantization (the FAISS IndexScalarQuantizer QT_8bit
     * shape): per-DIMENSION min/max over the corpus define 256 uniform
     * levels and every coordinate stores as one byte-range integer —
@@ -891,6 +929,7 @@ object Similarity {
     "emb_pca"          -> ((s, dir) => Util.orderAll(pcaPower(emb(s, dir)))),
     "emb_pca_scores"   -> ((s, dir) => Util.orderAll(pcaScores(emb(s, dir)))),
     "emb_kcenter"      -> ((s, dir) => Util.orderAll(kCenter(emb(s, dir), 8))),
+    "emb_outliers"     -> ((s, dir) => Util.orderAll(zscoreOutliers(emb(s, dir), 20))),
   )
 
   private val normCte =
@@ -1105,6 +1144,48 @@ object Similarity {
     // 0-based position. Mean is an exact integer micro-unit sum divided
     // back out — summation order can't flip a round-half tie (see
     // labelCentroids scaladoc)
+    // integer micro-unit z² in 1e-4 quanta; both engines truncate integer
+    // division toward zero, so every per-dim term matches exactly. ORDER BY
+    // + LIMIT mirrors the Spark top-k; the outer wrap re-sorts for the
+    // driver's hash compare
+    "emb_outliers" -> Util.wrap(
+      """SELECT vec_id, score_q FROM (
+        |  SELECT vec_id, CAST(sum((d * d * 10000) // v) AS BIGINT) AS score_q
+        |  FROM (
+        |    SELECT vec_id, dim, xm - mu AS d, v
+        |    FROM (
+        |      SELECT vec_id, i - 1 AS dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |      FROM (
+        |        SELECT vec_id, unnest(embedding) AS x,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings) e0
+        |    ) x
+        |    JOIN (
+        |      SELECT dim, sum(xm) // count(*) AS mu FROM (
+        |        SELECT i - 1 AS dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |        FROM (
+        |          SELECT unnest(embedding) AS x,
+        |            unnest(range(1, len(embedding) + 1)) AS i
+        |          FROM embeddings) e1) m0
+        |      GROUP BY dim) mu USING (dim)
+        |    JOIN (
+        |      SELECT dim, sum(d * d) // count(*) AS v FROM (
+        |        SELECT dim, xm - sum(xm) OVER (PARTITION BY dim) // count(*) OVER (PARTITION BY dim) AS d
+        |        FROM (
+        |          SELECT i - 1 AS dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |          FROM (
+        |            SELECT unnest(embedding) AS x,
+        |              unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings) e2) m1) d0
+        |      GROUP BY dim) vr USING (dim)
+        |    WHERE v > 0
+        |  ) z
+        |  GROUP BY vec_id
+        |  ORDER BY score_q DESC, vec_id ASC
+        |  LIMIT 20
+        |) topk""".stripMargin,
+      Seq("vec_id", "score_q")),
+
     "emb_centroids" -> Util.wrap(
       """SELECT label, i - 1 AS dim,
         |  round(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid,

@@ -486,6 +486,11 @@ object RelQueries {
     // plan shape and the approx_count_distinct scale twin)
     "q_profile" -> ((s, dir) =>
       graft.Util.orderAll(graft.operators.TableProfile(orders(s, dir)))),
+
+    // one-pass pairwise Pearson correlations over lineitem's measures
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.Util.orderAll(graft.operators.CorrelationMatrix(lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -845,6 +850,22 @@ object RelQueries {
       s"WITH a AS (\n  SELECT count(*) AS n_rows,\n$aggSelect\n  FROM orders\n)\n" +
         graft.Util.wrap(rows,
           Seq("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v"))
+    },
+
+    // every pair's corr in one aggregate; rounded 6 dp (merge-order ULPs)
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val aggSelect = pairs.zipWithIndex
+        .map { case ((a, b), k) => s"round(corr($a, $b), 6) AS c$k" }
+        .mkString(",\n    ")
+      val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, c$k AS corr_v FROM a"
+      }.mkString("\nUNION ALL\n")
+      s"WITH a AS (\n  SELECT\n    $aggSelect\n  FROM lineitem\n)\n" +
+        graft.Util.wrap(rows, Seq("col_a", "col_b", "corr_v"))
     },
   )
 }

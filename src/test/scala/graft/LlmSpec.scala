@@ -1477,6 +1477,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("zscore outliers: the off-bulk vector ranks first; k bounds the output") {
+    // ten bulk vectors spread ±0.01 around 0.1 on both dims, one planted
+    // far out on dim 0. The bulk must be LARGE relative to the outlier
+    // count: in a tiny sample the outlier inflates its own dimension's
+    // variance until its z² caps near n — the normalization working as
+    // designed — so separation needs the bulk to dominate the moments.
+    val bulk0 = (0 until 10).map(i => 0.090f + 0.002f * i)
+    val bulk1 = bulk0.reverse // no bulk vector extreme on both dims at once
+    val emb = (bulk0.zip(bulk1).zipWithIndex.map { case ((a, b), i) =>
+      (i + 1).toLong -> Array(a, b)
+    } :+ (11L -> Array(0.5f, 0.099f))).toDF("vec_id", "embedding")
+    val out = Similarity.zscoreOutliers(emb, 3).as[(Long, Long)].collect()
+    assert(out.length == 3, s"k must bound the output: ${out.toSeq}")
+    assert(out.head._1 == 11L, s"the planted outlier must rank first: ${out.toSeq}")
+    assert(out.head._2 > out(1)._2 * 2,
+      s"outlier score must dominate the bulk: ${out.toSeq}")
+  }
+
   test("triangle counts: a 3-clique scores one triangle per member, an open edge none") {
     // 1,2,3 pairwise near-identical (one word apart) → a 3-clique;
     // 4~5 an isolated edge; 6 unrelated (absent from the output)

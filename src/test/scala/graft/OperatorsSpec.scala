@@ -320,4 +320,26 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("vec"), err.getMessage)
   }
+
+  test("CorrelationMatrix: hand-checked pairs in one aggregate") {
+    import graft.operators.CorrelationMatrix
+    // y = 2x (corr 1), z = -x (corr -1), w uncorrelated with x by symmetry
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0), (2.0, 4.0, -2.0, -1.0),
+      (3.0, 6.0, -3.0, -1.0), (4.0, 8.0, -4.0, 1.0)
+    ).toDF("x", "y", "z", "w")
+    val out = CorrelationMatrix(df, Seq("x", "y", "z", "w"))
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out.size == 6, s"4 columns must yield 6 pairs: $out")
+    assert(out(("x", "y")) == 1.0 && out(("x", "z")) == -1.0 &&
+      out(("y", "z")) == -1.0, s"got $out")
+    assert(out(("x", "w")) == 0.0, s"symmetric w must decorrelate from x: $out")
+    // single aggregate over a single pass: no join, no second scan
+    val one = CorrelationMatrix(df, Seq("x", "y", "z", "w"))
+    val aggs = one.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected exactly 1 Aggregate, got ${aggs.size}")
+  }
 }
