@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   *
   * Shape — unpivot first, then count-by-value, then aggregate the counts:
   *
-  *   scan → stack (one (col_name, num, str) row per cell)
-  *        → HashAggregate on (col_name, value) with count(1)   [shuffle 1]
-  *        → per-column aggregate of the counted values          [shuffle 2]
+  *   scan → posexplode (one (idx, num, str) row per cell)
+  *        → HashAggregate on (idx, value) with count(1)       [shuffle 1]
+  *        → per-column aggregate of the counted values        [shuffle 2]
   *
   * Everything derives from the value-count frame in one linear chain: n_rows
   * = Σcnt, n_null = Σcnt over null values, n_distinct = #non-null rows,
@@ -32,9 +32,9 @@ import org.apache.spark.sql.types._
   * distinct values. At 100 TB the same chain holds: shuffle 1 is keyed by
   * (column, value) — fully spread; shuffle 2 moves only per-partition
   * partial rows (#partitions × #cols), never the value set. The exact
-  * distinct count is the oracle-checkable form; a cheaper production twin
-  * swaps stage 1+2 for `approx_count_distinct` (HLL sketches, no ×#cols
-  * row expansion — the [[graft.llm.Sketches.hllDistinct]] machinery).
+  * distinct count is the oracle-checkable form; cheaper production twins
+  * are `approx_count_distinct` (HLL) or the KMV-sketched running profile
+  * in [[graft.streaming.StreamingProfile]].
   *
   * Values ride a two-typed encoding (num: long, str: string) so one stack
   * schema fits every column, ordered numerically where the source is
@@ -44,31 +44,51 @@ import org.apache.spark.sql.types._
   */
 object TableProfile {
 
-  def apply(df: DataFrame): DataFrame = {
-    val fields = df.schema.fields.toIndexedSeq
+  /** (numeric encoding, string encoding): exactly one is non-null for a
+    * non-null cell, both null for a null cell. */
+  private def encoded(f: StructField): (Column, Column) = f.dataType match {
+    case StringType => (lit(null).cast(LongType), col(f.name))
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+      (col(f.name).cast(LongType), lit(null).cast(StringType))
+    case FloatType | DoubleType =>
+      (round(col(f.name).cast(DoubleType) * 100).cast(LongType),
+        lit(null).cast(StringType))
+    case TimestampType | TimestampNTZType =>
+      (unix_micros(col(f.name).cast(TimestampType)), lit(null).cast(StringType))
+    case DateType => (unix_date(col(f.name)).cast(LongType), lit(null).cast(StringType))
+    case other => throw new IllegalArgumentException(
+      s"TableProfile: unsupported column type ${other.simpleString} for `${f.name}`")
+  }
 
-    // (numeric encoding, string encoding): exactly one is non-null for a
-    // non-null cell, both null for a null cell
-    def encoded(f: StructField): (Column, Column) = f.dataType match {
-      case StringType => (lit(null).cast(LongType), col(f.name))
-      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
-        (col(f.name).cast(LongType), lit(null).cast(StringType))
-      case FloatType | DoubleType =>
-        (round(col(f.name).cast(DoubleType) * 100).cast(LongType),
-          lit(null).cast(StringType))
-      case TimestampType | TimestampNTZType =>
-        (unix_micros(col(f.name).cast(TimestampType)), lit(null).cast(StringType))
-      case DateType => (unix_date(col(f.name)).cast(LongType), lit(null).cast(StringType))
-      case other => throw new IllegalArgumentException(
-        s"TableProfile: unsupported column type ${other.simpleString} for `${f.name}`")
-    }
-
-    val cells = df.select(posexplode(array(fields.map { f =>
+  /** The unpivoted cell frame (idx, num, str) — shared with the streaming
+    * twin so batch and stream profile the identical encoding. */
+  private[graft] def encodedCells(df: DataFrame): DataFrame =
+    df.select(posexplode(array(df.schema.fields.toIndexedSeq.map { f =>
       val (num, str) = encoded(f)
       struct(num.as("num"), str.as("str"))
     }: _*)).as(Seq("idx", "cell")))
       .select(col("idx"), col("cell.num").as("num"), col("cell.str").as("str"))
 
+  /** Decode an aggregated (num, str) extremum back to a string per column:
+    * booleans to true/false, other numerics as the encoded integer's
+    * decimal string, strings verbatim. */
+  private[graft] def decodeMinMax(fields: Seq[StructField], idx: Column,
+                                  mnum: Column, mstr: Column): Column = {
+    val boolIdxs = fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == BooleanType => i
+    }
+    val asBool = (mnum === 1L).cast(StringType)
+    boolIdxs.foldLeft(coalesce(mnum.cast(StringType), mstr)) { (acc, i) =>
+      when(idx === i, asBool).otherwise(acc)
+    }
+  }
+
+  private[graft] def colName(fields: Seq[StructField], idx: Column): Column =
+    element_at(array(fields.map(f => lit(f.name)): _*), idx + 1)
+
+  def apply(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toIndexedSeq
+    val cells = encodedCells(df)
     val isNull = col("num").isNull && col("str").isNull
     val counted = cells.groupBy("idx", "num", "str").agg(count(lit(1)).as("cnt"))
     val agg = counted.groupBy("idx").agg(
@@ -77,23 +97,10 @@ object TableProfile {
       count(when(!isNull, lit(1))).as("n_distinct"),
       min(col("num")).as("mn_num"), max(col("num")).as("mx_num"),
       min(col("str")).as("mn_str"), max(col("str")).as("mx_str"))
-
-    // decode per column: booleans back to true/false, other numerics as the
-    // encoded integer's decimal string, strings verbatim
-    def decode(mnum: Column, mstr: Column): Column = {
-      val boolIdxs = fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == BooleanType => i
-      }
-      val asBool = (mnum === 1L).cast(StringType)
-      boolIdxs.foldLeft(coalesce(mnum.cast(StringType), mstr)) { (acc, i) =>
-        when(col("idx") === i, asBool).otherwise(acc)
-      }
-    }
-    val names = array(fields.map(f => lit(f.name)): _*)
     agg.select(
-      element_at(names, col("idx") + 1).as("col_name"),
+      colName(fields, col("idx")).as("col_name"),
       col("n_rows"), col("n_null"), col("n_distinct"),
-      decode(col("mn_num"), col("mn_str")).as("min_v"),
-      decode(col("mx_num"), col("mx_str")).as("max_v"))
+      decodeMinMax(fields, col("idx"), col("mn_num"), col("mn_str")).as("min_v"),
+      decodeMinMax(fields, col("idx"), col("mx_num"), col("mx_str")).as("max_v"))
   }
 }

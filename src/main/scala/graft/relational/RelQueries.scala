@@ -491,7 +491,44 @@ object RelQueries {
     "q_corr_matrix" -> ((s, dir) =>
       graft.Util.orderAll(graft.operators.CorrelationMatrix(lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
+
+    // per-user EWMA of event values over a bounded 16-row horizon. The
+    // textbook recursive form is a sequential scan per key; the two closed
+    // forms that window-ize it either blow up numerically ((1−α)^(−j)
+    // overflows double past ~7000 rows) or need per-row-varying window
+    // coefficients, which SQL windows can't express. The bounded-lag form
+    // is the scale-safe one: weights below 16 taps are < (1−α)^16 ≈ 0.19
+    // of the mass here and vanish for longer horizons, each row is O(W)
+    // work in ONE window pass (all 16 lags share a frame), and short
+    // prefixes renormalize by the weight actually available. Both engines
+    // evaluate the IDENTICAL generated left-associated expression over the
+    // identical literals — see the oracle twin generated from this list.
+    "q_ewma" -> ((s, dir) => ewmaBounded(Tables.events(s, dir))),
   )
+
+  /** α(1−α)^k for k = 0..15, α = 0.2 — computed once here so the Spark
+    * expression and the generated DuckDB SQL share the exact literals. */
+  private[graft] val ewmaWeights: Seq[Double] = {
+    val alpha = 0.2
+    (0 until 16).map(k => alpha * math.pow(1 - alpha, k))
+  }
+
+  /** The q_ewma operator body (see the registry comment): needs
+    * (event_id, user_id, ts, value). */
+  private[graft] def ewmaBounded(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val terms = ewmaWeights.zipWithIndex.map { case (wk, k) =>
+      (lit(wk) * coalesce(lag(col("value"), k).over(w), lit(0.0)),
+        lit(wk) * when(lag(col("value"), k).over(w).isNotNull, 1.0).otherwise(0.0))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    events
+      .select(col("event_id"), col("user_id"),
+        round(num / den, 6).as("ewma"))
+      .orderBy(col("event_id"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -866,6 +903,26 @@ object RelQueries {
       }.mkString("\nUNION ALL\n")
       s"WITH a AS (\n  SELECT\n    $aggSelect\n  FROM lineitem\n)\n" +
         graft.Util.wrap(rows, Seq("col_a", "col_b", "corr_v"))
+    },
+
+    // generated from the same ewmaWeights list as the Spark expression, so
+    // literals, association order, and the 16-tap horizon cannot drift
+    "q_ewma" -> {
+      val lags = ewmaWeights.indices
+        .map(k => s"lag(value, $k) OVER w AS l$k").mkString(",\n    ")
+      val num = ewmaWeights.zipWithIndex
+        .map { case (wk, k) => s"$wk * coalesce(l$k, 0)" }.mkString(" + ")
+      val den = ewmaWeights.zipWithIndex
+        .map { case (wk, k) => s"$wk * CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH x AS (
+         |  SELECT event_id, user_id,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
+         |FROM x ORDER BY event_id""".stripMargin
     },
   )
 }

@@ -342,4 +342,21 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(aggs.size == 1, s"expected exactly 1 Aggregate, got ${aggs.size}")
   }
+
+  test("ewma: hand-checked 3-step smoothing; prefix renormalization; per-user isolation") {
+    // α = 0.2, values 1, 2, 4: ewma_1 = 1 (single tap, renormalized),
+    // ewma_2 = (0.2·2 + 0.16·1)/0.36, ewma_3 = (0.2·4 + 0.16·2 + 0.128·1)/0.488
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:00:01"), 2.0),
+      (3L, 7L, ts("2024-01-01 10:00:02"), 4.0),
+      (4L, 8L, ts("2024-01-01 10:00:00"), 9.0) // other user: its own series
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.relational.RelQueries.ewmaBounded(ev)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(out(1L) == 1.0 && out(4L) == 9.0, s"single-tap rows renormalize to the value: $out")
+    assert(out(2L) == math.rint((0.2 * 2 + 0.16 * 1) / 0.36 * 1e6) / 1e6, s"got $out")
+    assert(out(3L) == math.rint((0.2 * 4 + 0.16 * 2 + 0.128 * 1) / 0.488 * 1e6) / 1e6,
+      s"got $out")
+  }
 }

@@ -412,4 +412,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("emb_pca_scores") <= 1,
       s"scoring is per-row work — harness sort only:\n$ps")
   }
+
+  test("q_profile: no multi-distinct Expand; count-by-value stage hash-aggregates") {
+    val p = phys("q_profile")
+    // the Expand rewrite replicates the scan ×(#cols+1) and its string
+    // min/max buffers force SortAggregate over a 7-column key (SCALE.md
+    // "profiler") — the unpivot form must never regress into it
+    assert(!p.contains("Expand"), s"profiler regressed to the Expand rewrite:\n$p")
+    assert(p.contains("HashAggregate"), s"count-by-value stage must hash-agg:\n$p")
+    // (col,value) agg + per-col agg + harness sort
+    assert(exchanges("q_profile") <= 3, s"extra shuffle (${exchanges("q_profile")}):\n$p")
+  }
+
+  test("q_corr_matrix: every pair's co-moments in one aggregate over one scan") {
+    val p = phys("q_corr_matrix")
+    assert(!p.contains("Join"), s"correlation matrix must not self-join:\n$p")
+    // partial co-moments map-side; single-row final agg + harness sort
+    assert(p.contains("partial_corr") || p.contains("Partial"),
+      s"co-moments not map-side combined:\n$p")
+    assert(exchanges("q_corr_matrix") <= 2,
+      s"extra shuffle (${exchanges("q_corr_matrix")}):\n$p")
+  }
+
+  test("emb_outliers: moment tables broadcast; top-k lowers to TakeOrderedAndProject") {
+    val p = phys("emb_outliers")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not lowered:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"64-row moment tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vectors must never shuffle for the moment joins:\n$p")
+  }
+
+  test("doc_dedup_fuzzy / doc_dedup_triangles: candidate mining stays equi-join") {
+    val pf = phys("doc_dedup_fuzzy")
+    assert(!pf.contains("CartesianProduct"), s"fuzzy verify cartesian:\n$pf")
+    // the only nested-loop join allowed is the broadcast 16-row hash grid
+    assert(pf.contains("levenshtein"), s"bounded verify missing:\n$pf")
+    val pt = phys("doc_dedup_triangles")
+    assert(!pt.contains("CartesianProduct"), s"wedge join cartesian:\n$pt")
+  }
 }

@@ -1020,4 +1020,38 @@ class StreamingSpec extends SparkSpec {
     assert(latest("merge") == ((2L, 3L)) && latest("__corpus__") == ((3L, 9L)),
       s"hand-checked final stats wrong: $latest")
   }
+
+  test("streaming profile: running stats equal the batch profile of the prefix; sketch exact below k") {
+    import spark.implicits._
+    val mem = MemoryStream[(Option[Long], Option[String], Option[Double])](spark)
+    val latest = scala.collection.mutable.Map[String, (Long, Long, Long, String, String)]()
+    val q = streaming.StreamingProfile.run(mem.toDF().toDF("id", "s", "d"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-prof"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest(r.getString(0)) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+        ()
+      }.start()
+    val b1 = Seq(
+      (Some(3L), Some("b"), Some(1.25)),
+      (Some(20L), None, Some(-0.5)),
+      (None, Some("a"), None))
+    // batch 2 moves every extremum and repeats a value (1.25): the running
+    // min/max must update and the distinct sketch must not double-count
+    val b2 = Seq(
+      (Some(-7L), Some("zz"), Some(9.0)),
+      (None, None, Some(1.25)))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.TableProfile((b1 ++ b2).toDF("id", "s", "d"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    // n_rows/n_null/min/max merge exactly; all columns are far below k=64
+    // distinct values, so the KMV estimate equals the exact batch count
+    assert(latest.toMap == batch, s"stream $latest != batch $batch")
+  }
 }
