@@ -504,6 +504,22 @@ object RelQueries {
     // evaluate the IDENTICAL generated left-associated expression over the
     // identical literals — see the oracle twin generated from this list.
     "q_ewma" -> ((s, dir) => ewmaBounded(Tables.events(s, dir))),
+
+    // declarative validation gate over lineitem: one row-local aggregate
+    // pass + a key-uniqueness agg + an anti-join FK probe (see
+    // operators/ConstraintCheck). The range rules fire on the fixture
+    // (quantity caps at 50, discount at 0.1) so the report mixes zero and
+    // non-zero counts.
+    "q_constraints" -> ((s, dir) => {
+      import graft.operators.ConstraintCheck
+      import graft.operators.ConstraintCheck._
+      graft.Util.orderAll(ConstraintCheck(lineitem(s, dir), Seq(
+        NotNull("l_returnflag"),
+        InRange("l_quantity", None, Some(40.0)),
+        InRange("l_discount", Some(0.0), Some(0.05)),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", orders(s, dir), "o_orderkey"))))
+    }),
   )
 
   /** α(1−α)^k for k = 0..15, α = 0.2 — computed once here so the Spark
@@ -924,5 +940,31 @@ object RelQueries {
          |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
          |FROM x ORDER BY event_id""".stripMargin
     },
+
+    // rule names must match ConstraintCheck's name generators verbatim —
+    // the report's rule column is part of the hash
+    "q_constraints" -> graft.Util.wrap(
+      """SELECT 'not_null(l_returnflag)' AS rule,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  count(*) AS n_checked FROM lineitem
+        |UNION ALL
+        |SELECT 'range(l_quantity,,40.0)',
+        |  CAST(sum(CASE WHEN l_quantity > 40.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'range(l_discount,0.0,0.05)',
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(coalesce(sum(cnt - 1), 0) AS BIGINT),
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber) g
+        |UNION ALL
+        |SELECT 'fk(l_orderkey->o_orderkey)',
+        |  (SELECT count(*) FROM lineitem ANTI JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |     ON l_orderkey = o_orderkey WHERE l_orderkey IS NOT NULL),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)""".stripMargin,
+      Seq("rule", "n_violations", "n_checked")),
   )
 }

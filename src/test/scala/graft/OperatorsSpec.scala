@@ -343,6 +343,30 @@ class OperatorsSpec extends SparkSpec {
     assert(aggs.size == 1, s"expected exactly 1 Aggregate, got ${aggs.size}")
   }
 
+  test("ConstraintCheck: every rule class counts its violations on a dirty fixture") {
+    import graft.operators.ConstraintCheck
+    import graft.operators.ConstraintCheck._
+    val dim = Seq(10L, 20L).toDF("k")
+    val df = Seq(
+      (Some(10L), Some("a"), 5.0),
+      (Some(10L), None, -1.0),      // null s; below range
+      (Some(99L), Some("c"), 50.0), // orphan fk; above range
+      (None, Some("d"), 5.0)        // null fk value: NOT an fk violation
+    ).toDF("fk", "s", "v")
+    val out = ConstraintCheck(df, Seq(
+      NotNull("s"),
+      InRange("v", Some(0.0), Some(10.0)),
+      Unique(Seq("fk")),
+      ForeignKey("fk", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("not_null(s)") == ((1L, 4L)), s"got $out")
+    assert(out("range(v,0.0,10.0)") == ((2L, 4L)), s"got $out")
+    // fk=10 twice -> 1 surplus; nulls group too (one null key, no surplus)
+    assert(out("unique(fk)") == ((1L, 4L)), s"got $out")
+    // 3 non-null probes, 1 orphan (99); the null fk is skipped, not violated
+    assert(out("fk(fk->k)") == ((1L, 3L)), s"got $out")
+  }
+
   test("ewma: hand-checked 3-step smoothing; prefix renormalization; per-user isolation") {
     // α = 0.2, values 1, 2, 4: ewma_1 = 1 (single tap, renormalized),
     // ewma_2 = (0.2·2 + 0.16·1)/0.36, ewma_3 = (0.2·4 + 0.16·2 + 0.128·1)/0.488

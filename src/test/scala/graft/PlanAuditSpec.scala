@@ -442,6 +442,15 @@ class PlanAuditSpec extends SparkSpec {
       s"vectors must never shuffle for the moment joins:\n$p")
   }
 
+  test("q_constraints: row-local rules share one aggregate; FK misses counted in one probe pass") {
+    val p = phys("q_constraints")
+    // lineitem: row-local agg + unique agg + ONE fk probe; orders: key set.
+    // More scans means a rule class regressed into extra passes.
+    assert("Scan parquet".r.findAllIn(p).length <= 4,
+      s"rule fan-out must not multiply scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no rule may cartesian:\n$p")
+  }
+
   test("doc_dedup_fuzzy / doc_dedup_triangles: candidate mining stays equi-join") {
     val pf = phys("doc_dedup_fuzzy")
     assert(!pf.contains("CartesianProduct"), s"fuzzy verify cartesian:\n$pf")
