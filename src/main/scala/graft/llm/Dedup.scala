@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Tables, Util}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact, n-gram
@@ -1004,6 +1005,41 @@ object Dedup {
       .select(col("id").as("vec_id"), col("label").as("cluster"))
   }
 
+  /** Characteristic terms per near-dup CLUSTER — the "what is this
+    * duplicate family about" report a curation pass reads before deciding
+    * which clusters to collapse, cap, or drop wholesale. Composition of
+    * two existing operators: [[dedupClusters]] labels (CC over verified
+    * MinHash pairs) feed a cluster-level tf/df ranking — term frequency
+    * within the cluster over the number of clusters using the term (the
+    * tf-idf shape with an exact rational score: one IEEE division, no ln,
+    * so both engines rank identically).
+    *
+    * Singleton clusters are excluded: they are the corpus majority and
+    * would drown the report in per-document term lists — the operator's
+    * subject is duplicate FAMILIES. Scale shape: the cluster-size filter
+    * broadcasts (≤ #multi-doc clusters rows), tf aggregates map-side on
+    * (cluster, term), df on term; the top-k rank is a WindowGroupLimit
+    * candidate (per-partition pre-trim) like every other rank-filter in
+    * the repo. */
+  def clusterTerms(docs: DataFrame, threshold: Double, topK: Int): DataFrame = {
+    val clusters = dedupClusters(docs, threshold)
+    val multi = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1).select("cluster")
+    val member = clusters.join(broadcast(multi), "cluster")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(member, "doc_id")
+      .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("tf").desc, col("term").asc)
+    tf.join(dfx, "term")
+      .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("cluster"), col("term"), col("tf"), col("df"),
+        col("score"), col("rn"))
+  }
+
   /** Edit-distance near-dup: MinHash-LSH band candidates verified by a
     * BOUNDED Levenshtein — the record-linkage composition (blocking →
     * pairwise verify) with LSH as the blocker. Jaccard-verified dedup is
@@ -1107,6 +1143,7 @@ object Dedup {
     // boilerplate variants) vs 70+ (band-collision noise) — 20 sits in the gap
     "doc_dedup_fuzzy"     -> ((s, dir) => Util.orderAll(fuzzyPairs(docs(s, dir), 20))),
     "doc_dedup_triangles" -> ((s, dir) => Util.orderAll(triangleCounts(docs(s, dir), 0.4))),
+    "doc_cluster_terms"   -> ((s, dir) => Util.orderAll(clusterTerms(docs(s, dir), 0.4, 3))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
@@ -1394,6 +1431,32 @@ object Dedup {
     "doc_dedup_clusters" -> (clustersCte + Util.wrap(
       "SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node",
       Seq("doc_id", "cluster"))),
+
+    // cluster labels → multi-doc filter → cluster-level tf/df rank;
+    // score is one IEEE division rounded identically on both engines
+    "doc_cluster_terms" -> (clustersCte +
+      """, cl AS (
+        |  SELECT node AS doc_id, min(label) AS cluster FROM comp GROUP BY node
+        |), mc AS (
+        |  SELECT cluster FROM cl GROUP BY cluster HAVING count(*) > 1
+        |), tok2 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tfx AS (
+        |  SELECT cluster, term, count(*) AS tf
+        |  FROM tok2 JOIN cl USING (doc_id) JOIN mc USING (cluster)
+        |  GROUP BY cluster, term
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tfx GROUP BY term
+        |), rk AS (
+        |  SELECT cluster, term, tf, df,
+        |    round(CAST(tf AS DOUBLE) / df, 6) AS score,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY round(CAST(tf AS DOUBLE) / df, 6) DESC, tf DESC, term ASC) AS rn
+        |  FROM tfx JOIN dfx USING (term)
+        |)
+        |""".stripMargin + Util.wrap(
+      "SELECT cluster, term, tf, df, score, rn FROM rk WHERE rn <= 3",
+      Seq("cluster", "term", "tf", "df", "score", "rn"))),
 
     // production-order pipeline: exact groups -> LSH over representatives
     // only (tok/vocab/comp all derive from grp, not documents) -> keeper

@@ -74,4 +74,30 @@ object EventWindows {
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizonSec SECONDS"))
       .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
   }
+
+  /** LEFT OUTER [[streamIntervalJoin]]: every left row eventually emits —
+    * paired while matches exist, null-padded once the join can PROVE no
+    * match can still arrive. That proof is the watermark mechanics outer
+    * stream-stream joins hinge on: a buffered left row is held in state
+    * until the RIGHT watermark passes `left.ts + horizon` (no qualifying
+    * right row can be earlier than its watermark), and only then emitted
+    * unmatched — so outer results are correct but delayed by horizon +
+    * watermark, and state stays bounded by the same eviction rule as the
+    * inner form. The unmatched-row latency is the price of exactly-once
+    * outer semantics on an unbounded stream; a batch left join has no such
+    * delay because its "no more data" proof is the end of input. */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                  delay: String, horizonSec: Int): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("user_id").as("user_id_r"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+    l.join(r,
+      col("user_id") === col("user_id_r") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizonSec SECONDS"),
+      "leftOuter")
+      .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+  }
 }

@@ -1477,6 +1477,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cluster terms: each duplicate family's signature term ranks first; singletons excluded") {
+    val docs = docsDf(
+      1L -> "special special special alpha beta gamma delta epsilon zeta eta",
+      2L -> "special special special alpha beta gamma delta epsilon zeta theta",
+      3L -> "common common common one two three four five six seven",
+      4L -> "common common common one two three four five six eight",
+      5L -> "entirely unrelated words appear in this one document here now")
+    val out = Dedup.clusterTerms(docs, 0.4, 3)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.keySet == Set(1L, 4L) || byCluster.keySet.size == 2,
+      s"exactly the two multi-doc families report: ${out.toSeq}")
+    // the family-signature term (tf 6, df 1 → score 6.0) tops each cluster
+    val tops = byCluster.values.map(_.minBy(_._6)).map(r => r._2 -> r._5).toMap
+    assert(tops == Map("special" -> 6.0, "common" -> 6.0), s"got ${out.toSeq}")
+    assert(out.forall(_._6 <= 3), s"rank cap violated: ${out.toSeq}")
+    assert(!out.exists(r => r._2 == "unrelated"),
+      s"singleton terms must not appear: ${out.toSeq}")
+  }
+
   test("zscore outliers: the off-bulk vector ranks first; k bounds the output") {
     // ten bulk vectors spread ±0.01 around 0.1 on both dims, one planted
     // far out on dim 0. The bulk must be LARGE relative to the outlier

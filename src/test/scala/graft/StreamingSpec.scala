@@ -960,6 +960,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits null-padded once the right watermark proves no match") {
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)](spark)
+    def df(m: MemoryStream[(java.sql.Timestamp, Long, Long)]) =
+      m.toDF().toDF("ts", "user_id", "event_id")
+    val q = streaming.EventWindows.streamIntervalJoinLeftOuter(
+        df(memL), df(memR), "10 seconds", 300)
+      .writeStream.format("memory").queryName("ssjo_out").outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-ssjo")).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def got() = spark.table("ssjo_out").select($"id_a", $"id_b")
+      .as[(Long, Option[Long])].collect().toSet
+      .filter(r => r._1 == 10L || r._1 == 20L)
+    try {
+      memL.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 10L),  // will match
+        (ts("2024-01-01 10:00:00"), 2L, 20L))  // never matches
+      memR.addData((ts("2024-01-01 10:02:00"), 1L, 100L))
+      q.processAllAvailable()
+      // the match emits immediately; the miss must NOT be decided yet —
+      // a right row for user 2 inside the horizon could still arrive
+      assert(got() == Set(10L -> Some(100L)), s"premature outer emit: ${got()}")
+      // advance BOTH watermarks past left.ts + horizon + delay (two rounds:
+      // a batch runs with the watermark computed from the previous one)
+      for (flush <- Seq("2024-01-01 11:00:00", "2024-01-01 11:10:00")) {
+        memL.addData((ts(flush), 9L, 99L))
+        memR.addData((ts(flush), 8L, 999L))
+        q.processAllAvailable()
+      }
+      assert(got() == Set(10L -> Some(100L), 20L -> None),
+        s"unmatched left must null-pad exactly once: ${got()}")
+    } finally q.stop()
+  }
+
   test("streaming as-of: same-timestamp dim ties pre-reduce by the batch argmax rule, arrival-order-blind") {
     // mirror of AsOfJoin step 1 (max(struct(payload)) per (keys, rightTime)):
     // two versions at ts=10 collapse to the greater (imsi, msisdn) pair no
