@@ -1005,6 +1005,58 @@ object Dedup {
       .select(col("id").as("vec_id"), col("label").as("cluster"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+    * MOSS algorithm): per document, the min-hash of every sliding window of
+    * `window` consecutive shingle hashes, deduplicated. The winnowing
+    * guarantee: any shared run of at least `window + shingle − 1` tokens
+    * between two documents yields at least one shared fingerprint, at
+    * ~1/window the stored size of the full shingle set (measured 52 → 20
+    * rows/doc on the fixture at w=4) — the sub-linear index for
+    * plagiarism-style overlap detection, where MinHash signatures answer a
+    * different question (whole-document resemblance, no locality).
+    *
+    * Shape: ONE shuffle (the positional collect_list the exact shingle
+    * encoding already pays); the hash mix, the sliding-window min, and the
+    * fingerprint dedup all happen inside the row over the ~|doc|-element
+    * array. The fingerprint table is what ships — at 100 TB, 1/window of
+    * the shingle volume — and the hashed-twin note from
+    * [[shingleIdsHashed]] applies verbatim (swap the vocab mix for
+    * xxhash64 of the shingle string; selection density is what matters,
+    * not which uniform hash). */
+  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"winnowing needs window >= 2, got $window")
+    val tok = tokenized(docs)
+    val v = vocab(tok)
+    val vBase = v.count() + 1
+    tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+      .join(broadcast(v), "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
+      .filter(size(col("pt")) >= 2 + window) // >= window shingles
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(pt) - 2),
+           |  i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid)"""
+          .stripMargin).as("sids"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(sids) - ${window - 1}),
+           |  w -> array_min(transform(sequence(w, w + ${window - 1}),
+           |         i -> ((sids[i-1] % 3037000493) * 2654435761) % 1099511627791))))"""
+          .stripMargin)).as("fp"))
+  }
+
+  /** Fingerprint-overlap pairs: documents sharing ≥ `minShared` winnowed
+    * fingerprints. The join runs over the 1/window-sized fingerprint
+    * table, never the shingle sets — the winnowing index IS the candidate
+    * structure, no banding needed. */
+  def winnowPairs(docs: DataFrame, window: Int, minShared: Long): DataFrame = {
+    val fp = winnowFingerprints(docs, window).localCheckpoint(eager = true)
+    fp.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Characteristic terms per near-dup CLUSTER — the "what is this
     * duplicate family about" report a curation pass reads before deciding
     * which clusters to collapse, cap, or drop wholesale. Composition of
@@ -1144,6 +1196,8 @@ object Dedup {
     "doc_dedup_fuzzy"     -> ((s, dir) => Util.orderAll(fuzzyPairs(docs(s, dir), 20))),
     "doc_dedup_triangles" -> ((s, dir) => Util.orderAll(triangleCounts(docs(s, dir), 0.4))),
     "doc_cluster_terms"   -> ((s, dir) => Util.orderAll(clusterTerms(docs(s, dir), 0.4, 3))),
+    // w=4, minShared=10: 20 verified-overlap pairs on the sf0.01 fixture
+    "doc_winnow_overlap"  -> ((s, dir) => Util.orderAll(winnowPairs(docs(s, dir), 4, 10))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
@@ -1457,6 +1511,43 @@ object Dedup {
         |""".stripMargin + Util.wrap(
       "SELECT cluster, term, tf, df, score, rn FROM rk WHERE rn <= 3",
       Seq("cluster", "term", "tf", "df", "score", "rn"))),
+
+    // positional shingle ids (NOT the distinct tokCte shid), same vocab
+    // base-(V+1) encoding; per-window min of the KMV mix; a doc with fewer
+    // than 4 shingles has no complete window on either engine
+    "doc_winnow_overlap" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), vocab AS (
+        |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+        |  FROM (SELECT DISTINCT unnest(words) AS token FROM tok) t
+        |), sh AS (
+        |  SELECT doc_id, pos, (tid * v + tid2) * v + tid3 AS sid
+        |  FROM (
+        |    SELECT doc_id, pos, tid,
+        |      lead(tid, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS tid2,
+        |      lead(tid, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS tid3
+        |    FROM (SELECT doc_id, i AS pos, words[i] AS token
+        |          FROM tok, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) ii) p
+        |    JOIN vocab USING (token)
+        |  ) q CROSS JOIN (SELECT count(*) + 1 AS v FROM vocab) vv
+        |  WHERE tid3 IS NOT NULL
+        |), wmin AS (
+        |  SELECT doc_id,
+        |    min(((sid % 3037000493) * 2654435761) % 1099511627791) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wsz
+        |  FROM sh
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM wmin WHERE wsz = 4
+        |)
+        |""".stripMargin + Util.wrap(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+      Seq("doc_a", "doc_b", "n_shared"))),
 
     // production-order pipeline: exact groups -> LSH over representatives
     // only (tok/vocab/comp all derive from grp, not documents) -> keeper

@@ -1477,6 +1477,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint; disjoint docs share none") {
+    // window 4 over 3-gram shingles: guarantee threshold = 4+3-1 = 6 tokens
+    val run = "s1 s2 s3 s4 s5 s6"
+    val docs = docsDf(
+      1L -> s"p1 p2 p3 $run a1 a2 a3",
+      2L -> s"q1 q2 q3 $run b1 b2 b3",
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12")
+    val pairs = Dedup.winnowPairs(docs, 4, 1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"winnowing guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must share nothing: $pairs")
+    // the fingerprint set is a real compression of the shingle set
+    val nFp = Dedup.winnowFingerprints(docs, 4).count()
+    val nSh = Dedup.shingles(Dedup.tokenized(docs)).count()
+    assert(nFp < nSh, s"fingerprints ($nFp) must undercut shingles ($nSh)")
+  }
+
   test("cluster terms: each duplicate family's signature term ranks first; singletons excluded") {
     val docs = docsDf(
       1L -> "special special special alpha beta gamma delta epsilon zeta eta",
