@@ -91,9 +91,33 @@ object Multimodal {
       ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
       expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels"))
 
+  /** Audio framing: the signal (here payload bytes == utf-8 codes of the
+    * ASCII fixture text, the same stand-in [[mediaTable]] uses; s = code −
+    * 96 centers the lowercase band) framed into non-overlapping
+    * `frameSize`-sample windows with per-frame integer energy Σs². The
+    * real pipeline swaps the sample source for PCM decode at the StubCodec
+    * seam; the framing, the ragged last frame, and the per-frame
+    * aggregation — the part a feature extractor actually consumes — are
+    * real and oracle-checked. One narrow shuffle on (doc, frame),
+    * partial-aggregated map-side. */
+  def audioFrames(docs: DataFrame, frameSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "") // Java split keeps a trailing empty token
+      .select(col("doc_id"), expr(s"pos div $frameSize").as("frame"),
+        (ascii(col("ch")) - 96).as("s"))
+      .groupBy("doc_id", "frame")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("CAST(s AS BIGINT) * s")).as("energy"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) =>
       Util.orderAll(decodedMeta(mediaTable(Tables.documents(s, dir))))),
+
+    // the 'wav' cycle slot of mediaTable; see [[audioFrames]]
+    "mm_audio_frames" -> ((s, dir) =>
+      Util.orderAll(audioFrames(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 2), 32))),
 
     // frame sampling: pseudo-duration from the payload, ≤5 evenly spaced
     // byte offsets per clip — integer arithmetic only, so the real
@@ -177,6 +201,16 @@ object Multimodal {
       |""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // 1-based string indexing; DuckDB's char split has no trailing empty,
+    // so the two engines see identical sample sequences on ASCII text
+    "mm_audio_frames" -> Util.wrap(
+      """SELECT doc_id, (i - 1) // 32 AS frame, count(*) AS n_samples,
+        |  CAST(sum(CAST((ascii(text[i]) - 96) AS BIGINT) * (ascii(text[i]) - 96)) AS BIGINT) AS energy
+        |FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) ii
+        |WHERE doc_id % 3 = 2
+        |GROUP BY doc_id, (i - 1) // 32""".stripMargin,
+      Seq("doc_id", "frame", "n_samples", "energy")),
+
     "mm_decode_meta" -> (metaCte + Util.wrap(
       "SELECT doc_id, format, n_bytes, width, height, channels FROM meta",
       Seq("doc_id", "format", "n_bytes", "width", "height", "channels"))),

@@ -428,6 +428,17 @@ class LlmSpec extends SparkSpec {
     assert(err.getMessage.contains("vec_dot requires exactly 2 arguments"))
   }
 
+  test("audio frames: hand-checked framing — full frames of 32, one ragged tail, exact energy") {
+    // 70 samples -> frames of 32, 32, 6
+    val docs = Seq((2L, "ab" * 35, "en")).toDF("doc_id", "text", "lang")
+    val out = Multimodal.audioFrames(docs, 32)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3)).toSeq == Seq((0L, 32L), (1L, 32L), (2L, 6L)),
+      s"framing wrong: ${out.toSeq}")
+    // 'a'-96 = 1, 'b'-96 = 2 -> per full frame 16·(1+4) = 80; tail 3·(1+4) = 15
+    assert(out.map(_._4).toSeq == Seq(80L, 80L, 15L), s"energy wrong: ${out.toSeq}")
+  }
+
   test("multimodal: imperative batched decode == declarative metadata query") {
     val media = Multimodal.mediaTable(
       Tables.table(spark, sf, "documents").limit(50))
