@@ -14,6 +14,12 @@ object GraftSql {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom AggregateFunction as an aggregate Column (the
+    * `toAggregateExpression` plumbing is catalyst-internal). */
+  def aggregateColumn(
+      agg: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    column(agg.toAggregateExpression())
+
   /** Raise a proper analysis error (the `String` ctor is `private[sql]`). */
   def analysisError(msg: String): Nothing =
     throw new AnalysisException(

@@ -439,6 +439,32 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq(80L, 80L, 15L), s"energy wrong: ${out.toSeq}")
   }
 
+  test("vec_sum_long aggregate: bit-identical to the explode form; ragged/null inputs fail loudly") {
+    import graft.functions.VectorSumAgg.vecSumLong
+    // exact twin equality on the real fixture, across forced partial merges
+    val e = Tables.embeddings(spark, sf).repartition(7)
+    val viaAgg = Similarity.labelCentroidsVec(e)
+      .as[(Int, Int, Double, Long)].collect().toSet
+    val viaExplode = Similarity.labelCentroids(e)
+      .as[(Int, Int, Double, Long)].collect().toSet
+    assert(viaAgg == viaExplode, "native aggregate diverged from the explode form")
+    // NULL arrays skip; an all-NULL group is NULL
+    val withNulls = Seq(
+      (1L, Some(Seq(1L, 2L))), (1L, None), (2L, None)
+    ).toDF("k", "v")
+    val r = withNulls.groupBy("k").agg(vecSumLong(col("v")).as("s"))
+      .orderBy("k").collect()
+    assert(r(0).getSeq[Long](1) == Seq(1L, 2L), s"got ${r.toSeq}")
+    assert(r(1).isNullAt(1), s"all-NULL group must be NULL: ${r.toSeq}")
+    // ragged vectors throw with both lengths named — via the update check
+    // (same-partition rows) or the merge check (partials of different dims)
+    val ragged = intercept[Exception] {
+      Seq((1L, Seq(1L, 2L)), (1L, Seq(1L, 2L, 3L))).toDF("k", "v")
+        .groupBy("k").agg(vecSumLong(col("v"))).collect()
+    }
+    assert(ragged.getMessage.contains("vec_sum_long"), ragged.getMessage)
+  }
+
   test("multimodal: imperative batched decode == declarative metadata query") {
     val media = Multimodal.mediaTable(
       Tables.table(spark, sf, "documents").limit(50))
