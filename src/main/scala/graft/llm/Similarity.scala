@@ -204,13 +204,18 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max(struct(col("csim"), (-col("cid")).as("ncid"), col("v"))).as("w"))
         .select((-col("w.ncid")).as("cid"), col("w.v").as("v"))
+      // whole-vector mean via the native array-sum aggregate: |assigned|
+      // rows through the agg instead of |assigned|·dim, and no
+      // collect_list/array_sort re-assembly; identical integer micro sums
+      // ⇒ identical centroids (the unrolled SQL oracle still matches)
       cent = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(round(col("x") * 1e6).cast("long")).as("sm"), count(lit(1)).as("n"))
-        .withColumn("cx", round(col("sm").cast("double") / col("n") / 1e6, 6))
+        .select(col("cid"),
+          expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))").as("vm"))
         .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").as("cv"))
+        .agg(graft.functions.VectorSumAgg.vecSumLong(col("vm")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), expr(
+          "transform(sm, s -> round(CAST(s AS DOUBLE) / n / 1000000.0, 6))").as("cv"))
         .withColumn("cnrm", VectorFunctions.vecNorm(col("cv")))
         // tiny table (#cells × dim); materialize so the next step's
         // broadcast doesn't re-run the whole previous assignment lineage
@@ -845,11 +850,12 @@ object Similarity {
   private def pcaParts(emb: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"pcaPower: iters must be >= 1, got $iters")
     val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
-    val mu = x.select(posexplode(col("xd")).as(Seq("dim", "xv")))
-      .groupBy("dim")
-      .agg(sum(round(col("xv") * lit(1e6)).cast("long")).as("sm"), count(lit(1)).as("n"))
-      .withColumn("m", round(col("sm").cast("double") / col("n") / lit(1e6), 6))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("mu"))
+    // whole-vector mean via the native array-sum aggregate (same integer
+    // micro sums as the explode form it replaces — oracle unchanged)
+    val mu = x.select(expr("transform(xd, xv -> CAST(round(xv * 1000000) AS BIGINT))").as("xm"))
+      .agg(graft.functions.VectorSumAgg.vecSumLong(col("xm")).as("sm"),
+        count(lit(1)).as("n"))
+      .select(expr("transform(sm, s -> round(CAST(s AS DOUBLE) / n / 1000000.0, 6))").as("mu"))
     val centered = x.crossJoin(broadcast(mu))
       .select(col("vec_id"), expr("zip_with(xd, mu, (a, b) -> a - b)").as("cx"))
       .localCheckpoint(true) // one materialization feeds every iteration
@@ -857,11 +863,9 @@ object Similarity {
     for (_ <- 0 until iters) {
       val y = centered.crossJoin(broadcast(v))
         .select(col("vec_id"), col("cx"), dotFold("cx", "vv").as("y"))
-      v = y.select(col("y"), posexplode(col("cx")).as(Seq("dim", "c")))
-        .groupBy("dim")
-        .agg(sum(round(col("y") * col("c") * lit(1e6)).cast("long")).as("wm"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, wm))), s -> CAST(s.wm AS DOUBLE) / 1000000.0)")
-          .as("wd"))
+      v = y.select(expr("transform(cx, c -> CAST(round(y * c * 1000000) AS BIGINT))").as("wm_arr"))
+        .agg(graft.functions.VectorSumAgg.vecSumLong(col("wm_arr")).as("wm"))
+        .select(expr("transform(wm, w -> CAST(w AS DOUBLE) / 1000000.0)").as("wd"))
         .select(expr(
           "transform(wd, x -> round(x / sqrt(aggregate(transform(wd, z -> z * z), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)), 6))")
           .as("vv"))
