@@ -675,21 +675,30 @@ object Similarity {
     * zero). Top-k lowers to TakeOrderedAndProject — per-partition heap,
     * never a global sort. */
   def zscoreOutliers(emb: DataFrame, k: Int): DataFrame = {
-    val x = emb.select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "xd")))
-      .withColumn("xm", round(col("xd") * 1e6).cast("long"))
-      .drop("xd")
-      .localCheckpoint(true) // three consumers; explode once
-    val mu = x.groupBy("dim")
-      .agg(expr("sum(xm) div count(1)").as("mu"))
-    val dev = x.join(broadcast(mu), "dim")
-      .withColumn("d", col("xm") - col("mu"))
-    val vr = dev.groupBy("dim")
-      .agg(expr("sum(d * d) div count(1)").as("v"))
-    dev.join(broadcast(vr), "dim")
-      .filter(col("v") > 0) // a constant dimension carries no z-score signal
-      .groupBy("vec_id")
-      .agg(sum(expr("(d * d * 10000) div v")).as("score_q"))
+    import graft.functions.VectorSumAgg.vecSumLong
+    // whole-vector moment passes (the [[labelCentroidsVec]] argument):
+    // each pass aggregates |vectors| rows through one long-array buffer
+    // instead of |vectors|·dim exploded rows, and the per-vector score is
+    // an in-row fold — identical integer arithmetic per dimension, so the
+    // result (and the oracle) is unchanged from the exploded formulation
+    val xm = emb.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xm"))
+      .localCheckpoint(true) // three consumers; encode once
+    val mu = xm.agg(vecSumLong(col("xm")).as("sm"), count(lit(1)).as("n"))
+      .select(expr("transform(sm, s -> s div n)").as("mu"))
+    val dev = xm.crossJoin(broadcast(mu))
+      .select(col("vec_id"), expr("zip_with(xm, mu, (a, b) -> a - b)").as("d"))
+      .localCheckpoint(true) // feeds the variance pass and the scorer
+    val vr = dev
+      .select(expr("transform(d, e -> e * e)").as("dd"))
+      .agg(vecSumLong(col("dd")).as("ss"), count(lit(1)).as("n"))
+      .select(expr("transform(ss, s -> s div n)").as("v"))
+    dev.crossJoin(broadcast(vr))
+      // a constant dimension (v = 0) carries no z-score signal: contributes 0
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(d, v, (dd, vv) ->
+          |  CASE WHEN vv > 0 THEN (dd * dd * 10000) div vv ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin).as("score_q"))
       .orderBy(col("score_q").desc, col("vec_id").asc)
       .limit(k)
   }
