@@ -505,6 +505,32 @@ object RelQueries {
     // identical literals — see the oracle twin generated from this list.
     "q_ewma" -> ((s, dir) => ewmaBounded(Tables.events(s, dir))),
 
+    // time-series resample + forward fill: per user, the daily value grid
+    // over the user's own observed span — missing days generated
+    // (`sequence` fan-out inside the row, no numbers-table join) and
+    // carried forward by a running last-non-null window. The grid/fill
+    // pattern is the canonical gap-fill: one aggregate for daily sums, one
+    // tiny span aggregate, one left join on (user, day), one window —
+    // every stage keyed by user, so at 100 TB it shuffles exactly twice
+    // (daily agg + the window sharing its partitioning) and the generated
+    // grid is bounded by span-days, never by raw event count.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("value_sum"),
+          col("v").isNull.as("filled"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // declarative validation gate over lineitem: one row-local aggregate
     // pass + a key-uniqueness agg + an anti-join FK probe (see
     // operators/ConstraintCheck). The range rules fire on the fixture
@@ -940,6 +966,24 @@ object RelQueries {
          |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
          |FROM x ORDER BY event_id""".stripMargin
     },
+
+    // generate_series is end-inclusive like Spark's sequence; the daily
+    // sums are rounded BEFORE the carry-forward so filled rows copy the
+    // already-rounded value on both engines
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1) s
+        |)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS value_sum,
+        |  (d.v IS NULL) AS filled
+        |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
 
     // rule names must match ConstraintCheck's name generators verbatim —
     // the report's rule column is part of the hash

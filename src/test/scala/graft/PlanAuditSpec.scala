@@ -434,12 +434,19 @@ class PlanAuditSpec extends SparkSpec {
       s"extra shuffle (${exchanges("q_corr_matrix")}):\n$p")
   }
 
-  test("emb_outliers: moment tables broadcast; top-k lowers to TakeOrderedAndProject") {
+  test("emb_outliers: 1-row moment vectors broadcast; native agg combines map-side; top-k lowers") {
     val p = phys("emb_outliers")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not lowered:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"64-row moment tables must broadcast:\n$p")
+    // the mean/variance results are single-row ARRAY frames now — they ride
+    // a BroadcastNestedLoopJoin (1×N, no key), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"moment vectors must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"vectors must never shuffle for the moment joins:\n$p")
+    // the custom aggregate must partial-aggregate before its exchange —
+    // the property that keeps the shuffle at one buffer per partition
+    assert(p.contains("partial_vec_sum_long"),
+      s"vec_sum_long must map-side combine:\n$p")
   }
 
   test("q_constraints: row-local rules share one aggregate; FK misses counted in one probe pass") {
