@@ -505,6 +505,37 @@ object RelQueries {
     // identical literals — see the oracle twin generated from this list.
     "q_ewma" -> ((s, dir) => ewmaBounded(Tables.events(s, dir))),
 
+    // explicit runtime-filter semi join: the selective dim key set is
+    // folded into a Bloom sketch probed AT THE FACT SCAN (the codegen'd
+    // BloomFilterMightContain — no per-row UDF), so ~95% of lineitem never
+    // reaches the join shuffle; the exact semi join over the survivors
+    // eliminates the sketch's false positives, making the result equal to
+    // the plain semi join (that equality IS the oracle). This is the
+    // cross-stage filter AQE's InjectRuntimeFilter plants automatically
+    // when statistics justify it — expressed as a first-class operator for
+    // the cases (stored sketches, cross-JOB reuse, sketch size control)
+    // the automatic path can't cover. The sketch is KB-sized regardless of
+    // fact-table scale; only the dim keys are collected into it.
+    "q_bloom_semi" -> ((s, dir) => {
+      val hot = orders(s, dir)
+        .filter(col("o_totalprice") > 475000.0)
+        .select(col("o_orderkey"))
+      val sketch = hot.select(xxhash64(col("o_orderkey")).as("h"))
+        .stat.bloomFilter("h", 10000, 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        sketch.writeTo(bos); bos.toByteArray
+      }
+      val pre = lineitem(s, dir).filter(
+        graft.functions.VectorFunctions.bloomMightContain(
+          bytes, xxhash64(col("l_orderkey"))))
+      graft.Util.orderAll(pre
+        .join(hot.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue")))
+    }),
+
     // time-series resample + forward fill: per user, the daily value grid
     // over the user's own observed span — missing days generated
     // (`sequence` fan-out inside the row, no numbers-table join) and
@@ -966,6 +997,17 @@ object RelQueries {
          |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
          |FROM x ORDER BY event_id""".stripMargin
     },
+
+    // the plain semi join — the bloom prefilter must be invisible in the
+    // answer (FPs eliminated by the exact join)
+    "q_bloom_semi" -> graft.Util.wrap(
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem SEMI JOIN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 475000.0) o
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+      Seq("l_returnflag", "n_items", "revenue")),
 
     // generate_series is end-inclusive like Spark's sequence; the daily
     // sums are rounded BEFORE the carry-forward so filled rows copy the

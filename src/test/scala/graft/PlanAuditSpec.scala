@@ -458,6 +458,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no rule may cartesian:\n$p")
   }
 
+  test("q_bloom_semi: sketch probe filters the fact scan below the join, codegen'd") {
+    val p = phys("q_bloom_semi")
+    assert(p.contains("might_contain"), s"bloom prefilter missing from the plan:\n$p")
+    // the probe must sit on the lineitem side BEFORE the semi join, so
+    // filtered rows never reach the join exchange
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe must be in the join's input subtree (printed below it):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian leaked:\n$p")
+  }
+
   test("doc_dedup_fuzzy / doc_dedup_triangles: candidate mining stays equi-join") {
     val pf = phys("doc_dedup_fuzzy")
     assert(!pf.contains("CartesianProduct"), s"fuzzy verify cartesian:\n$pf")
