@@ -505,6 +505,24 @@ object RelQueries {
     // identical literals — see the oracle twin generated from this list.
     "q_ewma" -> ((s, dir) => ewmaBounded(Tables.events(s, dir))),
 
+    // CDC changelog materialization: the event stream read as an upsert
+    // log keyed by user — the LATEST row per key wins (sort-free whole-row
+    // argmax via max(struct), the same WindowGroupLimit-friendly shape as
+    // cdr_dedup_argmax_agg), and a final row whose type is the tombstone
+    // ('error') DELETES the key from the materialized state. One keyed
+    // shuffle; the tombstone filter happens after the argmax, so a delete
+    // followed by a re-insert correctly resurrects the key.
+    "q_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.Util.orderAll(ev
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"),
+          col("event_type"))).as("w"))
+        .filter(col("w.event_type") =!= "error")
+        .select(col("user_id"), round(col("w.value"), 2).as("last_value"),
+          col("w.ts").as("last_ts")))
+    }),
+
     // explicit runtime-filter semi join: the selective dim key set is
     // folded into a Bloom sketch probed AT THE FACT SCAN (the codegen'd
     // BloomFilterMightContain — no per-row UDF), so ~95% of lineitem never
@@ -997,6 +1015,17 @@ object RelQueries {
          |SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
          |FROM x ORDER BY event_id""".stripMargin
     },
+
+    // latest row per key via row_number; tombstone filter after selection
+    "q_cdc_apply" -> graft.Util.wrap(
+      """SELECT user_id, round(value, 2) AS last_value, ts AS last_ts
+        |FROM (
+        |  SELECT user_id, value, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+      Seq("user_id", "last_value", "last_ts")),
 
     // the plain semi join — the bloom prefilter must be invisible in the
     // answer (FPs eliminated by the exact join)

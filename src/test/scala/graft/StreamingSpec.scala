@@ -1055,6 +1055,37 @@ class StreamingSpec extends SparkSpec {
       s"hand-checked final stats wrong: $latest")
   }
 
+  test("streaming ewma: the stream fold runs the exact recursion a batch window must truncate") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](spark)
+    val latest = scala.collection.mutable.Map[Long, Double]()
+    val q = streaming.StreamingEwma.run(
+        mem.toDF().toDF("user_id", "ts", "event_id", "value"), 0.2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-ewma"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest(r.getLong(0)) = r.getDouble(1))
+        ()
+      }.start()
+    // batch 1 deliberately out of event-time order WITHIN the batch —
+    // the fold must sort by (ts, event_id) before applying the recursion
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:02"), 3L, 4.0),
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:00:01"), 2L, 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 4L, 9.0))
+    val b2 = Seq((1L, ts("2024-01-01 10:00:03"), 5L, 8.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // reference: the exact recursion over the full ordered series
+    def ref(xs: Seq[Double]) = xs.tail.foldLeft(xs.head)((e, x) => 0.2 * x + 0.8 * e)
+    assert(latest(1L) == ref(Seq(1.0, 2.0, 4.0, 8.0)), s"got $latest")
+    assert(latest(2L) == 9.0, s"single-event key seeds to its value: $latest")
+  }
+
   test("streaming profile: running stats equal the batch profile of the prefix; sketch exact below k") {
     import spark.implicits._
     val mem = MemoryStream[(Option[Long], Option[String], Option[Double])](spark)
