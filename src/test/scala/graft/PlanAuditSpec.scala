@@ -478,4 +478,39 @@ class PlanAuditSpec extends SparkSpec {
     val pt = phys("doc_dedup_triangles")
     assert(!pt.contains("CartesianProduct"), s"wedge join cartesian:\n$pt")
   }
+
+  test("q_gap_fill / q_cdc_apply: grid fan-out stays in-row; argmax aggregates sort-free") {
+    val pg = phys("q_gap_fill")
+    // the day grid comes from an in-row sequence explode, never a
+    // numbers-table join; daily agg + window + harness sort only
+    assert(pg.contains("Generate") && pg.contains("sequence"),
+      s"grid must be an in-row sequence fan-out:\n$pg")
+    assert(!pg.contains("CartesianProduct"), s"numbers-table join leaked:\n$pg")
+    val pc = phys("q_cdc_apply")
+    // whole-row argmax lowers to a hash aggregate over max(struct), with a
+    // map-side partial — never a per-key sort + row_number
+    assert(pc.contains("partial_max") || pc.contains("Partial"),
+      s"argmax must partial-aggregate:\n$pc")
+    assert(!pc.contains("Window"), s"CDC apply must not window-sort:\n$pc")
+    assert(exchanges("q_cdc_apply") <= 2,
+      s"one keyed shuffle (+harness sort) expected:\n$pc")
+  }
+
+  test("doc_winnow_overlap / mm_audio_frames: one shuffle before the pair join / frame agg") {
+    val pw = phys("doc_winnow_overlap")
+    // fingerprint selection is in-row: the only pre-join shuffles are the
+    // positional collect_list and the vocab build feeding it (the
+    // window-min transform itself is projected, not aggregated — its
+    // expression text gets truncated from the plan print, so the audit
+    // pins the structure: equi-join only, pair counts partial-aggregated)
+    assert(!pw.contains("CartesianProduct"), s"overlap join cartesian:\n$pw")
+    assert(pw.contains("partial_count") || pw.contains("Partial"),
+      s"pair counts must map-side combine:\n$pw")
+    val pa = phys("mm_audio_frames")
+    assert(pa.contains("Generate"), s"sample explode missing:\n$pa")
+    assert(pa.contains("partial_count") || pa.contains("Partial"),
+      s"frame energy must map-side combine:\n$pa")
+    assert(exchanges("mm_audio_frames") <= 2,
+      s"frame agg + harness sort only:\n$pa")
+  }
 }
