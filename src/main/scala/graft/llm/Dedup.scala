@@ -1005,6 +1005,30 @@ object Dedup {
       .select(col("id").as("vec_id"), col("label").as("cluster"))
   }
 
+  /** Dedup-recall evaluation report: the banded [[minhashLsh]] pair set
+    * measured against the recall-complete [[ngramJaccard]] ground truth at
+    * the same threshold — the "is my LSH tuning losing pairs" report a
+    * pipeline runs on a sampled corpus before trusting the banding at full
+    * scale. One row: (n_true, n_found, n_missed, recall_micro).
+    *
+    * Precision is structurally 1 (both operators verify EXACT Jaccard
+    * after candidate mining, so found ⊆ truth — the report measures the
+    * banding's recall, the only thing it can lose). On this fixture the
+    * near-dup pairs are far above the band threshold, so recall is 1.0;
+    * the number moves on borderline-J corpora (8×2 bands collide with
+    * P = 1−(1−J²)⁸ ≈ 0.81 at J = 0.45), which is exactly when a team
+    * needs this report. Cost is the quadratic truth side — a SAMPLED
+    * evaluation corpus is the production shape, never the full 100 TB. */
+  def dedupEval(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccard(docs, threshold).select("doc_a", "doc_b")
+      .join(minhashLsh(docs, threshold).select("doc_a", "doc_b")
+        .withColumn("f", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("f")), lit(0L)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (col("n_true") - col("n_found")).as("n_missed"),
+        expr("(n_found * 1000000) div n_true").as("recall_micro"))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
     * MOSS algorithm): per document, the min-hash of every sliding window of
     * `window` consecutive shingle hashes, deduplicated. The winnowing
@@ -1198,6 +1222,7 @@ object Dedup {
     "doc_cluster_terms"   -> ((s, dir) => Util.orderAll(clusterTerms(docs(s, dir), 0.4, 3))),
     // w=4, minShared=10: 20 verified-overlap pairs on the sf0.01 fixture
     "doc_winnow_overlap"  -> ((s, dir) => Util.orderAll(winnowPairs(docs(s, dir), 4, 10))),
+    "doc_dedup_eval"      -> ((s, dir) => Util.orderAll(dedupEval(docs(s, dir), 0.4))),
     "doc_dedup_embedding" -> ((s, dir) => Util.orderAll(embeddingPairs(emb(s, dir), 0.5))),
     // threshold 0.35 (vs the brute query's 0.5): the sf0.01 fixture's
     // highest same-bucket cosine is 0.472, so 0.5 would make this a 0-row
@@ -1511,6 +1536,34 @@ object Dedup {
         |""".stripMargin + Util.wrap(
       "SELECT cluster, term, tf, df, score, rn FROM rk WHERE rn <= 3",
       Seq("cluster", "term", "tf", "df", "score", "rn"))),
+
+    // found = band-restricted verified pairs; truth = the recall-complete
+    // inverted-index pairs over the same shingle ids; found ⊆ truth
+    "doc_dedup_eval" -> (tokCte + minhashChain +
+      s""", found AS (
+         |  SELECT doc_a, doc_b FROM ($jaccardVerify) jv
+         |), inter_all AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shid a JOIN shid b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT doc_a, doc_b FROM inter_all
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.4
+         |), j AS (
+         |  SELECT CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS f
+         |  FROM truth t LEFT JOIN found f
+         |    ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+         |), agg AS (
+         |  SELECT count(*) AS n_true,
+         |    CAST(coalesce(sum(f), 0) AS BIGINT) AS n_found FROM j
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT n_true, n_found, n_true - n_found AS n_missed,
+        |  (n_found * 1000000) // n_true AS recall_micro
+        |FROM agg""".stripMargin,
+      Seq("n_true", "n_found", "n_missed", "recall_micro"))),
 
     // positional shingle ids (NOT the distinct tokCte shid), same vocab
     // base-(V+1) encoding; per-window min of the KMV mix; a doc with fewer

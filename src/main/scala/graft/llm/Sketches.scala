@@ -79,6 +79,60 @@ object Sketches {
       .select(col("lang"), col("n_kept"), col("est_distinct"))
   }
 
+  /** KMV SET ALGEBRA: estimated distinct-token OVERLAP between every pair
+    * of languages, by inclusion–exclusion over the sketches —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) — where the union sketch is the
+    * exactly-mergeable KMV property doing the work: bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)), so the pair stage reads ONLY the
+    * ≤ k·#langs sketch rows, never the token sets. This is the Theta-
+    * sketch workload (how much vocabulary do two corpora share, sized from
+    * kilobyte summaries) and the reason mergeable sketches matter at
+    * 100 TB: per-shard sketches union with no data motion, and set
+    * EXPRESSIONS come free. All estimator arithmetic is integer; the
+    * difference clamps at 0 (estimation noise can push it negative).
+    * Vocab-id hashes ⇒ DuckDB reproduces every value bit-for-bit. */
+  def kmvOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashes = distinctTokens(docs)
+      .join(broadcast(Dedup.vocab(Dedup.tokenized(docs))), "token")
+      .select(col("lang"),
+        expr(s"((tid % 3037000493) * 2654435761) % $KmvSpace").as("h"))
+      .distinct()
+    val w = Window.partitionBy("lang").orderBy(col("h").asc)
+    val bk = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("lang", "h")
+      .localCheckpoint(eager = true) // ≤ k·#langs rows; four consumers
+    val perLang = bk.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("est", when(col("n_kept") < k, col("n_kept"))
+        .otherwise(expr(s"(${k - 1} * $KmvSpace) div hk")))
+      .select(col("lang"), col("est"))
+    val langs = bk.select("lang").distinct()
+    val grid = langs.select(col("lang").as("lang_a"))
+      .crossJoin(langs.select(col("lang").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b"))
+    val unioned = grid.join(bk.select(col("lang").as("lang_a"), col("h")), "lang_a")
+      .select(col("lang_a"), col("lang_b"), col("h"))
+      .union(grid.join(bk.select(col("lang").as("lang_b"), col("h")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("h")))
+      .distinct()
+    val wu = Window.partitionBy("lang_a", "lang_b").orderBy(col("h").asc)
+    val estU = unioned.withColumn("rk", row_number().over(wu))
+      .filter(col("rk") <= k)
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .withColumn("est_union", when(col("n_kept") < k, col("n_kept"))
+        .otherwise(expr(s"(${k - 1} * $KmvSpace) div hk")))
+      .select(col("lang_a"), col("lang_b"), col("est_union"))
+    estU
+      .join(perLang.select(col("lang").as("lang_a"), col("est").as("est_a")), "lang_a")
+      .join(perLang.select(col("lang").as("lang_b"), col("est").as("est_b")), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+  }
+
   /** HyperLogLog register width: m = 2^6 = 64 buckets. */
   val HllBuckets: Int = 64
 
@@ -409,9 +463,54 @@ object Sketches {
     "doc_distinct_hll"  -> ((s, dir) => Util.orderAll(hllDistinct(docs(s, dir)))),
     "doc_heavy_hitters" -> ((s, dir) => Util.orderAll(cmsHeavyHitters(docs(s, dir)))),
     "doc_quantile_sketch" -> ((s, dir) => Util.orderAll(lengthQuantiles(docs(s, dir)))),
+    "doc_distinct_overlap" -> ((s, dir) => Util.orderAll(kmvOverlap(docs(s, dir)))),
   )
 
   def oracle: Map[String, String] = Map(
+    // same vocab-hash + bottom-k as doc_distinct_kmv; the union sketch is
+    // the bottom-k of the two bottom-k sets; inclusion–exclusion clamped
+    // at 0 — every value is integer on both engines
+    "doc_distinct_overlap" -> (
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+         |), vocab AS (
+         |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+         |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) t
+         |), h AS (
+         |  SELECT DISTINCT lang, ((tid % 3037000493) * 2654435761) % $KmvSpace AS h
+         |  FROM (SELECT DISTINCT lang, token FROM tok) lt JOIN vocab USING (token)
+         |), bk AS (
+         |  SELECT lang, h FROM (
+         |    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM h) r
+         |  WHERE rk <= 64
+         |), per AS (
+         |  SELECT lang, CAST(CASE WHEN count(*) < 64 THEN count(*)
+         |    ELSE (63 * $KmvSpace) // max(h) END AS BIGINT) AS est
+         |  FROM bk GROUP BY lang
+         |), grid AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b
+         |  FROM (SELECT DISTINCT lang FROM bk) a
+         |  JOIN (SELECT DISTINCT lang FROM bk) b ON a.lang < b.lang
+         |), un AS (
+         |  SELECT DISTINCT lang_a, lang_b, h FROM (
+         |    SELECT g.lang_a, g.lang_b, k.h FROM grid g JOIN bk k ON k.lang = g.lang_a
+         |    UNION ALL
+         |    SELECT g.lang_a, g.lang_b, k.h FROM grid g JOIN bk k ON k.lang = g.lang_b) u
+         |), ubk AS (
+         |  SELECT lang_a, lang_b, h FROM (
+         |    SELECT lang_a, lang_b, h,
+         |      row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rk FROM un) r
+         |  WHERE rk <= 64
+         |), eu AS (
+         |  SELECT lang_a, lang_b, CAST(CASE WHEN count(*) < 64 THEN count(*)
+         |    ELSE (63 * $KmvSpace) // max(h) END AS BIGINT) AS est_union
+         |  FROM ubk GROUP BY lang_a, lang_b
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT lang_a, lang_b, pa.est AS est_a, pb.est AS est_b, est_union,
+        |  CAST(greatest(pa.est + pb.est - est_union, 0) AS BIGINT) AS est_overlap
+        |FROM eu JOIN per pa ON pa.lang = lang_a JOIN per pb ON pb.lang = lang_b""".stripMargin,
+      Seq("lang_a", "lang_b", "est_a", "est_b", "est_union", "est_overlap"))),
     // vocab = dense_rank over ALL distinct tokens (the Dedup convention);
     // distinct (lang, token) before hashing; distinct hashes per lang;
     // k-smallest via row_number; integer estimator

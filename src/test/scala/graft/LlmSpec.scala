@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Unit coverage for the training-data pipeline operators over crafted
@@ -1512,6 +1512,53 @@ class LlmSpec extends SparkSpec {
         .select(levenshtein(lit(ta), lit(tb)).cast("long")).as[Long].head()
       assert(d == exact, s"pair ($a,$b): bounded $d != unbounded $exact")
     }
+  }
+
+  test("dedup eval: report invariants — found within truth, counts reconcile, planted dup found") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(
+      1L -> (base + " one two"), 2L -> (base + " one two"), // exact dup: must be found
+      3L -> "totally different words in this one here now")
+    val r = Dedup.dedupEval(docs, 0.4)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nTrue, nFound, nMissed, recall) = r
+    assert(nTrue >= 1 && nFound >= 1, s"planted dup not counted: $r")
+    assert(nMissed == nTrue - nFound, s"counts must reconcile: $r")
+    assert(recall == nFound * 1000000L / nTrue, s"recall formula drifted: $r")
+    assert(nFound <= nTrue, s"found must be within truth (precision 1): $r")
+  }
+
+  test("kmv overlap: exact below k; union sketch merges exactly; estimator within KMV error above k") {
+    // two 'langs' with known sets: A = 30 tokens, B = 30, |A∩B| = 10 —
+    // all below k=64, so every estimate is the exact cardinality
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val b = ((21 to 30) ++ (101 to 120)).map(i => s"tok$i").mkString(" ")
+    val small = Seq((1L, a, "aa"), (2L, b, "bb")).toDF("doc_id", "text", "lang")
+    val ex = Sketches.kmvOverlap(small)
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    assert(ex == (("aa", "bb", 30L, 30L, 50L, 10L)), s"exact path wrong: $ex")
+    // estimator path: 600 distinct tokens per lang, 200 shared. The
+    // inclusion-exclusion estimate compounds three KMV estimators
+    // (σ ≈ est/√(k−2) each), so the band is wide; the sharp property is
+    // MERGE EXACTNESS, asserted below
+    val bigA = (1 to 600).map(i => s"w$i").mkString(" ")
+    val bigB = (401 to 1000).map(i => s"w$i").mkString(" ")
+    val big = Seq((1L, bigA, "aa"), (2L, bigB, "bb")).toDF("doc_id", "text", "lang")
+    val est = Sketches.kmvOverlap(big)
+      .as[(String, String, Long, Long, Long, Long)].collect().head
+    assert(math.abs(est._6 - 200L) <= 250,
+      s"overlap estimate out of band (true 200): $est")
+    // merge exactness: the union sketch built from the two bottom-k sets
+    // must equal the sketch of the union built from scratch — a third
+    // 'lang' carrying A∪B verbatim measures the from-scratch side
+    val withUnion = big.union(Seq(
+      (3L, (1 to 1000).map(i => s"w$i").mkString(" "), "cc"))
+      .toDF("doc_id", "text", "lang"))
+    val fromScratch = Sketches.kmvDistinct(withUnion)
+      .as[(String, Long, Long)].collect()
+      .find(_._1 == "cc").get._3
+    assert(est._5 == fromScratch,
+      s"union sketch (${est._5}) must equal the from-scratch union sketch ($fromScratch)")
   }
 
   test("winnowing: a shared run of w+k-1 tokens guarantees a shared fingerprint; disjoint docs share none") {
