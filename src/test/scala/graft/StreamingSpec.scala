@@ -1055,6 +1055,40 @@ class StreamingSpec extends SparkSpec {
       s"hand-checked final stats wrong: $latest")
   }
 
+  test("streaming cdc: latest wins across batches, tombstone deletes, late reinsert resurrects") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double, String)](spark)
+    val latest = scala.collection.mutable.Map[Long, (Double, Boolean)]()
+    val q = streaming.StreamingCdc.run(
+        mem.toDF().toDF("user_id", "ts", "event_id", "value", "event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-cdc"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => latest(r.getLong(0)) =
+          (r.getDouble(1), r.getBoolean(3)))
+        ()
+      }.start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, 5.0, "view"),
+        (2L, ts("2024-01-01 10:00:00"), 2L, 7.0, "view"))
+      q.processAllAvailable()
+      assert(latest(1L) == ((5.0, false)) && latest(2L) == ((7.0, false)), s"$latest")
+      // tombstone user 2; a LATE (older) row for user 1 must be ignored
+      mem.addData(
+        (2L, ts("2024-01-01 10:00:05"), 3L, 0.0, "error"),
+        (1L, ts("2024-01-01 09:59:00"), 0L, 99.0, "view"))
+      q.processAllAvailable()
+      assert(latest(2L)._2, s"tombstone must mark user 2 deleted: $latest")
+      assert(latest(1L) == ((5.0, false)), s"older row must not regress user 1: $latest")
+      // reinsert after delete resurrects
+      mem.addData((2L, ts("2024-01-01 10:00:09"), 4L, 3.0, "purchase"))
+      q.processAllAvailable()
+      assert(latest(2L) == ((3.0, false)), s"reinsert must resurrect: $latest")
+    } finally q.stop()
+  }
+
   test("streaming ewma: the stream fold runs the exact recursion a batch window must truncate") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
