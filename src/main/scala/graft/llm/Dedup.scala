@@ -1183,6 +1183,51 @@ object Dedup {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Sorted Neighborhood Method dedup (Hernández & Stolfo, SIGMOD'95): sort
+    * the corpus by a normalization key, compare each record only against its
+    * `window` successors in sort order, verify candidates with the bounded
+    * Levenshtein. The third blocking family in the repo — LSH blocks by
+    * CONTENT OVERLAP ([[fuzzyPairs]]), winnowing by SHARED RUNS
+    * ([[winnowPairs]]); SNM blocks by KEY ADJACENCY, which catches the
+    * boilerplate-variant case where edits are concentrated in injected
+    * digits/punctuation: the key strips `[^a-z ]` after lowercasing, so
+    * variants differing only in dates/counters/session-ids collapse to the
+    * SAME key and become literal sort neighbors.
+    *
+    * Scale shape: the sort window is partitioned by a 4-char key prefix
+    * (the classic SNM "first-pass blocking key"), so no global single-task
+    * window exists — parallelism is #distinct prefixes, the per-record work
+    * is `window` bounded-DP verifies, and the only shuffle keys on the
+    * prefix. Pairs straddling a prefix boundary are invisible by
+    * construction — SNM's documented blind spot, answered in production by
+    * MULTI-PASS runs over independent keys (reversed key, token-sorted key)
+    * whose union recovers boundary losses; the single pass here keeps the
+    * oracle 1:1. The lead-offset columns stay in one window pass (all
+    * `window` leads share the sort), and the verify is the same
+    * O(maxDist·n) thresholded DP as [[fuzzyPairs]] — never the full
+    * quadratic.
+    */
+  def snmPairs(docs: DataFrame, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"snmPairs: window must be >= 1, got $window")
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk").asc, col("doc_id").asc)
+    val keyed = docs.select(col("doc_id"), col("text"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("sk"))
+      .withColumn("blk", substring(col("sk"), 1, 4))
+    val led = (1 to window).foldLeft(keyed) { (df, j) =>
+      df.withColumn(s"nid_$j", lead(col("doc_id"), j).over(w))
+        .withColumn(s"ntx_$j", lead(col("text"), j).over(w))
+    }
+    led
+      .select(col("doc_id"), col("text"), explode(array((1 to window).map(j =>
+        struct(col(s"nid_$j").as("nid"), col(s"ntx_$j").as("ntx"))): _*)).as("p"))
+      .filter(col("p.nid").isNotNull)
+      .withColumn("dist", levenshtein(col("text"), col("p.ntx"), maxDist))
+      .filter(col("dist") >= 0) // -1 = the banded DP proved dist > maxDist
+      .select(least(col("doc_id"), col("p.nid")).as("doc_a"),
+        greatest(col("doc_id"), col("p.nid")).as("doc_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1218,6 +1263,9 @@ object Dedup {
     // maxDist 20: the sf0.01 fixture's candidate distances split 4–8 (true
     // boilerplate variants) vs 70+ (band-collision noise) — 20 sits in the gap
     "doc_dedup_fuzzy"     -> ((s, dir) => Util.orderAll(fuzzyPairs(docs(s, dir), 20))),
+    // window 3 / maxDist 20: same verify bound as doc_dedup_fuzzy, so the
+    // two blocking families are directly comparable on the fixture
+    "doc_dedup_snm"       -> ((s, dir) => Util.orderAll(snmPairs(docs(s, dir), 3, 20))),
     "doc_dedup_triangles" -> ((s, dir) => Util.orderAll(triangleCounts(docs(s, dir), 0.4))),
     "doc_cluster_terms"   -> ((s, dir) => Util.orderAll(clusterTerms(docs(s, dir), 0.4, 3))),
     // w=4, minShared=10: 20 verified-overlap pairs on the sf0.01 fixture
@@ -1404,6 +1452,37 @@ object Dedup {
         |JOIN documents db ON db.doc_id = doc_b
         |WHERE levenshtein(da.text, db.text) <= 20""".stripMargin,
       Seq("doc_a", "doc_b", "dist"))),
+
+    // sorted-neighborhood: lead() mirrors Spark's window exactly (same
+    // partition prefix, same (sk, doc_id) sort), so the candidate sets are
+    // identical by construction; the verify is the unbounded levenshtein
+    // gated at the same maxDist
+    "doc_dedup_snm" -> Util.wrap(
+      """WITH keyed AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(text), '[^a-z ]', '', 'g') AS sk
+        |  FROM documents
+        |), blk AS (
+        |  SELECT doc_id, text, sk, substr(sk, 1, 4) AS blk FROM keyed
+        |), led AS (
+        |  SELECT doc_id, text,
+        |    lead(doc_id, 1) OVER w AS n1, lead(text, 1) OVER w AS t1,
+        |    lead(doc_id, 2) OVER w AS n2, lead(text, 2) OVER w AS t2,
+        |    lead(doc_id, 3) OVER w AS n3, lead(text, 3) OVER w AS t3
+        |  FROM blk
+        |  WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+        |), cand AS (
+        |  SELECT doc_id, text, n1 AS nid, t1 AS ntx FROM led WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, n2, t2 FROM led WHERE n2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, text, n3, t3 FROM led WHERE n3 IS NOT NULL
+        |)
+        |SELECT least(doc_id, nid) AS doc_a, greatest(doc_id, nid) AS doc_b,
+        |  levenshtein(text, ntx) AS dist
+        |FROM cand
+        |WHERE levenshtein(text, ntx) <= 20""".stripMargin,
+      Seq("doc_a", "doc_b", "dist")),
 
     // wedge join over the id-oriented verified pairs (doc_a < doc_b), each
     // triangle a<b<c found once; per-node counts left-joined onto degrees

@@ -199,6 +199,48 @@ object TextAnalysis {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Deterministic global training shuffle, materialized as shard + position:
+    * every document gets a pseudo-random but fully reproducible place in the
+    * training order, as a pure function of `doc_id` — the "shuffle the corpus
+    * before epoch 0" step every training pipeline runs, with no RNG state to
+    * checkpoint and no dependence on input partitioning or cluster size.
+    *
+    * The permutation key is TWO Lehmer LCG steps, `key = ((doc_id mod M) ·
+    * 48271 mod M) · 48271 mod M` with M = 2³¹−1 (MINSTD): a composition of
+    * bijections on [1, M−1], so sort-by-key IS a genuine permutation —
+    * unlike [[stratifiedSplit]]'s high-bits mix, which is order-PRESERVING
+    * in the id (fine for bucketing, useless for shuffling), and unlike ONE
+    * Lehmer step, which never wraps (stays monotone) for ids below M/48271
+    * ≈ 44k — both caught by the permutation spec. Two steps wrap for
+    * essentially every id: consecutive ids land 48271² mod M ≈ 1.8e8 apart
+    * in key space. Overflow-safe: each product is < 2⁴⁷, far under ANSI
+    * Long. Ids ≥ M collide mod M and fall back to doc_id order within the
+    * collision class — negligible below billions of docs, and a corpus past
+    * that widens M to a √2⁶³-scale prime with the same shape. `shard = key %
+    * nShards`, `pos = row_number` within the shard ordered by
+    * `(key, doc_id)`.
+    *
+    * Scale shape: ONE shuffle, keyed on `shard` — the window that assigns
+    * positions is partitioned, never global, so parallelism equals
+    * `nShards`. At 100 TB a pipeline sets `nShards` to the target training
+    * file count (tens of thousands), which makes each window partition one
+    * output file's worth of rows — the materialized `(shard, pos)` IS the
+    * file layout, written with `partitionBy("shard")` + sortWithinPartitions
+    * and consumed sequentially by the data loader. 16 here keeps the oracle
+    * result readable. */
+  def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"),
+        expr("(((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647")
+          .as("shuffle_key"))
+      .withColumn("shard", col("shuffle_key") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Per-domain quota capping: keep the top-`k` documents per `source` by
     * quality score (ties broken by doc_id, everything on the ROUNDED score
     * so the ordering can't diverge between engines on an FP ulp). This is
@@ -1178,6 +1220,7 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, dir) => Util.orderAll(fingerprint(docs(s, dir)))),
     "text_redact"      -> ((s, dir) => Util.orderAll(redact(docs(s, dir)))),
     "doc_split_stratified" -> ((s, dir) => Util.orderAll(stratifiedSplit(docs(s, dir)))),
+    "doc_shuffle_shards" -> ((s, dir) => Util.orderAll(shuffleShards(docs(s, dir), 16))),
     // already deterministically ordered (n DESC, trigram ASC) — the same
     // ORDER BY the oracle ends with, so no orderAll re-sort
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
@@ -1333,6 +1376,16 @@ object TextAnalysis {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
       Seq("lang", "split", "n_docs")),
+
+    "doc_shuffle_shards" -> Util.wrap(
+      """SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    (((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuffle_key,
+        |    ((((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647) % 16 AS shard
+        |  FROM documents) k""".stripMargin,
+      Seq("doc_id", "shard", "pos")),
 
     "text_trigram_topk" ->
       """WITH tok AS (

@@ -482,6 +482,14 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Pareto frontier of parts maximizing (p_size, p_retailprice) — the
+    // window-pruned distributed skyline; see operators/Skyline for the
+    // two-phase shape that replaces the oracle's quadratic NOT EXISTS
+    "q_skyline" -> ((s, dir) =>
+      graft.Util.orderAll(graft.operators.Skyline(
+        part(s, dir).select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_size", "p_retailprice"))),
+
     // one-pass column profile of orders (see operators/TableProfile for the
     // plan shape and the approx_count_distinct scale twin)
     "q_profile" -> ((s, dir) =>
@@ -948,6 +956,16 @@ object RelQueries {
               s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
               .mkString(" + ")} AS zval
          |FROM z ORDER BY event_id""".stripMargin,
+
+    // the textbook quadratic skyline: kept quadratic ON PURPOSE — it is the
+    // defining NOT EXISTS semantics the two-phase window plan must equal
+    "q_skyline" -> graft.Util.wrap(
+      """SELECT p_partkey, p_size, p_retailprice FROM part t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part u
+        |  WHERE u.p_size >= t.p_size AND u.p_retailprice >= t.p_retailprice
+        |    AND (u.p_size > t.p_size OR u.p_retailprice > t.p_retailprice))""".stripMargin,
+      Seq("p_partkey", "p_size", "p_retailprice")),
 
     // one aggregate over one scan, then 6 projections of the 1-row result —
     // mirrors TableProfile's agg+stack. Encodings per type match the Spark

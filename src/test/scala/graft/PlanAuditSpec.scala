@@ -513,4 +513,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("mm_audio_frames") <= 2,
       s"frame agg + harness sort only:\n$pa")
   }
+
+  test("q_skyline / doc_dedup_snm / doc_shuffle_shards: no quadratic forms, keyed windows only") {
+    // skyline: phase 1 is a partition-local mapPartitions sweep (a
+    // spark_partition_id window would force a full hashpartitioning(_pid)
+    // shuffle — the rejected first draft); the global resolve runs over
+    // local-frontier survivors only — NEVER the oracle's quadratic
+    // NOT EXISTS self-join
+    val ps = phys("q_skyline")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("Join"),
+      s"skyline must be sweep-pruned, not a domination join:\n$ps")
+    assert(ps.contains("MapPartitions"), s"local sweep missing:\n$ps")
+    // exchanges: phase-2 single-partition gather + harness sort; phase 1
+    // must add none
+    assert(exchanges("q_skyline") <= 2, s"local prune must not shuffle:\n$ps")
+
+    // snm: the sort window partitions by the 4-char block key — a global
+    // (empty-partition) window would be the single-task scale bug
+    val pn = exec("doc_dedup_snm").toString
+    assert(pn.contains("hashpartitioning(blk"),
+      s"snm window must partition by the block key:\n$pn")
+    assert(!pn.contains("SinglePartition") || pn.contains("rangepartitioning") ||
+      !pn.split("SinglePartition").head.contains("Window"),
+      s"snm must not run a global window:\n$pn")
+    assert(pn.contains("levenshtein"), s"bounded verify missing:\n$pn")
+
+    // shard shuffle: ONE keyed exchange (shard) + the harness sort; the
+    // pos window is partitioned, parallelism = nShards
+    val ph = phys("doc_shuffle_shards")
+    assert(ph.contains("hashpartitioning(shard"),
+      s"pos window must partition by shard:\n$ph")
+    assert(exchanges("doc_shuffle_shards") <= 2,
+      s"one shard shuffle + harness sort expected:\n$ph")
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import graft.operators.Skyline
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 additions: the two-phase window skyline, the
+  * deterministic shard shuffle, and sorted-neighborhood dedup. Each is
+  * checked against a brute-force definition on constructed data (the fixture
+  * oracle parity is the driver's DuckDB gate; these pin the semantics the
+  * oracle can't isolate — partition invariance, tie handling, blind spots).
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skyline: equals the quadratic NOT EXISTS definition, ties kept, partition-invariant") {
+    val pts = Seq(
+      (1L, 10L, 5.0), (2L, 10L, 5.0),  // duplicate frontier point: BOTH kept
+      (3L, 10L, 4.0),                  // dominated by 1/2 (same x, smaller y)
+      (4L, 8L, 9.0),                   // frontier
+      (5L, 8L, 9.0),                   // its duplicate
+      (6L, 12L, 1.0),                  // frontier (max x)
+      (7L, 7L, 8.0),                   // dominated by 4 (both strictly)
+      (8L, 12L, 0.5),                  // dominated by 6 (same x, smaller y)
+      (9L, 1L, 20.0)                   // frontier (max y)
+    ).toDF("id", "x", "y")
+
+    val brute = {
+      val a = pts.as("t")
+      val dominated = a.join(pts.as("u"),
+          $"u.x" >= $"t.x" && $"u.y" >= $"t.y" &&
+            ($"u.x" > $"t.x" || $"u.y" > $"t.y"), "left_semi")
+        .select($"t.id").as[Long].collect().toSet
+      pts.filter(!col("id").isin(dominated.toSeq: _*))
+        .select("id").as[Long].collect().toSet
+    }
+    val sky = Skyline(pts, "x", "y").select("id").as[Long].collect().toSet
+    assert(sky == brute)
+    assert(sky == Set(1L, 2L, 4L, 5L, 6L, 9L))
+
+    // phase-1 pruning must lose nothing whatever the partitioning: an
+    // adversarial layout that co-locates each frontier point with its
+    // dominator still yields the exact global skyline
+    val skewed = Skyline(pts.repartition(7, col("y")), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(skewed == brute)
+  }
+
+  test("shuffleShards: a reproducible permutation — partition-invariant, dense pos per shard") {
+    val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.shuffleShards(docs, 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = TextAnalysis.shuffleShards(docs.repartition(13), 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // same (shard, pos) for every doc regardless of input partitioning
+    assert(a.sameElements(b))
+    // every doc appears exactly once; within a shard, pos is 1..n dense
+    assert(a.map(_._1).distinct.length == 500)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // the mix actually permutes: doc order within a shard is not id order
+    val shard0 = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(!shard0.sameElements(shard0.sorted))
+  }
+
+  test("snm: key-adjacent boilerplate variants pair; far texts and cross-block pairs do not") {
+    val docs = Seq(
+      // same text modulo injected digits/punct → identical sort key → adjacent
+      (1L, "alpha beta gamma delta session 1234"),
+      (2L, "alpha beta gamma delta session 9876!"),
+      (3L, "alpha beta gamma delta session 555"),
+      // same 4-char block prefix, but > maxDist edits away
+      (4L, "alphX completely different content that is nowhere near the others"),
+      // different block: never compared against 1-3 even if similar length
+      (5L, "zeta eta theta iota session 1234")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup.snmPairs(docs, window = 3, maxDist = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val found = pairs.map(p => (p._1, p._2))
+    assert(found == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected exactly the variant triangle, got $found")
+    // distances are the true Levenshtein distances (bounded DP must not clip)
+    pairs.foreach { case (_, _, d) => assert(d > 0 && d <= 20) }
+    // orientation: doc_a < doc_b always
+    pairs.foreach { case (a2, b2, _) => assert(a2 < b2) }
+  }
+
+  test("snm window bound: a variant more than `window` ranks away is the documented miss") {
+    // 5 identical-key docs: rank window 2 pairs (r, r+1), (r, r+2) only —
+    // (1,4), (1,5), (2,5) are out of window and MUST be absent (that is the
+    // SNM tradeoff the multi-pass note in the scaladoc answers)
+    val docs = (1L to 5L).map(i => (i, s"same key text $i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.snmPairs(docs, window = 2, maxDist = 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
+}
