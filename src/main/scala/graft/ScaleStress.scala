@@ -315,7 +315,23 @@ object ScaleStress {
       graft.operators.TableProfile(ev)
         .write.format("noop").mode("overwrite").save())
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate}"""
+    // r7 additions at ×N:
+    // SNM — the block-prefix window must keep the sort partitioned
+    // (wall tracks corpus volume, not a single-task global sort)
+    val (nSnm, tSnm) = timed("snm pairs x" + factor)(
+      graft.llm.Dedup.snmPairs(docsN, 3, 20).count())
+    // shard shuffle — one keyed exchange; pos windows parallel by shard
+    val (nShuf, tShuf) = timed("shuffle shards x" + factor)(
+      graft.llm.TextAnalysis.shuffleShards(docsN, cpus).count())
+    // skyline — the partition-local sweep must absorb the ×N volume with
+    // no shuffle; only per-partition frontiers reach the gather
+    val (nSky, tSky) = timed("skyline x" + factor)(
+      graft.operators.Skyline(
+        ev.select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value").count())
+    System.err.println(s"[stress] snm_pairs=$nSnm shuffle_rows=$nShuf skyline_rows=$nSky")
+
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -62,7 +62,7 @@ object Skyline {
     * an accepted row then evicts the lower-left entries it dominates —
     * each entry is evicted at most once, so the sweep is O(n log f) for
     * frontier size f. */
-  private[operators] def localSkyline(it: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
+  private[graft] def localSkyline(it: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
     val stair = new java.util.TreeMap[Long, Double]()
     val keep = mutable.Map.empty[(Long, Double), mutable.ArrayBuffer[Row]]
     it.foreach { row =>

@@ -1153,4 +1153,38 @@ class StreamingSpec extends SparkSpec {
     // distinct values, so the KMV estimate equals the exact batch count
     assert(latest.toMap == batch, s"stream $latest != batch $batch")
   }
+
+  test("streaming skyline: running frontier == batch skyline of the prefix, evictions applied") {
+    val mem = MemoryStream[(String, Long, Double)](spark)
+    val latest = scala.collection.concurrent.TrieMap.empty[String, Set[(Long, Double)]]
+    val q = streaming.StreamingSkyline.run(mem.toDF().toDF("grp", "x", "y"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-sky"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().groupBy(_.getString(0)).foreach { case (g, rows) =>
+          latest(g) = rows.map(r => (r.getLong(1), r.getDouble(2))).toSet
+        }
+        ()
+      }.start()
+    def batchOf(rows: Seq[(String, Long, Double)], g: String) =
+      graft.operators.Skyline(
+          rows.toDF("grp", "x", "y").filter($"grp" === g), "x", "y")
+        .select($"x", $"y").as[(Long, Double)].collect().toSet
+    val b1 = Seq(("a", 10L, 5.0), ("a", 8L, 9.0), ("a", 7L, 8.0), ("b", 1L, 1.0))
+    // batch 2: (12, 6.0) EVICTS (10, 5.0) from a's frontier; (9, 1.0) is
+    // dominated on arrival and must never be admitted
+    val b2 = Seq(("a", 12L, 6.0), ("a", 9L, 1.0), ("b", 2L, 2.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val mid = latest.toMap
+      assert(mid("a") == batchOf(b1, "a") && mid("b") == batchOf(b1, "b"),
+        s"mid-stream frontier != batch skyline of the prefix: $mid")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = b1 ++ b2
+    assert(latest("a") == batchOf(all, "a"), s"final a: ${latest("a")}")
+    assert(latest("b") == batchOf(all, "b"), s"final b: ${latest("b")}")
+    assert(!latest("a").contains((10L, 5.0)), "evicted point must leave state")
+    assert(!latest("a").contains((9L, 1.0)), "dominated arrival must never be admitted")
+  }
 }
