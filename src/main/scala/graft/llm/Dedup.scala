@@ -1200,18 +1200,37 @@ object Dedup {
     * is `window` bounded-DP verifies, and the only shuffle keys on the
     * prefix. Pairs straddling a prefix boundary are invisible by
     * construction — SNM's documented blind spot, answered in production by
-    * MULTI-PASS runs over independent keys (reversed key, token-sorted key)
-    * whose union recovers boundary losses; the single pass here keeps the
-    * oracle 1:1. The lead-offset columns stay in one window pass (all
+    * MULTI-PASS runs over independent keys whose union recovers boundary
+    * losses ([[snmPairsMultiPass]] executes the forward+reversed-key pair).
+    * The lead-offset columns stay in one window pass (all
     * `window` leads share the sort), and the verify is the same
     * O(maxDist·n) thresholded DP as [[fuzzyPairs]] — never the full
     * quadratic.
     */
-  def snmPairs(docs: DataFrame, window: Int, maxDist: Int): DataFrame = {
+  def snmPairs(docs: DataFrame, window: Int, maxDist: Int): DataFrame =
+    snmPass(docs, reversedKey = false, window, maxDist)
+
+  /** Multi-pass SNM: the union of the forward-key pass and a REVERSED-key
+    * pass (suffix adjacency), distinct on (doc_a, doc_b). This is the
+    * production answer to single-pass SNM's two blind spots executed as
+    * code, not a comment: variants whose edits fall in the first 4 chars
+    * land in different forward BLOCKS but sort adjacently on the reversed
+    * key, and pairs straddling a forward prefix boundary usually share a
+    * suffix prefix. Each pass is the same linear-cost machinery; the union
+    * doubles the work, not the complexity. `dist` survives the distinct
+    * because both passes verify the identical Levenshtein. */
+  def snmPairsMultiPass(docs: DataFrame, window: Int, maxDist: Int): DataFrame =
+    snmPass(docs, reversedKey = false, window, maxDist)
+      .unionByName(snmPass(docs, reversedKey = true, window, maxDist))
+      .distinct()
+
+  private def snmPass(docs: DataFrame, reversedKey: Boolean,
+                      window: Int, maxDist: Int): DataFrame = {
     require(window >= 1, s"snmPairs: window must be >= 1, got $window")
     val w = Window.partitionBy(col("blk")).orderBy(col("sk").asc, col("doc_id").asc)
+    val baseKey = regexp_replace(lower(col("text")), "[^a-z ]", "")
     val keyed = docs.select(col("doc_id"), col("text"),
-        regexp_replace(lower(col("text")), "[^a-z ]", "").as("sk"))
+        (if (reversedKey) reverse(baseKey) else baseKey).as("sk"))
       .withColumn("blk", substring(col("sk"), 1, 4))
     val led = (1 to window).foldLeft(keyed) { (df, j) =>
       df.withColumn(s"nid_$j", lead(col("doc_id"), j).over(w))
@@ -1266,6 +1285,7 @@ object Dedup {
     // window 3 / maxDist 20: same verify bound as doc_dedup_fuzzy, so the
     // two blocking families are directly comparable on the fixture
     "doc_dedup_snm"       -> ((s, dir) => Util.orderAll(snmPairs(docs(s, dir), 3, 20))),
+    "doc_dedup_snm_multi" -> ((s, dir) => Util.orderAll(snmPairsMultiPass(docs(s, dir), 3, 20))),
     "doc_dedup_triangles" -> ((s, dir) => Util.orderAll(triangleCounts(docs(s, dir), 0.4))),
     "doc_cluster_terms"   -> ((s, dir) => Util.orderAll(clusterTerms(docs(s, dir), 0.4, 3))),
     // w=4, minShared=10: 20 verified-overlap pairs on the sf0.01 fixture
@@ -1280,6 +1300,34 @@ object Dedup {
     "doc_dedup_embedding_clusters" -> ((s, dir) => Util.orderAll(embeddingClusters(emb(s, dir), 0.35))),
     "doc_dedup_embedding_keep" -> ((s, dir) => Util.orderAll(embeddingKeep(emb(s, dir), 0.35))),
   )
+
+  /** One SNM pass as suffix-named CTEs (`pairs_$sfx` is the verified pair
+    * set) — shared by the single- and multi-pass oracles so both passes are
+    * the same SQL modulo the sort key. */
+  private def snmOracleCtes(sfx: String, keyExpr: String): String =
+    s"""keyed_$sfx AS (
+       |  SELECT doc_id, text, $keyExpr AS sk FROM documents
+       |), blk_$sfx AS (
+       |  SELECT doc_id, text, sk, substr(sk, 1, 4) AS blk FROM keyed_$sfx
+       |), led_$sfx AS (
+       |  SELECT doc_id, text,
+       |    lead(doc_id, 1) OVER w AS n1, lead(text, 1) OVER w AS t1,
+       |    lead(doc_id, 2) OVER w AS n2, lead(text, 2) OVER w AS t2,
+       |    lead(doc_id, 3) OVER w AS n3, lead(text, 3) OVER w AS t3
+       |  FROM blk_$sfx
+       |  WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+       |), cand_$sfx AS (
+       |  SELECT doc_id, text, n1 AS nid, t1 AS ntx FROM led_$sfx WHERE n1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, text, n2, t2 FROM led_$sfx WHERE n2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, text, n3, t3 FROM led_$sfx WHERE n3 IS NOT NULL
+       |), pairs_$sfx AS (
+       |  SELECT least(doc_id, nid) AS doc_a, greatest(doc_id, nid) AS doc_b,
+       |    levenshtein(text, ntx) AS dist
+       |  FROM cand_$sfx WHERE levenshtein(text, ntx) <= 20
+       |)
+       |""".stripMargin
 
   /** Shared DuckDB CTEs mirroring tokenized/vocab/shingleIds. */
   private val tokCte =
@@ -1457,32 +1505,23 @@ object Dedup {
     // partition prefix, same (sk, doc_id) sort), so the candidate sets are
     // identical by construction; the verify is the unbounded levenshtein
     // gated at the same maxDist
-    "doc_dedup_snm" -> Util.wrap(
-      """WITH keyed AS (
-        |  SELECT doc_id, text,
-        |    regexp_replace(lower(text), '[^a-z ]', '', 'g') AS sk
-        |  FROM documents
-        |), blk AS (
-        |  SELECT doc_id, text, sk, substr(sk, 1, 4) AS blk FROM keyed
-        |), led AS (
-        |  SELECT doc_id, text,
-        |    lead(doc_id, 1) OVER w AS n1, lead(text, 1) OVER w AS t1,
-        |    lead(doc_id, 2) OVER w AS n2, lead(text, 2) OVER w AS t2,
-        |    lead(doc_id, 3) OVER w AS n3, lead(text, 3) OVER w AS t3
-        |  FROM blk
-        |  WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
-        |), cand AS (
-        |  SELECT doc_id, text, n1 AS nid, t1 AS ntx FROM led WHERE n1 IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, text, n2, t2 FROM led WHERE n2 IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, text, n3, t3 FROM led WHERE n3 IS NOT NULL
-        |)
-        |SELECT least(doc_id, nid) AS doc_a, greatest(doc_id, nid) AS doc_b,
-        |  levenshtein(text, ntx) AS dist
-        |FROM cand
-        |WHERE levenshtein(text, ntx) <= 20""".stripMargin,
-      Seq("doc_a", "doc_b", "dist")),
+    "doc_dedup_snm" -> ("WITH " + snmOracleCtes("f",
+        "regexp_replace(lower(text), '[^a-z ]', '', 'g')") +
+      Util.wrap("SELECT doc_a, doc_b, dist FROM pairs_f",
+        Seq("doc_a", "doc_b", "dist"))),
+
+    // forward + reversed-key passes, distinct union — mirrors
+    // snmPairsMultiPass pass for pass
+    "doc_dedup_snm_multi" -> ("WITH " + snmOracleCtes("f",
+        "regexp_replace(lower(text), '[^a-z ]', '', 'g')") + ", " +
+      snmOracleCtes("r",
+        "reverse(regexp_replace(lower(text), '[^a-z ]', '', 'g'))") +
+      Util.wrap(
+        """SELECT DISTINCT doc_a, doc_b, dist FROM (
+          |  SELECT doc_a, doc_b, dist FROM pairs_f
+          |  UNION ALL
+          |  SELECT doc_a, doc_b, dist FROM pairs_r) u""".stripMargin,
+        Seq("doc_a", "doc_b", "dist"))),
 
     // wedge join over the id-oriented verified pairs (doc_a < doc_b), each
     // triangle a<b<c found once; per-node counts left-joined onto degrees

@@ -52,6 +52,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
 
+  /** Embedding-space decontamination: flag every training vector whose
+    * cosine against ANY held-out eval vector clears `threshold`, with its
+    * best witness — the semantic sibling of
+    * [[TextAnalysis.decontaminate]]'s n-gram overlap gate. N-gram checks
+    * miss paraphrased leakage (reworded eval questions, translated
+    * benchmarks); the embedding check is the standard second gate.
+    *
+    * Eval membership is `vec_id % evalMod == 0` — the same deterministic
+    * holdout convention as the containment increment split. Output: one
+    * row per contaminated train vector, `(vec_id, eval_id, cosine)` of its
+    * strongest witness (rounded-cosine DESC, eval_id ASC — the
+    * [[cosineTopK]] ranking contract).
+    *
+    * Scale shape: eval sets are small and FIXED-SIZE (benchmarks, not
+    * corpora), so the eval side broadcasts and the scan is one linear
+    * pass over the corpus — |eval| dot products per row, no shuffle
+    * before the per-vector argmax (which keys on vec_id, the scan's
+    * natural key, and the threshold filter runs BEFORE it, so only
+    * contaminated rows reach the exchange). A benchmark suite too big to
+    * broadcast would go through the stored IVF index
+    * ([[ivfTopKAgainstIndex]]) instead — same answer, probe-sized work. */
+  def embDecontaminate(emb: DataFrame, evalMod: Long, threshold: Double): DataFrame = {
+    require(evalMod >= 2, s"embDecontaminate: evalMod must be >= 2, got $evalMod")
+    val e = normed(emb)
+    val ev = e.filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val tr = e.filter(col("vec_id") % evalMod =!= 0)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("eval_id").asc)
+    tr.join(broadcast(ev))
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("eval_id"), col("cosine"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * among the rest of the corpus. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -968,6 +1006,9 @@ object Similarity {
     "emb_pca_scores"   -> ((s, dir) => Util.orderAll(pcaScores(emb(s, dir)))),
     "emb_kcenter"      -> ((s, dir) => Util.orderAll(kCenter(emb(s, dir), 8))),
     "emb_outliers"     -> ((s, dir) => Util.orderAll(zscoreOutliers(emb(s, dir), 20))),
+    // mod 97 → 6 eval vectors on the sf0.01 fixture; 0.3 sits between the
+    // cross-split cosine bulk and its 0.467 max, so the gate discriminates
+    "emb_decontaminate" -> ((s, dir) => Util.orderAll(embDecontaminate(emb(s, dir), 97, 0.3))),
   )
 
   private val normCte =
@@ -1036,6 +1077,22 @@ object Similarity {
     Seq("label", "dim", "centroid", "n_vectors"))
 
   def oracle: Map[String, String] = Map(
+    // pairs thresholded FIRST, then ranked — identical gate order to the
+    // Spark side (equivalent to rank-then-filter since ranking is by the
+    // same rounded cosine, but structural identity costs nothing)
+    "emb_decontaminate" -> (normCte + Util.wrap(
+      """SELECT vec_id, eval_id, cosine FROM (
+        |  SELECT vec_id, eval_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, eval_id ASC) AS rk
+        |  FROM (
+        |    SELECT t.vec_id, q.vec_id AS eval_id,
+        |      round(list_sum(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * q.v[i])) / (t.nrm * q.nrm), 6) AS cosine
+        |    FROM n t JOIN n q ON t.vec_id % 97 <> 0 AND q.vec_id % 97 = 0
+        |  ) p WHERE cosine >= 0.3
+        |) z WHERE rk = 1""".stripMargin,
+      Seq("vec_id", "eval_id", "cosine"))),
+
     "ann_brute" -> (normCte + Util.wrap(
       """SELECT query_id, neighbor_id, cosine, rk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

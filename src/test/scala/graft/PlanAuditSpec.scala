@@ -538,6 +538,17 @@ class PlanAuditSpec extends SparkSpec {
       s"snm must not run a global window:\n$pn")
     assert(pn.contains("levenshtein"), s"bounded verify missing:\n$pn")
 
+    // emb_decontaminate: the eval side broadcasts (benchmarks are small
+    // and fixed-size); the corpus scan never shuffles before the argmax,
+    // and only threshold survivors reach that exchange
+    val pd = phys("emb_decontaminate")
+    assert(pd.contains("BroadcastNestedLoopJoin") || pd.contains("BroadcastExchange"),
+      s"eval side must broadcast:\n$pd")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the eval probe:\n$pd")
+    assert(exchanges("emb_decontaminate") <= 2,
+      s"argmax window + harness sort only:\n$pd")
+
     // shard shuffle: ONE keyed exchange (shard) + the harness sort; the
     // pos window is partitioned, parallelism = nShards
     val ph = phys("doc_shuffle_shards")

@@ -87,6 +87,47 @@ class Round7OpsSpec extends SparkSpec {
     pairs.foreach { case (a2, b2, _) => assert(a2 < b2) }
   }
 
+  test("snm multi-pass: reversed-key pass recovers the forward-block blind spot") {
+    // edits concentrated in the FIRST 4 chars: forward blocks differ
+    // ("alph" vs "bravo"...), so the single pass is blind; the reversed key
+    // sorts them adjacently (shared suffix) and the pair verifies at dist 5
+    val docs = Seq(
+      (1L, "alpha common tail of the document body"),
+      (2L, "bravo common tail of the document body"),
+      // unrelated doc in between either ordering
+      (3L, "zzz totally different text with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val single = Dedup.snmPairs(docs, 3, 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.snmPairsMultiPass(docs, 3, 20)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!single.contains((1L, 2L)), "forward pass must be blind to a leading-edit pair")
+    assert(multi.contains((1L, 2L)), s"reversed pass must recover it: $multi")
+    // union semantics: multi is a superset of single, pairs stay oriented
+    assert(single.subsetOf(multi))
+  }
+
+  test("embDecontaminate: threshold gate + best witness, eval rows never flagged") {
+    import graft.llm.Similarity
+    // 3 eval vectors (ids 0, 4, 8 under mod 4); train vectors aligned with
+    // exactly one of them or orthogonal to all
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // eval
+      (4L, Array(0f, 1f, 0f, 0f)),   // eval
+      (8L, Array(0f, 0f, 1f, 0f)),   // eval
+      (1L, Array(10f, 1f, 0f, 0f)),  // ~eval 0 (cos .995) and weakly eval 4
+      (2L, Array(0f, 2f, 2f, 0f)),   // cos .707 vs BOTH 4 and 8 → witness = 4 (lower id)
+      (3L, Array(0f, 0f, 0f, 5f))    // orthogonal to all: clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embDecontaminate(vecs, 4, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSet == Set(1L, 2L), s"flagged set wrong: ${out.toSeq}")
+    val w1 = out.find(_._1 == 1L).get
+    assert(w1._2 == 0L && w1._3 > 0.99, s"vec 1 witness: $w1")
+    val w2 = out.find(_._1 == 2L).get
+    assert(w2._2 == 4L, s"tie on cosine must pick the lower eval_id: $w2")
+  }
+
   test("snm window bound: a variant more than `window` ranks away is the documented miss") {
     // 5 identical-key docs: rank window 2 pairs (r, r+1), (r, r+2) only —
     // (1,4), (1,5), (2,5) are out of window and MUST be absent (that is the
