@@ -110,6 +110,64 @@ object Multimodal {
       .agg(count(lit(1)).as("n_samples"),
         sum(expr("CAST(s AS BIGINT) * s")).as("energy"))
 
+  /** Average-hash (aHash) perceptual fingerprint bands: the image near-dup
+    * primitive. The canonical recipe — downscale to an 8×8 grid, threshold
+    * each cell against the global mean, read the 64 bits — computed here
+    * over the payload's sample stream (ascii codes, the same stand-in the
+    * audio framing uses; real pixel luma slots in at the StubCodec seam
+    * without touching the plan): cell c of a length-n payload aggregates
+    * positions with `(pos·64) div n == c` (every cell non-empty for
+    * n ≥ 64; shorter payloads are excluded — an 8×8 grid of a sub-64-px
+    * source is undefined), bit c = cell sum · 64 > total (exact integer
+    * compare, no FP mean). The 64 bits ship as FOUR 16-bit band values —
+    * the [[graft.llm.Dedup.simhashPairsOf]] banding shape — so candidate
+    * mining is an equi-join on (band, bval), never all-pairs, and no
+    * signed-overflow bit ever exists (a single packed i64 would put cell
+    * 63 in the sign bit and break `div`-based band extraction).
+    *
+    * Scale shape: per-doc work is linear in payload size and collapses
+    * map-side (cells, then bands, both partial-aggregated); the pair join
+    * touches band collisions only; the Hamming verify is codegen'd
+    * xor+bit_count over 4 small ints per pair. Pigeonhole: 4 equal-band
+    * blocking has full recall for Hamming ≤ 3 — same bound, same refusal,
+    * as the simhash family. */
+  def phashBands(docs: DataFrame): DataFrame = {
+    val px = docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .filter(col("ch") =!= "") // Java split keeps a trailing empty token
+      .select(col("doc_id"), expr("(pos * 64) div n").as("cell"),
+        ascii(col("ch")).cast("long").as("v"))
+    val cells = px.groupBy("doc_id", "cell").agg(sum(col("v")).as("cv"))
+    val tot = cells.groupBy("doc_id").agg(sum(col("cv")).as("t"))
+    cells.join(tot, "doc_id")
+      .select(col("doc_id"), col("cell"),
+        when(col("cv") * 64 > col("t"), 1L).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"), expr("cell div 16").as("band"))
+      .agg(sum(expr("shiftleft(bit, CAST(cell % 16 AS INT))")).as("bval"))
+  }
+
+  /** Image near-dup pairs by aHash Hamming distance ≤ `maxHamming`:
+    * banded candidates ([[phashBands]]) verified by the exact 64-bit
+    * Hamming distance (Σ over bands of bit_count(xor)). */
+  def phashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"phashPairs: 4-band blocking guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val bands = phashBands(docs).localCheckpoint(eager = true)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval").as("ba"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval").as("bb"))
+    val cand = a.join(b, Seq("band"))
+      .filter(col("ba") === col("bb") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "band"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("bit_count(ba ^ bb)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) =>
       Util.orderAll(decodedMeta(mediaTable(Tables.documents(s, dir))))),
@@ -175,6 +233,10 @@ object Multimodal {
           expr("(patch_id div npx) * 16").as("y0")))
     }),
 
+    // image near-dup: aHash bands + Hamming verify (see phashPairs)
+    "mm_phash_pairs" -> ((s, dir) =>
+      Util.orderAll(phashPairs(Tables.documents(s, dir), 3))),
+
     // resize planning: scale to width 224 preserving aspect (integer
     // division both engines) — the geometry half of a real resize UDF
     "mm_resize" -> ((s, dir) => {
@@ -210,6 +272,36 @@ object Multimodal {
         |WHERE doc_id % 3 = 2
         |GROUP BY doc_id, (i - 1) // 32""".stripMargin,
       Seq("doc_id", "frame", "n_samples", "energy")),
+
+    // aHash: 1-based positions ((i-1) matches Spark's 0-based pos), exact
+    // integer threshold (cv*64 > t), identical band packing via <<
+    "mm_phash_pairs" -> Util.wrap(
+      """WITH px AS (
+        |  SELECT doc_id, ((i - 1) * 64) // len(text) AS cell, ascii(text[i]) AS v
+        |  FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) ii
+        |  WHERE len(text) >= 64
+        |), cells AS (
+        |  SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS cv FROM px GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(cv) AS BIGINT) AS t FROM cells GROUP BY 1
+        |), bands AS (
+        |  SELECT cells.doc_id, cell // 16 AS band,
+        |    CAST(sum((CASE WHEN cv * 64 > t THEN 1 ELSE 0 END) << (cell % 16)) AS BIGINT) AS bval
+        |  FROM cells JOIN tot USING (doc_id) GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(sum(bit_count(xor(fa.bval, fb.bval))) AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN bands fa ON fa.doc_id = doc_a
+        |  JOIN bands fb ON fb.doc_id = doc_b AND fb.band = fa.band
+        |  GROUP BY doc_a, doc_b
+        |) h WHERE hamming <= 3""".stripMargin,
+      Seq("doc_a", "doc_b", "hamming")),
 
     "mm_decode_meta" -> (metaCte + Util.wrap(
       "SELECT doc_id, format, n_bytes, width, height, channels FROM meta",

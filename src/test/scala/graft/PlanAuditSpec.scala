@@ -549,6 +549,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("emb_decontaminate") <= 2,
       s"argmax window + harness sort only:\n$pd")
 
+    // mm_phash_pairs: candidate mining is the (band, bval) equi-join —
+    // never an all-pairs product; pair counts partial-aggregate
+    val pp = phys("mm_phash_pairs")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"phash mining must stay equi-join:\n$pp")
+    assert(pp.contains("partial_sum") || pp.contains("Partial"),
+      s"hamming agg must map-side combine:\n$pp")
+
     // shard shuffle: ONE keyed exchange (shard) + the harness sort; the
     // pos window is partitioned, parallelism = nShards
     val ph = phys("doc_shuffle_shards")

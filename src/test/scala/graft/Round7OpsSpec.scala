@@ -128,6 +128,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(w2._2 == 4L, s"tie on cosine must pick the lower eval_id: $w2")
   }
 
+  test("phash: identical payloads at distance 0; a light edit stays <= 3; noise doesn't pair") {
+    import graft.llm.Multimodal
+    val base = ('a' to 'z').mkString(" ") * 3 // 153 chars, >= 64
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                       // exact copy → hamming 0
+      (3L, base.replace("a b c", "a e c")), // one-cell nudge → small distance
+      (4L, "z y x w v u t s r q p o n m l k j i h g f e d c b a " * 4)
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(docs, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L),
+      s"exact copy must pair at distance 0: $pairs")
+    assert(pairs.exists(p => (p._1, p._2) == (1L, 3L)),
+      s"light edit must stay within the bound: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"reversed-alphabet noise must not pair: $pairs")
+    // bands are 16-bit values — the no-signed-overflow invariant
+    val bands = Multimodal.phashBands(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(bands.forall(b => b._3 >= 0 && b._3 < 65536))
+    assert(bands.groupBy(_._1).forall(_._2.length == 4), "4 bands per doc")
+  }
+
   test("snm window bound: a variant more than `window` ranks away is the documented miss") {
     // 5 identical-key docs: rank window 2 pairs (r, r+1), (r, r+2) only —
     // (1,4), (1,5), (2,5) are out of window and MUST be absent (that is the
