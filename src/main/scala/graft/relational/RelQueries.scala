@@ -482,6 +482,28 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Recursive CTE (Spark 4.1 WITH RECURSIVE): per-customer ancestor walk
+    // up the deterministic div-10 forest to its root, carrying depth — the
+    // hierarchy-flattening query (org chains, BOM explosions, thread
+    // ancestry) that needed iterative driver loops before recursion landed
+    // in the engine. Scale shape: the recursion is LINEAR and join-free —
+    // each iteration is a narrow filter+project over the previous step's
+    // frontier (rows still above a root), no shuffle anywhere; depth is
+    // log₁₀(max key), so the loop terminates in a handful of iterations
+    // regardless of row count. ~log-depth × one codegen'd map each.
+    "q_recursive_reach" -> ((s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer_rec")
+      graft.Util.orderAll(s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+          |  FROM customer_rec
+          |  UNION ALL
+          |  SELECT node, cur div 10 AS cur, depth + 1 FROM anc WHERE cur >= 10
+          |)
+          |SELECT node AS c_custkey, cur AS root, depth
+          |FROM anc WHERE cur < 10""".stripMargin))
+    }),
+
     // Pareto frontier of parts maximizing (p_size, p_retailprice) — the
     // window-pruned distributed skyline; see operators/Skyline for the
     // two-phase shape that replaces the oracle's quadratic NOT EXISTS
@@ -956,6 +978,18 @@ object RelQueries {
               s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
               .mkString(" + ")} AS zval
          |FROM z ORDER BY event_id""".stripMargin,
+
+    // same recursion, DuckDB's // integer division
+    "q_recursive_reach" -> graft.Util.wrap(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 10 AS cur, depth + 1 FROM anc WHERE cur >= 10
+        |)
+        |SELECT node AS c_custkey, cur AS root, depth
+        |FROM anc WHERE cur < 10""".stripMargin,
+      Seq("c_custkey", "root", "depth")),
 
     // the textbook quadratic skyline: kept quadratic ON PURPOSE — it is the
     // defining NOT EXISTS semantics the two-phase window plan must equal

@@ -549,6 +549,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("emb_decontaminate") <= 2,
       s"argmax window + harness sort only:\n$pd")
 
+    // q_recursive_reach: linear join-free recursion — nothing but the
+    // harness sort may shuffle (each iteration is filter+project)
+    assert(exchanges("q_recursive_reach") <= 1,
+      s"recursion must not shuffle:\n${phys("q_recursive_reach")}")
+
     // mm_phash_pairs: candidate mining is the (band, bval) equi-join —
     // never an all-pairs product; pair counts partial-aggregate
     val pp = phys("mm_phash_pairs")
