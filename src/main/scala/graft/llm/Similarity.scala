@@ -90,6 +90,35 @@ object Similarity {
       .select(col("vec_id"), col("eval_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (vec_id < nAnchors), the k nearest neighbors with a DIFFERENT label —
+    * the "hardest negatives" a triplet/InfoNCE batch builder pairs with
+    * each anchor. Same-label neighbors are excluded in the JOIN (before
+    * scoring), so the rank is over true negatives only; ranking is the
+    * [[cosineTopK]] contract (rounded cosine DESC, neighbor_id ASC).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the anchor set is the
+    * small side (a training batch, not the corpus) and broadcasts; per
+    * corpus row the work is |anchors| dot products; the per-anchor top-k
+    * window keys on the anchor id. The label filter PRUNES the scored set
+    * before the exchange. The bucketed variants (LSH/IVF) compose the same
+    * way when the anchor set grows — same join, bucket keys added. */
+  def hardNegatives(emb: DataFrame, nAnchors: Int, k: Int): DataFrame = {
+    val e = normed(emb).join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("label").as("la"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("label").as("lb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("la") =!= col("lb"))
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)
     * among the rest of the corpus. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -1009,6 +1038,7 @@ object Similarity {
     // mod 97 → 6 eval vectors on the sf0.01 fixture; 0.3 sits between the
     // cross-split cosine bulk and its 0.467 max, so the gate discriminates
     "emb_decontaminate" -> ((s, dir) => Util.orderAll(embDecontaminate(emb(s, dir), 97, 0.3))),
+    "emb_hard_negatives" -> ((s, dir) => Util.orderAll(hardNegatives(emb(s, dir), 5, 3))),
   )
 
   private val normCte =
@@ -1092,6 +1122,19 @@ object Similarity {
         |  ) p WHERE cosine >= 0.3
         |) z WHERE rk = 1""".stripMargin,
       Seq("vec_id", "eval_id", "cosine"))),
+
+    // same join-time label exclusion, same ranking contract
+    "emb_hard_negatives" -> (normCte + Util.wrap(
+      """SELECT query_id, neighbor_id, cosine, rk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |               c.vec_id ASC) AS rk
+        |  FROM (SELECT n.*, e.label FROM n JOIN embeddings e USING (vec_id)) q
+        |  JOIN (SELECT n.*, e.label FROM n JOIN embeddings e USING (vec_id)) c
+        |    ON q.vec_id < 5 AND q.label <> c.label
+        |) t WHERE rk <= 3""".stripMargin, annCols)),
 
     "ann_brute" -> (normCte + Util.wrap(
       """SELECT query_id, neighbor_id, cosine, rk FROM (
