@@ -108,4 +108,40 @@ object OperatorProps extends Properties("operators") {
       } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
       Prop(got == expected) :| s"got ${got.size} expected ${expected.size}"
     }
+
+  // duplicates on purpose: ties are the skyline's fiddly case (all copies
+  // of a frontier point must survive; neither copy dominates the other)
+  private val genPoints: Gen[List[(Long, Double)]] =
+    Gen.listOfN(14, for {
+      x <- Gen.choose(0L, 6L)
+      y <- Gen.choose(0, 6).map(_.toDouble)
+    } yield (x, y))
+
+  property("skyline == brute NOT-EXISTS domination, any partitioning, ties kept") =
+    Prop.forAll(genPoints, Gen.choose(1, 5)) { (pts, parts) =>
+      val rows = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = rows.toDF("id", "x", "y").repartition(parts)
+      val got = graft.operators.Skyline(df, "x", "y")
+        .select("id").as[Long].collect().toSet
+      val expected = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, ux, uy) =>
+          ux >= x && uy >= y && (ux > x || uy > y) }
+      }.map(_._1).toSet
+      Prop(got == expected) :| s"got $got expected $expected (parts=$parts)"
+    }
+
+  property("shuffleShards is a partition-invariant permutation for any id set") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(1L, 1000000L)), Gen.choose(1, 4)) {
+      (rawIds, parts) =>
+        val ids = rawIds.distinct
+        val docs = ids.map(i => (i, "t")).toDF("doc_id", "text")
+        val out = graft.llm.TextAnalysis.shuffleShards(docs, 4)
+          .as[(Long, Long, Long)].collect()
+        val out2 = graft.llm.TextAnalysis.shuffleShards(docs.repartition(parts), 4)
+          .as[(Long, Long, Long)].collect()
+        val dense = out.groupBy(_._2).forall { case (_, g) =>
+          g.map(_._3).sorted.sameElements(1L to g.length) }
+        Prop(out.sortBy(_._1).sameElements(out2.sortBy(_._1)) &&
+          out.length == ids.length && dense) :| s"out=${out.toList}"
+    }
 }
