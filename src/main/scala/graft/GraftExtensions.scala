@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       VectorFunctions.dotBuilder))
     ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
+    // whole-operator rung: plans graft.plans.SkylineNode → SkylineExec
+    ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
   }
 }

@@ -43,7 +43,31 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   */
 object Skyline {
 
+  /** Plans through the custom [[graft.plans.SkylineNode]] /
+    * [[graft.plans.SkylineExec]] operator (see that file for why the
+    * physical form beats the typed-Dataset `mapPartitions` draft: no
+    * De/SerializeObject walls, survivors-only row copies). The strategy is
+    * registered imperatively so extension-less sessions (Verify/Bench
+    * build plain builders) plan it too; `GraftExtensions` injects the same
+    * object for cluster installs. */
   def apply(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.SkylineStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.SkylineStrategy
+    val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull)
+    val analyzed = org.apache.spark.sql.graft.PlanHooks.analyzed(clean)
+    def attr(name: String) = analyzed.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"skyline dim `$name` not in ${analyzed.output.map(_.name)}"))
+    org.apache.spark.sql.graft.PlanHooks.ofRows(spark,
+      graft.plans.SkylineNode(attr(xCol), attr(yCol), analyzed))
+  }
+
+  /** The first-draft typed-Dataset form, kept as the cross-checked twin of
+    * the custom physical operator (spec-asserted equal on adversarial
+    * partitionings). */
+  private[graft] def viaDataset(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull)
     val xi = clean.schema.fieldIndex(xCol)
     val yi = clean.schema.fieldIndex(yCol)
@@ -62,12 +86,23 @@ object Skyline {
     * an accepted row then evicts the lower-left entries it dominates —
     * each entry is evicted at most once, so the sweep is O(n log f) for
     * frontier size f. */
-  private[graft] def localSkyline(it: Iterator[Row], xi: Int, yi: Int): Iterator[Row] = {
+  private[graft] def localSkyline(it: Iterator[Row], xi: Int, yi: Int): Iterator[Row] =
+    sweepGeneric[Row](it,
+      r => r.get(xi).asInstanceOf[Number].longValue(),
+      r => r.get(yi).asInstanceOf[Number].doubleValue(),
+      identity) // external Rows are already immutable copies
+
+  /** The sweep over any row representation: `getX`/`getY` read the
+    * dimensions, `retain` stabilizes a row before it enters the frontier
+    * buffer (identity for immutable Rows, `.copy()` for reused unsafe
+    * InternalRows — only survivors pay it). */
+  private[graft] def sweepGeneric[R](it: Iterator[R], getX: R => Long,
+                                     getY: R => Double, retain: R => R): Iterator[R] = {
     val stair = new java.util.TreeMap[Long, Double]()
-    val keep = mutable.Map.empty[(Long, Double), mutable.ArrayBuffer[Row]]
+    val keep = mutable.Map.empty[(Long, Double), mutable.ArrayBuffer[R]]
     it.foreach { row =>
-      val x = row.get(xi).asInstanceOf[Number].longValue()
-      val y = row.get(yi).asInstanceOf[Number].doubleValue()
+      val x = getX(row)
+      val y = getY(row)
       val e = stair.ceilingEntry(x)
       val dominated = e != null &&
         ((e.getKey > x && e.getValue >= y) || (e.getKey == x && e.getValue > y))
@@ -88,7 +123,7 @@ object Skyline {
         // any surviving same-x entry is an exact y tie, so the put is
         // idempotent there; otherwise it records this row's frontier point
         stair.put(x, y)
-        keep.getOrElseUpdate((x, y), mutable.ArrayBuffer.empty[Row]) += row
+        keep.getOrElseUpdate((x, y), mutable.ArrayBuffer.empty[R]) += retain(row)
       }
     }
     keep.valuesIterator.flatten

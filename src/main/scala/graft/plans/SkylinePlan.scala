@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.operators.Skyline
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types._
+
+/** Whole-operator plan integration for the 2-D Pareto skyline — the (c)-tier
+  * extension rung the design brief reserves for semantics the built-in
+  * operators can't express without a scale penalty: a custom logical node
+  * ([[SkylineNode]]), a planner strategy ([[SkylineStrategy]], injected via
+  * `GraftExtensions` and registered imperatively by
+  * [[graft.operators.Skyline.apply]] for extension-less sessions), and a
+  * physical operator ([[SkylineExec]]) that runs the identical staircase
+  * sweep directly over `InternalRow`s.
+  *
+  * Why a physical operator instead of the Dataset `mapPartitions` form: the
+  * typed path pays a Deserialize/Serialize pair around every phase (four
+  * object-conversion walls in the plan, each a codegen break and a per-row
+  * allocation); `SkylineExec` consumes the child's unsafe rows in place and
+  * copies ONLY frontier survivors — per-partition allocation drops from
+  * O(rows) to O(frontier). Same algorithm, same two phases (partition-local
+  * sweep, then an RDD `coalesce(1)` — not an Exchange — for the
+  * frontier-sized resolve), same answer, one plan node.
+  */
+/** Dimensions are carried as resolved [[Attribute]]s, NOT names: QueryPlan
+  * derives `references` from expression-typed constructor fields, which is
+  * what tells ColumnPruning the node READS x and y — with plain strings the
+  * optimizer pruned the dimensions out from under a `skyline.select("id")`
+  * (caught by the spec). */
+case class SkylineNode(x: Attribute, y: Attribute, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): SkylineNode =
+    copy(child = newChild)
+}
+
+object SkylineStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case SkylineNode(x, y, child) => SkylineExec(x, y, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SkylineExec(x: Attribute, y: Attribute, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Both sweep phases run inside this node; what leaves it is one
+    * frontier-sized partition. */
+  override def outputPartitioning: Partitioning = SinglePartition
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SkylineExec =
+    copy(child = newChild)
+
+  private def longGetter(dt: DataType, i: Int): InternalRow => Long = dt match {
+    case LongType    => r => r.getLong(i)
+    case IntegerType => r => r.getInt(i).toLong
+    case ShortType   => r => r.getShort(i).toLong
+    case other => throw new IllegalArgumentException(
+      s"skyline x-dimension must be integral, got ${other.simpleString}")
+  }
+
+  private def doubleGetter(dt: DataType, i: Int): InternalRow => Double = dt match {
+    case DoubleType  => r => r.getDouble(i)
+    case FloatType   => r => r.getFloat(i).toDouble
+    case LongType    => r => r.getLong(i).toDouble
+    case IntegerType => r => r.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"skyline y-dimension must be numeric, got ${other.simpleString}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val xi = child.output.indexWhere(_.exprId == x.exprId)
+    val yi = child.output.indexWhere(_.exprId == y.exprId)
+    require(xi >= 0 && yi >= 0,
+      s"skyline dims ($x, $y) not in ${child.output}")
+    val getX = longGetter(child.output(xi).dataType, xi)
+    val getY = doubleGetter(child.output(yi).dataType, yi)
+    def sweep(it: Iterator[InternalRow]): Iterator[InternalRow] =
+      Skyline.sweepGeneric[InternalRow](
+        // NULL dims can't be ranked — skip defensively (Skyline.apply
+        // filters them out before the node is ever built)
+        it.filter(r => !r.isNullAt(xi) && !r.isNullAt(yi)),
+        getX, getY,
+        // unsafe rows are reused by the scan — retain a copy, and only for
+        // frontier survivors (the allocation win over the Dataset path)
+        _.copy())
+    child.execute().mapPartitions(sweep).coalesce(1).mapPartitions(sweep)
+  }
+}

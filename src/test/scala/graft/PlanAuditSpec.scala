@@ -515,18 +515,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_skyline / doc_dedup_snm / doc_shuffle_shards: no quadratic forms, keyed windows only") {
-    // skyline: phase 1 is a partition-local mapPartitions sweep (a
-    // spark_partition_id window would force a full hashpartitioning(_pid)
-    // shuffle — the rejected first draft); the global resolve runs over
-    // local-frontier survivors only — NEVER the oracle's quadratic
-    // NOT EXISTS self-join
+    // skyline: plans to the custom SkylineExec (both sweep phases inside
+    // one physical node — no De/SerializeObject walls, no Exchange; the
+    // frontier gather is an RDD coalesce) — NEVER the oracle's quadratic
+    // NOT EXISTS self-join, and never the rejected drafts (pid-window =
+    // full shuffle; typed mapPartitions = 4 object-conversion walls)
     val ps = phys("q_skyline")
     assert(!ps.contains("CartesianProduct") && !ps.contains("Join"),
       s"skyline must be sweep-pruned, not a domination join:\n$ps")
-    assert(ps.contains("MapPartitions"), s"local sweep missing:\n$ps")
-    // exchanges: phase-2 single-partition gather + harness sort; phase 1
-    // must add none
-    assert(exchanges("q_skyline") <= 2, s"local prune must not shuffle:\n$ps")
+    assert(ps.contains("Skyline"), s"custom SkylineExec missing:\n$ps")
+    assert(!ps.contains("DeserializeToObject"),
+      s"typed-path conversion walls leaked back:\n$ps")
+    // the only Exchange is the harness sort
+    assert(exchanges("q_skyline") <= 1, s"skyline must not shuffle:\n$ps")
 
     // snm: the sort window partitions by the 4-char block key — a global
     // (empty-partition) window would be the single-task scale bug

@@ -44,6 +44,14 @@ class Round7OpsSpec extends SparkSpec {
     val skewed = Skyline(pts.repartition(7, col("y")), "x", "y")
       .select("id").as[Long].collect().toSet
     assert(skewed == brute)
+
+    // the custom SkylineExec and the typed-Dataset twin agree row-for-row
+    val viaDs = Skyline.viaDataset(pts.repartition(5), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(viaDs == brute, "Dataset twin diverged from the physical operator")
+    // and the plan actually used the custom node
+    val plan = Skyline(pts, "x", "y").queryExecution.executedPlan.toString
+    assert(plan.contains("Skyline"), s"custom exec not planned:\n$plan")
   }
 
   test("shuffleShards: a reproducible permutation — partition-invariant, dense pos per shard") {
