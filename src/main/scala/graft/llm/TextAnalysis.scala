@@ -241,6 +241,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Group-integrity split: assign every document of a SOURCE to the same
+    * train/valid/test split — the leakage-prevention form of
+    * [[stratifiedSplit]]. Row-hash splitting puts near-identical documents
+    * from one site on both sides of the train/test fence (the classic eval
+    * contamination path); when the unit of correlation is the group, the
+    * unit of splitting must be too (GroupShuffleSplit semantics).
+    *
+    * The group key is folded to an integer with a position-weighted ascii
+    * sum — deliberately engine-portable (no xxhash in the oracle's
+    * dialect), computed over the DISTINCT group values only (tiny) — then
+    * Lehmer-mixed into the same 90/5/5 buckets as [[stratifiedSplit]].
+    * Output is the audit: per (source, split) counts, where the integrity
+    * invariant (one split per source) is spec-asserted.
+    *
+    * Scale shape: the fold runs on #groups rows, the assignment broadcasts
+    * back, the audit aggregate is map-side partial — the corpus is scanned
+    * once and never shuffled on anything wider than (source, split). */
+  def groupSplit(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("source")).distinct()
+      .select(col("source"), posexplode(split(col("source"), "")).as(Seq("p", "ch")))
+      .filter(col("ch") =!= "")
+      .groupBy("source")
+      .agg(sum(ascii(col("ch")).cast("long") * (col("p") + 1)).as("gkey"))
+      .withColumn("bucket", expr(
+        "(((gkey % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 % 100"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END"))
+    docs.join(broadcast(g.select(col("source"), col("split"))), "source")
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-domain quota capping: keep the top-`k` documents per `source` by
     * quality score (ties broken by doc_id, everything on the ROUNDED score
     * so the ordering can't diverge between engines on an FP ulp). This is
@@ -1221,6 +1252,7 @@ object TextAnalysis {
     "text_redact"      -> ((s, dir) => Util.orderAll(redact(docs(s, dir)))),
     "doc_split_stratified" -> ((s, dir) => Util.orderAll(stratifiedSplit(docs(s, dir)))),
     "doc_shuffle_shards" -> ((s, dir) => Util.orderAll(shuffleShards(docs(s, dir), 16))),
+    "doc_split_group" -> ((s, dir) => Util.orderAll(groupSplit(docs(s, dir)))),
     // already deterministically ordered (n DESC, trigram ASC) — the same
     // ORDER BY the oracle ends with, so no orderAll re-sort
     "text_trigram_topk" -> ((s, dir) => trigramTopK(docs(s, dir), 20)),
@@ -1376,6 +1408,25 @@ object TextAnalysis {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
       Seq("lang", "split", "n_docs")),
+
+    // 1-based i matches Spark's (p + 1); same Lehmer bucket chain
+    "doc_split_group" -> Util.wrap(
+      """WITH gk AS (
+        |  SELECT source, CAST(sum(ascii(source[i]) * i) AS BIGINT) AS gkey
+        |  FROM (SELECT DISTINCT source FROM documents) s,
+        |       LATERAL (SELECT unnest(range(1, len(source) + 1)) AS i) ii
+        |  GROUP BY source
+        |), asg AS (
+        |  SELECT source,
+        |    CASE WHEN (((gkey % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 % 100 < 90 THEN 'train'
+        |         WHEN (((gkey % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 % 100 < 95 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM gk
+        |)
+        |SELECT d.source, split, count(*) AS n_docs
+        |FROM documents d JOIN asg ON d.source = asg.source
+        |GROUP BY d.source, split""".stripMargin,
+      Seq("source", "split", "n_docs")),
 
     "doc_shuffle_shards" -> Util.wrap(
       """SELECT doc_id, shard,

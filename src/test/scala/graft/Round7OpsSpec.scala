@@ -136,6 +136,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(w2._2 == 4L, s"tie on cosine must pick the lower eval_id: $w2")
   }
 
+  test("groupSplit: one split per source (integrity), all splits materialize on enough groups") {
+    val docs = (1L to 400L).map(i => (i, s"text $i", s"site${i % 80}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.groupSplit(docs)
+      .as[(String, String, Long)].collect()
+    // the leakage invariant: no source straddles two splits
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1),
+      s"a source landed in two splits: ${out.toSeq}")
+    // counts re-add to the corpus
+    assert(out.map(_._3).sum == 400L)
+    // with 80 groups all three splits should be populated (mix quality)
+    assert(out.map(_._2).distinct.length == 3, s"splits seen: ${out.map(_._2).distinct.toSeq}")
+  }
+
   test("phash: identical payloads at distance 0; a light edit stays <= 3; noise doesn't pair") {
     import graft.llm.Multimodal
     val base = ('a' to 'z').mkString(" ") * 3 // 153 chars, >= 64
