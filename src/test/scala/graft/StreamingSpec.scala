@@ -1154,6 +1154,49 @@ class StreamingSpec extends SparkSpec {
     assert(latest.toMap == batch, s"stream $latest != batch $batch")
   }
 
+  test("streaming sessions: cross-batch merge, once-only append, equals batch session_window") {
+    import java.sql.Timestamp
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Timestamp, Long, Long)]
+    val q = streaming.StreamingSessions.run(
+        mem.toDF().toDF("user_id", "ts", "value"), gap = "10 seconds", watermark = "5 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp("graft-ckpt-sess"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+        ()
+      }.start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 6 s apart SPLIT ACROSS BATCHES → one merged session;
+    // user 2: a lone event, then nothing → separate sessions
+    val b1 = Seq((1L, t("2024-01-01 10:00:00"), 1.5), (2L, t("2024-01-01 10:00:01"), 2.0))
+    val b2 = Seq((1L, t("2024-01-01 10:00:06"), 0.25))
+    // watermark driver: far-future event closes everything above
+    val b3 = Seq((9L, t("2024-01-01 11:00:00"), 0.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // one more watermark-advancing batch so the b3 close actually emits
+      mem.addData((9L, t("2024-01-01 12:00:00"), 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = got.toSet
+    // the merged session: 10:00:00–10:00:16, 2 events, 1.75 in micros
+    assert(emitted.exists(s => s._1 == 1L && s._4 == 2L && s._5 == 1750000L),
+      s"cross-batch merge failed: $emitted")
+    // batch parity over the closed sessions (everything before b3's hour)
+    import spark.implicits._
+    val batch = (b1 ++ b2).toDF("user_id", "ts", "value")
+      .groupBy($"user_id", session_window($"ts", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("tv"))
+      .select($"user_id", $"w.start", $"w.end", $"n", $"tv")
+      .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+    assert(batch.subsetOf(emitted), s"stream $emitted missing batch sessions $batch")
+    // once-only: no session appears twice
+    assert(got.size == got.toSet.size, s"duplicate emission: $got")
+  }
+
   test("streaming skyline: running frontier == batch skyline of the prefix, evictions applied") {
     val mem = MemoryStream[(String, Long, Double)](spark)
     val latest = scala.collection.concurrent.TrieMap.empty[String, Set[(Long, Double)]]
