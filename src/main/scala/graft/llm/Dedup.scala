@@ -236,10 +236,24 @@ object Dedup {
     * range — (2h+3)·sid would overflow under ANSI arithmetic, and pmod also
     * pins the negatives into [0, m) so both encodings share one expression. */
   private def signaturesOf(shid: DataFrame): DataFrame = {
-    val hashes = shid.sparkSession.range(16).select(col("id").as("h"))
-    shid.crossJoin(broadcast(hashes))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(expr("((2 * h + 3) * pmod(sid, 1000003) + 7919 * h + 13) % 1000003")).as("mh"))
+    // ONE aggregation with 16 primitive min buffers — not a ×16 crossJoin
+    // fan-out into a (doc_id, h) hash-aggregate. The fan-out's shuffle was
+    // already partial-combined, so the win is CPU-side only (no 16×
+    // materialized rows, no aggregate probing per (doc, h)): measured a
+    // modest ~8% on the sf0.1 minhash family (2.8→2.6 s) — the shingle
+    // build and the band join dominate, not the signature pass — kept
+    // because the plan is also structurally simpler (one HashAggregate in
+    // whole-stage codegen). The per-doc explode back to (doc_id, h, mh)
+    // preserves the narrow interface and costs #docs, not #shingles. Same
+    // hash family bit-for-bit: (2h+3)·(sid mod p) + 7919h + 13 mod p.
+    val wide = shid.withColumn("smod", pmod(col("sid"), lit(1000003L)))
+      .groupBy(col("doc_id"))
+      .agg(min(expr("(3 * smod + 13) % 1000003")).as("mh0"),
+        (1 until 16).map(h =>
+          min(expr(s"(${2 * h + 3} * smod + ${7919 * h + 13}) % 1000003")).as(s"mh$h")): _*)
+    wide.select(col("doc_id"),
+        posexplode(array((0 until 16).map(h => col(s"mh$h")): _*)).as(Seq("h", "mh")))
+      .select(col("doc_id"), col("h").cast("long").as("h"), col("mh"))
   }
 
   /** 8 bands × 2 rows: (doc_id, band, bval) — the joinable LSH key table. */
