@@ -136,7 +136,10 @@ object Multimodal {
       .select(col("doc_id"), length(col("text")).as("n"),
         posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
       .filter(col("ch") =!= "") // Java split keeps a trailing empty token
-      .select(col("doc_id"), expr("(pos * 64) div n").as("cell"),
+      // pos is Int: the multiply must go long FIRST or a >= 2^25-char
+      // payload overflows (ANSI error / wrapped negative cells) while the
+      // oracle's BIGINT arithmetic sails on (review-caught)
+      .select(col("doc_id"), expr("(CAST(pos AS BIGINT) * 64) div n").as("cell"),
         ascii(col("ch")).cast("long").as("v"))
     val cells = px.groupBy("doc_id", "cell").agg(sum(col("v")).as("cv"))
     val tot = cells.groupBy("doc_id").agg(sum(col("cv")).as("t"))

@@ -42,12 +42,21 @@ object Similarity {
     * (neighbor_id, vb, nb); `joinKeys` restricts candidates (LSH bucket /
     * IVF cell), empty = full cross. */
   private[llm] def cosineTopK(q: DataFrame, c: DataFrame, k: Int,
-                              joinKeys: Seq[String] = Nil): DataFrame = {
-    val scored = (if (joinKeys.isEmpty) q.join(c) else q.join(c, joinKeys))
-      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+                              joinKeys: Seq[String] = Nil): DataFrame =
+    rankTopK(if (joinKeys.isEmpty) q.join(c) else q.join(c, joinKeys), k)
+
+  /** [[cosineTopK]] with an arbitrary join predicate (e.g. the
+    * label-exclusion condition of [[hardNegatives]]) — same contract. */
+  private[llm] def cosineTopKOn(q: DataFrame, c: DataFrame, k: Int,
+                                cond: org.apache.spark.sql.Column): DataFrame =
+    rankTopK(q.join(c, cond), k)
+
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
+    joined
+      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
   }
@@ -110,13 +119,7 @@ object Similarity {
         col("nrm").as("na"), col("label").as("la"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
       col("nrm").as("nb"), col("label").as("lb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, col("la") =!= col("lb"))
-      .withColumn("cosine", round(cosineExpr / (col("na") * col("nb")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+    cosineTopKOn(broadcast(q), c, k, col("la") =!= col("lb"))
   }
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries)

@@ -259,16 +259,24 @@ object TextAnalysis {
     * back, the audit aggregate is map-side partial — the corpus is scanned
     * once and never shuffled on anything wider than (source, split). */
   def groupSplit(docs: DataFrame): DataFrame = {
+    // empty/NULL sources must still get an assignment (gkey 0) or their
+    // documents silently vanish through the inner join and the audit's
+    // counts-re-add invariant breaks exactly where a leakage audit matters
+    // most (review-caught): the fold keeps every group via a conditional
+    // sum + coalesce instead of filtering rows out, and the assignment
+    // joins null-safely
     val g = docs.select(col("source")).distinct()
-      .select(col("source"), posexplode(split(col("source"), "")).as(Seq("p", "ch")))
-      .filter(col("ch") =!= "")
+      .select(col("source"),
+        posexplode_outer(split(coalesce(col("source"), lit("")), "")).as(Seq("p", "ch")))
       .groupBy("source")
-      .agg(sum(ascii(col("ch")).cast("long") * (col("p") + 1)).as("gkey"))
+      .agg(coalesce(sum(when(col("ch") =!= "",
+        ascii(col("ch")).cast("long") * (col("p") + 1))), lit(0L)).as("gkey"))
       .withColumn("bucket", expr(
         "(((gkey % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 % 100"))
       .withColumn("split", expr(
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END"))
-    docs.join(broadcast(g.select(col("source"), col("split"))), "source")
+    docs.join(broadcast(g.select(col("source").as("_gs_source"), col("split"))),
+        col("source") <=> col("_gs_source"))
       .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
   }
 

@@ -33,10 +33,12 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
   *
   * Semantics pinned by the spec + DuckDB oracle: duplicate `(x, y)` points
   * do not dominate each other (no strict inequality), so ALL copies of a
-  * frontier point are returned. Rows with a NULL dimension are excluded
-  * (the fixture has none; the quadratic oracle's NULL comparisons would
-  * vacuously keep such rows — excluding them is the defensible semantics
-  * and keeps the two forms equal on real data).
+  * frontier point are returned. Rows with a NULL or NaN dimension are
+  * excluded (the fixture has none; NULL comparisons would vacuously keep
+  * such rows in the quadratic oracle, and a NaN admitted to the staircase
+  * compares false with everything and masks real dominators — excluding
+  * both is the defensible semantics and keeps the forms equal on real
+  * data). Signed zeros are canonicalized (`-0.0` ≡ `0.0`).
   *
   * `x` must be integral, `y` numeric; all other columns pass through
   * untouched.
@@ -55,7 +57,8 @@ object Skyline {
     if (!spark.experimental.extraStrategies.contains(graft.plans.SkylineStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.SkylineStrategy
-    val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull)
+    val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull &&
+      !df.col(yCol).cast("double").isNaN)
     val analyzed = org.apache.spark.sql.graft.PlanHooks.analyzed(clean)
     def attr(name: String) = analyzed.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
@@ -68,7 +71,8 @@ object Skyline {
     * the custom physical operator (spec-asserted equal on adversarial
     * partitionings). */
   private[graft] def viaDataset(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull)
+    val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull &&
+      !df.col(yCol).cast("double").isNaN)
     val xi = clean.schema.fieldIndex(xCol)
     val yi = clean.schema.fieldIndex(yCol)
     val enc = Encoders.row(clean.schema)
@@ -102,7 +106,14 @@ object Skyline {
     val keep = mutable.Map.empty[(Long, Double), mutable.ArrayBuffer[R]]
     it.foreach { row =>
       val x = getX(row)
-      val y = getY(row)
+      // + 0.0 canonicalizes -0.0 to 0.0: the stair compares primitives
+      // (-0.0 == 0.0) but `keep` is keyed on boxed bits (-0.0 != 0.0 under
+      // Double.equals) — an uncanonicalized signed zero desyncs the two
+      // maps and leaks a dominated row (review-caught). NaN rows are the
+      // caller's job to exclude (apply/viaDataset filter them with the
+      // NULLs): NaN compares false with everything, so one admitted NaN
+      // would sit in the staircase masking real dominators.
+      val y = getY(row) + 0.0
       val e = stair.ceilingEntry(x)
       val dominated = e != null &&
         ((e.getKey > x && e.getValue >= y) || (e.getKey == x && e.getValue > y))

@@ -71,6 +71,9 @@ case class SkylineExec(x: Attribute, y: Attribute, child: SparkPlan)
     case FloatType   => r => r.getFloat(i).toDouble
     case LongType    => r => r.getLong(i).toDouble
     case IntegerType => r => r.getInt(i).toDouble
+    // the Dataset twin accepts any Number — DECIMAL (the canonical SQL
+    // money type) must not be the one case where the twins diverge
+    case d: DecimalType => r => r.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalArgumentException(
       s"skyline y-dimension must be numeric, got ${other.simpleString}")
   }

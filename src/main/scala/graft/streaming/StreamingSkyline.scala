@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Skyline
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -47,16 +47,14 @@ object StreamingSkyline {
         (grp: String, rows: Iterator[(String, Long, Double)],
          state: GroupState[Array[(Long, Double)]]) =>
           val prev = state.getOption.getOrElse(Array.empty[(Long, Double)])
-          // fold prev frontier + batch through the identical batch sweep:
-          // that is what makes the prefix-equality property free
-          val schema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.DoubleType)))
-          val it = (prev.iterator ++ rows.map(r => (r._2, r._3)))
-            .map(p => new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-              Array[Any](p._1, p._2), schema): Row)
-          val frontier = Skyline.localSkyline(it, 0, 1)
-            .map(r => (r.getLong(0), r.getDouble(1))).toArray.sorted
+          // fold prev frontier + batch through the identical batch sweep
+          // (that is what makes the prefix-equality property free) —
+          // directly over tuples; NaN points are excluded like the batch
+          // operator's input filter does
+          val it = prev.iterator ++
+            rows.map(r => (r._2, r._3)).filter(p => !p._2.isNaN)
+          val frontier = Skyline.sweepGeneric[(Long, Double)](
+            it, _._1, _._2, identity).toArray.sorted
           state.update(frontier)
           frontier.iterator.map(p => (grp, p._1, p._2))
       }

@@ -530,12 +530,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("q_skyline") <= 1, s"skyline must not shuffle:\n$ps")
 
     // snm: the sort window partitions by the 4-char block key — a global
-    // (empty-partition) window would be the single-task scale bug
-    val pn = exec("doc_dedup_snm").toString
+    // (empty-partition) window would be the single-task scale bug. Audited
+    // on the UNWRAPPED operator: the registry entry's orderAll adds a
+    // SinglePartition harness exchange that made the original
+    // no-global-window disjunction vacuously true (review-caught), so the
+    // raw plan is the one that can actually fail this.
+    val pn = graft.llm.Dedup.snmPairs(Tables.documents(spark, sf), 3, 20)
+      .queryExecution.executedPlan.toString
     assert(pn.contains("hashpartitioning(blk"),
       s"snm window must partition by the block key:\n$pn")
-    assert(!pn.contains("SinglePartition") || pn.contains("rangepartitioning") ||
-      !pn.split("SinglePartition").head.contains("Window"),
+    assert(!pn.contains("SinglePartition"),
       s"snm must not run a global window:\n$pn")
     assert(pn.contains("levenshtein"), s"bounded verify missing:\n$pn")
 

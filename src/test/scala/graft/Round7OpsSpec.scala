@@ -136,6 +136,37 @@ class Round7OpsSpec extends SparkSpec {
     assert(w2._2 == 4L, s"tie on cosine must pick the lower eval_id: $w2")
   }
 
+  test("skyline: NaN rows are excluded and can't mask dominators; -0.0 can't leak a dominated row") {
+    val pts = Seq(
+      (1L, 10L, 7.0),
+      (2L, 5L, Double.NaN), // excluded — NaN admitted would mask row 1
+      (3L, 3L, 6.0),        // dominated by row 1, must NOT survive
+      (4L, 5L, -0.0),       // signed zero...
+      (5L, 5L, 0.0),        // ...tie with +0.0: equal point, both dominated by 1
+      (6L, 1L, 9.0)         // frontier (max y)
+    ).toDF("id", "x", "y")
+    val sky = Skyline(pts, "x", "y").select("id").as[Long].collect().toSet
+    assert(sky == Set(1L, 6L), s"got $sky")
+    // -0.0 eviction desync regression: a zero-y frontier point with both
+    // signs, then a dominator — nothing with y <= dominator's y survives
+    val z = Seq((1L, 5L, -0.0), (2L, 5L, 0.0), (3L, 6L, 1.0)).toDF("id", "x", "y")
+    val zs = Skyline(z, "x", "y").select("id").as[Long].collect().toSet
+    assert(zs == Set(3L), s"signed-zero desync leaked a dominated row: $zs")
+  }
+
+  test("groupSplit: empty-string and NULL sources still get assigned (no silent drops)") {
+    val docs = Seq(
+      (1L, "t", "siteA"), (2L, "t", "siteA"),
+      (3L, "t", ""),                      // empty group key
+      (4L, "t", null.asInstanceOf[String]) // NULL group key
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.groupSplit(docs)
+      .as[(Option[String], String, Long)].collect()
+    assert(out.map(_._3).sum == 4L, s"counts must re-add to the corpus: ${out.toSeq}")
+    assert(out.exists(_._1.contains("")), "empty source vanished")
+    assert(out.exists(_._1.isEmpty), "NULL source vanished")
+  }
+
   test("groupSplit: one split per source (integrity), all splits materialize on enough groups") {
     val docs = (1L to 400L).map(i => (i, s"text $i", s"site${i % 80}"))
       .toDF("doc_id", "text", "source")
