@@ -331,7 +331,35 @@ object ScaleStress {
         "user_id", "value").count())
     System.err.println(s"[stress] snm_pairs=$nSnm shuffle_rows=$nShuf skyline_rows=$nSky")
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky}"""
+    // phash — banded fingerprint join; ANSWER-bound on the dense ×N corpus
+    // like the simhash family (same skip reasoning at big factors)
+    val skipPhash = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("simhash"))
+    val (nPh, tPh) =
+      if (skipPhash) (-1L, -1.0)
+      else timed("phash pairs x" + factor)(
+        graft.llm.Multimodal.phashPairs(docsN, 3).count())
+    // group-integrity split — fold over #groups, broadcast back, one scan
+    val (nGs, tGs) = timed("group split x" + factor)(
+      graft.llm.TextAnalysis.groupSplit(docsN).count())
+    // embedding gates at ×N: replicate embeddings with fresh vec_ids and a
+    // per-copy coordinate nudge (real-growth shape: new vectors, not copies)
+    val embBase = Tables.embeddings(spark, sfDir)
+    val maxVec = embBase.agg(max("vec_id")).head().getLong(0) + 1
+    val embN = embBase.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("copy") * maxVec)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, j) -> x + CAST(copy AS FLOAT) * CAST(j % 3 AS FLOAT) / 1000.0)"))
+      .drop("copy")
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val (nDe, tDe) = timed("emb decontaminate x" + factor)(
+      graft.llm.Similarity.embDecontaminate(embN, 97, 0.3).count())
+    val (nHn, tHn) = timed("hard negatives x" + factor)(
+      graft.llm.Similarity.hardNegatives(embN, 5, 3).count())
+    System.err.println(s"[stress] phash_pairs=$nPh group_split_rows=$nGs" +
+      s" decontam_rows=$nDe hard_neg_rows=$nHn")
+
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.
