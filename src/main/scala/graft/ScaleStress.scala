@@ -258,9 +258,18 @@ object ScaleStress {
     // help — so the question is whether the grid salt bounds max task time.
     // A SparkListener records the longest task of each run.
     val skipSkew = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("skew"))
+    // SPARK_GRAFT_STRESS_SKEW_REPS > 1 repeats the whole skew section and
+    // keeps per-metric MEDIANS — the r7 verdict found a stale/contended
+    // skew record contradicting SCALE.md; medians over 3 reps are the
+    // reconciliation protocol (single runs of second-long stages swing >3×
+    // under sandbox contention)
+    val skewReps = sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_REPS", "1").toInt
     var (tSkewPlain, tSkewSalt, tSkewDedupFirst) = (-1.0, -1.0, -1.0)
     var (maxTaskPlain, maxTaskSalt, maxTaskDedupFirst) = (-1L, -1L, -1L)
     var (nSkewPairs, nDedupFirstPairs) = (-1L, -1L)
+    var (tWinnowPlain, tWinnowCap) = (-1.0, -1.0)
+    var (maxTaskWinnowPlain, maxTaskWinnowCap) = (-1L, -1L)
+    var (nWinnowPlain, nWinnowCap) = (-1L, -1L)
     if (!skipSkew) {
       val dupText = (1 to 12).map(i => s"hotdup$i").mkString(" ")
       val docsSkew = docsBase.crossJoin(copies)
@@ -277,34 +286,70 @@ object ScaleStress {
           if (t.taskInfo != null)
             maxTask.updateAndGet(m => math.max(m, t.taskInfo.duration))
       }
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      def medL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      val accPlain = Seq.newBuilder[(Double, Long)]
+      val accSalt = Seq.newBuilder[(Double, Long)]
+      val accDf = Seq.newBuilder[(Double, Long)]
+      val accWp = Seq.newBuilder[(Double, Long)]
+      val accWc = Seq.newBuilder[(Double, Long)]
       spark.sparkContext.addSparkListener(listener)
       try {
-        maxTask.set(0)
-        val (n1, t1) = timed("minhash skew plain")(
-          graft.llm.Dedup.minhashLsh(docsSkew, 0.4).count())
-        maxTaskPlain = maxTask.get(); tSkewPlain = t1; nSkewPairs = n1
-        maxTask.set(0)
-        val (n2, t2) = timed("minhash skew salt8")(
-          graft.llm.Dedup.minhashLsh(docsSkew, 0.4,
-            graft.llm.Dedup.ExactVocabBound, saltBuckets = 8).count())
-        maxTaskSalt = maxTask.get(); tSkewSalt = t2
-        require(n1 == n2, s"salting changed the answer: $n1 vs $n2")
-        // the production order: exact-dedup FIRST (collapse identical texts
-        // to one representative), near-dup over representatives. The salt
-        // bounds the band-join task, but the C(dups,2) pair ANSWER is
-        // inherent to running near-dup on an un-exact-deduped corpus — this
-        // stage shows the answer-size pathology disappears upstream.
-        maxTask.set(0)
-        val reps = docsSkew.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"), col("text"))
-        val (n3, t3) = timed("minhash dedup-first")(
-          graft.llm.Dedup.minhashLsh(reps, 0.4).count())
-        maxTaskDedupFirst = maxTask.get(); tSkewDedupFirst = t3; nDedupFirstPairs = n3
+        for (rep <- 1 to skewReps) {
+          maxTask.set(0)
+          val (n1, t1) = timed(s"minhash skew plain #$rep")(
+            graft.llm.Dedup.minhashLsh(docsSkew, 0.4).count())
+          accPlain += ((t1, maxTask.get())); nSkewPairs = n1
+          maxTask.set(0)
+          val (n2, t2) = timed(s"minhash skew salt8 #$rep")(
+            graft.llm.Dedup.minhashLsh(docsSkew, 0.4,
+              graft.llm.Dedup.ExactVocabBound, saltBuckets = 8).count())
+          accSalt += ((t2, maxTask.get()))
+          require(n1 == n2, s"salting changed the answer: $n1 vs $n2")
+          // the production order: exact-dedup FIRST (collapse identical texts
+          // to one representative), near-dup over representatives. The salt
+          // bounds the band-join task, but the C(dups,2) pair ANSWER is
+          // inherent to running near-dup on an un-exact-deduped corpus — this
+          // stage shows the answer-size pathology disappears upstream.
+          maxTask.set(0)
+          val reps = docsSkew.groupBy(col("text"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("text"))
+          val (n3, t3) = timed(s"minhash dedup-first #$rep")(
+            graft.llm.Dedup.minhashLsh(reps, 0.4).count())
+          accDf += ((t3, maxTask.get())); nDedupFirstPairs = n3
+          // winnowing hot-FINGERPRINT adversary (the same 10%-boilerplate
+          // corpus): uncapped, the shared run's fingerprints fan out
+          // C(dups,2) through the self-join; the MOSS stop-fingerprint cap
+          // must bound both wall time and the longest task. Pair counts
+          // differ BY DESIGN (the cap drops boilerplate-only pairs — that
+          // is the rule's point); the capped set is a subset, spec-pinned.
+          maxTask.set(0)
+          val (nw1, tw1) = timed(s"winnow skew plain #$rep")(
+            graft.llm.Dedup.winnowPairs(docsSkew, 4, 2).count())
+          accWp += ((tw1, maxTask.get())); nWinnowPlain = nw1
+          maxTask.set(0)
+          val (nw2, tw2) = timed(s"winnow skew capped #$rep")(
+            graft.llm.Dedup.winnowPairs(docsSkew, 4, 2, maxDf = 64).count())
+          accWc += ((tw2, maxTask.get())); nWinnowCap = nw2
+          require(nw2 <= nw1, s"df cap added pairs: $nw1 -> $nw2")
+        }
       } finally spark.sparkContext.removeSparkListener(listener)
-      System.err.println(s"[stress] skew_pairs=$nSkewPairs " +
+      val (pT, pM) = accPlain.result().unzip
+      val (sT, sM) = accSalt.result().unzip
+      val (dT, dM) = accDf.result().unzip
+      val (wpT, wpM) = accWp.result().unzip
+      val (wcT, wcM) = accWc.result().unzip
+      tSkewPlain = med(pT); maxTaskPlain = medL(pM)
+      tSkewSalt = med(sT); maxTaskSalt = medL(sM)
+      tSkewDedupFirst = med(dT); maxTaskDedupFirst = medL(dM)
+      tWinnowPlain = med(wpT); maxTaskWinnowPlain = medL(wpM)
+      tWinnowCap = med(wcT); maxTaskWinnowCap = medL(wcM)
+      System.err.println(s"[stress] skew_pairs=$nSkewPairs reps=$skewReps " +
         s"max_task_plain=${maxTaskPlain}ms max_task_salt8=${maxTaskSalt}ms " +
-        s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms")
+        s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms " +
+        s"winnow_plain=${nWinnowPlain}p/${maxTaskWinnowPlain}ms " +
+        s"winnow_capped=${nWinnowCap}p/${maxTaskWinnowCap}ms")
     }
 
     // the one-pass column profiler over the full ×N events table (6 mixed
@@ -359,7 +404,18 @@ object ScaleStress {
     System.err.println(s"[stress] phash_pairs=$nPh group_split_rows=$nGs" +
       s" decontam_rows=$nDe hard_neg_rows=$nHn")
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn}"""
+    // r8: batched BPE training at production merge count — 512 merges in
+    // ≤16 batched stats rounds (batch=32) over the sf corpus. The r7
+    // verdict's wall was one driver round-trip PER merge; this measures the
+    // k/B loop completing inside the stress budget. Early exhaustion (the
+    // corpus running out of mergeable pairs) still counts the merges made.
+    val (nBpe, tBpe) = timed("bpe train k=512 b=32") {
+      val (bpeMs, _) = graft.llm.BpeTrainer.train(docsBase, 512, batch = 32)
+      bpeMs.length.toLong
+    }
+    System.err.println(s"[stress] bpe512_merges=$nBpe")
+
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

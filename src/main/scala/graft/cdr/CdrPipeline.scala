@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - Both enrichment joins keep the *fact* side shuffle-free: the dimensions
   *    (`imsi_msisdn`, `ms_ip_exploded`) are bounded lookup tables
-  *    (reference caches them at 100/1000 rows, flink.conf:37-48) and are
-  *    `broadcast()` here, so J1–J4 lower to BroadcastHashJoin — no exchange
-  *    on the CDR stream. If a dimension ever outgrows the broadcast
-  *    threshold, drop the hint and Catalyst falls back to shuffled hash; the
+  *    (reference caches them at 100/1000 rows, flink.conf:37-48) and get a
+  *    `broadcast()` hint, so J1–J4 lower to BroadcastHashJoin — no exchange
+  *    on the CDR stream. The hint is SIZE-CONDITIONAL ([[hintIfSmall]]): it
+  *    is emitted only while Catalyst's own size estimate of the dim plan
+  *    stays under `dimMaxBytes`, so a dimension that outgrows executor
+  *    memory degrades to Catalyst's shuffled-hash/SMJ choice instead of
+  *    OOMing on a forced build side (no human in the loop at 3am); the
   *    range predicate of J3/J4 stays a post-join filter either way.
   *  - The only shuffle in the whole pipeline is the argmax dedup (A1/A2),
   *    keyed by `unique_cdr_id` — exactly where the reference shuffles too
@@ -56,13 +59,29 @@ object CdrPipeline {
       .withColumn("ip", trim(col("ip")))
       .filter(col("ip") =!= "")
 
+  /** Dim-size bound under which the broadcast hint is emitted: 256 MB —
+    * comfortably inside a 4 GB executor after 2× relation overhead, far
+    * above the reference's 100/1000-row dims, far below Spark's 8 GB hard
+    * broadcast limit. */
+  val DimBroadcastMaxBytes: Long = 256L << 20
+
+  /** Emit the `broadcast()` hint only while Catalyst's size estimate of the
+    * dim plan is under `maxBytes`; above it (or when stats are unknown —
+    * estimates default to Long.Max), return the frame unhinted and let
+    * Catalyst pick the join strategy. Reads plan stats — no Spark job. */
+  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame =
+    if (dim.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
+      broadcast(dim)
+    else dim
+
   /** J1/J2 + P6: subscriber lookup join on `imsi` with coalesce-merge
     * (EnrichmentApp.java:300-318, EnrichmentAppWithoutExplode.java:275-293).
     * Stream-static semantics: the static side is (re)read per micro-batch ⇒
     * as-of-processing-time, matching FOR SYSTEM_TIME AS OF proc_time. */
-  def lookupEnrich(src: DataFrame, imsiMsisdn: DataFrame, joinType: String): DataFrame = {
+  def lookupEnrich(src: DataFrame, imsiMsisdn: DataFrame, joinType: String,
+                   dimMaxBytes: Long = DimBroadcastMaxBytes): DataFrame = {
     val dim = imsiMsisdn.select(col("imsi").as("_imsi"), col("msisdn").as("_msisdn"))
-    src.join(broadcast(dim), src("imsi") === dim("_imsi"), joinType)
+    src.join(hintIfSmall(dim, dimMaxBytes), src("imsi") === dim("_imsi"), joinType)
       .withColumn("imsi", coalesce(col("_imsi"), col("imsi")))
       .withColumn("msisdn", coalesce(col("_msisdn"), col("msisdn")))
       .drop("_imsi", "_msisdn")
@@ -72,14 +91,15 @@ object CdrPipeline {
     * the temporal range predicate `src.start_time >= dim.start_time`
     * (EnrichmentApp.java:320-340). Keeps `ip` and `_start_time` for the
     * downstream argmax dedup (A1), mirroring the reference's column flow. */
-  def rangeEnrich(srcExploded: DataFrame, msIpExploded: DataFrame, joinType: String): DataFrame = {
+  def rangeEnrich(srcExploded: DataFrame, msIpExploded: DataFrame, joinType: String,
+                  dimMaxBytes: Long = DimBroadcastMaxBytes): DataFrame = {
     val dim = msIpExploded.select(
       col("start_time").as("_start_time"), col("imsi").as("_imsi"),
       col("msisdn").as("_msisdn"), col("probe").as("_probe"), col("ip").as("_ip"))
     val cond = srcExploded("probe") === dim("_probe") &&
       srcExploded("ip") === dim("_ip") &&
       srcExploded("start_time") >= dim("_start_time")
-    srcExploded.join(broadcast(dim), cond, joinType)
+    srcExploded.join(hintIfSmall(dim, dimMaxBytes), cond, joinType)
       .withColumn("imsi", coalesce(col("_imsi"), col("imsi")))
       .withColumn("msisdn", coalesce(col("_msisdn"), col("msisdn")))
       .drop("_imsi", "_msisdn", "_probe", "_ip")

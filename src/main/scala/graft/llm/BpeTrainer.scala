@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{Tables, Util}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer TRAINING — the missing first
@@ -52,8 +52,26 @@ object BpeTrainer {
 
   /** Run k merge steps; returns the learned merges and the final
     * (word, f, syms) table (still distributed). Stops early if no pair is
-    * left to merge. */
-  def train(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    * left to merge.
+    *
+    * `batch` > 1 is the production-scale loop shape (k/B driver round-trips
+    * instead of k): each pair-statistics pass selects up to `batch` merges
+    * that are pairwise SYMBOL-DISJOINT — no selected pair shares a symbol
+    * with another selected pair or with another selection's merged output —
+    * in (count DESC, pair ASC) rank order, from a bounded candidate window
+    * (8·batch rows, still a top-k collect, never data-sized). Disjointness
+    * makes the batch exact *as a set of applications*: merging (a,b) can
+    * neither create nor destroy an occurrence of a disjoint (c,d), so
+    * applying the batch sequentially in rank order (what the loop does)
+    * touches the same occurrences as applying each against its own
+    * recount. What IS approximate at batch > 1 is the global greedy
+    * ordering itself — a merge's output symbol could pair into a count
+    * that outranks the batch's lower picks; classic batched-BPE accepts
+    * this (quality indistinguishable at real k), and `batch = 1` (the
+    * default, and what every oracle query uses) reproduces the exact
+    * sequential algorithm including recorded counts. */
+  def train(docs: DataFrame, k: Int, batch: Int = 1): (Seq[Merge], DataFrame) = {
+    require(batch >= 1, s"train: batch must be >= 1, got $batch")
     var words = wordFreq(docs)
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -62,6 +80,7 @@ object BpeTrainer {
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
+      val want = math.min(batch, k - step + 1)
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
@@ -70,16 +89,31 @@ object BpeTrainer {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(if (want == 1) 1 else want * 8)
         .collect()
       if (top.isEmpty) exhausted = true
       else {
-        val r = top.head
-        val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
-        merges += Merge(step, a, b, cnt)
-        words = words.withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(true)
-        step += 1
+        // greedy rank-order selection of symbol-disjoint merges; `used`
+        // also holds each selection's concatenation so a later pick can
+        // neither consume nor string-collide with an earlier pick's output
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (it.hasNext && chosen.size < want) {
+          val r = it.next()
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            chosen += ((a, b, cnt))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        for ((a, b, cnt) <- chosen) {
+          merges += Merge(step, a, b, cnt)
+          step += 1
+        }
+        words = chosen.foldLeft(words) { case (w, (a, b, _)) =>
+          w.withColumn("syms", applyMerge(col("syms"), a, b))
+        }.localCheckpoint(true)
       }
     }
     (merges.toSeq, words)
@@ -120,30 +154,66 @@ object BpeTrainer {
   /** APPLY a stored tokenizer to any (doc_id, text) frame — including
     * words the trainer never saw: each new word starts as characters and
     * replays the k merges in training order (the exact inference rule of
-    * BPE tokenizers), so "abab" under a stored (a,b) merge becomes 2
-    * tokens whether or not it occurred in training. The merge table is a
-    * k-row bounded driver collect (the LSH-plane convention); per merge
-    * the work is one in-row fold over the DISTINCT words of the batch —
-    * k narrow passes over a vocabulary-sized table, no shuffle, then the
-    * same corpus join/rollup as [[bpeTokenCounts]].
+    * BPE tokenizers, and bit-identical to the [[applyMerge]] fold chain —
+    * spec-pinned), so "abab" under a stored (a,b) merge becomes 2 tokens
+    * whether or not it occurred in training.
+    *
+    * Scale shape: the merge table is a k-row bounded driver collect (the
+    * LSH-plane convention) shipped once as a broadcast; the replay is ONE
+    * `mapPartitions` pass over the DISTINCT words of the batch — a
+    * vocabulary-sized table, no shuffle — so k is unbounded (a real
+    * 32k–100k-merge tokenizer fits; the per-word loop skips merges whose
+    * symbols aren't present, so cost tracks the word's own merge chain,
+    * not k). This replaced the r7 chain of k nested fold EXPRESSIONS,
+    * which hard-capped k at 64 plan nodes. Then the same corpus
+    * join/rollup as [[bpeTokenCounts]].
     *
     * Scoring the training corpus against its own stored merges reproduces
     * [[bpeTokenCounts]] exactly (that identity IS the oracle for
     * `text_bpe_apply`). */
   def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
-    val merges = docs.sparkSession.read.parquet(path)
+    val spark = docs.sparkSession
+    val merges: Array[(String, String)] = spark.read.parquet(path)
       .orderBy(col("step")).select("pair_a", "pair_b").collect()
-    require(merges.length <= 64,
-      s"bpeTokensAgainstMerges: ${merges.length} merges — the k nested " +
-        "fold expressions assume a small stored tokenizer")
-    var words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .map(r => (r.getString(0), r.getString(1)))
+    val bc = spark.sparkContext.broadcast(merges)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1).distinct()
-      .withColumn("syms", expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-    for (m <- merges)
-      words = words.withColumn("syms",
-        applyMerge(col("syms"), m.getString(0), m.getString(1)))
-    val wordLens = words.select(col("word"), size(col("syms")).as("n_syms"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_syms",
+          org.apache.spark.sql.types.IntegerType))))
+    val wordLens = words.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        var syms: Array[String] = w.map(_.toString).toArray
+        // stale-tolerant presence filter: symbols ever seen in this word —
+        // extra entries only cost a scan, never change the result
+        val present = scala.collection.mutable.HashSet.empty[String]
+        syms.foreach(present += _)
+        var i = 0
+        while (i < ms.length) {
+          val (a, b) = ms(i)
+          if (syms.length >= 2 && present(a) && present(b)) {
+            // left-to-right non-overlapping application — the applyMerge rule
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            var changed = false
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += (a + b); changed = true; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            if (changed) { syms = out.toArray; present += (a + b) }
+          }
+          i += 1
+        }
+        Row(w, syms.length)
+      }
+    }(enc)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(wordLens, "word")

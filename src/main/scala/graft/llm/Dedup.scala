@@ -1032,16 +1032,27 @@ object Dedup {
     * the number moves on borderline-J corpora (8×2 bands collide with
     * P = 1−(1−J²)⁸ ≈ 0.81 at J = 0.45), which is exactly when a team
     * needs this report. Cost is the quadratic truth side — a SAMPLED
-    * evaluation corpus is the production shape, never the full 100 TB. */
-  def dedupEval(docs: DataFrame, threshold: Double): DataFrame =
-    ngramJaccard(docs, threshold).select("doc_a", "doc_b")
-      .join(minhashLsh(docs, threshold).select("doc_a", "doc_b")
+    * evaluation corpus is the production shape, never the full 100 TB:
+    * `sampleMod` keeps the 1/sampleMod deterministic hash-slice of the
+    * corpus (xxhash64(doc_id) ≡ 0 mod sampleMod — reproducible across
+    * runs, unbiased w.r.t. doc ordering) before EITHER side runs, so the
+    * quadratic truth join sees n/sampleMod docs. The default 1 is the
+    * full-corpus form the fixture oracle pins; the sampled arm is
+    * spec-verified (recall on the slice within CI bounds of the full
+    * answer) rather than left as a scaladoc claim. */
+  def dedupEval(docs: DataFrame, threshold: Double, sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1, s"dedupEval: sampleMod must be >= 1, got $sampleMod")
+    val d = if (sampleMod == 1L) docs
+      else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
+    ngramJaccard(d, threshold).select("doc_a", "doc_b")
+      .join(minhashLsh(d, threshold).select("doc_a", "doc_b")
         .withColumn("f", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         coalesce(sum(col("f")), lit(0L)).as("n_found"))
       .select(col("n_true"), col("n_found"),
         (col("n_true") - col("n_found")).as("n_missed"),
         expr("(n_found * 1000000) div n_true").as("recall_micro"))
+  }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
     * MOSS algorithm): per document, the min-hash of every sliding window of
@@ -1082,14 +1093,36 @@ object Dedup {
           .stripMargin)).as("fp"))
   }
 
+  /** Default stop-fingerprint cap for [[winnowPairs]] — far above any
+    * fixture document frequency (a no-op at test scale, spec-pinned), real
+    * protection at corpus scale where boilerplate df runs to millions. */
+  val WinnowStopDf: Long = 1L << 20
+
   /** Fingerprint-overlap pairs: documents sharing ≥ `minShared` winnowed
     * fingerprints. The join runs over the 1/window-sized fingerprint
     * table, never the shingle sets — the winnowing index IS the candidate
-    * structure, no banding needed. */
-  def winnowPairs(docs: DataFrame, window: Int, minShared: Long): DataFrame = {
+    * structure, no banding needed.
+    *
+    * `maxDf` is MOSS's stop-fingerprint rule (Schleimer et al. §5 — MOSS
+    * drops fingerprints "that occur in many documents"): a fingerprint
+    * shared by more than `maxDf` documents is boilerplate (headers,
+    * licenses, copyright runs — exactly what winnowing fingerprints) and is
+    * dropped BEFORE the self-join. Without it one hot fingerprint in m docs
+    * fans out m² pairs — the same quadratic hot-bucket failure the LSH band
+    * join salts against, except here the cap also *improves* the answer:
+    * boilerplate runs are not the overlap a plagiarism report is after.
+    * The hot-fingerprint list is tiny (≤ #fingerprints with df > cap), so
+    * the anti-join broadcasts; the ×10 hot-boilerplate stress row measures
+    * the bounded max task. */
+  def winnowPairs(docs: DataFrame, window: Int, minShared: Long,
+                  maxDf: Long = WinnowStopDf): DataFrame = {
+    require(maxDf >= 2, s"winnowPairs: maxDf must be >= 2 (a df-1 cap would drop every shared fingerprint), got $maxDf")
     val fp = winnowFingerprints(docs, window).localCheckpoint(eager = true)
-    fp.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val kept = fp.join(hot, Seq("fp"), "left_anti")
+    kept.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

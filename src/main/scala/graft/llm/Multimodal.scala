@@ -9,23 +9,33 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video payloads as opaque `binary` columns
   * with typed metadata, plus batched decode / feature-extraction plumbing.
   *
-  * The decode itself is a STUB (this container ships no image/audio codecs):
-  * [[StubCodec.decode]] is a deterministic fake keyed on the byte payload.
-  * Everything around it is real and tested — the (binary, metadata) schema,
-  * the partition-wise batching (`mapPartitions`, the JVM analog of a
-  * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
-  * through it), and the downstream feature columns.
+  * The image path is REAL: [[realMediaTable]] generates genuine PNG/JPEG
+  * bytes per document (`BufferedImage` → `ImageIO.write`, zero new
+  * dependencies — javax.imageio ships with every JVM), and [[decodeBatch]] /
+  * [[decodeLuma]] decode them back with `ImageIO.read` inside a
+  * partition-wise `mapPartitions` stage (the JVM analog of a `mapInPandas`
+  * batch UDF: per-partition codec init, rows streamed through it). Because
+  * the fixture images are generated from a closed-form pixel function of
+  * `doc_id`, the DuckDB oracle predicts every decoded property — width,
+  * height, band count, each luma sample — arithmetically, so the decode is
+  * verified end-to-end against its generative spec (`mm_decode_real`,
+  * `mm_phash_real`, `mm_resize_real`). Audio/video remain modeled
+  * (`mm_audio_frames` frames a sample stream; a PCM/ffmpeg decode slots in
+  * at the same mapPartitions seam).
   *
-  * Scale notes (100 TB): media blobs dominate row size, so the decode stage
-  * repartitions by byte budget, never by row count; the metadata query
-  * projects (doc_id, n_bytes, format) only — column pruning keeps the scan
+  * Scale notes (100 TB): media blobs dominate row size, so a decode stage
+  * repartitions by byte budget, never by row count; the metadata queries
+  * project (doc_id, n_bytes, format) only — column pruning keeps the scan
   * from reading blob bytes when only metadata is needed (verify via
   * ReadSchema in explain).
   */
 object Multimodal {
 
   /** Build a media table from documents: payload = utf-8 bytes of the text
-    * (a stand-in for real image/audio bytes), format cycled per doc_id. */
+    * (a stand-in for real image/audio bytes), format cycled per doc_id —
+    * the DECLARATIVE twin family ([[mm_decode_meta|decodedMeta]] etc.)
+    * computes its metadata from these payload bytes so DuckDB can
+    * reproduce it; the real-codec family below works on genuine images. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -34,20 +44,65 @@ object Multimodal {
         array(lit("png"), lit("jpeg"), lit("wav")),
         (col("doc_id") % 3).cast("int") + 1).as("format"))
 
-  /** Deterministic fake codec — the seam where a real libjpeg/ffmpeg call
-    * would go. One instance per partition (mirrors per-batch model state in
-    * a Pandas UDF). */
-  final class StubCodec {
-    /** @return (width, height, channels) pseudo-decoded from the payload. */
-    def decode(payload: Array[Byte], format: String): (Int, Int, Int) = {
-      val n = payload.length
-      val channels = format match {
-        case "png" => 4
-        case "jpeg" => 3
-        case _ => 1
+  // ------------------------------------------------- real image codec
+  // (AWT never needs a display for raster + ImageIO work; set headless
+  // before any AWT class initializes, defensively)
+  System.setProperty("java.awt.headless", "true")
+
+  /** Deterministic image geometry/pixels for doc `d` — the generative spec
+    * the oracle replays arithmetically. Sizes 16..32 × 16..28 keep every
+    * image ≥ 256 px (the 8×8 aHash grid is total) while the fixture stays
+    * small. */
+  def imageWidth(d: Long): Int = (16 + d % 17).toInt
+  def imageHeight(d: Long): Int = (16 + (d * 7) % 13).toInt
+  def imageLuma(d: Long, x: Int, y: Int): Int = ((d * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode doc `d`'s image: lossless 8-bit grayscale PNG (1 band) for even
+    * ids, baseline JPEG (3-band, gray-valued) for odd ids. Pixel-exact
+    * queries (phash, resize) use the PNG half only — JPEG is lossy by
+    * design, so only its geometry is oracle-checked. */
+  def imageBytes(d: Long): (Array[Byte], String) = {
+    val (w, h) = (imageWidth(d), imageHeight(d))
+    val fmt = if (d % 2 == 0) "png" else "jpeg"
+    val imgType =
+      if (fmt == "png") java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = imageLuma(d, x, y)
+        var b = 0
+        while (b < bands) { raster.setSample(x, y, b, v); b += 1 }
+        x += 1
       }
-      (n % 640 + 16, (n * 7) % 480 + 16, channels)
+      y += 1
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"no ImageIO writer for format $fmt")
+    (bos.toByteArray, fmt)
+  }
+
+  private val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("format", StringType)))
+
+  /** Real media table: one genuine PNG/JPEG payload per document, encoded
+    * partition-wise (no driver loop, no bundled binaries). */
+  def realMediaTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        val (bytes, fmt) = imageBytes(d)
+        Row(d, bytes, fmt)
+      }
+    }(enc)
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -58,23 +113,58 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  /** Partition-wise batched decode: one codec per partition, rows streamed.
-    * This is the real plumbing a GPU/codec stage needs — swap StubCodec for
-    * the real thing and nothing else changes. */
+  /** Partition-wise batched REAL decode: `ImageIO.read` per payload, one
+    * reusable input-stream path per partition — width/height from the
+    * decoded image, channels from the raster's band count. Swap in a GPU
+    * codec at this seam and nothing upstream or downstream changes. */
   def decodeBatch(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     val out: Dataset[Row] = media
       .select(col("doc_id"), col("payload"), col("format"))
       .mapPartitions { rows =>
-        val codec = new StubCodec // per-partition init, like per-batch model load
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          val fmt = r.getAs[String]("format")
-          val (w, h, c) = codec.decode(payload, fmt)
-          Row(r.getAs[Long]("doc_id"), fmt, payload.length, w, h, c)
+          // positional getters: rows arriving across a prior mapPartitions
+          // boundary are schema-less GenericRows (name lookup throws)
+          val payload = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+          Row(r.getLong(0), r.getString(2), payload.length,
+            img.getWidth, img.getHeight, img.getRaster.getNumBands)
         }
       }(enc)
     out
+  }
+
+  private val lumaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("lumas", ArrayType(IntegerType, containsNull = false))))
+
+  /** Decode band-0 samples (luma for grayscale sources) row-major — the
+    * pixel feed for [[phashRealBands]] and [[resizeNearest]]. Imperative
+    * work stops at the decoded array; every pixel computation downstream is
+    * declarative (codegen'd array/aggregate expressions), so the plan keeps
+    * pruning/pushdown around the decode stage. */
+  def decodeLuma(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(lumaSchema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { lum(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, lum.toIndexedSeq)
+      }
+    }(enc)
   }
 
   // ------------------------------------------------------------- registry
@@ -141,6 +231,14 @@ object Multimodal {
       // oracle's BIGINT arithmetic sails on (review-caught)
       .select(col("doc_id"), expr("(CAST(pos AS BIGINT) * 64) div n").as("cell"),
         ascii(col("ch")).cast("long").as("v"))
+    ahashBandsFrom(px)
+  }
+
+  /** The shared aHash tail — cell sums, exact-integer global-mean threshold,
+    * 4×16-bit band packing — over any (doc_id, cell, v) sample frame; fed by
+    * [[phashBands]] (ascii stand-in stream) and [[phashRealBands]] (decoded
+    * pixel luma). */
+  private def ahashBandsFrom(px: DataFrame): DataFrame = {
     val cells = px.groupBy("doc_id", "cell").agg(sum(col("v")).as("cv"))
     val tot = cells.groupBy("doc_id").agg(sum(col("cv")).as("t"))
     cells.join(tot, "doc_id")
@@ -148,6 +246,41 @@ object Multimodal {
         when(col("cv") * 64 > col("t"), 1L).otherwise(0L).as("bit"))
       .groupBy(col("doc_id"), expr("cell div 16").as("band"))
       .agg(sum(expr("shiftleft(bit, CAST(cell % 16 AS INT))")).as("bval"))
+  }
+
+  /** aHash bands from REAL decoded pixels: decode luma, fan each sample to
+    * its 8×8 cell (row-major pos → cell = pos·64 div (w·h)), and run the
+    * identical band tail as the text stand-in. The decode is the only
+    * imperative step; the oracle replays the generative pixel function and
+    * must reproduce every band value bit-for-bit — the "is the operator"
+    * upgrade over the modeled stand-in. PNG half only (lossless). */
+  def phashRealBands(media: DataFrame): DataFrame = {
+    val px = decodeLuma(media)
+      .select(col("doc_id"), (col("w") * col("h")).cast("long").as("n"),
+        posexplode(col("lumas")).as(Seq("pos", "v")))
+      .filter(col("n") >= 64)
+      .select(col("doc_id"), expr("(CAST(pos AS BIGINT) * 64) div n").as("cell"),
+        col("v").cast("long").as("v"))
+    ahashBandsFrom(px)
+  }
+
+  /** Nearest-neighbor resize of decoded luma to `outW`×`outH`, exact
+    * integer sampling (src = (out·in) div out dims) — the pixel half of the
+    * resize operator whose geometry half is `mm_resize`. The sample gather
+    * is an in-row `transform` over the decoded array (no shuffle, no
+    * per-pixel array duplication); output is long-form (doc_id, i, j, v)
+    * so the oracle can check every sample. */
+  def resizeNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"resizeNearest: bad target ${outW}x$outH")
+    decodeLuma(media)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${outW * outH - 1}), p -> named_struct(
+           |  'i', p % $outW, 'j', p div $outW,
+           |  'v', element_at(lumas, CAST(
+           |         ((p div $outW) * h div $outH) * w
+           |         + ((p % $outW) * w div $outW) AS INT) + 1)))""".stripMargin)).as("q"))
+      .select(col("doc_id"), col("q.i").as("i"), col("q.j").as("j"),
+        col("q.v").cast("long").as("v"))
   }
 
   /** Image near-dup pairs by aHash Hamming distance ≤ `maxHamming`:
@@ -159,8 +292,14 @@ object Multimodal {
     val bands = phashBands(docs).localCheckpoint(eager = true)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval").as("ba"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval").as("bb"))
-    val cand = a.join(b, Seq("band"))
-      .filter(col("ba") === col("bb") && col("doc_a") < col("doc_b"))
+    // bval equality is an explicit JOIN KEY, not a post-join filter: keying
+    // on the 4-value band column alone would hinge on the optimizer pushing
+    // the filter into the join condition — if that pushdown were ever
+    // inhibited the join degenerates to ~|docs|²/4 (advisor-caught)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(a, Seq("doc_a"))
@@ -240,6 +379,25 @@ object Multimodal {
     "mm_phash_pairs" -> ((s, dir) =>
       Util.orderAll(phashPairs(Tables.documents(s, dir), 3))),
 
+    // REAL codec round-trip: generate genuine PNG/JPEG bytes per doc,
+    // decode with ImageIO, verify the decoded geometry/bands against the
+    // generative arithmetic spec the oracle replays
+    "mm_decode_real" -> ((s, dir) =>
+      Util.orderAll(decodeBatch(realMediaTable(Tables.documents(s, dir)))
+        .select("doc_id", "format", "width", "height", "channels"))),
+
+    // aHash bands from REAL decoded pixels (PNG half — lossless):
+    // bit-for-bit against the oracle's arithmetic pixel replay
+    "mm_phash_real" -> ((s, dir) =>
+      Util.orderAll(phashRealBands(realMediaTable(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0))))),
+
+    // nearest-neighbor resize of REAL decoded pixels to 8x6, every output
+    // sample oracle-checked
+    "mm_resize_real" -> ((s, dir) =>
+      Util.orderAll(resizeNearest(realMediaTable(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)), 8, 6))),
+
     // resize planning: scale to width 224 preserving aspect (integer
     // division both engines) — the geometry half of a real resize UDF
     "mm_resize" -> ((s, dir) => {
@@ -309,6 +467,47 @@ object Multimodal {
     "mm_decode_meta" -> (metaCte + Util.wrap(
       "SELECT doc_id, format, n_bytes, width, height, channels FROM meta",
       Seq("doc_id", "format", "n_bytes", "width", "height", "channels"))),
+
+    // the generative spec of imageBytes/imageWidth/imageHeight — what the
+    // Spark side must DECODE back out of the real PNG/JPEG payloads
+    "mm_decode_real" -> Util.wrap(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 17 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 13 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+        |FROM documents""".stripMargin,
+      Seq("doc_id", "format", "width", "height", "channels")),
+
+    // arithmetic replay of the pixel function luma(d,x,y) =
+    // (d*31 + x*7 + y*13) % 256 through the identical aHash tail —
+    // row-major p: x = p % w, y = p // w
+    "mm_phash_real" -> Util.wrap(
+      """WITH g AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), px AS (
+        |  SELECT doc_id, (p * 64) // (w * h) AS cell,
+        |    (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS v
+        |  FROM g, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
+        |), cells AS (
+        |  SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS cv FROM px GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(cv) AS BIGINT) AS t FROM cells GROUP BY 1
+        |)
+        |SELECT cells.doc_id, cell // 16 AS band,
+        |  CAST(sum((CASE WHEN cv * 64 > t THEN 1 ELSE 0 END) << (cell % 16)) AS BIGINT) AS bval
+        |FROM cells JOIN tot USING (doc_id) GROUP BY 1, 2""".stripMargin,
+      Seq("doc_id", "band", "bval")),
+
+    // nearest-neighbor sampling: out (i,j) reads src ((i*w) // 8, (j*h) // 6)
+    "mm_resize_real" -> Util.wrap(
+      """SELECT doc_id, CAST(p % 8 AS INT) AS i, CAST(p // 8 AS INT) AS j,
+        |  CAST((doc_id * 31 + ((p % 8) * w // 8) * 7 + ((p // 8) * h // 6) * 13) % 256 AS BIGINT) AS v
+        |FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+        |      FROM documents WHERE doc_id % 2 = 0) g,
+        |     LATERAL (SELECT unnest(range(0, 48)) AS p) pp""".stripMargin,
+      Seq("doc_id", "i", "j", "v")),
 
     "mm_frame_sample" -> (metaCte + Util.wrap(
       """SELECT doc_id, n_bytes,

@@ -234,9 +234,14 @@ object TextAnalysis {
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
     docs
       .select(col("doc_id"),
-        expr("(((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647")
+        // pmod on the first step: a negative doc_id must still land in
+        // [0, M) or the shard assignment goes negative and breaks the
+        // documented shard ∈ [0, nShards) file-layout contract
+        // (advisor-caught); the later steps stay plain % — their left
+        // operand is already non-negative
+        expr("((pmod(doc_id, 2147483647) * 48271 % 2147483647) * 48271) % 2147483647")
           .as("shuffle_key"))
-      .withColumn("shard", col("shuffle_key") % nShards)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
@@ -1417,13 +1422,23 @@ object TextAnalysis {
         |FROM documents GROUP BY 1, 2""".stripMargin,
       Seq("lang", "split", "n_docs")),
 
-    // 1-based i matches Spark's (p + 1); same Lehmer bucket chain
+    // 1-based i matches Spark's (p + 1); same Lehmer bucket chain. The
+    // empty/NULL-source edge case mirrors the Spark side exactly
+    // (advisor-caught: the old inner-join LATERAL silently dropped such
+    // groups, blinding the gate to the rows the Spark code guards): the
+    // fold runs over coalesce(source, ''), the empty LATERAL is re-added
+    // via LEFT JOIN + COALESCE(gkey, 0), and both joins are null-safe.
     "doc_split_group" -> Util.wrap(
-      """WITH gk AS (
-        |  SELECT source, CAST(sum(ascii(source[i]) * i) AS BIGINT) AS gkey
-        |  FROM (SELECT DISTINCT source FROM documents) s,
-        |       LATERAL (SELECT unnest(range(1, len(source) + 1)) AS i) ii
+      """WITH srcs AS (
+        |  SELECT DISTINCT source FROM documents
+        |), gsum AS (
+        |  SELECT source, CAST(sum(ascii(src[i]) * i) AS BIGINT) AS gkey
+        |  FROM (SELECT source, coalesce(source, '') AS src FROM srcs) s,
+        |       LATERAL (SELECT unnest(range(1, len(src) + 1)) AS i) ii
         |  GROUP BY source
+        |), gk AS (
+        |  SELECT srcs.source, COALESCE(gsum.gkey, 0) AS gkey
+        |  FROM srcs LEFT JOIN gsum ON srcs.source IS NOT DISTINCT FROM gsum.source
         |), asg AS (
         |  SELECT source,
         |    CASE WHEN (((gkey % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 % 100 < 90 THEN 'train'
@@ -1432,7 +1447,7 @@ object TextAnalysis {
         |  FROM gk
         |)
         |SELECT d.source, split, count(*) AS n_docs
-        |FROM documents d JOIN asg ON d.source = asg.source
+        |FROM documents d JOIN asg ON d.source IS NOT DISTINCT FROM asg.source
         |GROUP BY d.source, split""".stripMargin,
       Seq("source", "split", "n_docs")),
 
@@ -1441,8 +1456,8 @@ object TextAnalysis {
         |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
         |FROM (
         |  SELECT doc_id,
-        |    (((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuffle_key,
-        |    ((((doc_id % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647) % 16 AS shard
+        |    ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuffle_key,
+        |    (((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647) % 16 AS shard
         |  FROM documents) k""".stripMargin,
       Seq("doc_id", "shard", "pos")),
 

@@ -47,6 +47,29 @@ object ConnectedComponents {
       hashMinConverged: Boolean,
       alternatingRounds: Int)
 
+  /** Symmetrize and pre-partition the edges by `dst` (the hash-min join
+    * key) ONCE: the checkpointed LogicalRDD preserves the physical
+    * HashPartitioning, so no round ever re-exchanges the edge list — only
+    * the label table moves per round, plus the min-aggregation shuffle on
+    * `src`. In-memory analog of [[graft.sources.BucketedLayout]]'s on-disk
+    * bucketing; the explicit count matches the session default so
+    * EnsureRequirements accepts the layout as-is (see PageRank.prepEdges).
+    * Pinned by PlanAuditSpec (≤ 2 keyed exchanges per round). */
+  private[graft] def prepSym(edges: DataFrame): DataFrame = {
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(nPart, col("dst"))
+      .localCheckpoint(true)
+  }
+
+  /** One hash-min round's neighbor-minimum — factored out so PlanAuditSpec
+    * can pin the round plan's exchange count. */
+  private[graft] def hashMinRound(sym: DataFrame, labels: DataFrame): DataFrame =
+    sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(min("label").as("nlabel"))
+
   /** @param nodes one column `id` — every vertex, including isolated ones
     * @param edges columns `src`, `dst` — undirected (symmetrized here)
     * @return (`id`, `label`) where `label` = min node id in the component
@@ -60,16 +83,12 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIter: Int = 50,
       altMaxIter: Int = 40): (DataFrame, CcStats) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = prepSym(edges)
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nlabel"))
+      val neighborMin = hashMinRound(sym, labels)
       val obs = Observation(s"cc_hashmin_$iter")
       // The observe metric rides the checkpoint job: CollectMetricsExec's
       // accumulator is populated while the rows stream into the checkpoint

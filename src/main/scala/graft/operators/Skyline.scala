@@ -54,9 +54,15 @@ object Skyline {
     * object for cluster installs. */
   def apply(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.SkylineStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.SkylineStrategy
+    // Registration is serialized and checked against the PLANNER's strategy
+    // list (experimental + extension-injected), so concurrent first calls
+    // can't double-append and a GraftExtensions session isn't registered a
+    // second time through the experimental list (advisor-caught).
+    Skyline.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(graft.plans.SkylineStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.SkylineStrategy
+    }
     val clean = df.filter(df.col(xCol).isNotNull && df.col(yCol).isNotNull &&
       !df.col(yCol).cast("double").isNaN)
     val analyzed = org.apache.spark.sql.graft.PlanHooks.analyzed(clean)

@@ -36,7 +36,14 @@ final class DimensionCache(load: () => DataFrame, ttlMs: Long) {
     synchronized {
       if (snapshot == null || now - loadedAt >= ttlMs) {
         val fresh = load()
-        fresh.cache() // one materialization per TTL window, shared by batches
+        fresh.cache()
+        // eager materialization: one count per TTL window pins the snapshot
+        // AND gives the cached relation ACCURATE size stats immediately, so
+        // CdrPipeline's size-conditional broadcast hint sees the real dim
+        // size from the first micro-batch (a lazily-cached JDBC relation
+        // reports unknown/Long.Max until first use and would lose the
+        // broadcast for exactly one batch)
+        fresh.count()
         if (snapshot != null) snapshot.unpersist(blocking = false)
         snapshot = fresh
         loadedAt = now

@@ -465,18 +465,28 @@ class LlmSpec extends SparkSpec {
     assert(ragged.getMessage.contains("vec_sum_long"), ragged.getMessage)
   }
 
-  test("multimodal: imperative batched decode == declarative metadata query") {
-    val media = Multimodal.mediaTable(
-      Tables.table(spark, sf, "documents").limit(50))
+  test("multimodal: REAL ImageIO decode recovers the generative image spec") {
+    val docs = Tables.table(spark, sf, "documents").limit(50)
+    val media = Multimodal.realMediaTable(docs)
     val dec = Multimodal.decodeBatch(media)
-    val decl = media.select(
-      col("doc_id"), col("format"),
-      octet_length(col("payload")).as("n_bytes"),
-      (octet_length(col("payload")) % 640 + 16).as("width"),
-      ((octet_length(col("payload")) * 7) % 480 + 16).as("height"),
-      expr("CASE format WHEN 'png' THEN 4 WHEN 'jpeg' THEN 3 ELSE 1 END").as("channels"))
-    assert(dec.exceptAll(decl).count() == 0 && decl.exceptAll(dec).count() == 0)
+    // decoded geometry/bands == the arithmetic the images were generated from
+    val decl = docs.select(
+      col("doc_id"),
+      expr("CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END").as("format"),
+      expr("CAST(16 + doc_id % 17 AS INT)").as("width"),
+      expr("CAST(16 + (doc_id * 7) % 13 AS INT)").as("height"),
+      expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END").as("channels"))
+    val got = dec.select("doc_id", "format", "width", "height", "channels")
+    assert(got.exceptAll(decl).count() == 0 && decl.exceptAll(got).count() == 0)
     assert(dec.count() == 50)
+    // PNG luma round-trip is EXACT (lossless): every decoded sample equals
+    // the pixel function
+    val png = Multimodal.realMediaTable(docs.filter(col("doc_id") % 2 === 0))
+    val bad = Multimodal.decodeLuma(png)
+      .select(col("doc_id"), col("w"), posexplode(col("lumas")).as(Seq("pos", "v")))
+      .filter(col("v") =!= expr(
+        "CAST((doc_id * 31 + (pos % w) * 7 + (pos div w) * 13) % 256 AS INT)"))
+    assert(bad.count() == 0, "decoded PNG luma diverged from the generative pixel function")
   }
 
   test("invariant: minhash pairs at threshold are a subset of exact ngram pairs (fixtures)") {

@@ -1,0 +1,208 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.cdr.CdrPipeline
+import graft.llm.{Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, PageRank}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-8 hardening: the winnowing stop-fingerprint cap
+  * (MOSS rule), the sampled dedup-recall evaluation, the size-conditional
+  * dimension broadcast, the pre-partitioned iterative edge layout, and the
+  * pmod shard contract. Fixture oracle parity stays the driver's DuckDB
+  * gate; these pin the semantics/plan shapes the oracle can't isolate. */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Keyed shuffle exchanges in the executed plan (the PlanAuditSpec
+    * convention: round-robin rebalances don't count, broadcasts don't
+    * count, counted on the tree not the printout). */
+  private def keyedExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def cnt(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => cnt(a.initialPlan)
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => 1
+    }.sum
+    cnt(df.queryExecution.executedPlan)
+  }
+
+  test("winnowPairs: stop-fingerprint cap is a no-op at a non-cutting df, kills boilerplate quasi-cliques") {
+    val docs = Tables.table(spark, sf, "documents")
+    // self-calibrating parity: a cap exactly at the fixture's max df keeps
+    // every fingerprint, so the capped path must be bit-identical
+    val maxDf = Dedup.winnowFingerprints(docs, 4)
+      .groupBy("fp").count().agg(max("count")).head().getLong(0)
+    val base = Dedup.winnowPairs(docs, 4, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = Dedup.winnowPairs(docs, 4, 10, maxDf = maxDf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == base, s"cap at max fixture df ($maxDf) changed the answer")
+
+    // adversarial boilerplate: 40 docs share one 12-token license run (the
+    // MOSS stop-fingerprint case — C(40,2) pair fan-out uncapped), 3 docs
+    // share genuinely overlapping text
+    val boiler = (1 to 12).map(i => s"lic$i").mkString(" ")
+    val hdocs = ((1L to 40L).map(i => (i, s"$boiler unique$i tail$i extra$i more$i")) ++
+      (101L to 103L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val un = Dedup.winnowPairs(hdocs, 4, 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cp = Dedup.winnowPairs(hdocs, 4, 1, maxDf = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cp.subsetOf(un), "cap must only remove pairs")
+    assert(un.count { case (a, b) => a <= 40 && b <= 40 } == 40 * 39 / 2,
+      "uncapped boilerplate fan-out should be the full quasi-clique")
+    assert(!cp.exists { case (a, b) => a <= 40 && b <= 40 },
+      s"boilerplate-only pairs survived the df cap: $cp")
+    assert(Set((101L, 102L), (101L, 103L), (102L, 103L)).subsetOf(cp),
+      s"real shared-run pairs were lost: $cp")
+  }
+
+  test("dedupEval: deterministic hash-sampled arm reproduces the recall report on the slice") {
+    // corpus where the 1/2 hash-slice certainly keeps near-dup pairs: every
+    // doc has the same text, so any 2 surviving docs form a truth pair
+    val docs = (0L until 40L)
+      .map(i => (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val full = Dedup.dedupEval(docs, 0.4).head()
+    val s1 = Dedup.dedupEval(docs, 0.4, sampleMod = 2).head()
+    val s2 = Dedup.dedupEval(docs, 0.4, sampleMod = 2).head()
+    assert(s1 == s2, "hash sampling must be reproducible run-to-run")
+    val kept = docs.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0).count()
+    assert(s1.getAs[Long]("n_true") == kept * (kept - 1) / 2,
+      s"slice truth side should be C($kept,2)")
+    assert(s1.getAs[Long]("n_true") < full.getAs[Long]("n_true"))
+    // identical texts: LSH recall is total on slice and corpus alike
+    assert(s1.getAs[Long]("recall_micro") == 1000000L &&
+      full.getAs[Long]("recall_micro") == 1000000L)
+  }
+
+  test("PageRank/CC: pre-partitioned edge layout — no edge-side exchange in a round's plan") {
+    val edges = (1L to 400L).map(i => (i % 97, (i * 7) % 97)).toDF("src", "dst")
+
+    val sym = PageRank.prepEdges(edges)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val r0 = spark.range(97).select(col("id"))
+      .withColumn("pr", lit(1000000L)).localCheckpoint(true)
+    val round = PageRank.contribRound(sym, deg, r0)
+    // prepped: ranks exchange + contribution-sum exchange only
+    assert(keyedExchanges(round) <= 2,
+      s"edge side re-exchanged:\n${round.queryExecution.executedPlan}")
+    // the un-prepped twin pays extra exchanges on the edge list every round
+    val rawSym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rawDeg = rawSym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val rawRound = PageRank.contribRound(rawSym, rawDeg, r0)
+    assert(keyedExchanges(rawRound) > keyedExchanges(round),
+      "pre-partitioning bought no exchange on this plan")
+
+    val symCc = ConnectedComponents.prepSym(edges)
+    val lbl = spark.range(97).select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    val nm = ConnectedComponents.hashMinRound(symCc, lbl)
+    assert(keyedExchanges(nm) <= 2,
+      s"CC edge side re-exchanged:\n${nm.queryExecution.executedPlan}")
+
+    // end-to-end results unchanged by the layout: CC labels equal a driver
+    // union-find on the same edges
+    val labels = ConnectedComponents(
+      spark.range(97).select(col("id")), edges)
+      .as[(Long, Long)].collect().toMap
+    val parent = Array.tabulate(97)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = (0 until 97).map(i => i.toLong -> find(i).toLong).toMap
+    assert(labels == truth, "hash-min labels diverged from union-find ground truth")
+  }
+
+  test("cdr enrich: broadcast hint is size-conditional — over-bound dim degrades, identical output") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = Seq(
+      (ts("2024-01-15 10:00:00"), "vi_probe", Some(100L), None: Option[Long], ";a;", 1L),
+      (ts("2024-01-15 10:00:00"), "vi_probe", Some(999L), None: Option[Long], ";b;", 2L))
+      .toDF("start_time", "measuring_probe_name", "imsi", "msisdn",
+        "ms_ip_address", "unique_cdr_id")
+    val dim = Seq((100L, 777L), (200L, 888L)).toDF("imsi", "msisdn")
+
+    val hinted = CdrPipeline.lookupEnrich(src, dim, "left_outer")
+    val pHint = hinted.queryExecution.executedPlan.toString
+    assert(pHint.contains("BroadcastHashJoin"),
+      s"under-bound dim should broadcast:\n$pHint")
+    val a = hinted.orderBy("unique_cdr_id").collect().toSeq
+
+    // emulate "dim too big to broadcast anywhere": the graft bound rejects
+    // it AND Catalyst's own threshold is off, so the plan must degrade to a
+    // non-broadcast join with the same answer
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bounded = CdrPipeline.lookupEnrich(src, dim, "left_outer", dimMaxBytes = 1L)
+      val pBound = bounded.queryExecution.executedPlan.toString
+      assert(!pBound.contains("BroadcastHashJoin"),
+        s"over-bound dim must fall back to a non-broadcast join:\n$pBound")
+      val b = bounded.orderBy("unique_cdr_id").collect().toSeq
+      assert(a == b, "join strategy changed the answer")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
+  test("bpe: one-pass broadcast replay == the expression fold chain; batches are symbol-disjoint; k > 64 lifted") {
+    import graft.llm.BpeTrainer
+    val docs = Tables.table(spark, sf, "documents")
+    // identity the r7 oracle pins, now via the mapPartitions replay: scoring
+    // the training corpus against its own stored merges == direct counts
+    val store = java.nio.file.Files.createTempDirectory("graft-r8-bpe").toString
+    BpeTrainer.writeBpeMerges(docs, store, 6)
+    val direct = BpeTrainer.bpeTokenCounts(docs, 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val replay = BpeTrainer.bpeTokensAgainstMerges(docs, store)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replay == direct, "broadcast replay diverged from the fold-chain trainer")
+
+    // batch=3: steps {1..3} and {4..6} each come from one stats pass and
+    // must be pairwise symbol-disjoint (incl. each pick's concatenation)
+    val (batched, _) = BpeTrainer.train(docs, 6, batch = 3)
+    assert(batched.size == 6)
+    batched.grouped(3).foreach { round =>
+      val syms = round.flatMap(m => Seq(m.a, m.b, m.a + m.b))
+      assert(syms.distinct.size == syms.size,
+        s"round shares symbols: ${round.map(m => (m.a, m.b))}")
+    }
+    // batch=1 stays the exact sequential algorithm (the oracle's form)
+    val (seq1, _) = BpeTrainer.train(docs, 6)
+    assert(seq1.map(m => (m.step, m.a, m.b, m.count)) ==
+      BpeTrainer.bpeMerges(docs, 6).as[(Int, String, String, Long)].collect().toSeq.sorted)
+
+    // the r7 ceiling is gone: a 70-merge tokenizer trains (batched) and
+    // applies through the single-pass replay
+    val wide = (0L until 300L)
+      .map(i => (i, s"w${i % 30}x${(i * 7) % 30} q${(i * 11) % 30}z${(i * 13) % 30}"))
+      .toDF("doc_id", "text")
+    val store70 = java.nio.file.Files.createTempDirectory("graft-r8-bpe70").toString
+    val (m70, _) = BpeTrainer.train(wide, 70, batch = 16)
+    assert(m70.size == 70, s"expected 70 merges, corpus exhausted at ${m70.size}")
+    m70.map(m => (m.step, m.a, m.b, m.count))
+      .toDF("step", "pair_a", "pair_b", "pair_count")
+      .write.mode("overwrite").parquet(store70)
+    val applied = BpeTrainer.bpeTokensAgainstMerges(wide, store70)
+    val row = applied.agg(sum("n_bpe_tokens"), sum("n_words")).head()
+    assert(row.getLong(0) >= row.getLong(1), "tokens can never undercut word count")
+  }
+
+  test("shuffleShards: negative doc_ids still land in [0, nShards)") {
+    val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.shuffleShards(docs, 16)
+      .select("shard").as[Long].collect()
+    assert(out.forall(s => s >= 0 && s < 16), s"shard out of range: ${out.toSeq}")
+  }
+}
