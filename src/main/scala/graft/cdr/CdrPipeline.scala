@@ -133,8 +133,10 @@ object CdrPipeline {
     * the sort is on the 8-byte grouping key only — the window form sorts
     * every partition by the full 7-column comparison chain (timestamps +
     * strings) — and partial aggregation still collapses each partition to
-    * ≤ one row per key before the shuffle. Measured ×10-stress effect:
-    * 2-4 s vs 94-375 s (SCALE.md "argmax at scale").
+    * ≤ one row per key before the shuffle. Measured ×10-stress effect on
+    * the current (r6-regenerated) fixtures: 1.1 s vs 5.8 s; on the r3-era
+    * fixtures' wider fan-out the same contrast was 2-4 s vs 94-375 s
+    * (SCALE.md "argmax at scale").
     *
     * Total order = lexicographic struct comparison over
     * (_start_time, start_time, probe name, ip list, ip, imsi, msisdn), all
@@ -181,8 +183,9 @@ object CdrPipeline {
     val branch1 = projectToSink(
       lookupEnrich(ext.filter(col("imsi").isNotNull), imsiMsisdn, "left_outer"))
     // branch2 dedup uses the aggregation argmax: at ×10 fixture scale the
-    // hash aggregate runs the 67M-row dedup ~50× faster than the window
-    // form (no per-partition sort) — see SCALE.md "argmax at scale"
+    // hash aggregate runs the 67M-row dedup ~5× faster than the window
+    // form on the current fixtures (no per-partition sort; ~50× on the
+    // r3-era fixtures' wider fan-out) — see SCALE.md "argmax at scale"
     val branch2 = projectToSink(
       dedupLatestAgg(rangeEnrich(explodeIps(ext.filter(col("imsi").isNull)), msIpExploded, "left_outer")))
     branch1.unionByName(branch2)

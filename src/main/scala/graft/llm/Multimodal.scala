@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   * `doc_id`, the DuckDB oracle predicts every decoded property — width,
   * height, band count, each luma sample — arithmetically, so the decode is
   * verified end-to-end against its generative spec (`mm_decode_real`,
-  * `mm_phash_real`, `mm_resize_real`). Audio/video remain modeled
-  * (`mm_audio_frames` frames a sample stream; a PCM/ffmpeg decode slots in
-  * at the same mapPartitions seam).
+  * `mm_phash_real`, `mm_resize_real`). The audio path is real the same
+  * way: [[realAudioTable]] writes genuine RIFF/WAVE files via the JDK's
+  * `AudioSystem` codec, [[decodePcm]] parses container + format chunk back
+  * and decodes every 16-bit frame (`mm_audio_real`, sample-exact). Video
+  * frame-grab is the one remaining stub — the JDK ships no container
+  * codec — with `mm_frame_sample` covering its planning geometry at the
+  * same mapPartitions seam.
   *
   * Scale notes (100 TB): media blobs dominate row size, so a decode stage
   * repartitions by byte budget, never by row count; the metadata queries
@@ -135,6 +139,91 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------- real audio codec
+
+  /** Deterministic PCM signal for doc `d` — the generative spec the oracle
+    * replays: n(d) = 64 + d % 101 samples, s(d,t) = (d·37 + t·17 + 29) %
+    * 2001 − 1000 (16-bit-safe). */
+  def audioSamples(d: Long): Int = (64 + d % 101).toInt
+  def audioSample(d: Long, t: Int): Int = ((d * 37 + t * 17 + 29) % 2001 - 1000).toInt
+
+  /** Encode doc `d`'s signal as a genuine RIFF/WAVE file: mono, 8 kHz,
+    * 16-bit signed little-endian PCM, written by the JDK's own audio
+    * codec (`AudioSystem.write`) — the same zero-dependency realness
+    * contract as [[imageBytes]]. */
+  def audioBytes(d: Long): Array[Byte] = {
+    val n = audioSamples(d)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = audioSample(d, t)
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio table: one genuine WAV payload per document. */
+  def realAudioTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d, audioBytes(d), "wav")
+      }
+    }(enc)
+  }
+
+  private val pcmSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("samples", ArrayType(IntegerType, containsNull = false))))
+
+  /** Partition-wise REAL PCM decode: `AudioSystem.getAudioInputStream`
+    * parses the RIFF container and format chunk (rate/channels/width come
+    * from the FILE, not from us), the frames decode to signed ints. The
+    * ffmpeg-shaped seam of the audio family — everything downstream
+    * (framing, energy) is declarative over the decoded array. */
+  def decodePcm(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(pcmSchema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"doc ${r.getLong(0)}: unexpected PCM layout $f")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          samples(t) = (bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff)
+          t += 1
+        }
+        Row(r.getLong(0), f.getSampleRate.toInt, f.getChannels, samples.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  /** [[audioFrames]]' REAL twin: identical framing/energy aggregation, fed
+    * by genuinely decoded PCM instead of the ascii stand-in stream. */
+  def audioFramesReal(media: DataFrame, frameSize: Int): DataFrame =
+    decodePcm(media)
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("t", "s")))
+      .select(col("doc_id"), expr(s"t div $frameSize").as("frame"), col("s"))
+      .groupBy("doc_id", "frame")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("CAST(s AS BIGINT) * s")).as("energy"))
+
   private val lumaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("w", IntegerType),
@@ -169,9 +258,10 @@ object Multimodal {
 
   // ------------------------------------------------------------- registry
 
-  // The oracle-able query computes the same metadata *declaratively* (so
-  // DuckDB can reproduce it); decodeBatch is the imperative twin, asserted
-  // equal in MultimodalSpec.
+  // The stand-in metadata family computes its columns *declaratively*
+  // from the utf-8 payload (so DuckDB can reproduce them byte-for-byte);
+  // the real-codec family (mm_*_real) is decoded by ImageIO/AudioSystem
+  // and checked against its generative arithmetic spec instead.
   /** Decoded-metadata projection shared by the feature queries. */
   private def decodedMeta(m: DataFrame): DataFrame =
     m.select(
@@ -184,11 +274,11 @@ object Multimodal {
   /** Audio framing: the signal (here payload bytes == utf-8 codes of the
     * ASCII fixture text, the same stand-in [[mediaTable]] uses; s = code −
     * 96 centers the lowercase band) framed into non-overlapping
-    * `frameSize`-sample windows with per-frame integer energy Σs². The
-    * real pipeline swaps the sample source for PCM decode at the StubCodec
-    * seam; the framing, the ragged last frame, and the per-frame
-    * aggregation — the part a feature extractor actually consumes — are
-    * real and oracle-checked. One narrow shuffle on (doc, frame),
+    * `frameSize`-sample windows with per-frame integer energy Σs² — the
+    * DECLARATIVE twin of [[audioFramesReal]], which runs the identical
+    * framing over genuinely decoded WAV/PCM; the framing, the ragged last
+    * frame, and the per-frame aggregation — the part a feature extractor
+    * actually consumes — are identical in both and oracle-checked. One narrow shuffle on (doc, frame),
     * partial-aggregated map-side. */
   def audioFrames(docs: DataFrame, frameSize: Int): DataFrame =
     docs
@@ -204,8 +294,8 @@ object Multimodal {
     * primitive. The canonical recipe — downscale to an 8×8 grid, threshold
     * each cell against the global mean, read the 64 bits — computed here
     * over the payload's sample stream (ascii codes, the same stand-in the
-    * audio framing uses; real pixel luma slots in at the StubCodec seam
-    * without touching the plan): cell c of a length-n payload aggregates
+    * audio framing uses; [[phashRealBands]] is the real-pixel twin running
+    * the identical tail over decoded luma): cell c of a length-n payload aggregates
     * positions with `(pos·64) div n == c` (every cell non-empty for
     * n ≥ 64; shorter payloads are excluded — an 8×8 grid of a sub-64-px
     * source is undefined), bit c = cell sum · 64 > total (exact integer
@@ -379,6 +469,11 @@ object Multimodal {
     "mm_phash_pairs" -> ((s, dir) =>
       Util.orderAll(phashPairs(Tables.documents(s, dir), 3))),
 
+    // REAL audio: genuine WAV payloads decoded by the JDK's PCM codec,
+    // framed into 32-sample energy windows — mm_audio_frames' real twin
+    "mm_audio_real" -> ((s, dir) =>
+      Util.orderAll(audioFramesReal(realAudioTable(Tables.documents(s, dir)), 32))),
+
     // REAL codec round-trip: generate genuine PNG/JPEG bytes per doc,
     // decode with ImageIO, verify the decoded geometry/bands against the
     // generative arithmetic spec the oracle replays
@@ -467,6 +562,18 @@ object Multimodal {
     "mm_decode_meta" -> (metaCte + Util.wrap(
       "SELECT doc_id, format, n_bytes, width, height, channels FROM meta",
       Seq("doc_id", "format", "n_bytes", "width", "height", "channels"))),
+
+    // the generative spec of audioBytes — what the Spark side must decode
+    // back out of the real WAV payloads, framed like mm_audio_frames
+    "mm_audio_real" -> Util.wrap(
+      """SELECT doc_id, t // 32 AS frame, count(*) AS n_samples,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+        |FROM (
+        |  SELECT doc_id, t, (doc_id * 37 + t * 17 + 29) % 2001 - 1000 AS s
+        |  FROM (SELECT doc_id, 64 + doc_id % 101 AS n FROM documents) g,
+        |       LATERAL (SELECT unnest(range(0, n)) AS t) tt
+        |) px GROUP BY doc_id, t // 32""".stripMargin,
+      Seq("doc_id", "frame", "n_samples", "energy")),
 
     // the generative spec of imageBytes/imageWidth/imageHeight — what the
     // Spark side must DECODE back out of the real PNG/JPEG payloads

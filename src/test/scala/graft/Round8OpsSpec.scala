@@ -198,6 +198,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(row.getLong(0) >= row.getLong(1), "tokens can never undercut word count")
   }
 
+  test("audio: REAL WAV round-trip — container metadata and every PCM sample recovered exactly") {
+    import graft.llm.Multimodal
+    val docs = Tables.table(spark, sf, "documents").limit(40)
+    val pcm = Multimodal.decodePcm(Multimodal.realAudioTable(docs))
+    // format chunk parsed from the FILE: 8 kHz mono, as encoded
+    val meta = pcm.select("sample_rate", "n_channels").distinct()
+      .as[(Int, Int)].collect().toSet
+    assert(meta == Set((8000, 1)), s"unexpected decoded formats: $meta")
+    // sample-exact: decoded s(t) == the generative signal
+    val bad = pcm
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("t", "s")))
+      .filter(col("s") =!= expr("CAST((doc_id * 37 + t * 17 + 29) % 2001 - 1000 AS INT)"))
+    assert(bad.count() == 0, "decoded PCM diverged from the generative signal")
+    val lens = pcm.select(col("doc_id"), size(col("samples")).as("n"))
+      .filter(col("n") =!= expr("CAST(64 + doc_id % 101 AS INT)"))
+    assert(lens.count() == 0, "decoded sample count diverged")
+  }
+
   test("shuffleShards: negative doc_ids still land in [0, nShards)") {
     val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
       .toDF("doc_id", "text")
