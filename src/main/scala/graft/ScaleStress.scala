@@ -263,7 +263,10 @@ object ScaleStress {
     // skew record contradicting SCALE.md; medians over 3 reps are the
     // reconciliation protocol (single runs of second-long stages swing >3×
     // under sandbox contention)
-    val skewReps = sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_REPS", "1").toInt
+    // clamped to >= 1: reps = 0 would crash the median over an empty vector
+    // at the END of the run; skipping the section is SPARK_GRAFT_STRESS_SKIP
+    val skewReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_STRESS_SKEW_REPS", "1").toInt)
     var (tSkewPlain, tSkewSalt, tSkewDedupFirst) = (-1.0, -1.0, -1.0)
     var (maxTaskPlain, maxTaskSalt, maxTaskDedupFirst) = (-1L, -1L, -1L)
     var (nSkewPairs, nDedupFirstPairs) = (-1L, -1L)

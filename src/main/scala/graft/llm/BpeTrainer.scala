@@ -189,7 +189,21 @@ object BpeTrainer {
       val ms = bc.value
       rows.map { r =>
         val w = r.getString(0)
-        var syms: Array[String] = w.map(_.toString).toArray
+        // split by CODE POINTS, not UTF-16 code units — the trainer's
+        // substring(word, i, 1) counts code points, so a supplementary-plane
+        // character must stay one symbol here too or the replay diverges
+        var syms: Array[String] = {
+          val out = new Array[String](w.codePointCount(0, w.length))
+          var ci = 0
+          var k = 0
+          while (ci < w.length) {
+            val cp = w.codePointAt(ci)
+            out(k) = new String(Character.toChars(cp))
+            k += 1
+            ci += Character.charCount(cp)
+          }
+          out
+        }
         // stale-tolerant presence filter: symbols ever seen in this word —
         // extra entries only cost a scan, never change the result
         val present = scala.collection.mutable.HashSet.empty[String]

@@ -1051,7 +1051,10 @@ object Dedup {
         coalesce(sum(col("f")), lit(0L)).as("n_found"))
       .select(col("n_true"), col("n_found"),
         (col("n_true") - col("n_found")).as("n_missed"),
-        expr("(n_found * 1000000) div n_true").as("recall_micro"))
+        // vacuous recall = 1.0 when the (possibly sampled) slice carries no
+        // truth pairs — never a NULL from the n_true = 0 division
+        expr("CASE WHEN n_true = 0 THEN 1000000" +
+          " ELSE (n_found * 1000000) div n_true END").as("recall_micro"))
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
@@ -1726,7 +1729,8 @@ object Dedup {
          |)
          |""".stripMargin + Util.wrap(
       """SELECT n_true, n_found, n_true - n_found AS n_missed,
-        |  (n_found * 1000000) // n_true AS recall_micro
+        |  CASE WHEN n_true = 0 THEN 1000000
+        |    ELSE (n_found * 1000000) // n_true END AS recall_micro
         |FROM agg""".stripMargin,
       Seq("n_true", "n_found", "n_missed", "recall_micro"))),
 

@@ -199,14 +199,21 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         val f = ais.getFormat
-        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           s"doc ${r.getLong(0)}: unexpected PCM layout $f")
         val bytes = ais.readAllBytes()
-        val n = bytes.length / 2
+        // de-interleave to CHANNEL 0: `samples` is one per-channel signal so
+        // downstream framing/energy stays per-time-step on multi-channel
+        // input (n_channels is still reported; mono is the identity path)
+        val ch = f.getChannels
+        val stride = 2 * ch
+        val n = bytes.length / stride
         val samples = new Array[Int](n)
         var t = 0
         while (t < n) {
-          samples(t) = (bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff)
+          samples(t) =
+            (bytes(stride * t + 1).toInt << 8) | (bytes(stride * t) & 0xff)
           t += 1
         }
         Row(r.getLong(0), f.getSampleRate.toInt, f.getChannels, samples.toIndexedSeq)
@@ -328,15 +335,25 @@ object Multimodal {
     * 4×16-bit band packing — over any (doc_id, cell, v) sample frame; fed by
     * [[phashBands]] (ascii stand-in stream) and [[phashRealBands]] (decoded
     * pixel luma). */
-  private def ahashBandsFrom(px: DataFrame): DataFrame = {
-    val cells = px.groupBy("doc_id", "cell").agg(sum(col("v")).as("cv"))
-    val tot = cells.groupBy("doc_id").agg(sum(col("cv")).as("t"))
-    cells.join(tot, "doc_id")
-      .select(col("doc_id"), col("cell"),
-        when(col("cv") * 64 > col("t"), 1L).otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"), expr("cell div 16").as("band"))
-      .agg(sum(expr("shiftleft(bit, CAST(cell % 16 AS INT))")).as("bval"))
-  }
+  private def ahashBandsFrom(px: DataFrame): DataFrame =
+    // ONE aggregation tree, not a cells⋈total self-join: the sample frame
+    // is consumed exactly once (the join form re-planned the whole
+    // upstream — including the real-codec decode — into BOTH branches,
+    // plan-audit-caught), the payload-sized stream collapses map-side at
+    // the (doc, cell) aggregate, and the ≤64-cell gather computes the
+    // exact-integer mean threshold and all 4 band packings in-row.
+    px.groupBy("doc_id", "cell").agg(sum(col("v")).as("cv"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cs"))
+      .withColumn("t", expr("aggregate(cs, 0L, (a, c) -> a + c.cv)"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> named_struct(
+          |  'band', CAST(b AS BIGINT),
+          |  'bval', aggregate(filter(cs, c -> c.cell div 16 = b), 0L,
+          |    (acc, c) -> acc + IF(c.cv * 64 > t,
+          |      shiftleft(1L, CAST(c.cell % 16 AS INT)), 0L))))""".stripMargin))
+        .as("q"))
+      .select(col("doc_id"), col("q.band").as("band"), col("q.bval").as("bval"))
 
   /** aHash bands from REAL decoded pixels: decode luma, fan each sample to
     * its 8×8 cell (row-major pos → cell = pos·64 div (w·h)), and run the

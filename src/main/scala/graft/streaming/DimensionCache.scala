@@ -43,7 +43,15 @@ final class DimensionCache(load: () => DataFrame, ttlMs: Long) {
         // size from the first micro-batch (a lazily-cached JDBC relation
         // reports unknown/Long.Max until first use and would lose the
         // broadcast for exactly one batch)
-        fresh.count()
+        // a refresh-time failure (transient JDBC outage) must not leak the
+        // just-registered cache entry: unpersist before propagating, and the
+        // held (stale but materialized) snapshot stays in place
+        try fresh.count()
+        catch {
+          case t: Throwable =>
+            fresh.unpersist(blocking = false)
+            throw t
+        }
         if (snapshot != null) snapshot.unpersist(blocking = false)
         snapshot = fresh
         loadedAt = now

@@ -575,4 +575,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("doc_shuffle_shards") <= 2,
       s"one shard shuffle + harness sort expected:\n$ph")
   }
+
+  test("mm_*_real: codec stage is partition-parallel, declarative tails shuffle only where semantics require") {
+    // the real-codec family's scale contract: the ImageIO/AudioSystem
+    // decode runs inside ONE mapPartitions stage straight over the scan —
+    // no keyed exchange feeds it, so codec work distributes linearly —
+    // and every pixel/sample computation after it is declarative
+    // (codegen'd array expressions), shuffling only at its own aggregate.
+
+    // decode-meta: pure per-row decode → the only exchange is the harness sort
+    val pd = phys("mm_decode_real")
+    assert(pd.contains("MapPartitions"), s"codec stage missing:\n$pd")
+    assert(!pd.contains("Join"), s"decode must not join:\n$pd")
+    assert(exchanges("mm_decode_real") <= 1,
+      s"decode must not shuffle before the harness sort:\n$pd")
+
+    // resize: in-row transform+explode over the decoded array — same bound
+    val pr = phys("mm_resize_real")
+    assert(pr.contains("MapPartitions") && pr.contains("Generate"),
+      s"decode + in-row gather expected:\n$pr")
+    assert(exchanges("mm_resize_real") <= 1,
+      s"resize gather must stay in-row:\n$pr")
+
+    // aHash bands: cell agg + per-doc gather + harness sort, partial-
+    // aggregated map-side — and the DECODE RUNS ONCE: the single-tree
+    // ahash tail must not re-plan the codec stage into a second branch
+    // (exactly 2 MapPartitions: the encode and the decode)
+    val pp = phys("mm_phash_real")
+    assert(pp.contains("partial_sum") || pp.contains("Partial"),
+      s"band agg must map-side combine:\n$pp")
+    assert(exchanges("mm_phash_real") <= 3,
+      s"cell agg + doc gather + harness sort only:\n$pp")
+    val nCodec = "MapPartitions".r.findAllIn(pp).size
+    assert(nCodec == 2, s"codec stage duplicated ($nCodec MapPartitions):\n$pp")
+
+    // audio frames: one keyed exchange (doc, frame) + harness sort
+    val pa = phys("mm_audio_real")
+    assert(pa.contains("MapPartitions") && pa.contains("Generate"),
+      s"PCM decode + sample explode expected:\n$pa")
+    assert(pa.contains("partial_count") || pa.contains("Partial"),
+      s"frame energy must map-side combine:\n$pa")
+    assert(exchanges("mm_audio_real") <= 2,
+      s"frame agg + harness sort only:\n$pa")
+  }
 }

@@ -216,6 +216,93 @@ class Round8OpsSpec extends SparkSpec {
     assert(lens.count() == 0, "decoded sample count diverged")
   }
 
+  test("bpe: stored-merge replay splits by code points — non-BMP corpus keeps the replay identity") {
+    import graft.llm.BpeTrainer
+    // U+1D11E (𝄞) is a supplementary-plane char: 2 UTF-16 code units, ONE
+    // symbol to the trainer's substring(word, i, 1). A code-unit split in
+    // the replay would see 4 symbols in "a𝄞b" and never match stored merges.
+    val clef = new String(Character.toChars(0x1D11E))
+    val docs = (0L until 6L)
+      .map(i => (i, s"a${clef}b a${clef}b tail$i a${clef}b"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-r8-bmp").toString
+    BpeTrainer.writeBpeMerges(docs, store, 2)
+    val direct = BpeTrainer.bpeTokenCounts(docs, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val replay = BpeTrainer.bpeTokensAgainstMerges(docs, store)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replay == direct,
+      s"non-BMP replay diverged: direct=$direct replay=$replay")
+    // and the first merge really consumed the astral char as one symbol:
+    // "a𝄞b" is 3 initial symbols, so 2 merges take it to 1 token
+    val merged = spark.read.parquet(store).orderBy("step")
+      .select("pair_a", "pair_b").as[(String, String)].collect()
+    assert(merged.flatMap(m => Seq(m._1, m._2)).exists(_.contains(clef)),
+      s"no merge touched the astral symbol: ${merged.toSeq}")
+  }
+
+  test("cdr enrich: stats-less dim (unknown size) keeps the broadcast hint — no stream shuffle") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = Seq(
+      (ts("2024-01-15 10:00:00"), "vi_probe", Some(100L), None: Option[Long], ";a;", 1L))
+      .toDF("start_time", "measuring_probe_name", "imsi", "msisdn",
+        "ms_ip_address", "unique_cdr_id")
+    // dim built from a bare RDD: LogicalRDD reports defaultSizeInBytes
+    // (unknown) — the tri-state hint must still broadcast it even under a
+    // 1-byte bound, preserving the fact-stream no-exchange contract
+    val rdd = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(100L, 777L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("imsi",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("msisdn",
+        org.apache.spark.sql.types.LongType)))
+    val dim = spark.createDataFrame(rdd, schema)
+    assert(dim.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      "test premise: the RDD-backed dim must report unknown stats")
+    val out = CdrPipeline.lookupEnrich(src, dim, "left_outer", dimMaxBytes = 1L)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"unknown-size dim lost the broadcast:\n${out.queryExecution.executedPlan}")
+    assert(out.select("msisdn").as[Long].head() == 777L)
+  }
+
+  test("dedupEval: zero truth pairs reports vacuous recall 1.0, never NULL") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val r = Dedup.dedupEval(docs, 0.4).head()
+    assert(r.getAs[Long]("n_true") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("recall_micro")), "recall_micro was NULL")
+    assert(r.getAs[Long]("recall_micro") == 1000000L)
+  }
+
+  test("audio: stereo WAV de-interleaves to the channel-0 signal") {
+    import graft.llm.Multimodal
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 50
+    val pcm = new Array[Byte](n * 4) // 16-bit LE, 2 channels interleaved
+    for (t <- 0 until n) {
+      val l = (t * 13 - 300).toShort  // channel 0
+      val r = (t * 7 + 900).toShort   // channel 1 — must NOT leak through
+      pcm(4 * t) = (l & 0xff).toByte; pcm(4 * t + 1) = ((l >> 8) & 0xff).toByte
+      pcm(4 * t + 2) = (r & 0xff).toByte; pcm(4 * t + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((1L, bos.toByteArray, "wav")).toDF("doc_id", "payload", "kind")
+    val row = Multimodal.decodePcm(media).head()
+    assert(row.getAs[Int]("n_channels") == 2)
+    val samples = row.getSeq[Int](row.fieldIndex("samples"))
+    assert(samples.length == n, s"expected $n per-channel samples, got ${samples.length}")
+    assert(samples.zipWithIndex.forall { case (s, t) => s == t * 13 - 300 },
+      "decoded stream is not the channel-0 signal")
+  }
+
   test("shuffleShards: negative doc_ids still land in [0, nShards)") {
     val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
       .toDF("doc_id", "text")
