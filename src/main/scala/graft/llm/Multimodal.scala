@@ -170,6 +170,113 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------- real video codec
+
+  /** Deterministic multi-frame spec for doc `d` — the generative contract
+    * the oracle replays: nFrames(d) = 2 + d % 7 frames, each
+    * vw(d)×vh(d) grayscale, luma(d,f,x,y) = (d·31 + f·59 + x·7 + y·13) % 256. */
+  def videoNFrames(d: Long): Int = (2 + d % 7).toInt
+  def videoWidth(d: Long): Int = (12 + d % 9).toInt
+  def videoHeight(d: Long): Int = (10 + (d * 5) % 7).toInt
+  def videoLuma(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 31 + f * 59 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode doc `d`'s frames as a genuine animated GIF — a real multi-frame
+    * container written by the JDK's own codec (`ImageWriter.writeToSequence`),
+    * lossless for grayscale (the 256-entry gray palette covers every
+    * sample value exactly). Same zero-dependency realness contract as
+    * [[imageBytes]] / [[audioBytes]]. */
+  def videoBytes(d: Long): Array[Byte] = {
+    val (nf, w, h) = (videoNFrames(d), videoWidth(d), videoHeight(d))
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, videoLuma(d, f, x, y)); x += 1 }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Real video table: one genuine animated-GIF payload per document. */
+  def realVideoTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d, videoBytes(d), "gif")
+      }
+    }(enc)
+  }
+
+  private val frameSampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_i", IntegerType),
+    StructField("frame_idx", IntegerType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("luma_sum", LongType)))
+
+  /** Partition-wise REAL frame sampling — [[mediaTable]]'s planned
+    * `mm_frame_sample` made actual: open the container, read the frame
+    * count from the stream directory, seek-decode ONLY the ≤ `maxFrames`
+    * sampled frames (index i·(n div k), the planner's even-spacing
+    * arithmetic), and reduce each decoded frame to its luma sum. One
+    * reusable GIF reader per partition; unsampled frames are never
+    * pixel-decoded, so at scale the codec cost tracks SAMPLED frames, not
+    * stored footage — the entire point of frame sampling. This is the
+    * ffmpeg seam: swap the reader for a real demuxer (any container whose
+    * frame directory supports indexed seek) and nothing upstream or
+    * downstream changes. */
+  def frameSampleReal(media: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames >= 1, s"frameSampleReal: maxFrames must be >= 1, got $maxFrames")
+    val enc = RowEncoder.encoderFor(frameSampleSchema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.flatMap { r =>
+        val d = r.getLong(0)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        rd.setInput(iis, false, true)
+        val n = rd.getNumImages(true)
+        val k = math.min(n, maxFrames)
+        val stride = n / k
+        // strict: every sampled frame decodes before the reader re-targets
+        val out = (0 until k).map { i =>
+          val fidx = i * stride
+          val img = rd.read(fidx)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          Row(d, n, i, fidx, w, h, sum)
+        }
+        iis.close()
+        out
+      }
+    }(enc)
+  }
+
   /** Real audio table: one genuine WAV payload per document. */
   def realAudioTable(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -427,8 +534,8 @@ object Multimodal {
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(3)) === 2), 32))),
 
     // frame sampling: pseudo-duration from the payload, ≤5 evenly spaced
-    // byte offsets per clip — integer arithmetic only, so the real
-    // frame-grab (ffmpeg seek at each offset) can slot into the same plan
+    // byte offsets per clip — integer arithmetic only; mm_video_real is
+    // the real twin (indexed seek-decode over genuine GIF containers)
     "mm_frame_sample" -> ((s, dir) => {
       val m = decodedMeta(mediaTable(Tables.documents(s, dir)))
       // frame_offsets is emitted as a canonical comma-joined string — the
@@ -490,6 +597,11 @@ object Multimodal {
     // framed into 32-sample energy windows — mm_audio_frames' real twin
     "mm_audio_real" -> ((s, dir) =>
       Util.orderAll(audioFramesReal(realAudioTable(Tables.documents(s, dir)), 32))),
+
+    // REAL video: genuine multi-frame GIF containers, ≤5 evenly spaced
+    // frames seek-decoded by INDEX — mm_frame_sample's real twin
+    "mm_video_real" -> ((s, dir) =>
+      Util.orderAll(frameSampleReal(realVideoTable(Tables.documents(s, dir)), 5))),
 
     // REAL codec round-trip: generate genuine PNG/JPEG bytes per doc,
     // decode with ImageIO, verify the decoded geometry/bands against the
@@ -591,6 +703,26 @@ object Multimodal {
         |       LATERAL (SELECT unnest(range(0, n)) AS t) tt
         |) px GROUP BY doc_id, t // 32""".stripMargin,
       Seq("doc_id", "frame", "n_samples", "energy")),
+
+    // the generative spec of videoBytes — frame directory + sampled-frame
+    // luma sums the Spark side must decode back out of the GIF containers
+    "mm_video_real" -> Util.wrap(
+      """WITH v AS (
+        |  SELECT doc_id, CAST(2 + doc_id % 7 AS INT) AS n_frames,
+        |    CAST(12 + doc_id % 9 AS INT) AS w,
+        |    CAST(10 + (doc_id * 5) % 7 AS INT) AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_frames, w, h, CAST(i AS INT) AS sample_i,
+        |    CAST(i * (n_frames // least(n_frames, 5)) AS INT) AS frame_idx
+        |  FROM v, LATERAL (SELECT unnest(range(0, least(n_frames, 5))) AS i) ii
+        |)
+        |SELECT doc_id, n_frames, sample_i, frame_idx, w, h,
+        |  CAST(sum((doc_id * 31 + frame_idx * 59 + (p % w) * 7
+        |            + (p // w) * 13) % 256) AS BIGINT) AS luma_sum
+        |FROM s, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
+        |GROUP BY doc_id, n_frames, sample_i, frame_idx, w, h""".stripMargin,
+      Seq("doc_id", "n_frames", "sample_i", "frame_idx", "w", "h", "luma_sum")),
 
     // the generative spec of imageBytes/imageWidth/imageHeight — what the
     // Spark side must DECODE back out of the real PNG/JPEG payloads

@@ -278,6 +278,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("recall_micro") == 1000000L)
   }
 
+  test("video: REAL multi-frame GIF — frame directory and sampled-frame lumas recovered exactly") {
+    import graft.llm.Multimodal
+    val docs = Tables.table(spark, sf, "documents").limit(40)
+    val out = Multimodal.frameSampleReal(Multimodal.realVideoTable(docs), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6))).toSet
+    val want = docs.select("doc_id").as[Long].collect().flatMap { d =>
+      val n = Multimodal.videoNFrames(d)
+      val k = math.min(n, 5)
+      (0 until k).map { i =>
+        val f = i * (n / k)
+        val (w, h) = (Multimodal.videoWidth(d), Multimodal.videoHeight(d))
+        val sum = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.videoLuma(d, f, x, y).toLong).sum
+        (d, n, i, f, w, h, sum)
+      }
+    }.toSet
+    assert(out == want, s"decoded sample set diverged from the generative spec")
+    // the sample budget binds: some fixture docs store more frames than 5
+    assert(out.exists(_._2 > 5), "fixture should include >5-frame containers")
+    assert(!out.exists(t => t._3 >= 5), "no more than maxFrames samples per doc")
+  }
+
   test("audio: stereo WAV de-interleaves to the channel-0 signal") {
     import graft.llm.Multimodal
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
