@@ -170,6 +170,42 @@ object Multimodal {
     bos.toByteArray
   }
 
+  val safeDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Poison-tolerant twin of [[decodeBatch]]: a payload the codec rejects
+    * (truncated file, wrong magic, codec exception) becomes a row with
+    * `decode_ok = false` and null geometry instead of an exception. At
+    * 100 TB a corrupt payload is ROUTINE — the strict form's `require`
+    * would kill the whole job for one bad object, so production pipelines
+    * route failures to a quarantine (see
+    * [[graft.streaming.MediaIngest]]) and keep going; the strict form
+    * stays the fixture-oracle assertion that OUR generated payloads all
+    * decode. */
+  def decodeBatchSafe(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(safeDecodedSchema)
+    media.select(col("doc_id"), col("payload"), col("format"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
+          if (img == null)
+            Row(r.getLong(0), r.getString(2), payload.length, null, null, null, false)
+          else
+            Row(r.getLong(0), r.getString(2), payload.length,
+              img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
+        }
+      }(enc)
+  }
+
   // ------------------------------------------------- real video codec
 
   /** Deterministic multi-frame spec for doc `d` — the generative contract
@@ -603,6 +639,20 @@ object Multimodal {
     "mm_video_real" -> ((s, dir) =>
       Util.orderAll(frameSampleReal(realVideoTable(Tables.documents(s, dir)), 5))),
 
+    // poison tolerance: every 37th payload is truncated to 7 bytes (kills
+    // the PNG signature and the JPEG SOI scan alike) — the safe decode
+    // must flag exactly those and decode the rest, no exception anywhere
+    // (good rows' n_bytes is encoder-output-sized — not closed-form — so
+    // the oracle checks byte count on the corrupt rows only)
+    "mm_decode_safe" -> ((s, dir) =>
+      Util.orderAll(decodeBatchSafe(
+        realMediaTable(Tables.documents(s, dir)).withColumn("payload",
+          expr("CASE WHEN doc_id % 37 = 0 THEN substring(payload, 1, 7)" +
+            " ELSE payload END")))
+        .select(col("doc_id"), col("format"),
+          when(!col("decode_ok"), col("n_bytes")).as("n_bytes_corrupt"),
+          col("width"), col("height"), col("channels"), col("decode_ok")))),
+
     // REAL codec round-trip: generate genuine PNG/JPEG bytes per doc,
     // decode with ImageIO, verify the decoded geometry/bands against the
     // generative arithmetic spec the oracle replays
@@ -723,6 +773,24 @@ object Multimodal {
         |FROM s, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
         |GROUP BY doc_id, n_frames, sample_i, frame_idx, w, h""".stripMargin,
       Seq("doc_id", "n_frames", "sample_i", "frame_idx", "w", "h", "luma_sum")),
+
+    // the corrupt-row contract: doc_id % 37 = 0 rows flagged with null
+    // geometry (their 7 surviving bytes counted), everything else decodes
+    // to the generative spec
+    "mm_decode_safe" -> Util.wrap(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 37 = 0 THEN 7 ELSE NULL END AS n_bytes_corrupt,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL
+        |    ELSE CAST(16 + doc_id % 17 AS INT) END AS width,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL
+        |    ELSE CAST(16 + (doc_id * 7) % 13 AS INT) END AS height,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL
+        |    ELSE CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END END AS channels,
+        |  doc_id % 37 <> 0 AS decode_ok
+        |FROM documents""".stripMargin,
+      Seq("doc_id", "format", "n_bytes_corrupt", "width", "height",
+        "channels", "decode_ok")),
 
     // the generative spec of imageBytes/imageWidth/imageHeight — what the
     // Spark side must DECODE back out of the real PNG/JPEG payloads

@@ -326,6 +326,57 @@ class Round8OpsSpec extends SparkSpec {
       "decoded stream is not the channel-0 signal")
   }
 
+  test("media: poison payloads become quarantine data, not exceptions — batch safe-decode and streaming ingest") {
+    import graft.llm.Multimodal
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // batch: the safe decode flags garbage and truncations, decodes the rest
+    def corrupt(d: Long): Boolean = d % 3 == 0
+    def payload(d: Long): Array[Byte] =
+      if (d % 6 == 0) Array[Byte](1, 2, 3) // garbage bytes
+      else if (corrupt(d)) Multimodal.imageBytes(d)._1.take(7) // truncated
+      else Multimodal.imageBytes(d)._1
+    val media = (1L to 30L).map(d => (d, payload(d), Multimodal.imageBytes(d)._2))
+      .toDF("doc_id", "payload", "format")
+    val out = Multimodal.decodeBatchSafe(media).collect()
+    assert(out.length == 30, "safe decode must emit one row per payload")
+    out.foreach { r =>
+      val d = r.getLong(0)
+      if (corrupt(d)) {
+        assert(!r.getBoolean(r.fieldIndex("decode_ok")), s"doc $d should fail")
+        assert(r.isNullAt(r.fieldIndex("width")))
+      } else {
+        assert(r.getBoolean(r.fieldIndex("decode_ok")), s"doc $d should decode")
+        assert(r.getInt(r.fieldIndex("width")) == Multimodal.imageWidth(d))
+        assert(r.getInt(r.fieldIndex("height")) == Multimodal.imageHeight(d))
+      }
+    }
+
+    // streaming: good/quarantine split, incremental batches, no crash
+    val mem = MemoryStream[(Long, Array[Byte], String)](spark)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mi-out").toString
+    val qDir = java.nio.file.Files.createTempDirectory("graft-mi-q").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-mi-ck").toString
+    val q = graft.streaming.MediaIngest.run(
+      spark, mem.toDF().toDF("doc_id", "payload", "format"), outDir, qDir, ck)
+    try {
+      mem.addData((1L to 10L).map(d => (d, payload(d), "img")))
+      q.processAllAvailable()
+      mem.addData((11L to 13L).map(d => (d, payload(d), "img")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val good = spark.read.parquet(outDir)
+    val quar = spark.read.parquet(qDir)
+    val goodIds = good.select("doc_id").as[Long].collect().toSet
+    val quarIds = quar.select("doc_id").as[Long].collect().toSet
+    assert(goodIds == (1L to 13L).filterNot(corrupt).toSet, s"good: $goodIds")
+    assert(quarIds == (1L to 13L).filter(corrupt).toSet, s"quarantine: $quarIds")
+    // truncated rows carry their surviving byte count into the quarantine
+    assert(quar.filter(col("doc_id") === 3L).select("n_bytes").as[Int].head() == 7)
+    // second batch landed incrementally under its own batch_id partition
+    assert(good.select("batch_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("shuffleShards: negative doc_ids still land in [0, nShards)") {
     val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
       .toDF("doc_id", "text")
