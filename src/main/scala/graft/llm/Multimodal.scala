@@ -206,6 +206,82 @@ object Multimodal {
       }(enc)
   }
 
+  /** Mixed-modality real table: a genuine image / WAV / GIF payload per
+    * document by doc_id % 3 — the input shape a real media lake has (one
+    * binary column, a format column, three codecs). */
+  def realMixedMediaTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        d % 3 match {
+          case 0 => val (b, f) = imageBytes(d); Row(d, b, f)
+          case 1 => Row(d, audioBytes(d), "wav")
+          case _ => Row(d, videoBytes(d), "gif")
+        }
+      }
+    }(enc)
+  }
+
+  val probeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("n_units", LongType),
+    StructField("decode_ok", BooleanType)))
+
+  /** Modality-dispatched poison-tolerant PROBE — the uniform validation
+    * gate [[graft.streaming.MediaIngest]] routes on: each payload is
+    * opened by the codec its `format` column names ('wav' → AudioSystem
+    * container parse, 'gif' → frame-directory scan, anything else →
+    * ImageIO decode), and reduces to one modality-comparable size metric
+    * `n_units` (audio: PCM frames; video: stored frames; image: pixels).
+    * Any codec reject — truncation, wrong magic, reader exception —
+    * becomes `decode_ok = false` with null units, never an exception:
+    * the whole-family guarantee that one corrupt object cannot kill a
+    * 100 TB validation pass, not just the image-path one. The strict
+    * per-modality decoders remain the oracle-pinned full decodes. */
+  def probeMediaSafe(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(probeSchema)
+    media.select(col("doc_id"), col("payload"), col("format"))
+      .mapPartitions { rows =>
+        // one reusable GIF reader per partition (frameSampleReal convention)
+        lazy val gifReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        rows.map { r =>
+          val d = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val fmt = r.getString(2)
+          val units: java.lang.Long =
+            try {
+              fmt match {
+                case "wav" =>
+                  val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                    new java.io.ByteArrayInputStream(payload))
+                  java.lang.Long.valueOf(ais.getFrameLength)
+                case "gif" =>
+                  val iis = javax.imageio.ImageIO.createImageInputStream(
+                    new java.io.ByteArrayInputStream(payload))
+                  gifReader.setInput(iis, false, true)
+                  val n = gifReader.getNumImages(true)
+                  iis.close()
+                  // an empty frame directory is a reject, not a 0-frame file
+                  if (n < 1) null else java.lang.Long.valueOf(n.toLong)
+                case _ =>
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload))
+                  if (img == null) null
+                  else java.lang.Long.valueOf(img.getWidth.toLong * img.getHeight)
+              }
+            } catch {
+              case _: java.io.IOException | _: RuntimeException |
+                  _: javax.sound.sampled.UnsupportedAudioFileException => null
+            }
+          Row(d, fmt, payload.length, units, units != null)
+        }
+      }(enc)
+  }
+
   // ------------------------------------------------- real video codec
 
   /** Deterministic multi-frame spec for doc `d` — the generative contract
@@ -642,6 +718,19 @@ object Multimodal {
     // poison tolerance: every 37th payload is truncated to 7 bytes (kills
     // the PNG signature and the JPEG SOI scan alike) — the safe decode
     // must flag exactly those and decode the rest, no exception anywhere
+    // cross-modality poison gate: one mixed binary column routed to the
+    // codec its format names (image→pixels, wav→PCM frames, gif→stored
+    // frames as the uniform n_units), every 37th payload truncated — no
+    // corrupt object of ANY modality raises
+    "mm_probe_safe" -> ((s, dir) =>
+      Util.orderAll(probeMediaSafe(
+        realMixedMediaTable(Tables.documents(s, dir)).withColumn("payload",
+          expr("CASE WHEN doc_id % 37 = 0 THEN substring(payload, 1, 7)" +
+            " ELSE payload END")))
+        .select(col("doc_id"), col("format"),
+          when(!col("decode_ok"), col("n_bytes")).as("n_bytes_corrupt"),
+          col("n_units"), col("decode_ok")))),
+
     // (good rows' n_bytes is encoder-output-sized — not closed-form — so
     // the oracle checks byte count on the corrupt rows only)
     "mm_decode_safe" -> ((s, dir) =>
@@ -773,6 +862,23 @@ object Multimodal {
         |FROM s, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
         |GROUP BY doc_id, n_frames, sample_i, frame_idx, w, h""".stripMargin,
       Seq("doc_id", "n_frames", "sample_i", "frame_idx", "w", "h", "luma_sum")),
+
+    // the cross-modality contract: per-modality generative unit counts
+    // (pixels / PCM frames / stored frames), corrupt rows flagged
+    "mm_probe_safe" -> Util.wrap(
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+        |    WHEN 1 THEN 'wav' ELSE 'gif' END AS format,
+        |  CASE WHEN doc_id % 37 = 0 THEN 7 ELSE NULL END AS n_bytes_corrupt,
+        |  CASE WHEN doc_id % 37 = 0 THEN NULL
+        |    WHEN doc_id % 3 = 0
+        |      THEN CAST((16 + doc_id % 17) * (16 + (doc_id * 7) % 13) AS BIGINT)
+        |    WHEN doc_id % 3 = 1 THEN CAST(64 + doc_id % 101 AS BIGINT)
+        |    ELSE CAST(2 + doc_id % 7 AS BIGINT) END AS n_units,
+        |  doc_id % 37 <> 0 AS decode_ok
+        |FROM documents""".stripMargin,
+      Seq("doc_id", "format", "n_bytes_corrupt", "n_units", "decode_ok")),
 
     // the corrupt-row contract: doc_id % 37 = 0 rows flagged with null
     // geometry (their 7 surviving bytes counted), everything else decodes

@@ -7,12 +7,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming media ingest — the multimodal sibling of [[CorpusIngest]]:
   * a stream of (doc_id, payload, format) rows is codec-validated per
-  * micro-batch with [[Multimodal.decodeBatchSafe]]; decodable payloads
-  * land as format-partitioned METADATA parquet (the decoded geometry a
-  * downstream vision stage plans over), codec rejects land in a
+  * micro-batch with [[Multimodal.probeMediaSafe]] — each payload opened
+  * by the codec its format names (image / WAV / GIF) — and decodable
+  * payloads land as format-partitioned METADATA parquet (byte and unit
+  * counts a downstream stage plans over), codec rejects land in a
   * quarantine with their surviving byte count. Decode failures are DATA,
   * never exceptions — at 100 TB a corrupt payload is routine, and the
-  * strict decode's `require` would kill the whole stream for one bad
+  * strict decoders' `require`s would kill the whole stream for one bad
   * object.
   *
   * Delivery: the same idempotent contract as CorpusIngest — both sinks
@@ -31,11 +32,11 @@ object MediaIngest {
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val decoded = Multimodal.decodeBatchSafe(batch).persist()
+        val decoded = Multimodal.probeMediaSafe(batch).persist()
         try {
           CorpusIngest.writeBatchPartition(
             decoded.filter(col("decode_ok"))
-              .select("doc_id", "format", "n_bytes", "width", "height", "channels"),
+              .select("doc_id", "format", "n_bytes", "n_units"),
             batchId, Seq("format"), outDir, "parquet")
           CorpusIngest.writeBatchPartition(
             decoded.filter(!col("decode_ok"))

@@ -352,7 +352,9 @@ class Round8OpsSpec extends SparkSpec {
       }
     }
 
-    // streaming: good/quarantine split, incremental batches, no crash
+    // streaming: modality-dispatched good/quarantine split, incremental
+    // batches — an image batch, then a mixed wav/gif batch with a corrupt
+    // WAV; no payload of any modality may raise
     val mem = MemoryStream[(Long, Array[Byte], String)](spark)
     val outDir = java.nio.file.Files.createTempDirectory("graft-mi-out").toString
     val qDir = java.nio.file.Files.createTempDirectory("graft-mi-q").toString
@@ -362,17 +364,28 @@ class Round8OpsSpec extends SparkSpec {
     try {
       mem.addData((1L to 10L).map(d => (d, payload(d), "img")))
       q.processAllAvailable()
-      mem.addData((11L to 13L).map(d => (d, payload(d), "img")))
+      mem.addData(Seq(
+        (11L, Multimodal.audioBytes(11L), "wav"),
+        (12L, Multimodal.videoBytes(12L), "gif"),
+        (13L, Multimodal.audioBytes(13L).take(7), "wav")))
       q.processAllAvailable()
     } finally q.stop()
     val good = spark.read.parquet(outDir)
     val quar = spark.read.parquet(qDir)
     val goodIds = good.select("doc_id").as[Long].collect().toSet
     val quarIds = quar.select("doc_id").as[Long].collect().toSet
-    assert(goodIds == (1L to 13L).filterNot(corrupt).toSet, s"good: $goodIds")
-    assert(quarIds == (1L to 13L).filter(corrupt).toSet, s"quarantine: $quarIds")
+    assert(goodIds == ((1L to 10L).filterNot(corrupt).toSet ++ Set(11L, 12L)),
+      s"good: $goodIds")
+    assert(quarIds == ((1L to 10L).filter(corrupt).toSet + 13L),
+      s"quarantine: $quarIds")
+    // per-modality unit metric: WAV → PCM frames, GIF → stored frames
+    assert(good.filter(col("doc_id") === 11L).select("n_units").as[Long].head()
+      == 64 + 11 % 101)
+    assert(good.filter(col("doc_id") === 12L).select("n_units").as[Long].head()
+      == 2 + 12 % 7)
     // truncated rows carry their surviving byte count into the quarantine
     assert(quar.filter(col("doc_id") === 3L).select("n_bytes").as[Int].head() == 7)
+    assert(quar.filter(col("doc_id") === 13L).select("n_bytes").as[Int].head() == 7)
     // second batch landed incrementally under its own batch_id partition
     assert(good.select("batch_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
   }
