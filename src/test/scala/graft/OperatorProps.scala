@@ -130,6 +130,32 @@ object OperatorProps extends Properties("operators") {
       Prop(got == expected) :| s"got $got expected $expected (parts=$parts)"
     }
 
+  property("probeMediaSafe never raises on arbitrary bytes — fuzz the codec gate") =
+    // random byte blobs (incl. prefixes that LOOK like valid magics)
+    // through every dispatch arm: the contract is one row per payload,
+    // decode_ok=false with null units on rejects, and NO exception —
+    // the 100 TB guarantee the quarantine path rests on
+    Prop.forAll(
+      Gen.listOfN(6, for {
+        n <- Gen.choose(0, 64)
+        bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        magic <- Gen.oneOf(Array.emptyByteArray,
+          "GIF89a".getBytes("US-ASCII"), "RIFF".getBytes("US-ASCII"),
+          Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+        fmt <- Gen.oneOf("png", "jpeg", "wav", "gif")
+      } yield (magic ++ bytes.toArray, fmt))) { blobs =>
+      val media = blobs.zipWithIndex
+        .map { case ((b, f), i) => (i.toLong, b, f) }
+        .toDF("doc_id", "payload", "format")
+      val out = graft.llm.Multimodal.probeMediaSafe(media).collect()
+      val allFlagged = out.forall { r =>
+        r.getBoolean(r.fieldIndex("decode_ok")) ||
+          r.isNullAt(r.fieldIndex("n_units"))
+      }
+      Prop(out.length == blobs.length && allFlagged) :|
+        s"rows=${out.length} of ${blobs.length}"
+    }
+
   property("shuffleShards is a partition-invariant permutation for any id set") =
     Prop.forAll(Gen.listOfN(20, Gen.choose(1L, 1000000L)), Gen.choose(1, 4)) {
       (rawIds, parts) =>
