@@ -609,6 +609,19 @@ class PlanAuditSpec extends SparkSpec {
     val nCodec = "MapPartitions".r.findAllIn(pp).size
     assert(nCodec == 2, s"codec stage duplicated ($nCodec MapPartitions):\n$pp")
 
+    // video frame sampling / mixed-modality probe: pure per-row codec
+    // work — nothing but the harness sort may shuffle
+    val pv = phys("mm_video_real")
+    assert(pv.contains("MapPartitions") && !pv.contains("Join"),
+      s"video codec stage missing or joined:\n$pv")
+    assert(exchanges("mm_video_real") <= 1,
+      s"frame sampling must not shuffle:\n$pv")
+    val pb = phys("mm_probe_safe")
+    assert(pb.contains("MapPartitions") && !pb.contains("Join"),
+      s"probe codec stage missing or joined:\n$pb")
+    assert(exchanges("mm_probe_safe") <= 1,
+      s"probe must not shuffle:\n$pb")
+
     // audio frames: one keyed exchange (doc, frame) + harness sort
     val pa = phys("mm_audio_real")
     assert(pa.contains("MapPartitions") && pa.contains("Generate"),
