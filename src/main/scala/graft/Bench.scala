@@ -33,6 +33,17 @@ object Bench {
     javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(graft.llm.Multimodal.audioBytes(0L)))
       .readAllBytes()
+    // the GIF READ path is a separate plugin from ImageIO.read's decoders —
+    // warm the reader (directory scan + indexed frame decode) too
+    locally {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(graft.llm.Multimodal.videoBytes(0L)))
+      rd.setInput(iis, false, true)
+      rd.getNumImages(true)
+      rd.read(0)
+      iis.close()
+    }
     // Optional subset for local bisection: BENCH_ONLY=q1_agg,cdr_range_join.
     // Tokens are trimmed and must all resolve — a typo'd filter erroring
     // beats silently timing an empty subset.

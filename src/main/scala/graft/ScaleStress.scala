@@ -420,10 +420,11 @@ object ScaleStress {
 
     // r8 continuation: the frame-sampling scale claim, measured — decoding
     // k sampled frames must cost ~k/n̄ of decoding the whole container
-    // directory (n̄ ≈ 5 stored frames/doc). Containers are encoded ONCE
-    // (localCheckpoint) so both runs time pure seek-decode; k=8 ≥ max
-    // stored frames = decode-everything.
-    val vmedia = graft.llm.Multimodal.realVideoTable(docsBase)
+    // directory (n̄ ≈ 5 stored frames/doc). The container table scales
+    // with the stress factor like every other metric (×100 = 500k real
+    // GIFs); containers are encoded ONCE (localCheckpoint) so both runs
+    // time pure seek-decode; k=8 ≥ max stored frames = decode-everything.
+    val vmedia = graft.llm.Multimodal.realVideoTable(docsN)
       .localCheckpoint(true)
     val (nVs, tVs) = timed("video sample k=2")(
       graft.llm.Multimodal.frameSampleReal(vmedia, 2).count())

@@ -193,14 +193,19 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"), col("format"))
       .mapPartitions { rows =>
         rows.map { r =>
+          // a NULL payload is a reject row like any other corrupt object —
+          // dereferencing it outside the guard would kill the very job the
+          // safe decode exists to keep alive (review-caught)
           val payload = r.getAs[Array[Byte]](1)
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            if (payload == null) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
             catch { case _: java.io.IOException | _: RuntimeException => null }
+          val nBytes = if (payload == null) 0 else payload.length
           if (img == null)
-            Row(r.getLong(0), r.getString(2), payload.length, null, null, null, false)
+            Row(r.getLong(0), r.getString(2), nBytes, null, null, null, false)
           else
-            Row(r.getLong(0), r.getString(2), payload.length,
+            Row(r.getLong(0), r.getString(2), nBytes,
               img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
         }
       }(enc)
@@ -253,7 +258,8 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           val fmt = r.getString(2)
           val units: java.lang.Long =
-            try {
+            if (payload == null) null // null payload = reject row, never NPE
+            else try {
               fmt match {
                 case "wav" =>
                   val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -277,7 +283,8 @@ object Multimodal {
               case _: java.io.IOException | _: RuntimeException |
                   _: javax.sound.sampled.UnsupportedAudioFileException => null
             }
-          Row(d, fmt, payload.length, units, units != null)
+          Row(d, fmt, if (payload == null) 0 else payload.length,
+            units, units != null)
         }
       }(enc)
   }
@@ -367,8 +374,10 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         rd.setInput(iis, false, true)
         val n = rd.getNumImages(true)
+        // an empty frame directory (valid header, no image descriptors)
+        // has nothing to sample — zero rows, not a divide-by-zero
         val k = math.min(n, maxFrames)
-        val stride = n / k
+        val stride = if (k < 1) 1 else n / k
         // strict: every sampled frame decodes before the reader re-targets
         val out = (0 until k).map { i =>
           val fidx = i * stride
@@ -715,9 +724,6 @@ object Multimodal {
     "mm_video_real" -> ((s, dir) =>
       Util.orderAll(frameSampleReal(realVideoTable(Tables.documents(s, dir)), 5))),
 
-    // poison tolerance: every 37th payload is truncated to 7 bytes (kills
-    // the PNG signature and the JPEG SOI scan alike) — the safe decode
-    // must flag exactly those and decode the rest, no exception anywhere
     // cross-modality poison gate: one mixed binary column routed to the
     // codec its format names (image→pixels, wav→PCM frames, gif→stored
     // frames as the uniform n_units), every 37th payload truncated — no
@@ -731,8 +737,11 @@ object Multimodal {
           when(!col("decode_ok"), col("n_bytes")).as("n_bytes_corrupt"),
           col("n_units"), col("decode_ok")))),
 
-    // (good rows' n_bytes is encoder-output-sized — not closed-form — so
-    // the oracle checks byte count on the corrupt rows only)
+    // image poison tolerance: every 37th payload truncated to 7 bytes
+    // (kills the PNG signature and the JPEG SOI scan alike) — the safe
+    // decode must flag exactly those and decode the rest, no exception
+    // anywhere. (Good rows' n_bytes is encoder-output-sized — not
+    // closed-form — so the oracle checks byte count on corrupt rows only.)
     "mm_decode_safe" -> ((s, dir) =>
       Util.orderAll(decodeBatchSafe(
         realMediaTable(Tables.documents(s, dir)).withColumn("payload",

@@ -352,6 +352,33 @@ class Round8OpsSpec extends SparkSpec {
       }
     }
 
+    // NULL payloads and empty containers are rejects, never NPE/div-zero
+    val nullMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(90L, null, "png"),
+        org.apache.spark.sql.Row(91L, null, "wav"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("format",
+          org.apache.spark.sql.types.StringType))))
+    val nd = Multimodal.decodeBatchSafe(nullMedia).collect()
+    assert(nd.length == 2 && nd.forall(r => !r.getBoolean(r.fieldIndex("decode_ok"))))
+    val np = Multimodal.probeMediaSafe(nullMedia).collect()
+    assert(np.length == 2 && np.forall(r => !r.getBoolean(r.fieldIndex("decode_ok"))))
+    // a syntactically valid GIF with an empty frame directory: header +
+    // logical screen descriptor + trailer, no image descriptor
+    val emptyGif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](1, 0, 1, 0, 0, 0, 0, 0x3B.toByte)
+    val eg = Seq((99L, emptyGif, "gif")).toDF("doc_id", "payload", "format")
+    assert(Multimodal.frameSampleReal(eg, 5).count() == 0L,
+      "empty container must sample zero frames, not crash")
+    assert(!Multimodal.probeMediaSafe(eg).head()
+      .getBoolean(Multimodal.probeSchema.fieldIndex("decode_ok")),
+      "empty frame directory must probe as a reject")
+
     // streaming: modality-dispatched good/quarantine split, incremental
     // batches — an image batch, then a mixed wav/gif batch with a corrupt
     // WAV; no payload of any modality may raise
