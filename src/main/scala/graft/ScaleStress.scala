@@ -432,8 +432,19 @@ object ScaleStress {
       graft.llm.Multimodal.frameSampleReal(vmedia, 8).count())
     vmedia.unpersist(blocking = false)
     System.err.println(s"[stress] video_sample_rows=$nVs video_all_rows=$nVa")
+    // the INDEXED-container twin: ZIP shards (central-directory seek) must
+    // show the k/n̄ win the GIF scan-bound rows can't — only sampled
+    // entries are inflated+decoded, unsampled frames cost a directory row
+    val smedia = graft.llm.Multimodal.realShardTable(docsN)
+      .localCheckpoint(true)
+    val (nSs, tSs) = timed("shard sample k=2")(
+      graft.llm.Multimodal.frameSampleShard(smedia, 2).count())
+    val (nSa, tSa) = timed("shard decode-all k=8")(
+      graft.llm.Multimodal.frameSampleShard(smedia, 8).count())
+    smedia.unpersist(blocking = false)
+    System.err.println(s"[stress] shard_sample_rows=$nSs shard_all_rows=$nSa")
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn}"""
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -398,6 +398,105 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------- indexed-shard container
+
+  /** Encode doc `d`'s frames (the SAME generative spec as [[videoBytes]])
+    * as a ZIP shard — one PNG entry per frame, the WebDataset-style shard
+    * layout training pipelines actually store media in. Unlike GIF, ZIP
+    * carries a real index (the central directory at EOF), so a reader can
+    * seek straight to a sampled entry without parsing the others — the
+    * container property [[frameSampleReal]]'s scaling analysis in SCALE.md
+    * says the k/n̄ sampling model needs. */
+  def shardBytes(d: Long): Array[Byte] = {
+    val (nf, w, h) = (videoNFrames(d), videoWidth(d), videoHeight(d))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, videoLuma(d, f, x, y)); x += 1 }
+        y += 1
+      }
+      zos.putNextEntry(new java.util.zip.ZipEntry(f"f$f%05d.png"))
+      javax.imageio.ImageIO.write(img, "png", zos)
+      zos.closeEntry()
+      f += 1
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Real shard table: one genuine ZIP-of-PNG-frames payload per doc. */
+  def realShardTable(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val d = r.getLong(0)
+        Row(d, shardBytes(d), "zip")
+      }
+    }(enc)
+  }
+
+  /** Indexed frame sampling over ZIP shards — [[frameSampleReal]]'s
+    * demonstration that the k/n̄ cost model HOLDS once the container has
+    * an index: `ZipFile` reads the central directory (an O(entries)
+    * directory record at EOF, not an O(bytes) block parse), and ONLY the
+    * ≤ `maxFrames` sampled entries are ever inflated and pixel-decoded —
+    * unsampled frames cost one directory row each. Same sampling
+    * arithmetic and output schema as the GIF path; the shard is spilled
+    * to a partition-local scratch file because the JDK's random-access
+    * ZIP reader is file-based (at real scale the shard already IS a
+    * file/object — the scratch spill models the object-store fetch). */
+  def frameSampleShard(media: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames >= 1, s"frameSampleShard: maxFrames must be >= 1, got $maxFrames")
+    val enc = RowEncoder.encoderFor(frameSampleSchema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val d = r.getLong(0)
+        val tmp = java.io.File.createTempFile("graft-shard", ".zip")
+        try {
+          java.nio.file.Files.write(tmp.toPath, r.getAs[Array[Byte]](1))
+          val zf = new java.util.zip.ZipFile(tmp)
+          try {
+            val entries = {
+              val es = zf.entries()
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[java.util.zip.ZipEntry]
+              while (es.hasMoreElements) buf += es.nextElement()
+              buf.sortBy(_.getName)
+            }
+            val n = entries.length
+            val k = math.min(n, maxFrames)
+            val stride = if (k < 1) 1 else n / k
+            (0 until k).map { i =>
+              val fidx = i * stride
+              val img = javax.imageio.ImageIO.read(zf.getInputStream(entries(fidx)))
+              require(img != null, s"undecodable shard entry $fidx for doc $d")
+              val (w, h) = (img.getWidth, img.getHeight)
+              // raw band-0 samples (the decodeLuma convention): getRGB
+              // would push the gray PNG through a linear→sRGB gamma
+              // conversion and inflate every luma (spec-caught)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              Row(d, n, i, fidx, w, h, sum)
+            }
+          } finally zf.close()
+        } finally tmp.delete()
+      }
+    }(enc)
+  }
+
   /** Real audio table: one genuine WAV payload per document. */
   def realAudioTable(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -724,6 +823,13 @@ object Multimodal {
     "mm_video_real" -> ((s, dir) =>
       Util.orderAll(frameSampleReal(realVideoTable(Tables.documents(s, dir)), 5))),
 
+    // REAL indexed shards: ZIP-of-PNG-frames containers (the WebDataset
+    // shard layout), central-directory seek to the sampled entries only —
+    // same generative spec and sampling arithmetic as mm_video_real, so
+    // the two containers must produce the identical answer
+    "mm_shard_real" -> ((s, dir) =>
+      Util.orderAll(frameSampleShard(realShardTable(Tables.documents(s, dir)), 5))),
+
     // cross-modality poison gate: one mixed binary column routed to the
     // codec its format names (image→pixels, wav→PCM frames, gif→stored
     // frames as the uniform n_units), every 37th payload truncated — no
@@ -795,6 +901,24 @@ object Multimodal {
       |)
       |""".stripMargin
 
+  private val videoSampleOracle = Util.wrap(
+    """WITH v AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 7 AS INT) AS n_frames,
+      |    CAST(12 + doc_id % 9 AS INT) AS w,
+      |    CAST(10 + (doc_id * 5) % 7 AS INT) AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_frames, w, h, CAST(i AS INT) AS sample_i,
+      |    CAST(i * (n_frames // least(n_frames, 5)) AS INT) AS frame_idx
+      |  FROM v, LATERAL (SELECT unnest(range(0, least(n_frames, 5))) AS i) ii
+      |)
+      |SELECT doc_id, n_frames, sample_i, frame_idx, w, h,
+      |  CAST(sum((doc_id * 31 + frame_idx * 59 + (p % w) * 7
+      |            + (p // w) * 13) % 256) AS BIGINT) AS luma_sum
+      |FROM s, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
+      |GROUP BY doc_id, n_frames, sample_i, frame_idx, w, h""".stripMargin,
+    Seq("doc_id", "n_frames", "sample_i", "frame_idx", "w", "h", "luma_sum"))
+
   def oracle: Map[String, String] = Map(
     // 1-based string indexing; DuckDB's char split has no trailing empty,
     // so the two engines see identical sample sequences on ASCII text
@@ -852,25 +976,11 @@ object Multimodal {
         |) px GROUP BY doc_id, t // 32""".stripMargin,
       Seq("doc_id", "frame", "n_samples", "energy")),
 
-    // the generative spec of videoBytes — frame directory + sampled-frame
-    // luma sums the Spark side must decode back out of the GIF containers
-    "mm_video_real" -> Util.wrap(
-      """WITH v AS (
-        |  SELECT doc_id, CAST(2 + doc_id % 7 AS INT) AS n_frames,
-        |    CAST(12 + doc_id % 9 AS INT) AS w,
-        |    CAST(10 + (doc_id * 5) % 7 AS INT) AS h
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, n_frames, w, h, CAST(i AS INT) AS sample_i,
-        |    CAST(i * (n_frames // least(n_frames, 5)) AS INT) AS frame_idx
-        |  FROM v, LATERAL (SELECT unnest(range(0, least(n_frames, 5))) AS i) ii
-        |)
-        |SELECT doc_id, n_frames, sample_i, frame_idx, w, h,
-        |  CAST(sum((doc_id * 31 + frame_idx * 59 + (p % w) * 7
-        |            + (p // w) * 13) % 256) AS BIGINT) AS luma_sum
-        |FROM s, LATERAL (SELECT unnest(range(0, w * h)) AS p) pp
-        |GROUP BY doc_id, n_frames, sample_i, frame_idx, w, h""".stripMargin,
-      Seq("doc_id", "n_frames", "sample_i", "frame_idx", "w", "h", "luma_sum")),
+    // the generative spec of videoBytes/shardBytes — frame directory +
+    // sampled-frame luma sums; GIF and ZIP-shard containers carry the
+    // SAME frames, so one oracle pins both queries
+    "mm_video_real" -> videoSampleOracle,
+    "mm_shard_real" -> videoSampleOracle,
 
     // the cross-modality contract: per-modality generative unit counts
     // (pixels / PCM frames / stored frames), corrupt rows flagged

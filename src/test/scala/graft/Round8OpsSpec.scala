@@ -301,6 +301,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(!out.exists(t => t._3 >= 5), "no more than maxFrames samples per doc")
   }
 
+  test("shard: ZIP-of-PNG container samples the identical frames as the GIF container") {
+    import graft.llm.Multimodal
+    val docs = Tables.table(spark, sf, "documents").limit(40)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getLong(6))
+    val gif = Multimodal.frameSampleReal(
+      Multimodal.realVideoTable(docs), 5).collect().map(key).toSet
+    val zip = Multimodal.frameSampleShard(
+      Multimodal.realShardTable(docs), 5).collect().map(key).toSet
+    assert(zip == gif, "indexed-shard sampling diverged from the GIF path")
+    assert(zip.nonEmpty)
+  }
+
   test("audio: stereo WAV de-interleaves to the channel-0 signal") {
     import graft.llm.Multimodal
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
