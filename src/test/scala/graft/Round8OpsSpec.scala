@@ -431,6 +431,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(good.select("batch_id").distinct().as[Long].collect().toSet == Set(0L, 1L))
   }
 
+  test("media ingest crash-replay: a batch killed after the sink writes, before commit, replays without duplicates") {
+    import graft.llm.Multimodal
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val srcDir = tmp("graft-mic-src")
+    val outDir = tmp("graft-mic-out")
+    val qDir = tmp("graft-mic-q")
+    val ckpt = tmp("graft-mic-ckpt")
+    // durable source (the replay has to re-read it after the crash)
+    (1L to 5L).map(d => (d,
+      if (d == 4L) Multimodal.imageBytes(d)._1.take(7) else Multimodal.imageBytes(d)._1,
+      Multimodal.imageBytes(d)._2))
+      .toDF("doc_id", "payload", "format")
+      .write.mode("overwrite").parquet(srcDir)
+    def src() = spark.readStream
+      .schema("doc_id LONG, payload BINARY, format STRING").parquet(srcDir)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = graft.streaming.MediaIngest.run(spark, src(), outDir, qDir, ckpt,
+      onBatchComplete = { _ =>
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash: after sink writes, before commit")
+      })
+    try q1.processAllAvailable()
+    catch { case _: Throwable => () }
+    q1.stop()
+    assert(crashed.get(), "injection never fired")
+    // the at-least-once window is real: data reached both sinks uncommitted
+    assert(spark.read.parquet(outDir).count() == 4)
+    // restart from the same checkpoint: the batch replays under the SAME
+    // batch_id and dynamic overwrite replaces its own partitions
+    val q2 = graft.streaming.MediaIngest.run(spark, src(), outDir, qDir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val good = spark.read.parquet(outDir).select("doc_id").as[Long].collect()
+    assert(good.length == good.distinct.length, s"replay duplicated: ${good.toSeq.sorted}")
+    assert(good.toSet == Set(1L, 2L, 3L, 5L))
+    val quar = spark.read.parquet(qDir).select("doc_id").as[Long].collect()
+    assert(quar.toSeq == Seq(4L), s"quarantine must hold doc 4 exactly once: ${quar.toSeq}")
+  }
+
   test("shuffleShards: negative doc_ids still land in [0, nShards)") {
     val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
       .toDF("doc_id", "text")
