@@ -300,13 +300,41 @@ object Multimodal {
   def videoLuma(d: Long, f: Int, x: Int, y: Int): Int =
     ((d * 31 + f * 59 + x * 7 + y * 13) % 256).toInt
 
+  /** Render frame `f` of doc `d` from the generative spec — the SINGLE
+    * source both containers ([[videoBytes]]' GIF sequence, [[shardBytes]]'
+    * ZIP shard) encode; a spec change here changes both in lockstep (and
+    * the shared `videoSampleOracle` is the third copy to keep in sync). */
+  private def frameImage(d: Long, f: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (videoWidth(d), videoHeight(d))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, videoLuma(d, f, x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** The even-spacing sample plan every container reader shares —
+    * (sample_i, frame_idx = i·(n div k)) for k = min(n, maxFrames); an
+    * empty frame directory samples nothing (no divide-by-zero). One copy
+    * of the planner arithmetic, mirrored only by the oracle SQL. */
+  private def sampleIndices(n: Int, maxFrames: Int): IndexedSeq[(Int, Int)] = {
+    val k = math.min(n, maxFrames)
+    val stride = if (k < 1) 1 else n / k
+    (0 until k).map(i => (i, i * stride))
+  }
+
   /** Encode doc `d`'s frames as a genuine animated GIF — a real multi-frame
     * container written by the JDK's own codec (`ImageWriter.writeToSequence`),
     * lossless for grayscale (the 256-entry gray palette covers every
     * sample value exactly). Same zero-dependency realness contract as
     * [[imageBytes]] / [[audioBytes]]. */
   def videoBytes(d: Long): Array[Byte] = {
-    val (nf, w, h) = (videoNFrames(d), videoWidth(d), videoHeight(d))
+    val nf = videoNFrames(d)
     val bos = new java.io.ByteArrayOutputStream()
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -314,16 +342,7 @@ object Multimodal {
     wr.prepareWriteSequence(null)
     var f = 0
     while (f < nf) {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { raster.setSample(x, y, 0, videoLuma(d, f, x, y)); x += 1 }
-        y += 1
-      }
-      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      wr.writeToSequence(new javax.imageio.IIOImage(frameImage(d, f), null, null), null)
       f += 1
     }
     wr.endWriteSequence()
@@ -374,13 +393,8 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         rd.setInput(iis, false, true)
         val n = rd.getNumImages(true)
-        // an empty frame directory (valid header, no image descriptors)
-        // has nothing to sample — zero rows, not a divide-by-zero
-        val k = math.min(n, maxFrames)
-        val stride = if (k < 1) 1 else n / k
         // strict: every sampled frame decodes before the reader re-targets
-        val out = (0 until k).map { i =>
-          val fidx = i * stride
+        val out = sampleIndices(n, maxFrames).map { case (i, fidx) =>
           val img = rd.read(fidx)
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
@@ -408,22 +422,13 @@ object Multimodal {
     * container property [[frameSampleReal]]'s scaling analysis in SCALE.md
     * says the k/n̄ sampling model needs. */
   def shardBytes(d: Long): Array[Byte] = {
-    val (nf, w, h) = (videoNFrames(d), videoWidth(d), videoHeight(d))
+    val nf = videoNFrames(d)
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
     var f = 0
     while (f < nf) {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { raster.setSample(x, y, 0, videoLuma(d, f, x, y)); x += 1 }
-        y += 1
-      }
       zos.putNextEntry(new java.util.zip.ZipEntry(f"f$f%05d.png"))
-      javax.imageio.ImageIO.write(img, "png", zos)
+      javax.imageio.ImageIO.write(frameImage(d, f), "png", zos)
       zos.closeEntry()
       f += 1
     }
@@ -471,10 +476,7 @@ object Multimodal {
               buf.sortBy(_.getName)
             }
             val n = entries.length
-            val k = math.min(n, maxFrames)
-            val stride = if (k < 1) 1 else n / k
-            (0 until k).map { i =>
-              val fidx = i * stride
+            sampleIndices(n, maxFrames).map { case (i, fidx) =>
               val img = javax.imageio.ImageIO.read(zf.getInputStream(entries(fidx)))
               require(img != null, s"undecodable shard entry $fidx for doc $d")
               val (w, h) = (img.getWidth, img.getHeight)
