@@ -553,6 +553,30 @@ object RelQueries {
           col("w.ts").as("last_ts")))
     }),
 
+    // SCD Type-2 dimension-history build: the same changelog q_cdc_apply
+    // materializes the LATEST state from, here materialized as FULL
+    // history — consecutive duplicate states compress to change points
+    // (lag over the per-key timeline), and each surviving change opens a
+    // version row stamped [valid_from, valid_to) by the NEXT change's
+    // timestamp (null valid_to = current row), with a per-key version
+    // number. Both window passes share one (user_id) partitioning and one
+    // (ts, event_id) sort — a single shuffle+sort, the change filter
+    // between passes shrinking what the second pass carries to the change
+    // rows only. At 100 TB this is the standard warehouse pattern for
+    // slowly-changing dimensions: per-key history fits the key's
+    // partition, no global state, no driver loop.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      graft.Util.orderAll(changes
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to")))
+    }),
+
     // explicit runtime-filter semi join: the selective dim key set is
     // folded into a Bloom sketch probed AT THE FACT SCAN (the codegen'd
     // BloomFilterMightContain — no per-row UDF), so ~95% of lineitem never
@@ -1078,6 +1102,21 @@ object RelQueries {
         |  FROM events) x
         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
       Seq("user_id", "last_value", "last_ts")),
+
+    // change-point compression then versioned validity intervals — the
+    // identical two-pass window chain over the same per-key ordering
+    "q_scd2" -> graft.Util.wrap(
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_state
+        |  FROM events) c
+        |WHERE prev_state IS NULL OR prev_state <> event_type""".stripMargin,
+      Seq("user_id", "version", "state", "valid_from", "valid_to")),
 
     // the plain semi join — the bloom prefilter must be invisible in the
     // answer (FPs eliminated by the exact join)

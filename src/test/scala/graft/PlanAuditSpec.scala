@@ -496,6 +496,18 @@ class PlanAuditSpec extends SparkSpec {
       s"one keyed shuffle (+harness sort) expected:\n$pc")
   }
 
+  test("q_scd2: both window passes share one keyed shuffle + sort") {
+    val p = phys("q_scd2")
+    // change-point lag and version/validity lead run over the SAME
+    // (user_id × ts,event_id) ordering with only a Filter between them —
+    // EnsureRequirements must satisfy the second Window from the first's
+    // partitioning/ordering, not re-shuffle or re-sort
+    assert(p.contains("Window"), s"window chain missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"both windows must reuse ONE user_id shuffle:\n$p")
+    assert(exchanges("q_scd2") <= 2, s"keyed shuffle + harness sort only:\n$p")
+  }
+
   test("doc_winnow_overlap / mm_audio_frames: one shuffle before the pair join / frame agg") {
     val pw = phys("doc_winnow_overlap")
     // fingerprint selection is in-row: the only pre-join shuffles are the

@@ -469,6 +469,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(quar.toSeq == Seq(4L), s"quarantine must hold doc 4 exactly once: ${quar.toSeq}")
   }
 
+  test("scd2: consecutive duplicates compress, versions number change points, validity chains") {
+    // one key's changelog: A A B B A  → versions A[t1,t3) B[t3,t5) A[t5,∞);
+    // a second key with a single state → one open-ended version
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 10L, "A", 0.0, ""), (2L, ts(2), 10L, "A", 0.0, ""),
+      (3L, ts(3), 10L, "B", 0.0, ""), (4L, ts(4), 10L, "B", 0.0, ""),
+      (5L, ts(5), 10L, "A", 0.0, ""),
+      (6L, ts(1), 20L, "C", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val hist = ev
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select("user_id", "version", "event_type", "ts", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)))).toSet
+    assert(hist == Set(
+      (10L, 1, "A", ts(1), Some(ts(3))),
+      (10L, 2, "B", ts(3), Some(ts(5))),
+      (10L, 3, "A", ts(5), None),
+      (20L, 1, "C", ts(1), None)),
+      s"SCD2 history wrong: $hist")
+  }
+
   test("shuffleShards: negative doc_ids still land in [0, nShards)") {
     val docs = Seq((-5L, "a"), (-1L, "b"), (0L, "c"), (7L, "d"))
       .toDF("doc_id", "text")
