@@ -453,48 +453,39 @@ object Multimodal {
     * directory record at EOF, not an O(bytes) block parse), and ONLY the
     * ≤ `maxFrames` sampled entries are ever inflated and pixel-decoded —
     * unsampled frames cost one directory row each. Same sampling
-    * arithmetic and output schema as the GIF path; the shard is spilled
-    * to a partition-local scratch file because the JDK's random-access
-    * ZIP reader is file-based (at real scale the shard already IS a
-    * file/object — the scratch spill models the object-store fetch). */
+    * arithmetic and output schema as the GIF path. The reader is
+    * [[ShardZip]], an in-memory central-directory parser: bytes touched
+    * are the EOCD record, the directory, and the sampled entries' spans —
+    * the exact three ranged reads an object store serves (tail GET +
+    * one range per sampled entry), with no scratch file and no
+    * O(container) scan, so the byte cost tracks k BY CONSTRUCTION. */
   def frameSampleShard(media: DataFrame, maxFrames: Int): DataFrame = {
     require(maxFrames >= 1, s"frameSampleShard: maxFrames must be >= 1, got $maxFrames")
     val enc = RowEncoder.encoderFor(frameSampleSchema)
     media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       rows.flatMap { r =>
         val d = r.getLong(0)
-        val tmp = java.io.File.createTempFile("graft-shard", ".zip")
-        try {
-          java.nio.file.Files.write(tmp.toPath, r.getAs[Array[Byte]](1))
-          val zf = new java.util.zip.ZipFile(tmp)
-          try {
-            val entries = {
-              val es = zf.entries()
-              val buf = scala.collection.mutable.ArrayBuffer
-                .empty[java.util.zip.ZipEntry]
-              while (es.hasMoreElements) buf += es.nextElement()
-              buf.sortBy(_.getName)
-            }
-            val n = entries.length
-            sampleIndices(n, maxFrames).map { case (i, fidx) =>
-              val img = javax.imageio.ImageIO.read(zf.getInputStream(entries(fidx)))
-              require(img != null, s"undecodable shard entry $fidx for doc $d")
-              val (w, h) = (img.getWidth, img.getHeight)
-              // raw band-0 samples (the decodeLuma convention): getRGB
-              // would push the gray PNG through a linear→sRGB gamma
-              // conversion and inflate every luma (spec-caught)
-              val raster = img.getRaster
-              var sum = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-                y += 1
-              }
-              Row(d, n, i, fidx, w, h, sum)
-            }
-          } finally zf.close()
-        } finally tmp.delete()
+        val bytes = r.getAs[Array[Byte]](1)
+        val entries = ShardZip.entries(bytes).sortBy(_.name)
+        val n = entries.length
+        sampleIndices(n, maxFrames).map { case (i, fidx) =>
+          val in = ShardZip.entryStream(bytes, entries(fidx))
+          val img = try javax.imageio.ImageIO.read(in) finally in.close()
+          require(img != null, s"undecodable shard entry $fidx for doc $d")
+          val (w, h) = (img.getWidth, img.getHeight)
+          // raw band-0 samples (the decodeLuma convention): getRGB
+          // would push the gray PNG through a linear→sRGB gamma
+          // conversion and inflate every luma (spec-caught)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          Row(d, n, i, fidx, w, h, sum)
+        }
       }
     }(enc)
   }

@@ -315,6 +315,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(zip.nonEmpty)
   }
 
+  test("shard: ShardZip central-directory reader matches the JDK ZipFile byte-for-byte") {
+    // parity on real writer output across several shard geometries, and a
+    // malformed container must throw (the poison gate's reject signal),
+    // never mis-parse
+    Seq(0L, 3L, 7L, 11L).foreach { d =>
+      val bytes = graft.llm.Multimodal.shardBytes(d)
+      val mine = graft.llm.ShardZip.entries(bytes).sortBy(_.name)
+      val tmp = java.io.File.createTempFile("graft-zipspec", ".zip")
+      try {
+        java.nio.file.Files.write(tmp.toPath, bytes)
+        val zf = new java.util.zip.ZipFile(tmp)
+        try {
+          val jdk = {
+            val es = zf.entries()
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[java.util.zip.ZipEntry]
+            while (es.hasMoreElements) buf += es.nextElement()
+            buf.sortBy(_.getName)
+          }
+          assert(mine.map(_.name).toSeq == jdk.map(_.getName).toSeq,
+            s"doc $d: entry listing differs")
+          mine.zip(jdk).foreach { case (m, j) =>
+            val a = {
+              val in = graft.llm.ShardZip.entryStream(bytes, m)
+              try in.readAllBytes() finally in.close()
+            }
+            val b = zf.getInputStream(j).readAllBytes()
+            assert(java.util.Arrays.equals(a, b),
+              s"doc $d entry ${m.name}: content differs")
+          }
+        } finally zf.close()
+      } finally tmp.delete()
+    }
+    intercept[Exception] {
+      graft.llm.ShardZip.entries("not a zip container at all".getBytes)
+    }
+  }
+
   test("audio: stereo WAV de-interleaves to the channel-0 signal") {
     import graft.llm.Multimodal
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
