@@ -238,9 +238,10 @@ object Multimodal {
   /** Modality-dispatched poison-tolerant PROBE — the uniform validation
     * gate [[graft.streaming.MediaIngest]] routes on: each payload is
     * opened by the codec its `format` column names ('wav' → AudioSystem
-    * container parse, 'gif' → frame-directory scan, anything else →
-    * ImageIO decode), and reduces to one modality-comparable size metric
-    * `n_units` (audio: PCM frames; video: stored frames; image: pixels).
+    * container parse, 'gif' → frame-directory scan, 'zip' → [[ShardZip]]
+    * central-directory read, anything else → ImageIO decode), and reduces
+    * to one modality-comparable size metric `n_units` (audio: PCM frames;
+    * video/shard: stored frames; image: pixels).
     * Any codec reject — truncation, wrong magic, reader exception —
     * becomes `decode_ok = false` with null units, never an exception:
     * the whole-family guarantee that one corrupt object cannot kill a
@@ -272,6 +273,13 @@ object Multimodal {
                   val n = gifReader.getNumImages(true)
                   iis.close()
                   // an empty frame directory is a reject, not a 0-frame file
+                  if (n < 1) null else java.lang.Long.valueOf(n.toLong)
+                case "zip" =>
+                  // shard container: n_units = stored entries, read from the
+                  // central directory alone (no entry is ever inflated —
+                  // the probe touches directory bytes only, same ranged-read
+                  // contract as frameSampleShard)
+                  val n = ShardZip.entries(payload).length
                   if (n < 1) null else java.lang.Long.valueOf(n.toLong)
                 case _ =>
                   val img = javax.imageio.ImageIO.read(

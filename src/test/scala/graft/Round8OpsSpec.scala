@@ -353,6 +353,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("shard: probe gate counts ZIP entries from the directory; corrupt shards reject, never raise") {
+    val docs = Seq(0L, 5L, 9L).toDF("doc_id")
+    val media = graft.llm.Multimodal.realShardTable(docs)
+      .withColumn("format", lit("zip"))
+      // doc 5: kill the central directory (truncate to 7 bytes)
+      .withColumn("payload",
+        when(col("doc_id") === 5L, expr("substring(payload, 1, 7)"))
+          .otherwise(col("payload")))
+    val got = graft.llm.Multimodal.probeMediaSafe(media)
+      .select("doc_id", "n_units", "decode_ok")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    def nf(d: Long) = graft.llm.Multimodal.videoNFrames(d).toLong
+    assert(got == Set(
+      (0L, Some(nf(0L)), true),
+      (5L, None, false),
+      (9L, Some(nf(9L)), true)),
+      s"zip probe contract broken: $got")
+  }
+
   test("audio: stereo WAV de-interleaves to the channel-0 signal") {
     import graft.llm.Multimodal
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
