@@ -63,6 +63,12 @@ object ShardZip {
     var p = cdOff.toInt
     var i = 0
     while (i < count) {
+      // per-record bounds BEFORE any field read: variable-length parts
+      // shift every later record, so the up-front directory-size check
+      // cannot cover a corrupt name/extra/comment length mid-walk — the
+      // contract is IllegalArgumentException, never an index error
+      require(p >= 0 && p + 46 <= bytes.length,
+        s"ShardZip: directory record truncated at $p")
       require(u32(bytes, p) == CenSig, s"ShardZip: bad central header at $p")
       val method = u16(bytes, p + 10)
       val csize = u32(bytes, p + 20)
@@ -72,6 +78,8 @@ object ShardZip {
       val lho = u32(bytes, p + 42)
       require(csize <= Int.MaxValue && lho <= Int.MaxValue,
         "ShardZip: ZIP64-sized entry in a non-ZIP64 reader")
+      require(p + 46L + nameLen + extraLen + commentLen <= bytes.length,
+        s"ShardZip: directory record overruns the container at $p")
       out(i) = Entry(new String(bytes, p + 46, nameLen, StandardCharsets.UTF_8),
         method, csize.toInt, lho.toInt)
       p += 46 + nameLen + extraLen + commentLen
@@ -86,14 +94,28 @@ object ShardZip {
     * deflated inflates lazily. Caller closes (ends the Inflater). */
   def entryStream(bytes: Array[Byte], e: Entry): InputStream = {
     val p = e.localHeaderOffset
+    require(p >= 0 && p + 30 <= bytes.length,
+      s"ShardZip: local header truncated at $p")
     require(u32(bytes, p) == LocSig, s"ShardZip: bad local header at $p")
     val dataOff = p + 30 + u16(bytes, p + 26) + u16(bytes, p + 28)
-    require(dataOff + e.compressedSize.toLong <= bytes.length,
+    require(dataOff >= 0 && dataOff + e.compressedSize.toLong <= bytes.length,
       s"ShardZip: entry span out of bounds at $dataOff")
-    val raw = new ByteArrayInputStream(bytes, dataOff, e.compressedSize)
     e.method match {
-      case 0 => raw
-      case 8 => new InflaterInputStream(raw, new Inflater(/*nowrap=*/ true))
+      case 0 => new ByteArrayInputStream(bytes, dataOff, e.compressedSize)
+      case 8 =>
+        // raw (nowrap) inflate needs one readable byte PAST the deflate
+        // stream to report stream end (Inflater javadoc; the JDK's ZipFile
+        // streams append a dummy byte for exactly this) — in a ZIP there is
+        // always a next header/directory byte to lend, but clamp anyway
+        val lend = if (dataOff + e.compressedSize < bytes.length) 1 else 0
+        val raw = new ByteArrayInputStream(bytes, dataOff, e.compressedSize + lend)
+        val inf = new Inflater(/*nowrap=*/ true)
+        // a caller-supplied Inflater is NOT ended by InflaterInputStream
+        // .close() — without this override every entry read leaks native
+        // zlib window buffers until the Cleaner runs (review-caught)
+        new InflaterInputStream(raw, inf) {
+          override def close(): Unit = try super.close() finally inf.end()
+        }
       case m => throw new IllegalArgumentException(
         s"ShardZip: unsupported compression method $m for '${e.name}'")
     }

@@ -25,6 +25,22 @@ object RelQueries {
   // All double-valued aggregates are rounded identically on both sides so
   // summation-order ULP noise can't break the driver's hash compare.
 
+  /** SCD Type-2 history materialization over an event changelog (the body
+    * of `q_scd2`, factored out so specs exercise the PRODUCTION chain):
+    * change-point compression via lag over the per-key timeline, then
+    * per-key version numbers and [valid_from, valid_to) validity stamped
+    * by row_number/lead over the surviving change rows. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
   private def lineitem(s: SparkSession, dir: String) = Tables.table(s, dir, "lineitem")
   private def orders(s: SparkSession, dir: String)   = Tables.table(s, dir, "orders")
   private def customer(s: SparkSession, dir: String) = Tables.table(s, dir, "customer")
@@ -565,17 +581,7 @@ object RelQueries {
     // rows only. At 100 TB this is the standard warehouse pattern for
     // slowly-changing dimensions: per-key history fits the key's
     // partition, no global state, no driver loop.
-    "q_scd2" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val changes = Tables.events(s, dir)
-        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
-      graft.Util.orderAll(changes
-        .withColumn("version", row_number().over(w))
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
-        .select(col("user_id"), col("version"), col("event_type").as("state"),
-          col("ts").as("valid_from"), col("valid_to")))
-    }),
+    "q_scd2" -> ((s, dir) => graft.Util.orderAll(scd2(Tables.events(s, dir)))),
 
     // explicit runtime-filter semi join: the selective dim key set is
     // folded into a Bloom sketch probed AT THE FACT SCAN (the codegen'd

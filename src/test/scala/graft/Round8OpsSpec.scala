@@ -536,14 +536,9 @@ class Round8OpsSpec extends SparkSpec {
       (5L, ts(5), 10L, "A", 0.0, ""),
       (6L, ts(1), 20L, "C", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val hist = ev
-      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
-      .withColumn("version", row_number().over(w))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
-      .select("user_id", "version", "event_type", "ts", "valid_to")
+    // the PRODUCTION chain, not a spec-local copy (review-caught)
+    val hist = graft.relational.RelQueries.scd2(ev)
+      .select("user_id", "version", "state", "valid_from", "valid_to")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
         r.getTimestamp(3), Option(r.getTimestamp(4)))).toSet
     assert(hist == Set(
