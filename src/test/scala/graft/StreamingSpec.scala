@@ -1089,6 +1089,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scd2: closed history + open versions == batch scd2 of any in-order prefix; late rows drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def mic(t: java.sql.Timestamp) = t.getTime * 1000L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    // sink: closed versions are append-once facts; open versions keep the
+    // latest re-emission per key (Update-mode convention)
+    val closedRows = scala.collection.mutable.Set[(Long, Int, String, Long, Long)]()
+    val openRows = scala.collection.mutable.Map[Long, (Int, String, Long)]()
+    val q = streaming.StreamingScd2.run(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-scd2"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          if (r.getBoolean(5))
+            openRows(r.getLong(0)) = (r.getInt(1), r.getString(2), r.getLong(3))
+          else
+            closedRows += ((r.getLong(0), r.getInt(1), r.getString(2),
+              r.getLong(3), r.getLong(4)))
+        }
+        ()
+      }.start()
+    // batch scd2 of an in-order prefix, split into its closed/open halves
+    def parity(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) = {
+      val got = graft.relational.RelQueries.scd2(
+        rows.toDF("user_id", "ts", "event_id", "event_type")).collect()
+      val closed = got.filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2), mic(r.getTimestamp(3)), mic(r.getTimestamp(4)))).toSet
+      val open = got.filter(_.isNullAt(4)).map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), mic(r.getTimestamp(3))))).toMap
+      (closed, open)
+    }
+    // deliberately out of order WITHIN the batch (the fold must sort)
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:02:00"), 3L, "B"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "A"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "C"))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:03:00"), 5L, "B"),  // extends open B
+      (1L, ts("2024-01-01 10:04:00"), 6L, "A"),  // closes B, opens A
+      (2L, ts("2024-01-01 10:05:00"), 7L, "C"))  // extends open C
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val (c1, o1) = parity(b1)
+      assert(closedRows.toSet == c1 && openRows.toMap == o1,
+        s"prefix parity broke: closed $closedRows vs $c1, open $openRows vs $o1")
+      // hand-check: u1 closed v1 A [10:00, 10:02), open v2 B; u2 open v1 C
+      assert(closedRows.toSet ==
+        Set((1L, 1, "A", mic(ts("2024-01-01 10:00:00")), mic(ts("2024-01-01 10:02:00")))))
+      mem.addData(b2: _*); q.processAllAvailable()
+      val (c2, o2) = parity(b1 ++ b2)
+      assert(closedRows.toSet == c2 && openRows.toMap == o2,
+        s"full parity broke: closed $closedRows vs $c2, open $openRows vs $o2")
+      // a LATE row older than u1's open version must be dropped, not
+      // rewrite sink-committed history
+      val before = (closedRows.toSet, openRows.toMap)
+      mem.addData((1L, ts("2024-01-01 09:59:00"), 0L, "Z"))
+      q.processAllAvailable()
+      assert((closedRows.toSet, openRows.toMap) == before,
+        s"late row must not reopen history: $closedRows / $openRows")
+    } finally q.stop()
+  }
+
   test("streaming ewma: the stream fold runs the exact recursion a batch window must truncate") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
