@@ -1081,8 +1081,21 @@ object TextAnalysis {
     * posting-list-sized. dl comes from one map-side pass fused into the
     * same tokenize scan. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK: need at least one query term")
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    bm25Scored(docs, queryTerms)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_match"), col("bm25_micro"), col("rk"))
+  }
+
+  /** The candidate-set half of [[bm25TopK]]: every document containing at
+    * least one query term, scored — `(doc_id, n_match, bm25_micro)` with
+    * `n_match` = number of DISTINCT query terms present. Shared by the
+    * top-k ranking and by [[retrievalEval]], which additionally needs the
+    * un-truncated candidate set to count relevant documents. */
+  private def bm25Scored(docs: DataFrame, queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scored: need at least one query term")
     val tok = Dedup.tokenized(docs).withColumn("dl", size(col("words")))
     val stats = tok.agg(count(lit(1)).as("n_corpus"),
       sum(col("dl").cast("long")).as("total_tokens"))
@@ -1109,10 +1122,73 @@ object TextAnalysis {
       .withColumn("s_micro", round((idf * satur) * lit(1e6)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_match"), sum(col("s_micro")).as("bm25_micro"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("n_match"), col("bm25_micro"), col("rk"))
+  }
+
+  /** Retrieval-quality evaluation — MRR and nDCG@10 of the [[bm25TopK]]
+    * ranking per evaluation query, with deterministic binary relevance:
+    * a document is relevant iff it contains EVERY query term (full match,
+    * `n_match == |q|`), a label derivable from the corpus itself so the
+    * evaluation needs no external judgment file. One output row per query:
+    * `(query_id, n_rel, mrr_micro, dcg_micro, idcg_micro, ndcg_ppm)`.
+    *
+    * Hash-stability: the rank-discount tables are pinned INTEGER literals
+    * shared verbatim with the oracle SQL — `mrr_micro(i) = round(10⁶/i)`
+    * and the standard log₂ nDCG discount `dcg_w(i) = round(10⁶/log₂(i+1))`
+    * precomputed for i = 1..10, so no libm log is evaluated by either
+    * engine; `ndcg_ppm` is exact BIGINT division (`div` / DuckDB `//`).
+    * IDCG is the cumulative-weight table indexed at `min(n_rel, 10)`.
+    *
+    * Scale shape: each query costs one term-selective posting probe (the
+    * [[bm25Scored]] candidate aggregation — O(matching tokens), never a
+    * corpus scan), one candidate-sized row_number window, and a one-row
+    * global aggregate; queries are independent and union, so an eval
+    * suite of Q queries is Q parallel probes. The window is unpartitioned
+    * by construction (a global ranking) but runs over the candidate set
+    * only — posting-list-sized at 100 TB, same argument as [[bm25TopK]]. */
+  /** Pinned integer rank-discount tables for [[retrievalEval]], 1-based
+    * index i = 1..10 — the ONE source both the Spark side and the oracle
+    * SQL generator read, so the literals can never drift. Values are
+    * round-half-up micros of 1/i (MRR) and 1/log₂(i+1) (nDCG), computed
+    * once offline; no runtime transcendental touches them. */
+  private[llm] object RetrievalWeights {
+    val mrrMicro: Seq[Long] = Seq(1000000L, 500000L, 333333L, 250000L,
+      200000L, 166667L, 142857L, 125000L, 111111L, 100000L)
+    val dcgMicro: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+      386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+    /** Cumulative [[dcgMicro]]: ideal DCG for n relevant docs, n = 1..10. */
+    val idcgMicro: Seq[Long] = dcgMicro.scanLeft(0L)(_ + _).tail
+  }
+
+  def retrievalEval(docs: DataFrame,
+                    querySets: Seq[(String, Seq[String])]): DataFrame = {
+    require(querySets.nonEmpty, "retrievalEval: need at least one query")
+    val mrrW = RetrievalWeights.mrrMicro.map(lit(_))
+    val dcgW = RetrievalWeights.dcgMicro.map(lit(_))
+    val cumW = RetrievalWeights.idcgMicro.map(lit(_))
+    val perQuery = querySets.map { case (qid, terms) =>
+      val ranked = bm25Scored(docs, terms)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      val rel = col("n_match") === lit(terms.size)
+      val inK = col("rk") <= lit(10)
+      val atRk = (w: Seq[Column]) => element_at(array(w: _*), col("rk"))
+      ranked
+        .agg(
+          coalesce(sum(when(rel, lit(1L))), lit(0L)).as("n_rel"),
+          coalesce(max(when(rel && inK, atRk(mrrW))), lit(0L)).as("mrr_micro"),
+          coalesce(sum(when(rel && inK, atRk(dcgW))), lit(0L)).as("dcg_micro"))
+        .withColumn("idcg_micro",
+          when(col("n_rel") > 0,
+            element_at(array(cumW: _*), least(col("n_rel"), lit(10L)).cast("int")))
+            .otherwise(lit(0L)))
+        .withColumn("ndcg_ppm",
+          when(col("idcg_micro") > 0,
+            expr("(dcg_micro * CAST(1000000 AS BIGINT)) div idcg_micro"))
+            .otherwise(lit(0L)))
+        .select(lit(qid).as("query_id"), col("n_rel"), col("mrr_micro"),
+          col("dcg_micro"), col("idcg_micro"), col("ndcg_ppm"))
+    }
+    perQuery.reduce(_ unionByName _)
   }
 
   /** Corpus snapshot diff: classify every document as added / removed /
@@ -1297,7 +1373,18 @@ object TextAnalysis {
       docs(s, dir), Tables.embeddings(s, dir), Seq("spark", "vector", "scan"), 10))),
     "doc_snapshot_diff" -> ((s, dir) => Util.orderAll(snapshotDiff(docs(s, dir)))),
     "doc_length_buckets" -> ((s, dir) => Util.orderAll(lengthBuckets(docs(s, dir)))),
+    "text_retrieval_eval" -> ((s, dir) => Util.orderAll(
+      retrievalEval(docs(s, dir), evalQuerySets))),
   )
+
+  /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
+    * full-match relevant sets at every fixture SF, plus `hs` whose terms
+    * never co-occur in one document (verified at sf0.001/0.01/0.1) — that
+    * row pins the n_rel = 0 → MRR = 0, IDCG = 0, nDCG = 0 edge. */
+  private[llm] val evalQuerySets: Seq[(String, Seq[String])] = Seq(
+    "svs" -> Seq("spark", "vector", "scan"),
+    "fm" -> Seq("filter", "merge"),
+    "hs" -> Seq("hash", "shuffle"))
 
   /** THE rounded quality-score formula in DuckDB SQL — the single source
     * every oracle that consumes the scalar score interpolates, so the
@@ -1313,6 +1400,79 @@ object TextAnalysis {
   /** [[qsSql]] scaled to exact integer micro-units (score × 10⁶). */
   private lazy val qsMicroSql: String =
     s"CAST(round($qsSql * 1000000) AS BIGINT)"
+
+  /** DuckDB twin of [[retrievalEval]] over [[evalQuerySets]], generated —
+    * one BM25 CTE chain per query (suffixes keep the names distinct), the
+    * rank-discount CASE arms interpolated from [[RetrievalWeights]] so the
+    * two engines share one literal table. */
+  private lazy val retrievalEvalSql: String = {
+    def caseArms(w: Seq[Long]): String =
+      w.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val mrrCase = caseArms(RetrievalWeights.mrrMicro)
+    val dcgCase = caseArms(RetrievalWeights.dcgMicro)
+    val idcgCase = caseArms(RetrievalWeights.idcgMicro)
+    val blocks = evalQuerySets.zipWithIndex.map { case ((qid, terms), i) =>
+      val s = i + 1
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val nq = terms.size
+      s"""post$s AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(words) AS token FROM dlt) u$s
+         |  WHERE token IN ($inList)
+         |  GROUP BY doc_id, dl, token
+         |), dfq$s AS (
+         |  SELECT token, count(*) AS df FROM post$s GROUP BY token
+         |), sc$s AS (
+         |  SELECT doc_id,
+         |    CAST(round((
+         |      (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |        / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |          + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+         |            / CAST(total_tokens AS DOUBLE))))
+         |    ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_micro
+         |  FROM post$s JOIN dfq$s USING (token) CROSS JOIN st
+         |), ag$s AS (
+         |  SELECT doc_id, count(*) AS n_match,
+         |    CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+         |  FROM sc$s GROUP BY doc_id
+         |), r$s AS (
+         |  SELECT n_match,
+         |    row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rk
+         |  FROM ag$s
+         |), ev$s AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN n_match = $nq THEN 1 END), 0) AS BIGINT) AS n_rel,
+         |    CAST(coalesce(max(CASE WHEN n_match = $nq AND rk <= 10
+         |      THEN CASE rk $mrrCase END END), 0) AS BIGINT) AS mrr_micro,
+         |    CAST(coalesce(sum(CASE WHEN n_match = $nq AND rk <= 10
+         |      THEN CASE rk $dcgCase END END), 0) AS BIGINT) AS dcg_micro
+         |  FROM r$s
+         |), fin$s AS (
+         |  SELECT '$qid' AS query_id, n_rel, mrr_micro, dcg_micro,
+         |    CAST(CASE WHEN n_rel = 0 THEN 0
+         |      ELSE CASE least(n_rel, 10) $idcgCase END END AS BIGINT) AS idcg_micro
+         |  FROM ev$s
+         |)""".stripMargin
+    }
+    val unions = evalQuerySets.indices.map { i =>
+      s"""SELECT query_id, n_rel, mrr_micro, dcg_micro, idcg_micro,
+         |  CASE WHEN idcg_micro > 0
+         |    THEN (dcg_micro * CAST(1000000 AS BIGINT)) // idcg_micro
+         |    ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
+         |FROM fin${i + 1}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dlt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words,
+       |    len(string_split(text, ' ')) AS dl
+       |  FROM documents
+       |), st AS (
+       |  SELECT count(*) AS n_corpus, sum(dl) AS total_tokens FROM dlt
+       |), ${blocks.mkString(", ")}
+       |""".stripMargin + Util.wrap(unions,
+      Seq("query_id", "n_rel", "mrr_micro", "dcg_micro", "idcg_micro", "ndcg_ppm"))
+  }
 
   def oracle: Map[String, String] = Map(
     "text_lang_id" -> (
@@ -1913,6 +2073,10 @@ object TextAnalysis {
         |""".stripMargin + Util.wrap(
         "SELECT doc_id, n_match, bm25_micro, rk FROM r WHERE rk <= 10",
         Seq("doc_id", "n_match", "bm25_micro", "rk"))),
+
+    // MRR/nDCG@10 per eval query; discount tables interpolated from the
+    // same RetrievalWeights literals the Spark side reads
+    "text_retrieval_eval" -> retrievalEvalSql,
 
     // rational PMI core, one fixed association, minCount 5, top-20
     "text_pmi_topk" -> (

@@ -556,4 +556,32 @@ class Round8OpsSpec extends SparkSpec {
       .select("shard").as[Long].collect()
     assert(out.forall(s => s >= 0 && s < 16), s"shard out of range: ${out.toSeq}")
   }
+
+  test("retrievalEval: mixed ranking, zero-relevant-with-candidates, and late-first-relevant branches") {
+    // Crafted corpus whose BM25 rankings were computed independently in
+    // DuckDB with the exact oracle arithmetic; the expected metric rows
+    // below are hand-folded from those rankings and the pinned discount
+    // tables, so this pins the metric layer — the branches the saturated
+    // fixture rankings (every top-10 doc a full match) never reach.
+    //   mixed  (a,b): rel pattern T,F,F,T,F → DCG = w1+w4, IDCG = c2
+    //   nofull (a,q): 3 candidates, none full → every metric 0
+    //   late   (b,c): lone relevant doc at rank 2 → MRR = 1/2, nDCG = w2
+    val docs = Seq(
+      (1L, "a b x x x x x x x x x x x x x x"),
+      (2L, "b b b b"),
+      (3L, "a"),
+      (4L, "a b"),
+      (5L, "c c c c"),
+      (6L, "c b")).toDF("doc_id", "text")
+    val got = TextAnalysis.retrievalEval(docs, Seq(
+      "mixed" -> Seq("a", "b"),
+      "nofull" -> Seq("a", "q"),
+      "late" -> Seq("b", "c")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      ("mixed", 2L, 1000000L, 1430677L, 1630930L, 877215L),
+      ("nofull", 0L, 0L, 0L, 0L, 0L),
+      ("late", 1L, 500000L, 630930L, 1000000L, 630930L)))
+  }
 }
