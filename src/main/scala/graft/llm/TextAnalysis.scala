@@ -109,6 +109,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("predicted_lang"), col("lang").as("labeled_lang"),
         (col("predicted_lang") === col("lang")).as("is_match"))
 
+  /** Label-noise audit: for every (source, declared-lang) metadata cell,
+    * how often does the [[langId]] n-gram heuristic AGREE with the
+    * declared label, and what does it predict instead when it doesn't?
+    * `(source, labeled_lang, n_docs, n_agree, agree_ppm, top_pred_lang,
+    * top_pred_n)` — the artifact that locates sources with corrupted or
+    * miskeyed language metadata before they poison a lang-filtered mix.
+    *
+    * Scale shape: ONE map-side-combining count keyed on
+    * (source, labeled_lang, predicted_lang) reduces the corpus to a
+    * |sources|·|langs|² cell table; the per-cell totals, agreement sum and
+    * majority-prediction argmax (row_number, ties broken on lang asc) are
+    * windows over that tiny table, so nothing after the first aggregation
+    * is corpus-sized. agree_ppm is exact BIGINT division. */
+  def labelAudit(docs: DataFrame): DataFrame = {
+    val cells = withLangSignals(docs)
+      .groupBy(col("source"), col("lang").as("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    val cell = Window.partitionBy("source", "labeled_lang")
+    val byN = Window.partitionBy("source", "labeled_lang")
+      .orderBy(col("n_pred").desc, col("predicted_lang").asc)
+    cells
+      .withColumn("n_docs", sum(col("n_pred")).over(cell))
+      .withColumn("n_agree", coalesce(
+        sum(when(col("predicted_lang") === col("labeled_lang"), col("n_pred")))
+          .over(cell), lit(0L)))
+      .withColumn("rk", row_number().over(byN))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("labeled_lang"), col("n_docs"), col("n_agree"),
+        expr("(n_agree * CAST(1000000 AS BIGINT)) div n_docs").as("agree_ppm"),
+        col("predicted_lang").as("top_pred_lang"), col("n_pred").as("top_pred_n"))
+  }
+
   /** Heuristic quality score from length / stopword / punctuation ratios —
     * raw ratios feed the score unrounded; only outputs are rounded. */
   def quality(docs: DataFrame): DataFrame =
@@ -1375,6 +1407,7 @@ object TextAnalysis {
     "doc_length_buckets" -> ((s, dir) => Util.orderAll(lengthBuckets(docs(s, dir)))),
     "text_retrieval_eval" -> ((s, dir) => Util.orderAll(
       retrievalEval(docs(s, dir), evalQuerySets))),
+    "text_label_audit" -> ((s, dir) => Util.orderAll(labelAudit(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -2077,6 +2110,55 @@ object TextAnalysis {
     // MRR/nDCG@10 per eval query; discount tables interpolated from the
     // same RetrievalWeights literals the Spark side reads
     "text_retrieval_eval" -> retrievalEvalSql,
+
+    // per-(source, declared-lang) agreement with the langid heuristic;
+    // majority prediction tie-broken (n DESC, lang ASC) like the Spark
+    // window; null-safe cell join (IS NOT DISTINCT FROM)
+    "text_label_audit" -> (
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, source,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS s_en,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $deStops)) AS s_de,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $frStops)) AS s_fr,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $esStops)) AS s_es,
+         |    len(regexp_extract_all(text, '$cjk')) AS s_zh
+         |  FROM documents
+         |), p AS (
+         |  SELECT source, lang AS labeled_lang,
+         |    CASE
+         |      WHEN s_zh > 0 THEN 'zh'
+         |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |      WHEN s_fr >= s_es THEN 'fr'
+         |      ELSE 'es'
+         |    END AS predicted_lang
+         |  FROM sc
+         |), cells AS (
+         |  SELECT source, labeled_lang, predicted_lang, count(*) AS n_pred
+         |  FROM p GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT source, labeled_lang,
+         |    CAST(sum(n_pred) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(CASE WHEN predicted_lang = labeled_lang
+         |      THEN n_pred END), 0) AS BIGINT) AS n_agree
+         |  FROM cells GROUP BY 1, 2
+         |), tp AS (
+         |  SELECT source, labeled_lang, predicted_lang AS top_pred_lang,
+         |    CAST(n_pred AS BIGINT) AS top_pred_n,
+         |    row_number() OVER (PARTITION BY source, labeled_lang
+         |      ORDER BY n_pred DESC, predicted_lang ASC) AS rk
+         |  FROM cells
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT a.source, a.labeled_lang, n_docs, n_agree,
+          |  (n_agree * CAST(1000000 AS BIGINT)) // n_docs AS agree_ppm,
+          |  top_pred_lang, top_pred_n
+          |FROM agg a JOIN tp t
+          |  ON a.source IS NOT DISTINCT FROM t.source
+          | AND a.labeled_lang IS NOT DISTINCT FROM t.labeled_lang
+          | AND t.rk = 1""".stripMargin,
+        Seq("source", "labeled_lang", "n_docs", "n_agree", "agree_ppm",
+          "top_pred_lang", "top_pred_n"))),
 
     // rational PMI core, one fixed association, minCount 5, top-20
     "text_pmi_topk" -> (

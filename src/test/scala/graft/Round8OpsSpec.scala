@@ -584,4 +584,24 @@ class Round8OpsSpec extends SparkSpec {
       ("nofull", 0L, 0L, 0L, 0L, 0L),
       ("late", 1L, 500000L, 630930L, 1000000L, 630930L)))
   }
+
+  test("labelAudit: agreement ppm, majority prediction, deterministic tie-break") {
+    // CJK presence forces pred='zh'; zero stopword signal falls through to
+    // 'en'. Cell (s2, de) has preds {en:1, zh:1} — the tie must break to
+    // the lexicographically smaller lang ('en'), same as the oracle's
+    // ORDER BY n_pred DESC, predicted_lang ASC.
+    val docs = Seq(
+      (1L, "hello world", "en", "s1"),
+      (2L, "你 x", "en", "s1"),
+      (3L, "你", "zh", "s2"),
+      (4L, "plain words", "de", "s2"),
+      (5L, "好", "de", "s2")).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.labelAudit(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6))).toSet
+    assert(got === Set(
+      ("s1", "en", 2L, 1L, 500000L, "en", 1L),
+      ("s2", "zh", 1L, 1L, 1000000L, "zh", 1L),
+      ("s2", "de", 2L, 0L, 0L, "en", 1L)))
+  }
 }
