@@ -141,6 +141,55 @@ object TextAnalysis {
         col("predicted_lang").as("top_pred_lang"), col("n_pred").as("top_pred_n"))
   }
 
+  /** Domain-drift audit: Pearson chi² divergence of each source's term
+    * distribution against the corpus-wide distribution — the detector for
+    * "this crawl slice suddenly speaks a different vocabulary" that gates
+    * mixing-weight refreshes. Per source: token count, distinct-term
+    * count, chi² (micro-units), and the single most-diverging term.
+    *
+    * chi²_s = Σ_t (o_st − e_st)²/e_st with e_st = n_s·n_t/N. Terms the
+    * source never uses still contribute: their mass telescopes to
+    * n_s·(N − Σ_{t∈s} n_t)/N, computable from the OBSERVED rows alone —
+    * so no source×vocabulary cross-join ever materializes. Chi² is
+    * rational arithmetic (no libm); each per-term contribution snaps to
+    * integer micros BEFORE the per-source sum (the [[bm25TopK]]
+    * convention), so FP summation order can't flip the hash.
+    *
+    * Scale shape: one map-side-combining (source, token) count reduces
+    * the corpus to the |S|·|V| observed matrix; token totals join on
+    * token (vocabulary-keyed shuffle), source totals and the grand total
+    * are broadcast; the per-source rollup + argmax ride ONE
+    * source-partitioned window pass. Top-term ties break term ASC. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("o"))
+    val srcTot = st.groupBy("source").agg(sum(col("o")).as("n_s"))
+    val tokTot = st.groupBy("token").agg(sum(col("o")).as("n_t"))
+    val tot = st.agg(sum(col("o")).as("n_total"))
+    def d(c: Column): Column = c.cast("double")
+    val e = d(col("n_s")) * d(col("n_t")) / d(col("n_total"))
+    val diff = d(col("o")) - e
+    val cell = Window.partitionBy("source")
+    val byC = Window.partitionBy("source")
+      .orderBy(col("c_micro").desc, col("token").asc)
+    st.join(tokTot, "token")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("c_micro", round(diff * diff / e * lit(1e6)).cast("long"))
+      .withColumn("n_terms", count(lit(1)).over(cell))
+      .withColumn("m_s", sum(col("n_t")).over(cell))
+      .withColumn("obs_micro", sum(col("c_micro")).over(cell))
+      .withColumn("rk", row_number().over(byC))
+      .filter(col("rk") === 1)
+      .withColumn("miss_micro", round(
+        d(col("n_s")) * (d(col("n_total")) - d(col("m_s"))) / d(col("n_total"))
+          * lit(1e6)).cast("long"))
+      .select(col("source"), col("n_s"), col("n_terms"),
+        (col("obs_micro") + col("miss_micro")).as("chi2_micro"),
+        col("token").as("top_term"), col("c_micro").as("top_term_micro"))
+  }
+
   /** Heuristic quality score from length / stopword / punctuation ratios —
     * raw ratios feed the score unrounded; only outputs are rounded. */
   def quality(docs: DataFrame): DataFrame =
@@ -1408,6 +1457,7 @@ object TextAnalysis {
     "text_retrieval_eval" -> ((s, dir) => Util.orderAll(
       retrievalEval(docs(s, dir), evalQuerySets))),
     "text_label_audit" -> ((s, dir) => Util.orderAll(labelAudit(docs(s, dir)))),
+    "doc_source_divergence" -> ((s, dir) => Util.orderAll(sourceDivergence(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -2110,6 +2160,49 @@ object TextAnalysis {
     // MRR/nDCG@10 per eval query; discount tables interpolated from the
     // same RetrievalWeights literals the Spark side reads
     "text_retrieval_eval" -> retrievalEvalSql,
+
+    // chi² drift per source; per-term contributions snap to micros before
+    // the windowed per-source sum, zero-observed mass folded in closed form
+    "doc_source_divergence" -> (
+      """WITH st AS (
+        |  SELECT source, token, count(*) AS o
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) u
+        |  GROUP BY 1, 2
+        |), srct AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM st GROUP BY 1
+        |), tokt AS (
+        |  SELECT token, CAST(sum(o) AS BIGINT) AS n_t FROM st GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n_total FROM st
+        |), j AS (
+        |  SELECT st.source, st.token, n_s, n_t, n_total,
+        |    CAST(round(
+        |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+        |  FROM st JOIN tokt USING (token)
+        |  JOIN srct ON st.source IS NOT DISTINCT FROM srct.source
+        |  CROSS JOIN tot
+        |), w AS (
+        |  SELECT source, token, c_micro, n_s, n_total,
+        |    count(*) OVER (PARTITION BY source) AS n_terms,
+        |    CAST(sum(n_t) OVER (PARTITION BY source) AS BIGINT) AS m_s,
+        |    CAST(sum(c_micro) OVER (PARTITION BY source) AS BIGINT) AS obs_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c_micro DESC, token ASC) AS rk
+        |  FROM j
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT source, n_s, n_terms,
+          |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
+          |    * (CAST(n_total AS DOUBLE) - CAST(m_s AS DOUBLE))
+          |    / CAST(n_total AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+          |    AS chi2_micro,
+          |  token AS top_term, c_micro AS top_term_micro
+          |FROM w WHERE rk = 1""".stripMargin,
+        Seq("source", "n_s", "n_terms", "chi2_micro", "top_term",
+          "top_term_micro"))),
 
     // per-(source, declared-lang) agreement with the langid heuristic;
     // majority prediction tie-broken (n DESC, lang ASC) like the Spark

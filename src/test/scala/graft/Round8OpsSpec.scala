@@ -604,4 +604,20 @@ class Round8OpsSpec extends SparkSpec {
       ("s2", "zh", 1L, 1L, 1000000L, "zh", 1L),
       ("s2", "de", 2L, 0L, 0L, "en", 1L)))
   }
+
+  test("sourceDivergence: hand-computed chi2 incl. the zero-observed closed-form mass") {
+    // A = {x:2, y:1}, B = {y:1, z:1}; N = 5, n_x = 2, n_y = 2, n_z = 1.
+    // A: x (2−1.2)²/1.2 → 533333, y (1−1.2)²/1.2 → 33333,
+    //    missing-mass 3·(5−4)/5 → 600000 ⇒ chi² 1166666, top x.
+    // B: y (1−0.8)²/0.8 → 50000, z (1−0.4)²/0.4 → 900000,
+    //    missing-mass 2·(5−3)/5 → 800000 ⇒ chi² 1750000, top z.
+    val docs = Seq((1L, "x x y", "A"), (2L, "y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceDivergence(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5))).toSet
+    assert(got === Set(
+      ("A", 3L, 2L, 1166666L, "x", 533333L),
+      ("B", 2L, 2L, 1750000L, "z", 900000L)))
+  }
 }
