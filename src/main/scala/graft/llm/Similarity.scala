@@ -253,6 +253,38 @@ object Similarity {
     cosineTopK(q, c, k, Seq("bucket"))
   }
 
+  /** ANN recall evaluation: recall@k of the bucketed retrieval paths
+    * against the exact [[bruteForceTopK]] ground truth, per query — the
+    * metric that decides whether an index's probe budget is adequate
+    * before it ships. One row per (method, query): truth size, hit count
+    * (|approx ∩ truth|), and exact-BIGINT `recall_ppm`. Methods: `lsh`
+    * (single 8-bit table) and `multiprobe` (same table + 8 flip-one-bit
+    * probes) — the pair exposes the recall ladder a probe-budget choice
+    * walks. A query whose approximate result is empty (no bucket
+    * collision) still reports, with n_hit = 0 (LEFT join from truth).
+    *
+    * Scale shape: ground truth is deliberately exact — O(|queries|·N)
+    * dot products — so `nQueries` IS the cost knob; the production form
+    * evaluates a sampled query set against the full corpus exactly as
+    * here (the [[graft.llm.Dedup.dedupEval]] sampling convention). The
+    * approx sides are the production operators themselves, unmodified;
+    * hit-matching joins on (query_id, neighbor_id) — top-k-sized, tiny. */
+  def annRecallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      truth
+        .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hit"))
+        .select(lit(method).as("method"), col("query_id"), col("n_truth"),
+          col("n_hit"),
+          expr("(n_hit * CAST(1000000 AS BIGINT)) div n_truth").as("recall_ppm"))
+    recallOf("lsh", lshTopK(emb, nQueries, k))
+      .unionByName(recallOf("multiprobe", lshTopKMultiprobe(emb, nQueries, k)))
+  }
+
   /** Lloyd's-refined IVF centroids, `iters` k-means steps from the
     * deterministic sample seed. Each step is the linear IVF assignment pass
     * itself (broadcast centroid table + codegen'd dot + max(struct) argmax
@@ -1020,6 +1052,7 @@ object Similarity {
     "ann_lsh"   -> ((s, dir) => Util.orderAll(lshTopK(emb(s, dir), 5, 10))),
     "ann_lsh_multi" -> ((s, dir) => Util.orderAll(lshTopKMulti(emb(s, dir), 5, 10))),
     "ann_lsh_multiprobe" -> ((s, dir) => Util.orderAll(lshTopKMultiprobe(emb(s, dir), 5, 10))),
+    "ann_recall_eval" -> ((s, dir) => Util.orderAll(annRecallEval(emb(s, dir), 5, 10))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
@@ -1292,6 +1325,61 @@ object Similarity {
           |               c.vec_id ASC) AS rk
           |  FROM probes q JOIN nb c ON q.bucket = c.bucket AND c.vec_id >= 5
           |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // recall@10 of the lsh and multiprobe paths vs the exact brute top-10;
+    // LEFT join keeps bucket-miss queries with n_hit = 0; ppm is exact
+    // BIGINT division on both engines
+    "ann_recall_eval" -> (normCte + lshChainCte +
+      """, probes AS (
+        |  SELECT vec_id, v, nrm,
+        |    CASE WHEN z = 0 THEN bucket
+        |         ELSE xor(bucket, CAST(power(2, z - 1) AS BIGINT)) END AS bucket
+        |  FROM nb CROSS JOIN (SELECT unnest(range(0, 9)) AS z) zz
+        |  WHERE vec_id < 5
+        |), tr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |                 c.vec_id ASC) AS rk
+        |    FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5
+        |  ) t WHERE rk <= 10
+        |), ap1 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |                 c.vec_id ASC) AS rk
+        |    FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+        |  ) t WHERE rk <= 10
+        |), ap2 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |                 c.vec_id ASC) AS rk
+        |    FROM probes q JOIN nb c ON q.bucket = c.bucket AND c.vec_id >= 5
+        |  ) t WHERE rk <= 10
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT 'lsh' AS method, t.query_id,
+          |  CAST(count(*) AS BIGINT) AS n_truth,
+          |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+          |  (CAST(count(a.neighbor_id) AS BIGINT) * CAST(1000000 AS BIGINT))
+          |    // CAST(count(*) AS BIGINT) AS recall_ppm
+          |FROM tr t LEFT JOIN ap1 a
+          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+          |GROUP BY t.query_id
+          |UNION ALL
+          |SELECT 'multiprobe' AS method, t.query_id,
+          |  CAST(count(*) AS BIGINT) AS n_truth,
+          |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+          |  (CAST(count(a.neighbor_id) AS BIGINT) * CAST(1000000 AS BIGINT))
+          |    // CAST(count(*) AS BIGINT) AS recall_ppm
+          |FROM tr t LEFT JOIN ap2 a
+          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+          |GROUP BY t.query_id""".stripMargin,
+        Seq("method", "query_id", "n_truth", "n_hit", "recall_ppm"))),
 
     // parallel unnests zip positionally in DuckDB; dim mirrors posexplode's
     // 0-based position. Mean is an exact integer micro-unit sum divided

@@ -620,4 +620,25 @@ class Round8OpsSpec extends SparkSpec {
       ("A", 3L, 2L, 1166666L, "x", 533333L),
       ("B", 2L, 2L, 1750000L, "z", 900000L)))
   }
+
+  test("annRecallEval: colinear corpus gives perfect recall; multiprobe never below lsh") {
+    import graft.llm.Similarity
+    // every vector on one ray → one LSH bucket → candidates = corpus →
+    // both methods must reproduce the exact ranking: recall ≡ 1.
+    val ray = Seq.tabulate(8)(i =>
+      (i.toLong, Array(1.0f + i, 0.0f, 0.0f, 0.0f), i)).toDF("vec_id", "embedding", "label")
+    val perfect = Similarity.annRecallEval(ray, 2, 3).collect()
+    assert(perfect.length === 4)
+    assert(perfect.forall(r => r.getAs[Long]("n_truth") == 3L
+      && r.getAs[Long]("recall_ppm") == 1000000L), perfect.mkString(", "))
+    // fixture: the multiprobe candidate set is a superset of the lsh one,
+    // and any truth hit it displaces from the top-k is displaced by
+    // another truth hit — so per-query recall is monotone in the probes.
+    val fix = Similarity.annRecallEval(Tables.embeddings(spark, sf), 5, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    (0L until 5L).foreach { q =>
+      assert(fix(("multiprobe", q)) >= fix(("lsh", q)),
+        s"query $q: multiprobe ${fix(("multiprobe", q))} < lsh ${fix(("lsh", q))}")
+    }
+  }
 }
