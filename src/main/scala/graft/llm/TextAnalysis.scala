@@ -750,6 +750,53 @@ object TextAnalysis {
         col("not_contaminated"), col("is_keeper"), col("keep"))
   }
 
+  /** Curation-funnel attribution: the per-stage removal waterfall of the
+    * [[curate]] gate chain in its production order — eval-holdout → lang
+    * → quality → repetition → contamination → exact-dup keeper election.
+    * One row per stage: `(stage_idx, stage, n_in, n_removed, n_remaining,
+    * removal_ppm)`, where a document is charged to the FIRST stage that
+    * rejects it (waterfall semantics, so the stage counts tile the corpus
+    * and `n_remaining` of the last row is exactly `count(keep)`). This is
+    * the audit artifact a pipeline owner reads before touching a
+    * threshold: which gate is actually spending the data budget.
+    *
+    * Scale shape: the per-doc gate bits are [[curate]] unchanged; the
+    * attribution is ONE global conditional-sum aggregate over them (no
+    * new shuffle beyond curate's own) and the waterfall is a 6-row stack
+    * of that single aggregate row. removal_ppm is exact BIGINT division. */
+  def curationFunnel(docs: DataFrame, qualityThreshold: Double = 0.45,
+                     evalMod: Long = 101L): DataFrame = {
+    val g = curate(docs, qualityThreshold, evalMod)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    def surv(cs: Column*): Column = cs.reduce(_ && _)
+    g.agg(
+        count(lit(1)).as("n_base"),
+        sum(when(!col("lang_ok"), lit(1L)).otherwise(lit(0L))).as("r_lang"),
+        sum(when(surv(col("lang_ok")) && !col("quality_ok"), lit(1L))
+          .otherwise(lit(0L))).as("r_quality"),
+        sum(when(surv(col("lang_ok"), col("quality_ok")) && !col("not_repetitive"),
+          lit(1L)).otherwise(lit(0L))).as("r_rep"),
+        sum(when(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"))
+          && !col("not_contaminated"), lit(1L)).otherwise(lit(0L))).as("r_contam"),
+        sum(when(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"),
+          col("not_contaminated")) && !col("is_keeper"), lit(1L))
+          .otherwise(lit(0L))).as("r_dup"))
+      .crossJoin(total)
+      .select(expr(
+        """stack(6,
+          |  0, 'eval_holdout', n_total, n_total - n_base,
+          |  1, 'lang', n_base, r_lang,
+          |  2, 'quality', n_base - r_lang, r_quality,
+          |  3, 'repetition', n_base - r_lang - r_quality, r_rep,
+          |  4, 'contamination', n_base - r_lang - r_quality - r_rep, r_contam,
+          |  5, 'dedup', n_base - r_lang - r_quality - r_rep - r_contam, r_dup
+          |) AS (stage_idx, stage, n_in, n_removed)""".stripMargin))
+      .withColumn("n_remaining", col("n_in") - col("n_removed"))
+      .withColumn("removal_ppm", when(col("n_in") > 0,
+        expr("(n_removed * CAST(1000000 AS BIGINT)) div n_in"))
+        .otherwise(lit(0L)))
+  }
+
   /** Streaming twin of [[curate]] for a document STREAM (columns: `ts`,
     * `doc_id`, `text`, `lang`): the language/quality/repetition gates are
     * stateless per-row projections, so the exact same column builders run
@@ -1458,6 +1505,7 @@ object TextAnalysis {
       retrievalEval(docs(s, dir), evalQuerySets))),
     "text_label_audit" -> ((s, dir) => Util.orderAll(labelAudit(docs(s, dir)))),
     "doc_source_divergence" -> ((s, dir) => Util.orderAll(sourceDivergence(docs(s, dir)))),
+    "doc_curation_funnel" -> ((s, dir) => Util.orderAll(curationFunnel(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -1556,6 +1604,68 @@ object TextAnalysis {
        |""".stripMargin + Util.wrap(unions,
       Seq("query_id", "n_rel", "mrr_micro", "dcg_micro", "idcg_micro", "ndcg_ppm"))
   }
+
+  /** The [[curate]] gate chain in DuckDB, ending in CTE `cg` with the
+    * per-doc gate booleans — the single source shared by the `doc_curate`
+    * parity oracle and the `doc_curation_funnel` waterfall, so the gate
+    * SQL can never drift between the two. */
+  private lazy val curateGatesCte: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS words,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_r,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_r,
+       |    len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS s_en,
+       |    len(list_filter(string_split(text, ' '), t -> t IN $deStops)) AS s_de,
+       |    len(list_filter(string_split(text, ' '), t -> t IN $frStops)) AS s_fr,
+       |    len(list_filter(string_split(text, ' '), t -> t IN $esStops)) AS s_es,
+       |    len(regexp_extract_all(text, '$cjk')) AS s_zh
+       |  FROM documents WHERE doc_id % 101 <> 0
+       |), gates AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE
+       |      WHEN s_zh > 0 THEN 'zh'
+       |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |      WHEN s_fr >= s_es THEN 'fr'
+       |      ELSE 'es'
+       |    END AS predicted_lang,
+       |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + stop_r * 0.3
+       |      + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2, 6) AS qs,
+       |    n_tokens,
+       |    len(list_distinct(words)) AS n_distinct_tokens,
+       |    list_aggregate(list_transform(list_distinct(words),
+       |      t -> len(list_filter(words, w2 -> w2 = t))), 'max') AS top_token_count,
+       |    min(doc_id) OVER (PARTITION BY text) AS kmin
+       |  FROM sig
+       |), tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+       |  WHERE len(words) >= 3
+       |), ev AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+       |), cont AS (
+       |  SELECT doc_id FROM sh JOIN ev USING (shingle)
+       |  WHERE doc_id % 101 <> 0 GROUP BY doc_id HAVING count(*) >= 2
+       |), cg AS (
+       |  SELECT g.doc_id,
+       |    predicted_lang = lang AS lang_ok,
+       |    qs >= 0.45 AS quality_ok,
+       |    NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
+       |      OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens)) AS not_repetitive,
+       |    c.doc_id IS NULL AS not_contaminated,
+       |    g.doc_id = kmin AS is_keeper,
+       |    predicted_lang = lang AND qs >= 0.45
+       |      AND NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
+       |        OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens))
+       |      AND c.doc_id IS NULL AND g.doc_id = kmin AS keep
+       |  FROM gates g LEFT JOIN cont c ON g.doc_id = c.doc_id
+       |)
+       |""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "text_lang_id" -> (
@@ -1890,64 +2000,49 @@ object TextAnalysis {
     // shingle-overlap contamination); keeper election is text-keyed here
     // while Spark windows over xxhash64(text) — same groups, the
     // doc_dedup_exact_hash precedent
-    "doc_curate" -> (
-      s"""WITH sig AS (
-         |  SELECT doc_id, lang, text, string_split(text, ' ') AS words,
-         |    len(string_split(text, ' ')) AS n_tokens,
-         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS stop_r,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_r,
-         |    len(list_filter(string_split(text, ' '), t -> t IN $enStops)) AS s_en,
-         |    len(list_filter(string_split(text, ' '), t -> t IN $deStops)) AS s_de,
-         |    len(list_filter(string_split(text, ' '), t -> t IN $frStops)) AS s_fr,
-         |    len(list_filter(string_split(text, ' '), t -> t IN $esStops)) AS s_es,
-         |    len(regexp_extract_all(text, '$cjk')) AS s_zh
-         |  FROM documents WHERE doc_id % 101 <> 0
-         |), gates AS (
-         |  SELECT doc_id, lang, text,
-         |    CASE
-         |      WHEN s_zh > 0 THEN 'zh'
-         |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |      WHEN s_fr >= s_es THEN 'fr'
-         |      ELSE 'es'
-         |    END AS predicted_lang,
-         |    round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-         |      + stop_r * 0.3
-         |      + (1.0 - least(punct_r * 10.0, 1.0)) * 0.2, 6) AS qs,
-         |    n_tokens,
-         |    len(list_distinct(words)) AS n_distinct_tokens,
-         |    list_aggregate(list_transform(list_distinct(words),
-         |      t -> len(list_filter(words, w2 -> w2 = t))), 'max') AS top_token_count,
-         |    min(doc_id) OVER (PARTITION BY text) AS kmin
-         |  FROM sig
-         |), tok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-         |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
-         |  WHERE len(words) >= 3
-         |), ev AS (
-         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
-         |), cont AS (
-         |  SELECT doc_id FROM sh JOIN ev USING (shingle)
-         |  WHERE doc_id % 101 <> 0 GROUP BY doc_id HAVING count(*) >= 2
-         |)
-         |""".stripMargin + Util.wrap(
-        """SELECT g.doc_id,
-          |  predicted_lang = lang AS lang_ok,
-          |  qs >= 0.45 AS quality_ok,
-          |  NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
-          |    OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens)) AS not_repetitive,
-          |  c.doc_id IS NULL AS not_contaminated,
-          |  g.doc_id = kmin AS is_keeper,
-          |  predicted_lang = lang AND qs >= 0.45
-          |    AND NOT ((n_tokens - n_distinct_tokens) * 2 > n_tokens
-          |      OR (n_tokens >= 5 AND top_token_count * 5 > n_tokens))
-          |    AND c.doc_id IS NULL AND g.doc_id = kmin AS keep
-          |FROM gates g LEFT JOIN cont c ON g.doc_id = c.doc_id""".stripMargin,
-        Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
-          "not_contaminated", "is_keeper", "keep"))),
+    "doc_curate" -> (curateGatesCte + Util.wrap(
+      """SELECT doc_id, lang_ok, quality_ok, not_repetitive,
+        |  not_contaminated, is_keeper, keep FROM cg""".stripMargin,
+      Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
+        "not_contaminated", "is_keeper", "keep"))),
+
+    // waterfall attribution over the same cg gate bits: each doc charged
+    // to the FIRST rejecting stage, 6-row stack of one aggregate row
+    "doc_curation_funnel" -> (curateGatesCte +
+      """, tc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_base,
+        |    CAST(coalesce(sum(CASE WHEN NOT lang_ok THEN 1 END), 0) AS BIGINT) AS r_lang,
+        |    CAST(coalesce(sum(CASE WHEN lang_ok AND NOT quality_ok
+        |      THEN 1 END), 0) AS BIGINT) AS r_quality,
+        |    CAST(coalesce(sum(CASE WHEN lang_ok AND quality_ok
+        |      AND NOT not_repetitive THEN 1 END), 0) AS BIGINT) AS r_rep,
+        |    CAST(coalesce(sum(CASE WHEN lang_ok AND quality_ok AND not_repetitive
+        |      AND NOT not_contaminated THEN 1 END), 0) AS BIGINT) AS r_contam,
+        |    CAST(coalesce(sum(CASE WHEN lang_ok AND quality_ok AND not_repetitive
+        |      AND not_contaminated AND NOT is_keeper THEN 1 END), 0) AS BIGINT) AS r_dup
+        |  FROM cg
+        |), w AS (
+        |  SELECT 0 AS stage_idx, 'eval_holdout' AS stage, n_total AS n_in,
+        |    n_total - n_base AS n_removed FROM tc CROSS JOIN c
+        |  UNION ALL SELECT 1, 'lang', n_base, r_lang FROM c
+        |  UNION ALL SELECT 2, 'quality', n_base - r_lang, r_quality FROM c
+        |  UNION ALL SELECT 3, 'repetition', n_base - r_lang - r_quality, r_rep FROM c
+        |  UNION ALL SELECT 4, 'contamination',
+        |    n_base - r_lang - r_quality - r_rep, r_contam FROM c
+        |  UNION ALL SELECT 5, 'dedup',
+        |    n_base - r_lang - r_quality - r_rep - r_contam, r_dup FROM c
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT stage_idx, stage, n_in, n_removed,
+          |  n_in - n_removed AS n_remaining,
+          |  CASE WHEN n_in > 0
+          |    THEN (n_removed * CAST(1000000 AS BIGINT)) // n_in
+          |    ELSE CAST(0 AS BIGINT) END AS removal_ppm
+          |FROM w""".stripMargin,
+        Seq("stage_idx", "stage", "n_in", "n_removed", "n_remaining",
+          "removal_ppm"))),
 
     // per-transition probability snapped to micro-units BEFORE the mean
     // (integer sums are order-independent); CASTs pin DuckDB's HUGEINT

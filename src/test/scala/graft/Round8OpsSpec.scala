@@ -641,4 +641,19 @@ class Round8OpsSpec extends SparkSpec {
         s"query $q: multiprobe ${fix(("multiprobe", q))} < lsh ${fix(("lsh", q))}")
     }
   }
+
+  test("curationFunnel: waterfall tiles the corpus and lands exactly on curate's keep count") {
+    val docs = Tables.documents(spark, sf)
+    val rows = TextAnalysis.curationFunnel(docs)
+      .orderBy("stage_idx").collect()
+    assert(rows.length === 6)
+    assert(rows.head.getAs[Long]("n_in") === docs.count())
+    // each stage's survivors are exactly the next stage's input
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_remaining") === b.getAs[Long]("n_in"),
+        s"stage ${a.getString(1)} -> ${b.getString(1)} doesn't tile")
+    }
+    val kept = TextAnalysis.curate(docs).filter(col("keep")).count()
+    assert(rows.last.getAs[Long]("n_remaining") === kept)
+  }
 }
