@@ -190,6 +190,91 @@ object TextAnalysis {
         col("token").as("top_term"), col("c_micro").as("top_term_micro"))
   }
 
+  /** Distribution-drift monitor core: chi² of each source's token-bucket
+    * distribution against a LAPLACE-SMOOTHED reference distribution —
+    * the training-serving drift check ([[sourceDivergence]] compares a
+    * source against the rest of the SAME corpus; this compares against a
+    * pinned reference snapshot, which is what a monitor re-evaluates as
+    * new data arrives). `bucketed` carries one (source, bucket) row per
+    * token occurrence; `ref` is the reference's (bucket, ref_n) count
+    * table (≤ nBuckets rows — broadcast).
+    *
+    * Smoothing: expected share of bucket b is (ref_n(b)+1)/(N_ref+B), so
+    * a bucket unseen in the reference still has positive expectation and
+    * chi² stays finite — the standard add-one contingency treatment.
+    * Buckets the source never hits contribute in closed form,
+    * n_s·(R−m_s)/R with m_s = Σ_{observed}(ref_n+1) and R = N_ref+B
+    * (the [[sourceDivergence]] telescoping — no bucket cross-join).
+    * Rational arithmetic only; per-bucket terms snap to micros pre-sum.
+    *
+    * Scale shape: one map-side-combining (source, bucket) count (bounded
+    * by |S|·B), a broadcast ref join, and a per-source rollup — nothing
+    * after the first aggregation is corpus-sized. B is a constant knob,
+    * so state/intermediates are FIXED-size per source — which is exactly
+    * what lets [[graft.streaming.StreamingDrift]] run the same math with
+    * bounded keyed state on an unbounded stream. */
+  def driftVsReference(bucketed: DataFrame, ref: DataFrame,
+                       nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"driftVsReference: nBuckets must be >= 2, got $nBuckets")
+    val obs = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
+    val refTot = ref
+      .agg((coalesce(sum(col("ref_n")), lit(0L)) + lit(nBuckets.toLong)).as("r_tot"))
+    val srcTot = obs.groupBy("source").agg(sum(col("o")).as("n_s"))
+    def d(c: Column): Column = c.cast("double")
+    val e = d(col("n_s")) * d(col("ref1")) / d(col("r_tot"))
+    val diff = d(col("o")) - e
+    obs
+      .join(broadcast(ref.select(col("bucket"), (col("ref_n") + lit(1L)).as("ref1"))),
+        Seq("bucket"), "left")
+      .na.fill(1L, Seq("ref1"))
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(refTot))
+      .withColumn("c_micro", round(diff * diff / e * lit(1e6)).cast("long"))
+      .groupBy("source", "n_s", "r_tot")
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("obs_micro"),
+        sum(col("ref1")).as("m_s"))
+      .withColumn("miss_micro", round(
+        d(col("n_s")) * (d(col("r_tot")) - d(col("m_s"))) / d(col("r_tot"))
+          * lit(1e6)).cast("long"))
+      .select(col("source"), col("n_s"), col("n_hit"),
+        (col("obs_micro") + col("miss_micro")).as("chi2_micro"))
+  }
+
+  /** [[driftVsReference]] oracle-path query: buckets are vocabulary ids
+    * mod B (dense ranks — reproducible as dense_rank in DuckDB, the
+    * [[dsirSample]] convention), the reference is the corpus's even-doc_id
+    * half and the monitored traffic its odd half — a deterministic
+    * within-fixture split that exercises real (if small) sampling drift. */
+  def driftRefQuery(docs: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val tv = Dedup.vocab(Dedup.tokenized(docs))
+    val b = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(tv), "token")
+      .select(col("doc_id"), col("source"), (col("tid") % nBuckets).as("bucket"))
+    val ref = b.filter(col("doc_id") % 2 === 0)
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    driftVsReference(b.filter(col("doc_id") % 2 === 1).select("source", "bucket"),
+      ref, nBuckets)
+  }
+
+  /** Production twin of [[driftRefQuery]]: `xxhash64(token) % B` — no
+    * vocabulary table, no corpus-wide distinct (the [[dsirSampleHashed]]
+    * convention: engine-specific hash ⇒ no DuckDB oracle; parity with the
+    * streaming monitor is spec-asserted instead). */
+  def driftVsReferenceHashed(docs: DataFrame, refDocs: DataFrame,
+                             nBuckets: Int = 64): DataFrame =
+    driftVsReference(
+      hashBucketed(docs, nBuckets).select("source", "bucket"),
+      hashBucketed(refDocs, nBuckets).groupBy("bucket").agg(count(lit(1)).as("ref_n")),
+      nBuckets)
+
+  /** One (source, bucket) row per token, bucket = xxhash64(token) % B —
+    * shared by the hashed drift twin and [[graft.streaming.StreamingDrift]]
+    * (both sides of the prefix-parity spec must hash identically). */
+  def hashBucketed(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("bucket"))
+
   /** Heuristic quality score from length / stopword / punctuation ratios —
     * raw ratios feed the score unrounded; only outputs are rounded. */
   def quality(docs: DataFrame): DataFrame =
@@ -1506,6 +1591,7 @@ object TextAnalysis {
     "text_label_audit" -> ((s, dir) => Util.orderAll(labelAudit(docs(s, dir)))),
     "doc_source_divergence" -> ((s, dir) => Util.orderAll(sourceDivergence(docs(s, dir)))),
     "doc_curation_funnel" -> ((s, dir) => Util.orderAll(curationFunnel(docs(s, dir)))),
+    "doc_drift_ref" -> ((s, dir) => Util.orderAll(driftRefQuery(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -2255,6 +2341,55 @@ object TextAnalysis {
     // MRR/nDCG@10 per eval query; discount tables interpolated from the
     // same RetrievalWeights literals the Spark side reads
     "text_retrieval_eval" -> retrievalEvalSql,
+
+    // chi² vs the Laplace-smoothed even-half reference over vocab-id
+    // buckets; missing-ref buckets coalesce to smoothing mass 1; closed-
+    // form unobserved-bucket term; per-bucket micros snap pre-sum
+    "doc_drift_ref" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), tv AS (
+        |  SELECT token, dense_rank() OVER (ORDER BY token) AS tid
+        |  FROM (SELECT DISTINCT token FROM tok) d
+        |), b AS (
+        |  SELECT doc_id, source, tid % 64 AS bucket FROM tok JOIN tv USING (token)
+        |), ref AS (
+        |  SELECT bucket, count(*) AS ref_n FROM b WHERE doc_id % 2 = 0 GROUP BY 1
+        |), rt AS (
+        |  SELECT CAST(coalesce(sum(ref_n), 0) + 64 AS BIGINT) AS r_tot FROM ref
+        |), obs AS (
+        |  SELECT source, bucket, count(*) AS o
+        |  FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2
+        |), stt AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM obs GROUP BY 1
+        |), j AS (
+        |  SELECT obs.source, o, coalesce(ref_n, 0) + 1 AS ref1, n_s, r_tot
+        |  FROM obs LEFT JOIN ref USING (bucket)
+        |  JOIN stt ON obs.source IS NOT DISTINCT FROM stt.source
+        |  CROSS JOIN rt
+        |), sc AS (
+        |  SELECT source, n_s, r_tot, ref1,
+        |    CAST(round(
+        |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      / (CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+        |  FROM j
+        |), ag AS (
+        |  SELECT source, n_s, r_tot, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(sum(c_micro) AS BIGINT) AS obs_micro,
+        |    CAST(sum(ref1) AS BIGINT) AS m_s
+        |  FROM sc GROUP BY 1, 2, 3
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT source, n_s, n_hit,
+          |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
+          |    * (CAST(r_tot AS DOUBLE) - CAST(m_s AS DOUBLE))
+          |    / CAST(r_tot AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+          |    AS chi2_micro
+          |FROM ag""".stripMargin,
+        Seq("source", "n_s", "n_hit", "chi2_micro"))),
 
     // chi² drift per source; per-term contributions snap to micros before
     // the windowed per-source sum, zero-observed mass folded in closed form

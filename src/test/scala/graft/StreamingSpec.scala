@@ -1295,4 +1295,45 @@ class StreamingSpec extends SparkSpec {
     assert(!latest("a").contains((10L, 5.0)), "evicted point must leave state")
     assert(!latest("a").contains((9L, 1.0)), "dominated arrival must never be admitted")
   }
+
+  test("streaming drift: per-source chi2 vs pinned reference == hashed batch twin incl. mid-stream") {
+    import graft.llm.TextAnalysis
+    val nBuckets = 32
+    // pinned reference snapshot: skewed toward 'alpha'-family tokens
+    val refDocs = (1L to 40L).map(i => (i, s"alpha a$i common shared token", "ref"))
+      .toDF("doc_id", "text", "source")
+    val (ref1, rTot) = streaming.StreamingDrift.refTable(refDocs, nBuckets)
+    assert(rTot === ref1.sum, "smoothed total must equal the smoothed mass")
+    val mem = MemoryStream[(String, String)](spark)
+    val stream = mem.toDF().toDF("source", "text")
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long)]
+    val q = streaming.StreamingDrift.run(stream, ref1, rTot, nBuckets)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-ckpt-drift"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          latest(r.getString(0)) = (r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    // s1 tracks the reference vocabulary, s2 drifts to a disjoint one
+    val b1 = (1L to 15L).map(i => ("s1", s"alpha a$i common shared"))
+    val b2 = (1L to 15L).map(i => ("s2", s"zeta z$i novel vocab")) ++
+      (16L to 20L).map(i => ("s1", s"common shared token a$i"))
+    def batchOf(rows: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
+      TextAnalysis.driftVsReferenceHashed(
+        rows.toDF("source", "text"), refDocs, nBuckets)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(latest.toMap == batchOf(b1),
+        "mid-stream drift rows diverged from the prefix batch twin")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val fin = batchOf(b1 ++ b2)
+    assert(latest.toMap == fin, "final drift rows diverged from the batch twin")
+    // the drifted source must read as (much) further from the reference
+    assert(fin("s2")._3 > 2L * fin("s1")._3,
+      s"expected s2 to drift harder: $fin")
+  }
 }
