@@ -643,4 +643,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("mm_audio_real") <= 2,
       s"frame agg + harness sort only:\n$pa")
   }
+
+  test("r8 eval/audit family: broadcast stats, map-side combines, no corpus-sized tails") {
+    // retrieval eval: per query, df/corpus-stats ride broadcasts (never a
+    // token-keyed shuffle join) and the posting agg combines map-side
+    val pr = phys("text_retrieval_eval")
+    assert(!pr.contains("SortMergeJoin"),
+      s"retrieval eval must not shuffle-join its stats:\n$pr")
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("BroadcastNestedLoopJoin"),
+      s"df/stats broadcasts missing:\n$pr")
+    assert(pr.contains("partial_count") || pr.contains("Partial"),
+      s"posting agg must map-side combine:\n$pr")
+    // 3 independent query probes × (posting agg, doc rollup, candidate
+    // window, 1-row eval agg, …) + the harness sort — only the posting
+    // aggs are corpus-sized, and those combine map-side (asserted above)
+    assert(exchanges("text_retrieval_eval") <= 19,
+      s"retrieval eval grew a shuffle: ${exchanges("text_retrieval_eval")}")
+
+    // label audit: ONE corpus-sized cell count, then |S|·|L|²-sized
+    // window + harness sort — 3 keyed exchanges total
+    val pl = phys("text_label_audit")
+    assert(exchanges("text_label_audit") <= 3,
+      s"label audit must stay at cell-count + window + sort:\n$pl")
+    assert(pl.contains("partial_count") || pl.contains("Partial"),
+      s"cell count must map-side combine:\n$pl")
+
+    // divergence / drift: the (source|bucket)-keyed matrix moves between
+    // the count, the totals join and the rollup — every stage AFTER the
+    // first aggregation is |S|·|V|- (resp. |S|·B-) sized, never corpus-
+    // sized; source/grand totals ride broadcasts
+    val pd = phys("doc_source_divergence")
+    assert(pd.contains("BroadcastHashJoin") || pd.contains("BroadcastNestedLoopJoin"),
+      s"divergence totals must broadcast:\n$pd")
+    assert(exchanges("doc_source_divergence") <= 9,
+      s"divergence grew a shuffle: ${exchanges("doc_source_divergence")}")
+    val pf = phys("doc_drift_ref")
+    assert(pf.contains("BroadcastHashJoin") || pf.contains("BroadcastNestedLoopJoin"),
+      s"drift ref table must broadcast:\n$pf")
+    assert(!pf.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("ref")),
+      s"ref join must never shuffle:\n$pf")
+    assert(exchanges("doc_drift_ref") <= 8,
+      s"drift grew a shuffle: ${exchanges("doc_drift_ref")}")
+
+    // recall eval: two production ANN paths + exact truth, hit-matching on
+    // top-k-sized sets; funnel: curate's own shape + one global agg stack
+    assert(exchanges("ann_recall_eval") <= 19,
+      s"recall eval grew a shuffle: ${exchanges("ann_recall_eval")}")
+    assert(exchanges("doc_curation_funnel") <= 6,
+      s"funnel grew a shuffle beyond curate's own: ${exchanges("doc_curation_funnel")}")
+  }
 }
