@@ -1598,7 +1598,7 @@ object TextAnalysis {
     * full-match relevant sets at every fixture SF, plus `hs` whose terms
     * never co-occur in one document (verified at sf0.001/0.01/0.1) — that
     * row pins the n_rel = 0 → MRR = 0, IDCG = 0, nDCG = 0 edge. */
-  private[llm] val evalQuerySets: Seq[(String, Seq[String])] = Seq(
+  private[graft] val evalQuerySets: Seq[(String, Seq[String])] = Seq(
     "svs" -> Seq("spark", "vector", "scan"),
     "fm" -> Seq("filter", "merge"),
     "hs" -> Seq("hash", "shuffle"))
