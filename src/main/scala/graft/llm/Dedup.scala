@@ -693,6 +693,34 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("cluster").as("doc_id"), col("cluster_size"))
 
+  /** Quality-argmax keeper variant of [[dedupKeep]]: keep the HIGHEST
+    * heuristic-quality member of each near-dup cluster (ties → min
+    * doc_id) instead of the min-id representative — the FineWeb/Gopher
+    * "keep the best copy" policy: near-dup clusters routinely mix a clean
+    * original with truncated or boilerplate-wrapped recrawls, and min-id
+    * keeps whichever was crawled first. Output per cluster:
+    * `(cluster, keeper_best, best_q_micro, cluster_size)`.
+    *
+    * Scale shape: cluster assignment and the per-doc quality score join
+    * on doc_id (both sides keyed by the corpus's natural key); the size
+    * count and the argmax `row_number` share ONE cluster-keyed shuffle +
+    * sort (the q_scd2 window-sharing shape), and cluster partitions are
+    * LSH-quasi-clique-sized, never corpus-sized. The quality micro-snap
+    * makes the argmax key integer-exact, so both engines elect the same
+    * keeper without an FP tie hazard. */
+  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame = {
+    val byQ = Window.partitionBy("cluster")
+      .orderBy(col("qm").desc, col("doc_id").asc)
+    dedupClusters(docs, threshold)
+      .join(TextAnalysis.qualityMicro(docs), "doc_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper_best"),
+        col("qm").as("best_q_micro"), col("cluster_size"))
+  }
+
   /** The COMPLETE dedup pipeline in the production order SCALE.md's
     * hot-bucket analysis prescribes: exact dedup FIRST (collapse identical
     * texts to their min-doc_id representative — one agg, and the quadratic
@@ -1324,6 +1352,7 @@ object Dedup {
         .select(col("id").as("doc_id"), col("pr_micro")))
     }),
     "doc_dedup_keep"      -> ((s, dir) => Util.orderAll(dedupKeep(docs(s, dir), 0.4))),
+    "doc_dedup_keep_best" -> ((s, dir) => Util.orderAll(dedupKeepBest(docs(s, dir), 0.4))),
     "doc_dedup_pipeline"  -> ((s, dir) => Util.orderAll(dedupPipeline(docs(s, dir), 0.4))),
     "doc_dedup_substring" -> ((s, dir) => Util.orderAll(substringDedup(docs(s, dir), 10))),
     "doc_dedup_rewrite"   -> ((s, dir) => Util.orderAll(segmentDedupRewrite(docs(s, dir), 10))),
@@ -1789,6 +1818,28 @@ object Dedup {
         |  SELECT node, min(label) AS label FROM comp GROUP BY node
         |) GROUP BY label""".stripMargin,
       Seq("doc_id", "cluster_size"))),
+
+    // quality-argmax keeper: integer-micro quality key (shared qsMicroSql
+    // source), ties to min doc_id — same election on both engines
+    "doc_dedup_keep_best" -> (clustersCte +
+      s""", ca AS (
+         |  SELECT node, min(label) AS cluster FROM comp GROUP BY node
+         |), qmt AS (
+         |  SELECT doc_id, ${TextAnalysis.qsMicroSql} AS qm FROM documents
+         |), jx AS (
+         |  SELECT ca.node AS doc_id, ca.cluster, qmt.qm
+         |  FROM ca JOIN qmt ON ca.node = qmt.doc_id
+         |), wx AS (
+         |  SELECT cluster, doc_id, qm,
+         |    count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY qm DESC, doc_id ASC) AS rk
+         |  FROM jx
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT cluster, doc_id AS keeper_best, qm AS best_q_micro,
+          |  cluster_size FROM wx WHERE rk = 1""".stripMargin,
+        Seq("cluster", "keeper_best", "best_q_micro", "cluster_size"))),
 
     "doc_dedup_simhash" -> (tokCte +
       """, dt AS (

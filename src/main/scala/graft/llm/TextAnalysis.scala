@@ -275,6 +275,14 @@ object TextAnalysis {
     docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
       .select(col("source"), pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("bucket"))
 
+  /** (doc_id, qm): the shared heuristic quality score in exact integer
+    * micro units — the argmax key for quality-keeper dedup
+    * ([[Dedup.dedupKeepBest]]) and the same double→micro snap the
+    * percentile/profile consumers use. */
+  def qualityMicro(docs: DataFrame): DataFrame =
+    withQualitySignals(docs).select(col("doc_id"),
+      round(round(col("quality_score"), 6) * 1e6).cast("long").as("qm"))
+
   /** Heuristic quality score from length / stopword / punctuation ratios —
     * raw ratios feed the score unrounded; only outputs are rounded. */
   def quality(docs: DataFrame): DataFrame =
@@ -1615,7 +1623,7 @@ object TextAnalysis {
        |        / length(text) * 10.0, 1.0)) * 0.2, 6)""".stripMargin
 
   /** [[qsSql]] scaled to exact integer micro-units (score × 10⁶). */
-  private lazy val qsMicroSql: String =
+  private[llm] lazy val qsMicroSql: String =
     s"CAST(round($qsSql * 1000000) AS BIGINT)"
 
   /** DuckDB twin of [[retrievalEval]] over [[evalQuerySets]], generated —

@@ -642,6 +642,25 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupKeepBest: elects the max-quality member per cluster, diverging from min-id where quality says so") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.dedupKeepBest(docs, 0.4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent derivation: clusters × quality, argmax by (qm desc, id asc)
+    val expected = Dedup.dedupClusters(docs, 0.4)
+      .join(graft.llm.TextAnalysis.qualityMicro(docs), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (c, ms) =>
+        val best = ms.minBy { case (_, id, qm) => (-qm, id) }
+        c -> ((best._2, best._3, ms.size.toLong))
+      }
+    assert(got === expected)
+    // the policy must actually bite: some cluster's best copy isn't the
+    // first-crawled (min-id) one
+    assert(got.exists { case (c, (k, _, _)) => k != c },
+      "no cluster elected a non-min-id keeper — fixture no longer exercises the variant")
+  }
+
   test("curationFunnel: waterfall tiles the corpus and lands exactly on curate's keep count") {
     val docs = Tables.documents(spark, sf)
     val rows = TextAnalysis.curationFunnel(docs)
