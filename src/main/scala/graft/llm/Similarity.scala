@@ -285,6 +285,28 @@ object Similarity {
       .unionByName(recallOf("multiprobe", lshTopKMultiprobe(emb, nQueries, k)))
   }
 
+  /** Embedding-space drift monitor: chi² of each label group's LSH-cell
+    * occupancy distribution (the 256 8-plane buckets) against the
+    * even-vec_id reference half — [[graft.llm.TextAnalysis.driftVsReference]]
+    * applied to the embedding modality. The standing question it answers:
+    * "has this slice's embedding geometry shifted enough that the IVF/LSH
+    * index needs re-training?" — cell-occupancy drift is exactly the
+    * signal that degrades bucketed-probe recall. Buckets come from the
+    * LCG hyperplane table, so the oracle mirrors them bit-for-bit (the
+    * ann_lsh convention); smoothing, closed-form unobserved mass and
+    * micro-snapping are the shared drift core. */
+  def embDriftRef(emb: DataFrame): DataFrame = {
+    val b = lshBuckets(emb).select(col("vec_id"), col("bucket"))
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val ref = b.filter(col("vec_id") % 2 === 0)
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    graft.llm.TextAnalysis.driftVsReference(
+      b.filter(col("vec_id") % 2 === 1)
+        .select(concat(lit("label_"), col("label")).as("source"), col("bucket")),
+      ref, 256)
+      .select(col("source").as("grp"), col("n_s"), col("n_hit"), col("chi2_micro"))
+  }
+
   /** Lloyd's-refined IVF centroids, `iters` k-means steps from the
     * deterministic sample seed. Each step is the linear IVF assignment pass
     * itself (broadcast centroid table + codegen'd dot + max(struct) argmax
@@ -1053,6 +1075,7 @@ object Similarity {
     "ann_lsh_multi" -> ((s, dir) => Util.orderAll(lshTopKMulti(emb(s, dir), 5, 10))),
     "ann_lsh_multiprobe" -> ((s, dir) => Util.orderAll(lshTopKMultiprobe(emb(s, dir), 5, 10))),
     "ann_recall_eval" -> ((s, dir) => Util.orderAll(annRecallEval(emb(s, dir), 5, 10))),
+    "emb_drift_ref" -> ((s, dir) => Util.orderAll(embDriftRef(emb(s, dir)))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
@@ -1325,6 +1348,49 @@ object Similarity {
           |               c.vec_id ASC) AS rk
           |  FROM probes q JOIN nb c ON q.bucket = c.bucket AND c.vec_id >= 5
           |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // LSH-cell occupancy drift per label group vs the even-half reference:
+    // the doc_drift_ref chain over the LCG bucket table, B = 256
+    "emb_drift_ref" -> (normCte + lshChainCte +
+      """, bl AS (
+        |  SELECT nb.vec_id, bucket, label
+        |  FROM nb JOIN embeddings e ON nb.vec_id = e.vec_id
+        |), refc AS (
+        |  SELECT bucket, count(*) AS ref_n FROM bl WHERE vec_id % 2 = 0 GROUP BY 1
+        |), rt AS (
+        |  SELECT CAST(coalesce(sum(ref_n), 0) + 256 AS BIGINT) AS r_tot FROM refc
+        |), obs AS (
+        |  SELECT 'label_' || CAST(label AS VARCHAR) AS grp, bucket, count(*) AS o
+        |  FROM bl WHERE vec_id % 2 = 1 GROUP BY 1, 2
+        |), stt AS (
+        |  SELECT grp, CAST(sum(o) AS BIGINT) AS n_s FROM obs GROUP BY 1
+        |), jd AS (
+        |  SELECT obs.grp, o, coalesce(ref_n, 0) + 1 AS ref1, n_s, r_tot
+        |  FROM obs LEFT JOIN refc USING (bucket)
+        |  JOIN stt ON obs.grp = stt.grp
+        |  CROSS JOIN rt
+        |), scd AS (
+        |  SELECT grp, n_s, r_tot, ref1,
+        |    CAST(round(
+        |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      / (CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+        |  FROM jd
+        |), agd AS (
+        |  SELECT grp, n_s, r_tot, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(sum(c_micro) AS BIGINT) AS obs_micro,
+        |    CAST(sum(ref1) AS BIGINT) AS m_s
+        |  FROM scd GROUP BY 1, 2, 3
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT grp, n_s, n_hit,
+          |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
+          |    * (CAST(r_tot AS DOUBLE) - CAST(m_s AS DOUBLE))
+          |    / CAST(r_tot AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+          |    AS chi2_micro
+          |FROM agd""".stripMargin,
+        Seq("grp", "n_s", "n_hit", "chi2_micro"))),
 
     // recall@10 of the lsh and multiprobe paths vs the exact brute top-10;
     // LEFT join keeps bucket-miss queries with n_hit = 0; ppm is exact

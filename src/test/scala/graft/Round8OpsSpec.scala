@@ -661,6 +661,25 @@ class Round8OpsSpec extends SparkSpec {
       "no cluster elected a non-min-id keeper — fixture no longer exercises the variant")
   }
 
+  test("embDriftRef: a geometrically shifted label group reads as drifted, an aligned one doesn't") {
+    import graft.llm.Similarity
+    // reference half (even ids) and label 0's odd ids share one direction
+    // → same LSH cell as the reference mass; label 1's odd ids are the
+    // NEGATED direction → every hyperplane sign flips → a cell the
+    // reference never populates. chi² must order accordingly.
+    val v = Array(0.3f, -0.7f, 0.5f, 0.9f)
+    val rows = (0L until 40L).map { i =>
+      val flip = i % 2 == 1 && i % 4 == 3 // odd ids, label 1
+      val lbl = if (i % 4 == 3) 1 else 0
+      (i, v.map(x => if (flip) -x else x), lbl)
+    }
+    val got = Similarity.embDriftRef(rows.toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.keySet === Set("label_0", "label_1"))
+    assert(got("label_1") > 10L * got("label_0"),
+      s"negated group must drift far harder: $got")
+  }
+
   test("curationFunnel: waterfall tiles the corpus and lands exactly on curate's keep count") {
     val docs = Tables.documents(spark, sf)
     val rows = TextAnalysis.curationFunnel(docs)
