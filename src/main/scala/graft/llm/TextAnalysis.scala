@@ -275,6 +275,25 @@ object TextAnalysis {
     docs.select(col("source"), explode(split(col("text"), " ")).as("token"))
       .select(col("source"), pmod(xxhash64(col("token")), lit(nBuckets.toLong)).as("bucket"))
 
+  /** Materialize the drift reference snapshot — the
+    * [[writeDsirRatios]]/[[graft.llm.Dedup.writeNearDupIndex]] deployment
+    * pattern: the reference corpus is scanned ONCE into a ≤B-row
+    * (bucket, ref_n) parquet table; every later monitoring run (batch
+    * audit or the [[graft.streaming.StreamingDrift]] bootstrap) reads the
+    * table instead of re-scanning the reference. */
+  def writeDriftRef(refDocs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    hashBucketed(refDocs, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Monitor a corpus against a STORED reference snapshot — must return
+    * exactly what [[driftVsReferenceHashed]] returns when the snapshot was
+    * written from the same reference corpus (spec-asserted round-trip). */
+  def driftVsStoredRef(docs: DataFrame, path: String,
+                       nBuckets: Int = 64): DataFrame =
+    driftVsReference(hashBucketed(docs, nBuckets).select("source", "bucket"),
+      docs.sparkSession.read.parquet(path), nBuckets)
+
   /** (doc_id, qm): the shared heuristic quality score in exact integer
     * micro units — the argmax key for quality-keeper dedup
     * ([[Dedup.dedupKeepBest]]) and the same double→micro snap the

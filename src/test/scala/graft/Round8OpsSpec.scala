@@ -680,6 +680,20 @@ class Round8OpsSpec extends SparkSpec {
       s"negated group must drift far harder: $got")
   }
 
+  test("driftVsStoredRef: stored snapshot round-trips to the direct hashed twin") {
+    val docs = Tables.documents(spark, sf)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val mon = docs.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft-driftref").toString + "/ref"
+    TextAnalysis.writeDriftRef(ref, path)
+    val direct = TextAnalysis.driftVsReferenceHashed(mon, ref)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val stored = TextAnalysis.driftVsStoredRef(mon, path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("curationFunnel: waterfall tiles the corpus and lands exactly on curate's keep count") {
     val docs = Tables.documents(spark, sf)
     val rows = TextAnalysis.curationFunnel(docs)
