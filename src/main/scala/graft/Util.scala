@@ -42,4 +42,50 @@ object Util {
   /** Wrap a SELECT so the ORDER BY resolves only against output aliases. */
   def wrap(select: String, obCols: Seq[String]): String =
     s"SELECT * FROM (\n$select\n) zz ${ob(obCols: _*)}"
+
+  /** Shared chi²-vs-reference oracle-SQL chain — the
+    * `graft.llm.TextAnalysis.driftVsReference` arithmetic in DuckDB:
+    * Laplace-smoothed expectation (ref_n + 1 over N_ref + B), per-bucket
+    * micro snap BEFORE the per-group sum, closed-form unobserved-bucket
+    * term. ONE source that both the doc_drift_ref and emb_drift_ref
+    * oracles read, so the two engines' drift definitions can never drift
+    * apart themselves. The caller's CTE list must already define
+    * `obsCte` ($grp, bucket, o) and `refCte` (bucket, ref_n); this emits
+    * the continuation CTEs plus the final ordered select. The group join
+    * is null-safe (IS NOT DISTINCT FROM): a NULL group — e.g. a NULL
+    * source, exactly the slice most likely to carry corrupted metadata —
+    * stays its own audited row instead of vanishing. */
+  def chi2DriftSql(grp: String, obsCte: String, refCte: String,
+                   nBuckets: Int): String =
+    s""", rt AS (
+       |  SELECT CAST(coalesce(sum(ref_n), 0) + $nBuckets AS BIGINT) AS r_tot FROM $refCte
+       |), stt AS (
+       |  SELECT $grp, CAST(sum(o) AS BIGINT) AS n_s FROM $obsCte GROUP BY 1
+       |), jd AS (
+       |  SELECT $obsCte.$grp, o, coalesce(ref_n, 0) + 1 AS ref1, n_s, r_tot
+       |  FROM $obsCte LEFT JOIN $refCte USING (bucket)
+       |  JOIN stt ON $obsCte.$grp IS NOT DISTINCT FROM stt.$grp
+       |  CROSS JOIN rt
+       |), scd AS (
+       |  SELECT $grp, n_s, r_tot, ref1,
+       |    CAST(round(
+       |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+       |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+       |      / (CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+       |  FROM jd
+       |), agd AS (
+       |  SELECT $grp, n_s, r_tot, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(c_micro) AS BIGINT) AS obs_micro,
+       |    CAST(sum(ref1) AS BIGINT) AS m_s
+       |  FROM scd GROUP BY 1, 2, 3
+       |)
+       |""".stripMargin + wrap(
+      s"""SELECT $grp, n_s, n_hit,
+         |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
+         |    * (CAST(r_tot AS DOUBLE) - CAST(m_s AS DOUBLE))
+         |    / CAST(r_tot AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         |    AS chi2_micro
+         |FROM agd""".stripMargin,
+      Seq(grp, "n_s", "n_hit", "chi2_micro"))
 }

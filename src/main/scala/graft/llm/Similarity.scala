@@ -1357,40 +1357,14 @@ object Similarity {
         |  FROM nb JOIN embeddings e ON nb.vec_id = e.vec_id
         |), refc AS (
         |  SELECT bucket, count(*) AS ref_n FROM bl WHERE vec_id % 2 = 0 GROUP BY 1
-        |), rt AS (
-        |  SELECT CAST(coalesce(sum(ref_n), 0) + 256 AS BIGINT) AS r_tot FROM refc
         |), obs AS (
         |  SELECT 'label_' || CAST(label AS VARCHAR) AS grp, bucket, count(*) AS o
         |  FROM bl WHERE vec_id % 2 = 1 GROUP BY 1, 2
-        |), stt AS (
-        |  SELECT grp, CAST(sum(o) AS BIGINT) AS n_s FROM obs GROUP BY 1
-        |), jd AS (
-        |  SELECT obs.grp, o, coalesce(ref_n, 0) + 1 AS ref1, n_s, r_tot
-        |  FROM obs LEFT JOIN refc USING (bucket)
-        |  JOIN stt ON obs.grp = stt.grp
-        |  CROSS JOIN rt
-        |), scd AS (
-        |  SELECT grp, n_s, r_tot, ref1,
-        |    CAST(round(
-        |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      / (CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
-        |  FROM jd
-        |), agd AS (
-        |  SELECT grp, n_s, r_tot, CAST(count(*) AS BIGINT) AS n_hit,
-        |    CAST(sum(c_micro) AS BIGINT) AS obs_micro,
-        |    CAST(sum(ref1) AS BIGINT) AS m_s
-        |  FROM scd GROUP BY 1, 2, 3
         |)
-        |""".stripMargin + Util.wrap(
-        """SELECT grp, n_s, n_hit,
-          |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
-          |    * (CAST(r_tot AS DOUBLE) - CAST(m_s AS DOUBLE))
-          |    / CAST(r_tot AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
-          |    AS chi2_micro
-          |FROM agd""".stripMargin,
-        Seq("grp", "n_s", "n_hit", "chi2_micro"))),
+        |""".stripMargin
+      // chi² chain is graft.Util.chi2DriftSql — the ONE source this oracle
+      // shares with doc_drift_ref so the two drift definitions cannot diverge
+      + Util.chi2DriftSql("grp", "obs", "refc", nBuckets = 256)),
 
     // recall@10 of the lsh and multiprobe paths vs the exact brute top-10;
     // LEFT join keeps bucket-miss queries with n_hit = 0; ppm is exact

@@ -164,7 +164,6 @@ object TextAnalysis {
     val st = docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("o"))
-    val srcTot = st.groupBy("source").agg(sum(col("o")).as("n_s"))
     val tokTot = st.groupBy("token").agg(sum(col("o")).as("n_t"))
     val tot = st.agg(sum(col("o")).as("n_total"))
     def d(c: Column): Column = c.cast("double")
@@ -173,9 +172,14 @@ object TextAnalysis {
     val cell = Window.partitionBy("source")
     val byC = Window.partitionBy("source")
       .orderBy(col("c_micro").desc, col("token").asc)
+    // n_s rides the same source-partitioned window pass as the rollup
+    // below instead of a groupBy+join — one fewer join, and window
+    // partitioning groups NULL sources together (an equi-join on source
+    // would silently drop them; the oracle keeps them via
+    // IS NOT DISTINCT FROM).
     st.join(tokTot, "token")
-      .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(tot))
+      .withColumn("n_s", sum(col("o")).over(cell))
       .withColumn("c_micro", round(diff * diff / e * lit(1e6)).cast("long"))
       .withColumn("n_terms", count(lit(1)).over(cell))
       .withColumn("m_s", sum(col("n_t")).over(cell))
@@ -219,16 +223,19 @@ object TextAnalysis {
     val obs = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("o"))
     val refTot = ref
       .agg((coalesce(sum(col("ref_n")), lit(0L)) + lit(nBuckets.toLong)).as("r_tot"))
-    val srcTot = obs.groupBy("source").agg(sum(col("o")).as("n_s"))
     def d(c: Column): Column = c.cast("double")
     val e = d(col("n_s")) * d(col("ref1")) / d(col("r_tot"))
     val diff = d(col("o")) - e
+    // n_s via a source-partitioned window, not a groupBy+equi-join: the
+    // window groups NULL sources (a join on source would drop them while
+    // the oracle's IS NOT DISTINCT FROM keeps them), and the partition is
+    // bounded at B rows per source by construction.
     obs
       .join(broadcast(ref.select(col("bucket"), (col("ref_n") + lit(1L)).as("ref1"))),
         Seq("bucket"), "left")
       .na.fill(1L, Seq("ref1"))
-      .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(refTot))
+      .withColumn("n_s", sum(col("o")).over(Window.partitionBy("source")))
       .withColumn("c_micro", round(diff * diff / e * lit(1e6)).cast("long"))
       .groupBy("source", "n_s", "r_tot")
       .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("obs_micro"),
@@ -282,17 +289,36 @@ object TextAnalysis {
     * audit or the [[graft.streaming.StreamingDrift]] bootstrap) reads the
     * table instead of re-scanning the reference. */
   def writeDriftRef(refDocs: DataFrame, path: String, nBuckets: Int = 64): Unit =
-    hashBucketed(refDocs, nBuckets)
-      .groupBy("bucket").agg(count(lit(1)).as("ref_n"))
+    // DENSE snapshot — every bucket 0..B-1 present (ref_n = 0 where the
+    // reference corpus never hit it), so the snapshot carries its own B
+    // and [[driftVsStoredRef]] can reject a monitor configured with a
+    // different bucket count instead of silently mispairing buckets.
+    // Zero-count rows are arithmetic no-ops in [[driftVsReference]]
+    // (ref1 = 1 either via the +1 or the na.fill), so the round-trip
+    // parity with the sparse in-memory form is exact.
+    refDocs.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+      .join(hashBucketed(refDocs, nBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as("ref_n")), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n"))
       .write.mode("overwrite").parquet(path)
 
   /** Monitor a corpus against a STORED reference snapshot — must return
     * exactly what [[driftVsReferenceHashed]] returns when the snapshot was
-    * written from the same reference corpus (spec-asserted round-trip). */
+    * written from the same reference corpus (spec-asserted round-trip).
+    * Rejects a snapshot whose bucket count differs from `nBuckets`: the
+    * chi² pairing is positional in bucket id, so a B mismatch would not
+    * error — it would quietly misattribute mass (the same guard
+    * [[graft.streaming.StreamingDrift]] applies to its bootstrap vector). */
   def driftVsStoredRef(docs: DataFrame, path: String,
-                       nBuckets: Int = 64): DataFrame =
+                       nBuckets: Int = 64): DataFrame = {
+    val ref = docs.sparkSession.read.parquet(path)
+    val storedB = ref.count()
+    require(storedB == nBuckets.toLong,
+      s"driftVsStoredRef: snapshot at $path has $storedB buckets but the " +
+        s"monitor is configured for $nBuckets — writer and monitor must share B")
     driftVsReference(hashBucketed(docs, nBuckets).select("source", "bucket"),
-      docs.sparkSession.read.parquet(path), nBuckets)
+      ref, nBuckets)
+  }
 
   /** (doc_id, qm): the shared heuristic quality score in exact integer
     * micro units — the argmax key for quality-keeper dedup
@@ -881,18 +907,22 @@ object TextAnalysis {
     val g = curate(docs, qualityThreshold, evalMod)
     val total = docs.agg(count(lit(1)).as("n_total"))
     def surv(cs: Column*): Column = cs.reduce(_ && _)
+    // Each sum is coalesced: over ZERO rows (every doc eval-held-out, or
+    // an empty corpus) sum() is NULL despite the per-row otherwise(0L),
+    // which would poison the n_in/n_removed arithmetic below — the oracle
+    // wraps the same sums in coalesce(..., 0).
+    def rsum(c: Column): Column =
+      coalesce(sum(when(c, lit(1L)).otherwise(lit(0L))), lit(0L))
     g.agg(
         count(lit(1)).as("n_base"),
-        sum(when(!col("lang_ok"), lit(1L)).otherwise(lit(0L))).as("r_lang"),
-        sum(when(surv(col("lang_ok")) && !col("quality_ok"), lit(1L))
-          .otherwise(lit(0L))).as("r_quality"),
-        sum(when(surv(col("lang_ok"), col("quality_ok")) && !col("not_repetitive"),
-          lit(1L)).otherwise(lit(0L))).as("r_rep"),
-        sum(when(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"))
-          && !col("not_contaminated"), lit(1L)).otherwise(lit(0L))).as("r_contam"),
-        sum(when(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"),
-          col("not_contaminated")) && !col("is_keeper"), lit(1L))
-          .otherwise(lit(0L))).as("r_dup"))
+        rsum(!col("lang_ok")).as("r_lang"),
+        rsum(surv(col("lang_ok")) && !col("quality_ok")).as("r_quality"),
+        rsum(surv(col("lang_ok"), col("quality_ok")) && !col("not_repetitive"))
+          .as("r_rep"),
+        rsum(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"))
+          && !col("not_contaminated")).as("r_contam"),
+        rsum(surv(col("lang_ok"), col("quality_ok"), col("not_repetitive"),
+          col("not_contaminated")) && !col("is_keeper")).as("r_dup"))
       .crossJoin(total)
       .select(expr(
         """stack(6,
@@ -2383,40 +2413,14 @@ object TextAnalysis {
         |  SELECT doc_id, source, tid % 64 AS bucket FROM tok JOIN tv USING (token)
         |), ref AS (
         |  SELECT bucket, count(*) AS ref_n FROM b WHERE doc_id % 2 = 0 GROUP BY 1
-        |), rt AS (
-        |  SELECT CAST(coalesce(sum(ref_n), 0) + 64 AS BIGINT) AS r_tot FROM ref
         |), obs AS (
         |  SELECT source, bucket, count(*) AS o
         |  FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2
-        |), stt AS (
-        |  SELECT source, CAST(sum(o) AS BIGINT) AS n_s FROM obs GROUP BY 1
-        |), j AS (
-        |  SELECT obs.source, o, coalesce(ref_n, 0) + 1 AS ref1, n_s, r_tot
-        |  FROM obs LEFT JOIN ref USING (bucket)
-        |  JOIN stt ON obs.source IS NOT DISTINCT FROM stt.source
-        |  CROSS JOIN rt
-        |), sc AS (
-        |  SELECT source, n_s, r_tot, ref1,
-        |    CAST(round(
-        |      (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      * (CAST(o AS DOUBLE) - CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      / (CAST(n_s AS DOUBLE) * CAST(ref1 AS DOUBLE) / CAST(r_tot AS DOUBLE))
-        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
-        |  FROM j
-        |), ag AS (
-        |  SELECT source, n_s, r_tot, CAST(count(*) AS BIGINT) AS n_hit,
-        |    CAST(sum(c_micro) AS BIGINT) AS obs_micro,
-        |    CAST(sum(ref1) AS BIGINT) AS m_s
-        |  FROM sc GROUP BY 1, 2, 3
         |)
-        |""".stripMargin + Util.wrap(
-        """SELECT source, n_s, n_hit,
-          |  obs_micro + CAST(round(CAST(n_s AS DOUBLE)
-          |    * (CAST(r_tot AS DOUBLE) - CAST(m_s AS DOUBLE))
-          |    / CAST(r_tot AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)
-          |    AS chi2_micro
-          |FROM ag""".stripMargin,
-        Seq("source", "n_s", "n_hit", "chi2_micro"))),
+        |""".stripMargin
+      // chi² chain is graft.Util.chi2DriftSql — the ONE source this oracle
+      // shares with emb_drift_ref so the two drift definitions cannot diverge
+      + Util.chi2DriftSql("source", "obs", "ref", nBuckets = 64)),
 
     // chi² drift per source; per-term contributions snap to micros before
     // the windowed per-source sum, zero-observed mass folded in closed form

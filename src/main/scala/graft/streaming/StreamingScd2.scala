@@ -14,13 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * rows are sorted per key by (ts, event_id) before the fold (micro-batch
   * contents are unordered even when the source is in order — the
   * [[StreamingEwma]] convention), then: a row with the SAME state as the
-  * open version extends it (no output); a NEWER row with a different
-  * state CLOSES the open version (emitting its final [valid_from,
-  * valid_to) row, `open = false` — emitted exactly once, when it closes)
-  * and opens the next; a row at-or-before the open version's start is a
-  * late arrival and is dropped (re-opening sink-committed history would
-  * mean unbounded state — the documented order-sensitivity this twin
-  * shares with the EWMA recursion, vs the order-FREE argmax of
+  * open version extends it (no output, but it ADVANCES the fold frontier);
+  * a NEWER row with a different state CLOSES the open version (emitting
+  * its final [valid_from, valid_to) row, `open = false` — emitted exactly
+  * once, when it closes) and opens the next; a row at-or-before the LAST
+  * EVENT FOLDED — the (ts, event_id) frontier kept in state, NOT merely
+  * the open version's start, since a same-state extend moves the frontier
+  * without moving valid_from — is a late arrival and is dropped
+  * (re-opening sink-committed history would mean unbounded state — the
+  * documented order-sensitivity this twin shares with the EWMA recursion,
+  * vs the order-FREE argmax of
   * [[StreamingCdc]]). Every touched key also re-emits its current open
   * version (`open = true`, `valid_to` null) per batch, so the sink's
   * (closed rows ∪ latest open row per key) equals the batch `scd2` of the
@@ -29,7 +32,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingScd2 {
 
-  private type OpenVersion = (Int, String, Long, Long) // version, state, validFromMicros, eventId
+  // version, state, validFromMicros, lastTsMicros, lastEventId — the last
+  // two are the fold frontier: the newest (ts, event_id) ever folded for
+  // the key, which a same-state extend advances while valid_from stays.
+  private type OpenVersion = (Int, String, Long, Long, Long)
 
   def run(events: DataFrame): DataFrame = {
     val session = events.sparkSession
@@ -47,11 +53,15 @@ object StreamingScd2 {
           var closed = List.empty[(Long, Int, String, Long, Option[Long], Boolean)]
           var cur = state.getOption.orNull
           sorted.foreach { case (_, tsm, eid, st) =>
-            if (cur == null) cur = (1, st, tsm, eid)
-            else if ((tsm > cur._3 || (tsm == cur._3 && eid > cur._4)) && st != cur._2) {
-              closed ::= ((uid, cur._1, cur._2, cur._3, Some(tsm), false))
-              cur = (cur._1 + 1, st, tsm, eid)
-            } // same-state newer row extends; at-or-older row is a late drop
+            if (cur == null) cur = (1, st, tsm, tsm, eid)
+            else if (tsm > cur._4 || (tsm == cur._4 && eid > cur._5)) {
+              // newer than the frontier: fold it — close+open on a state
+              // change, extend (frontier only) on the same state
+              if (st != cur._2) {
+                closed ::= ((uid, cur._1, cur._2, cur._3, Some(tsm), false))
+                cur = (cur._1 + 1, st, tsm, tsm, eid)
+              } else cur = (cur._1, cur._2, cur._3, tsm, eid)
+            } // at-or-older than the last folded event: late drop
           }
           state.update(cur)
           (((uid, cur._1, cur._2, cur._3, Option.empty[Long], true)) :: closed)

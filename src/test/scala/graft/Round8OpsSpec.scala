@@ -708,4 +708,47 @@ class Round8OpsSpec extends SparkSpec {
     val kept = TextAnalysis.curate(docs).filter(col("keep")).count()
     assert(rows.last.getAs[Long]("n_remaining") === kept)
   }
+
+  test("audit trio keeps a NULL source as its own slice (review-caught equi-join drop)") {
+    // NULL source is exactly the slice most likely to carry corrupted
+    // metadata; the oracles keep it via IS NOT DISTINCT FROM, so the Spark
+    // side must too (window-partition n_s, not a groupBy+equi-join).
+    val docs = Seq((1L, "x x y", "A"), (2L, "y z", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val div = TextAnalysis.sourceDivergence(docs).collect()
+    assert(div.length === 2 && div.exists(_.isNullAt(0)),
+      s"NULL-source slice vanished from sourceDivergence: ${div.mkString(", ")}")
+    // same numbers as the all-named twin fixture (chi² only reads counts)
+    assert(div.find(_.isNullAt(0)).get.getLong(3) === 1750000L)
+    val drift = TextAnalysis.driftVsReferenceHashed(
+      docs, Seq((3L, "x y", "A")).toDF("doc_id", "text", "source")).collect()
+    assert(drift.length === 2 && drift.exists(_.isNullAt(0)),
+      s"NULL-source slice vanished from driftVsReference: ${drift.mkString(", ")}")
+  }
+
+  test("driftVsStoredRef rejects a snapshot written at a different B") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val path = java.nio.file.Files.createTempDirectory("graft-driftref-b").toString + "/ref"
+    TextAnalysis.writeDriftRef(docs, path, nBuckets = 128)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.driftVsStoredRef(docs, path, nBuckets = 64)
+    }
+    assert(e.getMessage.contains("128") && e.getMessage.contains("64"), e.getMessage)
+  }
+
+  test("curationFunnel on an all-holdout corpus: zero counts, never NULL sums") {
+    // every doc_id ≡ 0 mod evalMod → curate's base is EMPTY → the r_* sums
+    // aggregate zero rows; they must coalesce to 0 so the waterfall still
+    // tiles (review-caught: sum() over no rows is NULL despite otherwise(0)).
+    val docs = Seq((0L, "a b", "s"), (101L, "c d", "s"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val rows = TextAnalysis.curationFunnel(docs).orderBy("stage_idx").collect()
+    assert(rows.length === 6)
+    assert(rows.head.getAs[Long]("n_removed") === 2L) // eval holdout takes all
+    rows.tail.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("n_removed")) && r.getAs[Long]("n_removed") === 0L
+        && !r.isNullAt(r.fieldIndex("n_in")) && r.getAs[Long]("n_in") === 0L,
+        s"stage ${r.getString(1)} must carry 0, not NULL: $r")
+    }
+  }
 }

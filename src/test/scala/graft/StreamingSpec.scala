@@ -1151,6 +1151,16 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert((closedRows.toSet, openRows.toMap) == before,
         s"late row must not reopen history: $closedRows / $openRows")
+      // review-caught: lateness is vs the FOLD FRONTIER, not the open
+      // version's start — u2's open C was opened at 10:00 but extended by
+      // the 10:05 same-state event, so a late D@10:02 lands between
+      // valid_from and the last event folded. A start-based guard would
+      // wrongly close C at 10:02 (erasing the observed C@10:05); the
+      // frontier guard must drop it.
+      mem.addData((2L, ts("2024-01-01 10:02:00"), 8L, "D"))
+      q.processAllAvailable()
+      assert((closedRows.toSet, openRows.toMap) == before,
+        s"late row behind a same-state extend must drop: $closedRows / $openRows")
     } finally q.stop()
   }
 
