@@ -1598,6 +1598,66 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk_bm"), col("rk_ann"), col("rrf_micro"), col("rk"))
   }
 
+  /** Tokenizer-fertility audit per language: subword tokens per whitespace
+    * word and bytes per subword token — THE metric that sizes a language's
+    * effective share of a token budget before training (a script the
+    * tokenizer fragments pays 2-4× more tokens for the same text, so a
+    * byte-balanced mixture is silently token-skewed). Subword stand-in is
+    * the [[tokenCounts]] BPE-ish regex; ratios snap to exact integer ppm
+    * via BIGINT floor division, zero-token groups yield NULL rather than a
+    * division error.
+    *
+    * Scale shape: one codegen'd per-row projection (two regexp counts, a
+    * byte length), one map-side-combining groupBy over ≤|langs| keys —
+    * no join, no second pass; scans prune to (lang, text). */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        regexp_count(col("text"), lit(bpeish)).as("re"),
+        octet_length(col("text")).cast("long").as("b"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"),
+        sum(col("b")).as("n_bytes"))
+      .withColumn("fertility_ppm",
+        when(col("ws_tokens") > 0, expr("(re_tokens * 1000000) div ws_tokens")))
+      .withColumn("bytes_per_token_ppm",
+        when(col("re_tokens") > 0, expr("(n_bytes * 1000000) div re_tokens")))
+
+  /** Data-constrained epoch planning (the Muennighoff-style "how many
+    * repeats per source" step): given a token budget of `budgetFactor` ×
+    * the corpus size split uniformly across sources, compute per source
+    * the needed tokens, the repeat (epoch) count capped at `maxEpochs`,
+    * the allocated tokens, and the unfillable deficit. Everything is
+    * exact BIGINT arithmetic (ceil division by cross-multiplication), so
+    * the plan is reproducible across engines and cluster sizes.
+    *
+    * Scale shape: one map-side-combining per-source token sum over a
+    * pruned (source, text) scan; the corpus-total is a 1-row aggregate
+    * cross-joined back broadcast — the plan itself is |sources| rows. */
+  def epochPlan(docs: DataFrame, budgetFactor: Long = 3L,
+                maxEpochs: Long = 5L): DataFrame = {
+    require(budgetFactor >= 1 && maxEpochs >= 1,
+      s"epochPlan: factor/epochs must be >= 1, got $budgetFactor/$maxEpochs")
+    val avail = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("tokens_avail"))
+    val tot = avail.agg(sum(col("tokens_avail")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("tokens_needed",
+        expr(s"(corpus_tokens * $budgetFactor) div n_sources"))
+      .withColumn("epochs", least(
+        expr("(tokens_needed + tokens_avail - 1) div tokens_avail"),
+        lit(maxEpochs)))
+      .withColumn("tokens_allocated",
+        least(col("tokens_needed"), col("tokens_avail") * maxEpochs))
+      .withColumn("deficit", col("tokens_needed") - col("tokens_allocated"))
+      .select(col("source"), col("tokens_avail"), col("tokens_needed"),
+        col("epochs"), col("tokens_allocated"), col("deficit"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1649,6 +1709,8 @@ object TextAnalysis {
     "doc_source_divergence" -> ((s, dir) => Util.orderAll(sourceDivergence(docs(s, dir)))),
     "doc_curation_funnel" -> ((s, dir) => Util.orderAll(curationFunnel(docs(s, dir)))),
     "doc_drift_ref" -> ((s, dir) => Util.orderAll(driftRefQuery(docs(s, dir)))),
+    "text_fertility" -> ((s, dir) => Util.orderAll(fertility(docs(s, dir)))),
+    "doc_epoch_plan" -> ((s, dir) => Util.orderAll(epochPlan(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -2647,6 +2709,56 @@ object TextAnalysis {
           |  n_docs, sum_tokens, padding_waste FROM ag""".stripMargin,
         Seq("bucket_log2", "bucket_lo", "bucket_cap", "n_docs", "sum_tokens",
           "padding_waste"))),
+
+    // strlen = bytes in DuckDB (length() is characters); CASTs pin DuckDB's
+    // HUGEINT sums to BIGINT; NULLIF mirrors the zero-token NULL guard
+    "text_fertility" -> (
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text, '$bpeish')) AS BIGINT) AS re,
+         |    CAST(strlen(text) AS BIGINT) AS b
+         |  FROM documents
+         |), ag AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |    CAST(sum(re) AS BIGINT) AS re_tokens,
+         |    CAST(sum(b) AS BIGINT) AS n_bytes
+         |  FROM t GROUP BY lang
+         |)
+         |""".stripMargin + Util.wrap(
+        """SELECT lang, n_docs, ws_tokens, re_tokens, n_bytes,
+          |  (re_tokens * 1000000) // NULLIF(ws_tokens, 0) AS fertility_ppm,
+          |  (n_bytes * 1000000) // NULLIF(re_tokens, 0) AS bytes_per_token_ppm
+          |FROM ag""".stripMargin,
+        Seq("lang", "n_docs", "ws_tokens", "re_tokens", "n_bytes",
+          "fertility_ppm", "bytes_per_token_ppm"))),
+
+    "doc_epoch_plan" -> (
+      """WITH av AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(tokens_avail) AS BIGINT) AS corpus_tokens,
+        |    count(*) AS n_sources
+        |  FROM av
+        |), nd AS (
+        |  SELECT source, tokens_avail,
+        |    (corpus_tokens * 3) // n_sources AS tokens_needed
+        |  FROM av CROSS JOIN tot
+        |), pl AS (
+        |  SELECT source, tokens_avail, tokens_needed,
+        |    least((tokens_needed + tokens_avail - 1) // tokens_avail,
+        |      CAST(5 AS BIGINT)) AS epochs,
+        |    least(tokens_needed, tokens_avail * 5) AS tokens_allocated
+        |  FROM nd
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT source, tokens_avail, tokens_needed, epochs, tokens_allocated,
+          |  tokens_needed - tokens_allocated AS deficit FROM pl""".stripMargin,
+        Seq("source", "tokens_avail", "tokens_needed", "epochs",
+          "tokens_allocated", "deficit"))),
   )
 
   /** The content-defined chunk table in DuckDB SQL — the single source both

@@ -751,4 +751,45 @@ class Round8OpsSpec extends SparkSpec {
         s"stage ${r.getString(1)} must carry 0, not NULL: $r")
     }
   }
+
+  test("fertility: hand-computed ppm on a two-language corpus, zero-token NULL guard") {
+    // "ab cd." → 2 ws words, 3 regex tokens ([ab][cd][.]), 6 bytes
+    // "x1" → 1 ws word, 2 regex tokens ([x][1]), 2 bytes
+    val docs = Seq((1L, "ab cd.", "aa"), (2L, "x1", "aa"), (3L, "", "zz"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.fertility(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val aa = r("aa")
+    assert(aa.getAs[Long]("ws_tokens") === 3L && aa.getAs[Long]("re_tokens") === 5L
+      && aa.getAs[Long]("n_bytes") === 8L)
+    assert(aa.getAs[Long]("fertility_ppm") === 5L * 1000000 / 3)
+    assert(aa.getAs[Long]("bytes_per_token_ppm") === 8L * 1000000 / 5)
+    // empty text: split('') = [''] → 1 ws token, 0 regex tokens → NULL ratio
+    val zz = r("zz")
+    assert(zz.getAs[Long]("re_tokens") === 0L
+      && zz.isNullAt(zz.fieldIndex("bytes_per_token_ppm")),
+      s"zero-token group must yield NULL, not a division error: $zz")
+  }
+
+  test("epochPlan: cap binds on the starved source, deficit is exact") {
+    // source A has 90 tokens, B has 10; corpus=100, factor 3 → needed 150
+    // each. A: ceil(150/90)=2 epochs, allocated 150, deficit 0.
+    // B: ceil(150/10)=15 → capped at 5, allocated 50, deficit 100.
+    val docs = Seq.tabulate(9)(i => (i.toLong, ("w " * 9).trim, "A")) :+
+      ((9L, ("w " * 10).trim, "B"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.epochPlan(df).collect().map(x => x.getString(0) -> x).toMap
+    val a = r("A"); val b = r("B")
+    assert(a.getAs[Long]("tokens_avail") === 81L && b.getAs[Long]("tokens_avail") === 10L)
+    // corpus 91, needed per source (91*3) div 2 = 136
+    assert(a.getAs[Long]("tokens_needed") === 136L)
+    assert(a.getAs[Long]("epochs") === 2L && a.getAs[Long]("deficit") === 0L)
+    assert(b.getAs[Long]("epochs") === 5L && b.getAs[Long]("tokens_allocated") === 50L
+      && b.getAs[Long]("deficit") === 86L)
+    // invariant: allocated = min(needed, avail*maxEpochs), deficit tiles
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("tokens_allocated") + x.getAs[Long]("deficit")
+        === x.getAs[Long]("tokens_needed"))
+    }
+  }
 }
