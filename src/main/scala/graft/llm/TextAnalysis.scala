@@ -1658,6 +1658,96 @@ object TextAnalysis {
         col("epochs"), col("tokens_allocated"), col("deficit"))
   }
 
+  /** Per-document n-gram novelty (Lee et al. 2022's memorization-risk
+    * signal): the fraction of a document's word-`n`-gram POSITIONS whose
+    * n-gram also occurs in at least one OTHER document. Positions, not
+    * distinct grams — a doc that is 90% boilerplate by length scores 90%
+    * duplicated even if the boilerplate is one repeated gram. Docs shorter
+    * than `n` words carry n_ngrams = 0 and a NULL ppm (no evidence), kept
+    * via the left join so the report covers the whole corpus.
+    *
+    * Scale shape: gram generation is an in-row `transform` (no window);
+    * doc-frequency is distinct-(doc,gram) → gram-keyed count (both
+    * partial-agg'd); the join back is gram-keyed — hot boilerplate grams
+    * are skewed join keys, which AQE skew-split handles, and the
+    * [[ngramNoveltyHashed]] twin carries 8-byte xxhash64 keys instead of
+    * gram strings (spec-pinned identical on the fixture). */
+  def ngramNovelty(docs: DataFrame, n: Int = 4): DataFrame = {
+    require(n >= 2, s"ngramNovelty: n must be >= 2, got $n")
+    ngramNoveltyOf(docs, gramsOf(docs, n, col("gram")))
+  }
+
+  /** [[ngramNovelty]] with 8-byte hashed gram keys — the 100 TB form (the
+    * shuffled df table and join keys shrink from ~n-word strings to one
+    * long; identical output up to a ~2⁻⁶⁴ collision, the
+    * [[Dedup.exactByHash]] argument). */
+  def ngramNoveltyHashed(docs: DataFrame, n: Int = 4): DataFrame = {
+    require(n >= 2, s"ngramNovelty: n must be >= 2, got $n")
+    ngramNoveltyOf(docs, gramsOf(docs, n, xxhash64(col("gram"))))
+  }
+
+  /** (doc_id, gram) at every position, gram projected through `key`. */
+  private def gramsOf(docs: DataFrame, n: Int, key: Column): DataFrame =
+    Dedup.tokenized(docs)
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), i -> concat_ws(' ', slice(words, i, $n)))"))
+        .as("gram"))
+      .select(col("doc_id"), key.as("gram"))
+
+  private def ngramNoveltyOf(docs: DataFrame, grams: DataFrame): DataFrame = {
+    val df = grams.distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val per = grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .withColumn("n_ngrams", coalesce(col("n_ngrams"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("novelty_ppm", when(col("n_ngrams") > 0,
+        expr("((n_ngrams - n_dup) * 1000000) div n_ngrams")))
+  }
+
+  /** Graded benchmark contamination (the decontaminate gate's forensic
+    * sibling): per non-eval document, how MUCH of it overlaps the eval
+    * set — contaminated shingle positions, their fraction in ppm, and the
+    * longest consecutive contaminated run converted to its verbatim token
+    * span (a run of r consecutive 3-gram hits covers r+2 tokens). A binary
+    * gate answers "drop it?"; this answers "was it a stray phrase or a
+    * verbatim benchmark quote?" — the question an audit actually asks.
+    *
+    * Scale shape: the eval shingle set is tiny and broadcast; run
+    * detection is the classic gaps-and-islands window (pos − row_number),
+    * partitioned by doc_id — the SAME key as every aggregate after it, so
+    * the corpus pays one doc_id-keyed shuffle total. */
+  def contaminationScore(docs: DataFrame, evalMod: Long = 101L): DataFrame = {
+    val pos = Dedup.tokenized(docs)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(words) - 2), i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+        .as(Seq("pos", "shingle")))
+    val evalSh = pos.filter(col("doc_id") % evalMod === 0)
+      .select(col("shingle")).distinct()
+    val corpus = pos.filter(col("doc_id") % evalMod =!= 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = corpus.join(broadcast(evalSh), "shingle")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"), sum(col("run_len")).as("n_hit_pos"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+      .join(runs, Seq("doc_id"), "left_outer")
+      .withColumn("n_hit_pos", coalesce(col("n_hit_pos"), lit(0L)))
+      .withColumn("max_run", coalesce(col("max_run"), lit(0L)))
+      .withColumn("max_span_tokens",
+        when(col("max_run") > 0, col("max_run") + lit(2L)).otherwise(lit(0L)))
+      .withColumn("contam_ppm", expr("(n_hit_pos * 1000000) div n_pos"))
+      .select(col("doc_id"), col("n_pos"), col("n_hit_pos"), col("max_run"),
+        col("max_span_tokens"), col("contam_ppm"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1711,6 +1801,9 @@ object TextAnalysis {
     "doc_drift_ref" -> ((s, dir) => Util.orderAll(driftRefQuery(docs(s, dir)))),
     "text_fertility" -> ((s, dir) => Util.orderAll(fertility(docs(s, dir)))),
     "doc_epoch_plan" -> ((s, dir) => Util.orderAll(epochPlan(docs(s, dir)))),
+    "doc_ngram_novelty" -> ((s, dir) => Util.orderAll(ngramNovelty(docs(s, dir)))),
+    "doc_contamination_score" -> ((s, dir) =>
+      Util.orderAll(contaminationScore(docs(s, dir)))),
   )
 
   /** Evaluation suite for [[retrievalEval]]: two keyword queries with rich
@@ -2759,6 +2852,68 @@ object TextAnalysis {
           |  tokens_needed - tokens_allocated AS deficit FROM pl""".stripMargin,
         Seq("source", "tokens_avail", "tokens_needed", "epochs",
           "tokens_allocated", "deficit"))),
+
+    // words[i:i+3] is DuckDB's 1-based INCLUSIVE slice = 4 tokens; range's
+    // exclusive upper bound gives i in 1..len-3, the 4-gram positions
+    "doc_ngram_novelty" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, array_to_string(words[i:i+3], ' ') AS gram
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 2)) AS i) ii
+        |  WHERE len(words) >= 4
+        |), dfq AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_ngrams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM g JOIN dfq USING (gram) GROUP BY doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT d.doc_id,
+          |  coalesce(n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+          |  coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+          |  ((coalesce(n_ngrams, 0) - coalesce(n_dup, 0)) * 1000000)
+          |    // NULLIF(coalesce(n_ngrams, 0), 0) AS novelty_ppm
+          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+        Seq("doc_id", "n_ngrams", "n_dup", "novelty_ppm"))),
+
+    // gaps-and-islands: pos - row_number is constant within a consecutive
+    // contaminated run; a run of r 3-gram hits spans r+2 verbatim tokens
+    "doc_contamination_score" -> (
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+        |  WHERE len(words) >= 3
+        |), ev AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+        |), hits AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM sh JOIN ev USING (shingle) WHERE doc_id % 101 <> 0
+        |), runs AS (
+        |  SELECT doc_id, grp, count(*) AS run_len FROM hits GROUP BY doc_id, grp
+        |), ag AS (
+        |  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run,
+        |    CAST(sum(run_len) AS BIGINT) AS n_hit_pos
+        |  FROM runs GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_pos FROM sh WHERE doc_id % 101 <> 0
+        |  GROUP BY doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT t.doc_id, n_pos,
+          |  coalesce(n_hit_pos, CAST(0 AS BIGINT)) AS n_hit_pos,
+          |  coalesce(max_run, CAST(0 AS BIGINT)) AS max_run,
+          |  CASE WHEN coalesce(max_run, 0) > 0 THEN max_run + 2
+          |       ELSE CAST(0 AS BIGINT) END AS max_span_tokens,
+          |  (coalesce(n_hit_pos, 0) * 1000000) // n_pos AS contam_ppm
+          |FROM tot t LEFT JOIN ag USING (doc_id)""".stripMargin,
+        Seq("doc_id", "n_pos", "n_hit_pos", "max_run", "max_span_tokens",
+          "contam_ppm"))),
   )
 
   /** The content-defined chunk table in DuckDB SQL — the single source both

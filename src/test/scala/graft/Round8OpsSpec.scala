@@ -792,4 +792,58 @@ class Round8OpsSpec extends SparkSpec {
         === x.getAs[Long]("tokens_needed"))
     }
   }
+
+  test("ngramNovelty: shared 4-gram counts as duplicated at every position; hashed twin identical") {
+    val docs = Seq(
+      (1L, "a b c d e"), // grams: "a b c d", "b c d e"
+      (2L, "a b c d x"), // grams: "a b c d", "b c d x"
+      (3L, "q r s"))     // < 4 words: zero grams, NULL ppm
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_ngrams") === 2L && r(1L).getAs[Long]("n_dup") === 1L)
+    assert(r(1L).getAs[Long]("novelty_ppm") === 500000L)
+    assert(r(3L).getAs[Long]("n_ngrams") === 0L
+      && r(3L).isNullAt(r(3L).fieldIndex("novelty_ppm")))
+
+    // the 8-byte-key production twin must agree row for row on the fixture
+    val corpus = Tables.documents(spark, sf)
+    val a = TextAnalysis.ngramNovelty(corpus).collect().toSet
+    val b = TextAnalysis.ngramNoveltyHashed(corpus).collect().toSet
+    assert(a === b, "hashed gram keys changed the novelty report")
+  }
+
+  test("contaminationScore: consecutive hit run converts to verbatim token span") {
+    // doc 0 is eval (0 % 101 == 0); doc 5 quotes its 5-token middle verbatim
+    // -> 3 consecutive contaminated shingles -> max span 3 + 2 = 5 tokens;
+    // doc 7 shares nothing -> 0-row runs side, coalesced zeros
+    val docs = Seq(
+      (0L, "qq ww ee rr tt"),
+      (5L, "xx qq ww ee rr tt yy"),
+      (7L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationScore(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(0L), "eval docs must not appear in the report")
+    val d5 = r(5L)
+    assert(d5.getAs[Long]("n_pos") === 5L && d5.getAs[Long]("n_hit_pos") === 3L)
+    assert(d5.getAs[Long]("max_run") === 3L && d5.getAs[Long]("max_span_tokens") === 5L)
+    assert(d5.getAs[Long]("contam_ppm") === 600000L)
+    val d7 = r(7L)
+    assert(d7.getAs[Long]("n_hit_pos") === 0L && d7.getAs[Long]("max_span_tokens") === 0L
+      && d7.getAs[Long]("contam_ppm") === 0L)
+  }
+
+  test("contaminationScore: split runs don't merge across a gap") {
+    // doc 3 hits shingles at positions {0} and {4,5} (gap at 1-3): two runs,
+    // max_run 2 -> span 4, n_hit 3
+    val docs = Seq(
+      (0L, "k1 k2 k3 m1 m2 m3 m4"),
+      (3L, "k1 k2 k3 zz yy m1 m2 m3 m4"))
+      .toDF("doc_id", "text")
+    val d3 = TextAnalysis.contaminationScore(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap.apply(3L)
+    assert(d3.getAs[Long]("n_hit_pos") === 3L, d3.toString)
+    assert(d3.getAs[Long]("max_run") === 2L && d3.getAs[Long]("max_span_tokens") === 4L)
+  }
 }
