@@ -664,6 +664,42 @@ object Similarity {
         (!coalesce(col("dup"), lit(false))).as("keep"))
   }
 
+  /** SSL-prototypes pruning (Sorscher et al.; the second half of the D4
+    * recipe, after [[semDedup]]): cluster with the same Lloyd's-refined
+    * k-means, rank each vector by closeness to its cluster centroid, and
+    * drop the `dropPct`% MOST prototypical per cell — the easy, redundant
+    * core of each cluster that contributes least to training. Ranking key
+    * is the 6-dp-rounded cosine (ties broken by vec_id), the drop count is
+    * exact integer floor `(n_cell · dropPct) div 100`, so the keep set is
+    * engine-reproducible.
+    *
+    * Scale shape: centroid training + assignment are the shared IVF
+    * machinery (broadcast centroid table, one linear pass); the rank and
+    * the cell-size count ride ONE cid-keyed window shuffle, and cells are
+    * (N/k)-sized by construction — the window never sees an unpartitioned
+    * corpus. */
+  def prototypesPrune(emb: DataFrame, dropPct: Int = 25,
+                      centroidMod: Int = 37, iters: Int = 2): DataFrame = {
+    require(dropPct >= 0 && dropPct <= 100,
+      s"prototypesPrune: dropPct must be in [0,100], got $dropPct")
+    val e = normed(emb).localCheckpoint(true)
+    val cent = kmeansCentroids(e, centroidMod, iters)
+    val asg = centroidScored(e, cent)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), (-col("cid")).as("ncid"))).as("w"))
+      .select(col("vec_id"), (-col("w.ncid")).as("cid"), col("w.csim").as("csim"))
+    val rw = Window.partitionBy(col("cid"))
+      .orderBy(col("csim").desc, col("vec_id").asc)
+    // no similarity column in the output: a 1-ulp round(x,6) divergence
+    // between engines (DuckDB rounds via a double multiply) would flip the
+    // 6th decimal — the RANK is the operator's contract, values are not
+    asg
+      .withColumn("rk", row_number().over(rw).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .withColumn("keep", col("rk") > expr(s"(n_cell * $dropPct) div 100"))
+      .select(col("vec_id"), col("cid"), col("rk"), col("n_cell"), col("keep"))
+  }
+
   /** Materialize the reusable semantic-dedup index — the
     * [[writeIvfIndex]]/[[graft.llm.Dedup.writeNearDupIndex]] pattern for
     * the SemDeDup family: the refined centroid table plus every KEPT
@@ -1098,6 +1134,7 @@ object Similarity {
     // cross-split cosine bulk and its 0.467 max, so the gate discriminates
     "emb_decontaminate" -> ((s, dir) => Util.orderAll(embDecontaminate(emb(s, dir), 97, 0.3))),
     "emb_hard_negatives" -> ((s, dir) => Util.orderAll(hardNegatives(emb(s, dir), 5, 3))),
+    "emb_prototypes" -> ((s, dir) => Util.orderAll(prototypesPrune(emb(s, dir)))),
   )
 
   private val normCte =
@@ -1616,6 +1653,36 @@ object Similarity {
         """SELECT asgF.vec_id, asgF.cid,
           |  asgF.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
           |FROM asgF""".stripMargin, Seq("vec_id", "cid", "keep"))),
+
+    // the doc_dedup_semantic centroid chain (two unrolled Lloyd's steps),
+    // then the prototypicality rank: csim DESC ties vec_id ASC within each
+    // cell, integer-floor drop count, keep = rk past the drop prefix
+    "emb_prototypes" -> (normCte +
+      """, cent0 AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+        |)
+        |""".stripMargin +
+      lloydIter("cent0", "asg1", "cent1") +
+      lloydIter("cent1", "asg2", "cent2") +
+      """, asgP AS (
+        |  SELECT vec_id, cid, csim FROM (
+        |    SELECT n.vec_id, c.cid,
+        |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
+        |        c.cid ASC) AS rk
+        |    FROM n CROSS JOIN cent2 c
+        |  ) t WHERE rk = 1
+        |), rked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid ORDER BY csim DESC, vec_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY cid) AS n_cell
+        |  FROM asgP
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT vec_id, cid, rk, n_cell,
+          |  rk > (n_cell * 25) // 100 AS keep FROM rked""".stripMargin,
+        Seq("vec_id", "cid", "rk", "n_cell", "keep"))),
 
     "emb_quantize" -> (sq8Cte + Util.wrap(
       "SELECT vec_id, i - 1 AS dim, code FROM qc",

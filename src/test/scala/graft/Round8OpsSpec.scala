@@ -834,6 +834,22 @@ class Round8OpsSpec extends SparkSpec {
       && d7.getAs[Long]("contam_ppm") === 0L)
   }
 
+  test("prototypesPrune: drop prefix is exactly the floor(n*pct/100) most-prototypical ranks") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = graft.llm.Similarity.prototypesPrune(emb).collect()
+    assert(r.length === emb.count())
+    r.groupBy(_.getAs[Long]("cid")).foreach { case (cid, rows) =>
+      val n = rows.head.getAs[Long]("n_cell")
+      assert(rows.length.toLong === n, s"cell $cid n_cell disagrees with row count")
+      val nDrop = n * 25 / 100
+      val dropped = rows.filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("rk")).sorted
+      assert(dropped.toSeq === (1L to nDrop).toSeq,
+        s"cell $cid must drop exactly ranks 1..$nDrop (the prototypical core), got ${dropped.toSeq}")
+    }
+    // the policy must actually bite on the fixture
+    assert(r.count(!_.getAs[Boolean]("keep")) > 0, "no vector pruned — fixture degenerate")
+  }
+
   test("contaminationScore: split runs don't merge across a gap") {
     // doc 3 hits shingles at positions {0} and {4,5} (gap at 1-3): two runs,
     // max_run 2 -> span 4, n_hit 3
