@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries
+      Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries ++
+      WarcIngest.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
-      Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle
+      Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle ++
+      WarcIngest.oracle
 }

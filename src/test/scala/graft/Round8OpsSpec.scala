@@ -850,6 +850,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.count(!_.getAs[Boolean]("keep")) > 0, "no vector pruned — fixture degenerate")
   }
 
+  test("WARC round-trip: payload containing 'WARC/1.0' parses byte-exact (Content-Length framing)") {
+    import graft.llm.{WarcCodec, WarcIngest}
+    // the adversarial payload for delimiter-scanning readers: a record
+    // whose BODY contains a full WARC version line + blank line
+    val evil = "before\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\nafter"
+    val docs = Seq((1L, evil, "sA"), (2L, "plain text", "sA"),
+      (60L, "other shard", "sA"), (3L, "zz", "sB"))
+      .toDF("doc_id", "text", "source")
+    val recs = WarcIngest.records(WarcIngest.containers(docs)).collect()
+    assert(recs.length === 4, s"expected 4 response records, got ${recs.length}")
+    val r1 = recs.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("content_length") === evil.getBytes("UTF-8").length.toLong)
+    assert(r1.getAs[String]("target_uri") === "https://sA.example.org/doc/1")
+    // shard partitioning: doc 60 lands in shard 1, the rest in shard 0
+    assert(recs.find(_.getAs[Long]("doc_id") == 60L).get.getAs[Long]("shard") === 1L)
+    // byte-exact payload recovery straight through the codec
+    val raw = WarcCodec.parse(WarcCodec.build(Seq(
+      ("response", Seq("WARC-Record-ID" -> "<urn:graft:doc-9>"), evil.getBytes("UTF-8")))))
+    assert(new String(raw.head.payload, "UTF-8") === evil)
+  }
+
+  test("WARC poison gate: a corrupted container quarantines, good containers still parse") {
+    import graft.llm.WarcIngest
+    val docs = Seq((1L, "good one", "sA"), (2L, "good two", "sB"))
+      .toDF("doc_id", "text", "source")
+    val cont = WarcIngest.containers(docs).collect()
+    val poisoned = cont.map { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      // truncate sA's container mid-payload: framing error, not a crash
+      if (r.getString(0) == "sA") (r.getString(0), r.getLong(1), bytes.take(bytes.length / 2))
+      else (r.getString(0), r.getLong(1), bytes)
+    }.toSeq.toDF("source", "shard", "payload")
+    val out = WarcIngest.recordsSafe(poisoned).collect()
+    val (bad, good) = out.partition(!_.getAs[Boolean]("ok"))
+    assert(bad.length === 1 && bad.head.getString(0) === "sA"
+      && bad.head.getAs[String]("err") != null, s"expected one quarantine row: ${bad.toSeq}")
+    assert(good.length === 1 && good.head.getAs[Long]("doc_id") === 2L)
+  }
+
   test("contaminationScore: split runs don't merge across a gap") {
     // doc 3 hits shingles at positions {0} and {4,5} (gap at 1-3): two runs,
     // max_run 2 -> span 4, n_hit 3
