@@ -1325,6 +1325,38 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Cross-source duplication attribution: WHERE the near-dups come from.
+    * Takes the verified MinHash pair set (bucketed LSH, never all-pairs) and
+    * rolls it up to unordered source pairs — `(source_a ≤ source_b)` via
+    * least/greatest so A↔B and B↔A land in one row — with the pair count,
+    * the number of distinct documents implicated, and the integer-micro sum
+    * of pair Jaccards (summed as longs so FP order can't move the hash).
+    * This is the provenance view a curation run reads before deciding which
+    * feed to drop: a hot (A,B) cell means B is re-crawling A's content, a
+    * hot (A,A) diagonal means the source self-duplicates.
+    *
+    * Scale: the expensive part IS [[minhashLsh]] (already banded/salted);
+    * attribution adds two broadcast-able doc→source joins (two narrow
+    * columns) and a rollup keyed on source pairs — cardinality |sources|²,
+    * tiny. The distinct-doc count shuffles pair-set-sized data, not corpus. */
+  def dupAttribution(docs: DataFrame, threshold: Double): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val lab = minhashLsh(docs, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+      .localCheckpoint(eager = true) // two consumers below; don't re-run LSH
+    val cells = lab.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(round(jaccard * 1000000) AS BIGINT)")).as("jaccard_micro_sum"))
+    val docsTouched = lab.select(col("source_a"), col("source_b"), col("doc_a").as("d"))
+      .unionByName(lab.select(col("source_a"), col("source_b"), col("doc_b").as("d")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    cells.join(docsTouched, Seq("source_a", "source_b"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -1335,6 +1367,7 @@ object Dedup {
     "doc_dedup_exact_hash" -> ((s, dir) => Util.orderAll(exactByHash(docs(s, dir)))),
     "doc_dedup_ngram"     -> ((s, dir) => Util.orderAll(ngramJaccard(docs(s, dir), 0.4))),
     "doc_dedup_minhash"   -> ((s, dir) => Util.orderAll(minhashLsh(docs(s, dir), 0.4))),
+    "doc_dup_attribution" -> ((s, dir) => Util.orderAll(dupAttribution(docs(s, dir), 0.4))),
     "doc_dedup_minhash_est" -> ((s, dir) => Util.orderAll(minhashEstimate(docs(s, dir)))),
     "doc_dedup_containment" -> ((s, dir) => Util.orderAll(containmentPairs(docs(s, dir), 0.5))),
     "doc_dedup_containment_inc" -> ((s, dir) => Util.orderAll(incrementalContainment(docs(s, dir), 0.5))),
@@ -1569,6 +1602,33 @@ object Dedup {
 
     "doc_dedup_minhash" -> (tokCte + minhashChain +
       Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
+
+    "doc_dup_attribution" -> (tokCte + minhashChain +
+      s""", pr AS (
+         |$jaccardVerify
+         |), lab AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM pr
+         |  JOIN documents da ON pr.doc_a = da.doc_id
+         |  JOIN documents db ON pr.doc_b = db.doc_id
+         |), tc AS (
+         |  SELECT source_a, source_b, doc_a AS d FROM lab
+         |  UNION ALL
+         |  SELECT source_a, source_b, doc_b AS d FROM lab
+         |), nd AS (
+         |  SELECT source_a, source_b, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM tc GROUP BY 1, 2
+         |), cell AS (
+         |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT) AS jaccard_micro_sum
+         |  FROM lab GROUP BY 1, 2
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT cell.source_a, cell.source_b, n_pairs, jaccard_micro_sum, n_docs
+        |FROM cell JOIN nd USING (source_a, source_b)""".stripMargin,
+      Seq("source_a", "source_b"))),
 
     // same band candidates, verified by UNBOUNDED levenshtein — selects the
     // identical pair set as Spark's thresholded (early-exit) form

@@ -9,9 +9,9 @@ object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries ++
-      WarcIngest.queries
+      WarcIngest.queries ++ UrlCuration.queries ++ UnigramLm.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle ++
-      WarcIngest.oracle
+      WarcIngest.oracle ++ UrlCuration.oracle ++ UnigramLm.oracle
 }

@@ -100,6 +100,29 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q7 shape (volume shipping): the classic two-nation trade-flow
+    // query — lineitem joins supplier AND (through orders) customer, each
+    // carrying a nation, with the (supp_nation, cust_nation) pair filtered
+    // both ways. Exercises a 5-way join where THREE sides are broadcast
+    // dims and the nation filter prunes before the fact shuffle: the only
+    // exchange left is lineitem⋈orders on the order key.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       orders(s, dir)
@@ -720,6 +743,21 @@ object RelQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (
