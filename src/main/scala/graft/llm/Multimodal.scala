@@ -52,6 +52,13 @@ object Multimodal {
   // (AWT never needs a display for raster + ImageIO work; set headless
   // before any AWT class initializes, defensively)
   System.setProperty("java.awt.headless", "true")
+  // ImageIO defaults to DISK-backed stream caching: every ImageIO.read /
+  // createImageInputStream spills the (already in-memory!) payload to a
+  // temp file. With 32 executor threads decoding concurrently that is 32
+  // threads contending on temp-file create/delete — measured as 4×
+  // run-to-run variance on the mm_* bench rows. Payloads here are small
+  // byte arrays; memory-backed caching is strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic image geometry/pixels for doc `d` — the generative spec
     * the oracle replays arithmetically. Sizes 16..32 × 16..28 keep every

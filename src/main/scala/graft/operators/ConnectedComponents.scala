@@ -47,21 +47,19 @@ object ConnectedComponents {
       hashMinConverged: Boolean,
       alternatingRounds: Int)
 
-  /** Symmetrize and pre-partition the edges by `dst` (the hash-min join
-    * key) ONCE: the checkpointed LogicalRDD preserves the physical
-    * HashPartitioning, so no round ever re-exchanges the edge list — only
-    * the label table moves per round, plus the min-aggregation shuffle on
-    * `src`. In-memory analog of [[graft.sources.BucketedLayout]]'s on-disk
-    * bucketing; the explicit count matches the session default so
-    * EnsureRequirements accepts the layout as-is (see PageRank.prepEdges).
-    * Pinned by PlanAuditSpec (≤ 2 keyed exchanges per round). */
-  private[graft] def prepSym(edges: DataFrame): DataFrame = {
-    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+  /** Symmetrize and checkpoint the edges ONCE so no round re-runs the
+    * upstream pair-mining pipeline. NOTE a checkpoint scan (`Scan
+    * ExistingRDD`) carries NO partitioning metadata, so a
+    * `repartition(dst)` before the checkpoint would NOT be visible to later
+    * rounds (verified on the executed plan — the r8 pre-partition
+    * experiment was reverted for exactly this). Near-dup graphs keep the
+    * edge side small, so AQE broadcast-joins labels↔edges per round; for a
+    * genuinely edge-heavy graph the layout that survives is the on-disk
+    * [[graft.sources.BucketedLayout]] bucketed by `dst`. */
+  private[graft] def prepSym(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(nPart, col("dst"))
       .localCheckpoint(true)
-  }
 
   /** One hash-min round's neighbor-minimum — factored out so PlanAuditSpec
     * can pin the round plan's exchange count. */

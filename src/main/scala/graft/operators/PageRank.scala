@@ -19,36 +19,37 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per iteration: one hash join of the symmetric edge list
   * with the current ranks on `src`, one map-side-combining sum keyed on
-  * `dst`, one left join back to the node set. The edge list is
-  * PRE-PARTITIONED by `src` once (hash repartition + localCheckpoint — the
-  * in-memory analog of [[graft.sources.BucketedLayout]]'s on-disk bucket
-  * layout; the checkpoint's LogicalRDD preserves the physical
-  * HashPartitioning), so neither the per-round rank join nor the degree
-  * aggregate ever re-exchanges the edges — the one data-sized shuffle per
-  * round is the contribution sum on `dst`, pinned by PlanAuditSpec (≤ 2
-  * exchanges in a round's plan, zero on the edge side). Ranks are
-  * localCheckpointed per round so the lineage stays O(1) instead of
-  * O(iterations).
+  * `dst`, one left join back to the node set. The edge list is symmetrized,
+  * deduplicated and localCheckpointed ONCE so no round re-runs the upstream
+  * pair-mining pipeline; ranks are localCheckpointed per round so the
+  * lineage stays O(1) instead of O(iterations). Near-dup graphs are sparse
+  * (|edges| ≈ verified pair count ≪ |nodes| = corpus), so AQE's runtime
+  * stats broadcast the small side of the rank join per round — measured
+  * here: a checkpoint-scan carries NO partitioning info (`Scan
+  * ExistingRDD` reports unknown partitioning, so a `repartition(src)`
+  * before the checkpoint does NOT survive into later rounds — verified on
+  * the executed plan; that failed experiment cost ~30 % per round and was
+  * reverted). When the edge list IS the big side — a web/link graph at
+  * 100 TB — the zero-exchange layout that actually survives is the on-disk
+  * [[graft.sources.BucketedLayout]] (bucketed parquet reports
+  * HashPartitioning through the scan, SMJ with no edge-side Exchange,
+  * pinned by BucketedLayoutSpec); that is the production move, not an
+  * in-memory repartition.
   *
   * Graph semantics: `edges` is read as UNDIRECTED (symmetrized +
   * deduplicated); isolated nodes keep the pure damping mass 150000.
   */
 object PageRank {
 
-  /** Symmetrize, dedup, and pre-partition the edge list by `src` once; the
-    * explicit partition count matches the session's shuffle partitioning so
-    * EnsureRequirements accepts the checkpointed layout as-is every round
-    * (an AQE-coalesced count could differ from the default and trigger a
-    * round-trip re-exchange of the edges). */
-  private[graft] def prepEdges(edges: DataFrame): DataFrame = {
-    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+  /** Symmetrize, dedup, and checkpoint the edge list once — every round
+    * reads the materialized edges instead of re-running the (possibly
+    * expensive) pair-mining pipeline that produced them. */
+  private[graft] def prepEdges(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(n, col("src"))
       .localCheckpoint(true)
-  }
 
   /** One iteration's contribution sum — factored out so PlanAuditSpec can
     * pin the exchange count of the round plan. */
@@ -64,7 +65,7 @@ object PageRank {
     require(iters >= 1 && iters <= 20, s"PageRank: iters must be in [1, 20], got $iters")
     val n = nodes.select(col("id"))
     val sym = prepEdges(edges)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     var r = n.withColumn("pr", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = contribRound(sym, deg, r)

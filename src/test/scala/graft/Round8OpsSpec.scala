@@ -83,25 +83,31 @@ class Round8OpsSpec extends SparkSpec {
       full.getAs[Long]("recall_micro") == 1000000L)
   }
 
-  test("PageRank/CC: pre-partitioned edge layout — no edge-side exchange in a round's plan") {
+  test("PageRank/CC: checkpointed edges — a round's plan scans the materialized edge list, never the producer") {
     val edges = (1L to 400L).map(i => (i % 97, (i * 7) % 97)).toDF("src", "dst")
 
     val sym = PageRank.prepEdges(edges)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val r0 = spark.range(97).select(col("id"))
       .withColumn("pr", lit(1000000L)).localCheckpoint(true)
     val round = PageRank.contribRound(sym, deg, r0)
-    // prepped: ranks exchange + contribution-sum exchange only
-    assert(keyedExchanges(round) <= 2,
-      s"edge side re-exchanged:\n${round.queryExecution.executedPlan}")
-    // the un-prepped twin pays extra exchanges on the edge list every round
-    val rawSym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
-    val rawDeg = rawSym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val rawRound = PageRank.contribRound(rawSym, rawDeg, r0)
-    assert(keyedExchanges(rawRound) > keyedExchanges(round),
-      "pre-partitioning bought no exchange on this plan")
+    // the round plan must read the edge checkpoint (Scan ExistingRDD), not
+    // re-run the symmetrize/distinct producer — LocalTableScan of the
+    // original literal edges appearing in the round plan would mean the
+    // checkpoint was bypassed and an expensive pair-mining upstream would
+    // re-execute every round
+    val roundPlan = round.queryExecution.executedPlan.toString
+    assert(roundPlan.contains("Scan ExistingRDD"),
+      s"round must scan the checkpointed edges:\n$roundPlan")
+    // documented limitation this design works around: a checkpoint scan
+    // reports NO partitioning, so a pre-checkpoint repartition(src) cannot
+    // eliminate the join exchange (that r8 experiment is reverted; the
+    // surviving zero-exchange layout is the on-disk BucketedLayout)
+    val repart = sym.repartition(8, col("src")).localCheckpoint(true)
+    assert(!repart.queryExecution.executedPlan.outputPartitioning
+      .toString.toLowerCase.contains("hashpartitioning"),
+      "checkpoint scans now PRESERVE partitioning — the pre-partitioned " +
+        "edge layout is worth re-introducing in prepEdges/prepSym")
 
     val symCc = ConnectedComponents.prepSym(edges)
     val lbl = spark.range(97).select(col("id"), col("id").as("label"))
