@@ -285,6 +285,101 @@ object Similarity {
       .unionByName(recallOf("multiprobe", lshTopKMultiprobe(emb, nQueries, k)))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER /
+    * CCMatrix criterion): align two corpus halves by scoring each
+    * cross-half pair with its cosine RELATIVE to the two endpoints' k-NN
+    * neighborhoods, `margin(x,y) = cos(x,y) / ((avgNNₖ(x) + avgNNₖ(y))/2)`,
+    * and keeping mutual-best pairs above a margin threshold. Raw-cosine
+    * thresholds fail at mining because hub vectors are close to
+    * everything; the margin denominator cancels hubness out — a pair only
+    * survives if the two vectors are close to each other *specifically*.
+    *
+    * Sides are the even/odd `vec_id` halves (the [[embDriftRef]] split
+    * convention — deterministic, fixture-independent). Determinism: the
+    * cosine snaps ONCE to integer micros (`round(cos·10⁶)` BIGINT) and
+    * everything downstream — ranking, k-NN sums, the margin ratio — is
+    * exact integer arithmetic; `margin_ppm = 2·c·10⁶·k div (Σₖᴬ + Σₖᴮ)`,
+    * so no double ever crosses the engine boundary after the snap. For a
+    * mutual-best pair the margin is ≥ 1.0 by construction (its cosine is
+    * the max of both top-k sets), so `minPpm` > 10⁶ is where the knob
+    * starts discriminating.
+    *
+    * Plan shape: ONE linear pipeline — score candidates, then two window
+    * passes (rank + conditional k-NN sum share each partitioning, so
+    * Spark sorts once per side: exactly 2 exchanges over the candidate
+    * set, no self-join back for the sums, no multi-consumer re-compute.
+    *
+    * Scale (100 TB): `candidates` is the knob. [[bitextMine]] passes the
+    * full bipartite cross — exact, |A|·|B|, the correctness baseline
+    * (and the right call when one side is small: a query batch against a
+    * corpus). [[bitextMineLsh]] passes only coarse-LSH-cell-sharing pairs
+    * (16 cells from the low 4 hyperplanes — the coarse-quantizer framing),
+    * which is the production shape: candidate volume drops to
+    * Σ_cell |A_cell|·|B_cell|, the join hash-partitions on the cell, and
+    * the margin denominators are computed over the SAME candidate set, so
+    * the approximation stays internally consistent (bucketed k-NN is what
+    * FAISS-sharded mining pipelines use too). Recall recovers via more
+    * probe cells / plane families exactly like [[lshTopKMulti]]. */
+  private def marginMine(candidates: DataFrame, k: Int, minPpm: Long): DataFrame = {
+    require(k >= 1, s"bitext margin needs k >= 1, got $k")
+    val scored = candidates.withColumn("cos_micro",
+      expr("CAST(round(cos_raw * 1000000) AS BIGINT)")).drop("cos_raw")
+    val byA = Window.partitionBy("src_id")
+    val byB = Window.partitionBy("tgt_id")
+    val ranked = scored
+      .withColumn("rka", row_number().over(
+        byA.orderBy(col("cos_micro").desc, col("tgt_id").asc)))
+      .withColumn("sa", sum(when(col("rka") <= k, col("cos_micro"))).over(byA))
+      .withColumn("rkb", row_number().over(
+        byB.orderBy(col("cos_micro").desc, col("src_id").asc)))
+      .withColumn("sb", sum(when(col("rkb") <= k, col("cos_micro"))).over(byB))
+    // mutual best only; positive score and positive neighborhood mass (a
+    // non-positive denominator means the halves share no alignment signal
+    // at all — nothing there can clear a >1.0 margin gate meaningfully)
+    ranked
+      .filter(col("rka") === 1 && col("rkb") === 1 &&
+        col("cos_micro") > 0 && col("sa") + col("sb") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(2 * cos_micro * 1000000 * $k) div (sa + sb)"))
+      .filter(col("margin_ppm") >= minPpm)
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"), col("margin_ppm"))
+  }
+
+  /** Even/odd halves of the normalized corpus, as (src|tgt)-labeled sides. */
+  private def bitextSides(emb: DataFrame): (DataFrame, DataFrame) = {
+    val n = normed(emb)
+    (n.filter(col("vec_id") % 2 === 0)
+       .select(col("vec_id").as("src_id"), col("v").as("va"), col("nrm").as("na")),
+     n.filter(col("vec_id") % 2 === 1)
+       .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("nrm").as("nb")))
+  }
+
+  private val cosRaw = (VectorFunctions.vecDot(col("va"), col("vb")) /
+    (col("na") * col("nb"))).as("cos_raw")
+
+  /** Exact bitext mining: full bipartite candidate cross. */
+  def bitextMine(emb: DataFrame, k: Int, minPpm: Long): DataFrame = {
+    val (a, b) = bitextSides(emb)
+    marginMine(a.join(b).select(col("src_id"), col("tgt_id"), cosRaw), k, minPpm)
+  }
+
+  /** Bucketed bitext mining: candidates restricted to pairs sharing a
+    * coarse LSH cell (low `coarsePlanes` hyperplanes of the family-0
+    * table), margins computed over the same bucketed candidate set. */
+  def bitextMineLsh(emb: DataFrame, k: Int, minPpm: Long,
+                    coarsePlanes: Int = 4): DataFrame = {
+    require(coarsePlanes >= 1 && coarsePlanes <= 8,
+      s"coarsePlanes must be in [1,8], got $coarsePlanes")
+    val cells = 1L << coarsePlanes
+    val bk = lshBuckets(emb).withColumn("cell", pmod(col("bucket"), lit(cells)))
+    val a = bk.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("v").as("va"), col("nrm").as("na"), col("cell"))
+    val b = bk.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    marginMine(a.join(b, Seq("cell")).select(col("src_id"), col("tgt_id"), cosRaw),
+      k, minPpm)
+  }
+
   /** Embedding-space drift monitor: chi² of each label group's LSH-cell
     * occupancy distribution (the 256 8-plane buckets) against the
     * even-vec_id reference half — [[graft.llm.TextAnalysis.driftVsReference]]
@@ -1111,6 +1206,8 @@ object Similarity {
     "ann_lsh_multi" -> ((s, dir) => Util.orderAll(lshTopKMulti(emb(s, dir), 5, 10))),
     "ann_lsh_multiprobe" -> ((s, dir) => Util.orderAll(lshTopKMultiprobe(emb(s, dir), 5, 10))),
     "ann_recall_eval" -> ((s, dir) => Util.orderAll(annRecallEval(emb(s, dir), 5, 10))),
+    "emb_bitext_mine" -> ((s, dir) => Util.orderAll(bitextMine(emb(s, dir), 4, BitextMinPpm))),
+    "emb_bitext_lsh" -> ((s, dir) => Util.orderAll(bitextMineLsh(emb(s, dir), 4, BitextMinPpm))),
     "emb_drift_ref" -> ((s, dir) => Util.orderAll(embDriftRef(emb(s, dir)))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
@@ -1146,6 +1243,41 @@ object Similarity {
       |""".stripMargin
 
   private val annCols = Seq("query_id", "neighbor_id", "cosine", "rk")
+
+  /** Margin gate for the bitext queries (ppm of the margin ratio). Mutual-
+    * best pairs have margin ≥ 1.0 by construction, so the knob only starts
+    * discriminating above 10⁶; 1.10 sits inside the fixture's mutual-best
+    * margin spread at every SF — measured brute spreads [1.063, 1.421]
+    * (sf0.001), [1.039, 1.464] (sf0.01), [1.018, 1.472] (sf0.1) — so the
+    * gate provably drops some pairs and keeps some (spec-asserted). */
+  private[graft] val BitextMinPpm = 1100000L
+
+  /** The shared margin-mining oracle chain: `candFrom` supplies the
+    * candidate FROM/JOIN clause over sides a (even vec_id) / b (odd);
+    * k = 4 top-neighbor sums, mutual-best + margin gate as in
+    * [[marginMine]]. */
+  private def bitextMarginSql(candFrom: String): String =
+    s""", sc AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+       |    CAST(round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_micro
+       |  $candFrom
+       |), rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id ASC) AS rka,
+       |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id ASC) AS rkb
+       |  FROM sc
+       |), ag AS (
+       |  SELECT *,
+       |    sum(CASE WHEN rka <= 4 THEN cos_micro END) OVER (PARTITION BY src_id) AS sa,
+       |    sum(CASE WHEN rkb <= 4 THEN cos_micro END) OVER (PARTITION BY tgt_id) AS sb
+       |  FROM rk
+       |)
+       |""".stripMargin + Util.wrap(
+      s"""SELECT src_id, tgt_id, cos_micro,
+         |  CAST((2 * cos_micro * 1000000 * 4) // (sa + sb) AS BIGINT) AS margin_ppm
+         |FROM ag WHERE rka = 1 AND rkb = 1 AND cos_micro > 0 AND sa + sb > 0
+         |  AND (2 * cos_micro * 1000000 * 4) // (sa + sb) >= $BitextMinPpm""".stripMargin,
+      Seq("src_id", "tgt_id"))
 
   /** 8-plane LCG signature chain (buck + nb), appended to [[normCte]] —
     * shared by the single-table and multiprobe LSH oracles. */
@@ -1457,6 +1589,17 @@ object Similarity {
           |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
           |GROUP BY t.query_id""".stripMargin,
         Seq("method", "query_id", "n_truth", "n_hit", "recall_ppm"))),
+
+    // margin chain: cosine snapped ONCE to integer micros, then ranking,
+    // k-NN sums and the margin ratio are exact integer arithmetic (`//` on
+    // positive BIGINTs ≡ Spark's `div`); mutual-best + positive-mass gate
+    // identical to the Spark side
+    "emb_bitext_mine" -> (normCte + bitextMarginSql(
+      "FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1")),
+
+    "emb_bitext_lsh" -> (normCte + lshChainCte + bitextMarginSql(
+      "FROM nb a JOIN nb b ON a.bucket % 16 = b.bucket % 16 " +
+        "AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1")),
 
     // parallel unnests zip positionally in DuckDB; dim mirrors posexplode's
     // 0-based position. Mean is an exact integer micro-unit sum divided
