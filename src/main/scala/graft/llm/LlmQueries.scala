@@ -9,9 +9,11 @@ object LlmQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries ++
-      WarcIngest.queries ++ UrlCuration.queries ++ UnigramLm.queries
+      WarcIngest.queries ++ UrlCuration.queries ++ UnigramLm.queries ++
+      LinearTrainer.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle ++
-      WarcIngest.oracle ++ UrlCuration.oracle ++ UnigramLm.oracle
+      WarcIngest.oracle ++ UrlCuration.oracle ++ UnigramLm.oracle ++
+      LinearTrainer.oracle
 }
