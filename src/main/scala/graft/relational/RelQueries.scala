@@ -123,6 +123,347 @@ object RelQueries {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // ---- TPC-H completion (Q2..Q22 adapted to the fixture schema) ----
+    // The fixture is a TPC-H subset: no partsupp table, and lineitem/orders/
+    // customer/part lack shipmode, commit/receipt dates, phone, container.
+    // Each remaining TPC-H query is re-expressed with the SAME plan shape
+    // (the part Catalyst has to get right) over the available columns; the
+    // substitution is noted per query. With q1/q3/q5/q7 above this makes all
+    // 22 shapes present.
+
+    // Q2 (min-cost supplier). partsupp's supplycost → the min observed unit
+    // price on shipped lineitems per (part, supplier). The correlated
+    // "= (SELECT min…)" decorrelates to a partition-min window over the
+    // offers — one shuffle on l_partkey, no join-back. Unit price is a
+    // single IEEE division and min is order-independent, so the equality
+    // is ULP-safe cross-engine.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eu = supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = lineitem(s, dir)
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("offer"))
+      val perPart = Window.partitionBy(col("l_partkey"))
+      offers
+        .withColumn("best_offer", min(col("offer")).over(perPart))
+        .filter(col("offer") === col("best_offer"))
+        .join(broadcast(part(s, dir).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q4 (order priority checking). The commitdate<receiptdate lateness
+    // predicate → l_returnflag='R'. Plan shape preserved: EXISTS lowers to
+    // a left-semi join that never duplicates orders however many late
+    // lines an order has.
+    "q4_order_priority" -> ((s, dir) => {
+      val late = lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q6 (forecast revenue change): pure scan-side predicate + global agg —
+    // the whole WHERE must reach the parquet reader as pushed filters; the
+    // aggregate is a single partial→final pair with no groupBy shuffle.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // Q8 (national market share): share of NATION_3 suppliers in AMERICA's
+    // PROMO-part import revenue by year — conditional-sum ÷ sum in one
+    // aggregate pass; only lineitem⋈orders shuffles, all five dims
+    // broadcast.
+    "q8_market_share" -> ((s, dir) => {
+      val amer = nation(s, dir)
+        .join(broadcast(region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val sn = nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amer), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+            sum(vol), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q9 (product-type profit): ps_supplycost → 0.5·p_retailprice·quantity
+    // as the cost model (documented proxy; the aggregation/join shape is
+    // the point). Parts picked by name prefix, profit by supplier nation
+    // and order year.
+    "q9_product_profit" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q10 (returned-item reporting): top 20 customers by returned revenue
+    // in a quarter — TakeOrderedAndProject over a grouped join, customer
+    // and nation broadcast.
+    "q10_returned_items" -> ((s, dir) => {
+      lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q11 (important stock): partsupp value → shipped value
+    // sum(l_quantity·p_retailprice) per part for NATION_5's suppliers,
+    // kept where above a fixed fraction of the total — the scalar subquery
+    // is a 1-row broadcast cross join, not a second scan of the grouped
+    // result.
+    "q11_important_stock" -> ((s, dir) => {
+      val base = lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), (col("l_quantity") * col("p_retailprice")).as("v"))
+      val tot = base.agg(sum(col("v")).as("total_v"))
+      base.groupBy(col("p_partkey"))
+        .agg(sum(col("v")).as("pv"))
+        .crossJoin(broadcast(tot))
+        .filter(col("pv") > lit(0.002) * col("total_v"))
+        .select(col("p_partkey"), round(col("pv"), 2).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // Q12 (shipping modes / priority): l_shipmode → l_linestatus as the
+    // grouping column; the high/low split on o_orderpriority is the
+    // conditional-aggregation shape Q12 exists to test.
+    "q12_priority_lines" -> ((s, dir) => {
+      val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q13 (customer order-count distribution): LEFT join with the filter in
+    // the join condition (not a WHERE — that would turn it inner), then a
+    // second aggregation over the first's result. Zero-order customers
+    // must survive with c_count = 0.
+    "q13_order_distribution" -> ((s, dir) => {
+      val o = orders(s, dir).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q14 (promo revenue): conditional share over one shipdate month —
+    // p_type='PROMO' is exact (the fixture's types are single words).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) / sum(vol),
+          6).as("promo_revenue"))
+    }),
+
+    // Q15 (top supplier): the revenue "view" is grouped once; the
+    // "= max(total_revenue)" scalar is a 1-row broadcast against the SAME
+    // grouped result (Spark reuses the exchange). Comparing the ROUNDED
+    // revenue keeps the equality ULP-safe cross-engine.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q16 (supplier relationship): the parts–suppliers bridge is lineitem
+    // (no partsupp); "customer complaints" suppliers → s_acctbal < 0,
+    // excluded by anti join (NOT IN with a non-nullable key). countDistinct
+    // dedups however many lineitems repeat a (part, supplier) pair.
+    "q16_supplier_count" -> ((s, dir) => {
+      val bad = supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .join(lineitem(s, dir), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // Q17 (small-quantity revenue): the correlated avg decorrelates to a
+    // per-part pre-aggregate joined back on the part key. The
+    // "qty < 0.2·avg" gate is made INTEGER-EXACT (quantities are whole
+    // numbers): 2·qty·count < sum avoids the division entirely, so the
+    // boundary can never flip on cross-engine FP noise. 0.2 → 0.5 so the
+    // fixture's quantity distribution yields a non-trivial row set.
+    "q17_small_quantity" -> ((s, dir) => {
+      val pq = lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") === 5)),
+          col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pk"))
+        .filter(lit(2.0) * col("l_quantity") * col("cq") < col("sq"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+
+    // Q18 (large-volume orders): groupBy-HAVING on lineitem feeds a join
+    // back to orders — the having side is already order-grained so the
+    // join never fans out; top 100 by TakeOrderedAndProject.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("lk"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("lk"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Q19 (discounted revenue, disjunctive predicate): the OR-of-ANDs mixes
+    // part and lineitem columns, so it can only be applied AFTER the join —
+    // but the per-table prefix (brand list, size bounds, quantity bounds)
+    // is inferable and Catalyst pushes those conjuncts to both scans.
+    "q19_disjunctive_pred" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // Q20 (part promotion): partsupp availqty → total shipped quantity of
+    // name-matched parts per supplier; the nested IN chain collapses to a
+    // grouped-HAVING inner set probed by a left-semi join.
+    "q20_part_promotion" -> ((s, dir) => {
+      val redq = lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_name").like("red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 2000)
+      supplier(s, dir)
+        .join(redq, col("s_suppkey") === col("sk"), "left_semi")
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    }),
+
+    // Q21 (suppliers who kept orders waiting): lateness → l_returnflag='R'.
+    // The EXISTS/NOT EXISTS pair over the same fact table becomes a
+    // left-semi then left-anti self-join, both equi-keyed on the order key
+    // with the supplier inequality as a join residual — no cross product.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l = lineitem(s, dir)
+      val pairs = l.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val latePairs = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val base = l.filter(col("l_returnflag") === "R")
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir).filter(col("n_name") === "NATION_1")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+      base
+        .join(pairs, col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+          "left_semi")
+        .join(latePairs, col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"),
+          "left_anti")
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // Q22 (global sales opportunity): country code → a nationkey bucket;
+    // "no orders" → no orders in the last two fixture years, so the anti
+    // join is non-empty. The scalar avg is a 1-row broadcast.
+    "q22_global_sales" -> ((s, dir) => {
+      val avgBal = customer(s, dir).filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      customer(s, dir)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("long").as("cntry_bucket"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntry_bucket"))
+    }),
+
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       orders(s, dir)
@@ -758,6 +1099,231 @@ object RelQueries {
         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(l_extendedprice / l_quantity) AS offer
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT s_acctbal, s_name, n_name, p_partkey
+        |FROM offers JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD'
+        |  AND offer = (SELECT min(offer) FROM offers o2
+        |               WHERE o2.l_partkey = offers.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH base AS (
+        |  SELECT p_partkey, l_quantity * p_retailprice AS v
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5')
+        |SELECT p_partkey, round(sum(v), 2) AS value
+        |FROM base
+        |GROUP BY p_partkey
+        |HAVING sum(v) > 0.002 * (SELECT sum(v) FROM base)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT JOIN orders ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pk, sum(l_quantity) AS sq, count(*) AS cq
+        |      FROM lineitem GROUP BY 1) ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3' AND p_size = 5
+        |  AND 2.0 * l_quantity * cq < sq""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+        |  round(sum_qty, 2) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS lk, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |  ON o_orderkey = lk
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_pred" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_part_promotion" ->
+      """SELECT s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(l_quantity) > 2000)
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |WHERE n_name = 'NATION_1' AND l1.l_returnflag = 'R'
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q22_global_sales" ->
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntry_bucket,
+        |  count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1
+        |ORDER BY cntry_bucket""".stripMargin,
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rn, cum_spend FROM (
