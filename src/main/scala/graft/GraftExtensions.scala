@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       VectorFunctions.dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("edit_within1"),
+      new ExpressionInfo(classOf[graft.functions.EditWithinOne].getName, "edit_within1"),
+      graft.functions.StringFunctions.editWithin1Builder))
     ext.injectOptimizerRule(_ => graft.plans.BandedIntervalJoinRule)
     // whole-operator rung: plans graft.plans.SkylineNode → SkylineExec
     ext.injectPlannerStrategy(_ => graft.plans.SkylineStrategy)
