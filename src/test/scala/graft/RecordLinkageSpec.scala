@@ -47,6 +47,29 @@ class RecordLinkageSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("multi-pass blocking recovers every blocking-corrupted twin") {
+    val recall = RecordLinkage.linkRecall(customers)
+      .collect().map(r => r.getAs[String]("mode") -> r.getAs[Long]("n_true_found")).toMap
+    val total = customers.count()
+    val corrupted = customers.filter(col("c_custkey") % 11 === 0).count()
+    assert(recall("multi_pass") == total,
+      s"multi-pass must find every twin: ${recall("multi_pass")} of $total")
+    assert(recall("single_pass") == total - corrupted,
+      s"single-pass must miss exactly the $corrupted nation-corrupted twins, " +
+        s"found ${recall("single_pass")}")
+  }
+
+  test("multi-pass emits no duplicate pairs and scores like the single stage") {
+    val mp = RecordLinkage.linkPairsMultiPass(customers)
+    assert(mp.groupBy("cust_a", "cust_b").count().filter(col("count") > 1).count() == 0L,
+      "a pair found by both passes must be emitted once")
+    // pairs whose block survived corruption score identically in both ops
+    val uncorrupted = pairs.filter(col("cust_b") % 11 =!= 0)
+    val joint = uncorrupted.alias("s").join(mp.alias("m"), Seq("cust_a", "cust_b"))
+      .filter(col("s.score") =!= col("m.score"))
+    assert(joint.count() == 0L, "shared pairs must score identically")
+  }
+
   test("eval cells partition the pair set and preserve score ranges") {
     val ev = RecordLinkage.linkEval(customers)
     assert(ev.agg(sum("n")).head().getLong(0) == pairs.count())
