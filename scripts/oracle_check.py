@@ -36,10 +36,27 @@ def canon(df):
 import os
 fails = 0
 ran = 0
+# Verify dumps the full oracle map even for subset runs. The manifest says
+# which queries this dump actually attempted — a query attempted but absent
+# from outDir crashed before writing parquet and must FAIL, not be skipped
+# as "not in this subset".
+manifest_path = f"{OUT}/manifest.json"
+expected, crashed = None, set()
+if os.path.exists(manifest_path):
+    man = json.load(open(manifest_path))
+    expected = set(man.get("attempted", []))
+    crashed = set(man.get("failed", []))
+    for name in sorted(crashed):
+        print(f"FAIL {name}: crashed during Verify (see its stderr)")
+        fails += 1
+skipped = []
 for name, sql in sorted(oracle.items()):
-    # Verify dumps the full oracle map even for subset runs; silently skip
-    # queries that weren't executed into this outDir
     if not os.path.isdir(f"{OUT}/{name}"):
+        if expected is not None and name in expected and name not in crashed:
+            print(f"FAIL {name}: attempted per manifest but no parquet in outDir")
+            fails += 1
+        elif name not in crashed:
+            skipped.append(name)
         continue
     ran += 1
     try:
@@ -73,5 +90,7 @@ for name, sql in sorted(oracle.items()):
         print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:300]}")
         fails += 1
 
-print(f"\n{ran - fails}/{ran} queries match ({len(oracle) - ran} not in this dump)")
+if skipped:
+    print(f"\nskipped (not attempted in this dump): {', '.join(skipped)}")
+print(f"\n{ran - fails}/{ran} queries match ({len(skipped)} not in this dump)")
 sys.exit(1 if fails else 0)

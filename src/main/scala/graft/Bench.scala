@@ -108,20 +108,25 @@ object Bench {
       // Anomaly re-run: this sandbox shows up to 5× run-to-run variance on
       // IDENTICAL code (scheduler stalls, neighbor load — measured r7,
       // SCALE.md). A single sample that lands 1.5× over the committed
-      // baseline is as likely noise as regression, so take one more sample
-      // and report the min — a genuine regression reproduces, a stall
-      // doesn't. Bounded: only queries already >1.5× re-run, so the extra
-      // wall cost is proportional to the noise, not the suite.
+      // baseline is as likely noise as regression, so take TWO more samples
+      // and report the MEDIAN of the three: a genuine regression reproduces
+      // in all samples (median stays high), a stall doesn't (median drops),
+      // and — unlike the previous keep-the-min — the recorded value isn't a
+      // strictly min-biased estimator (advisor r8), and survives
+      // back-to-back stalls (one stall out of three can't move the median).
+      // Bounded: only queries already >1.5× re-run, so the extra wall cost
+      // is proportional to the noise, not the suite.
       // floor 0.3 s, not 1.0: the sub-second family is where scheduler
       // noise lands hardest in RATIO terms (a 0.2 s query stalled to 0.6 s
-      // reads as 3×) — one bounded retry keeps the committed record from
-      // accumulating those, at a wall cost proportional to the noise
+      // reads as 3×)
       val dt = baseline.get(name) match {
         case Some(base) if first > base * 1.5 && first > 0.3 =>
-          val second = timeOnce(name, fn)
-          if (second >= 0 && second < first) {
-            System.err.println(f"[bench] $name%-24s rerun: $first%.2f -> $second%.2f s")
-            second
+          val more = Seq(timeOnce(name, fn), timeOnce(name, fn)).filter(_ >= 0)
+          if (more.size == 2) {
+            val med = (first +: more).sorted.apply(1)
+            System.err.println(
+              f"[bench] $name%-24s rerun: ${(first +: more).map(t => f"$t%.2f").mkString("/")} -> median $med%.2f s")
+            med
           } else first
         case _ => first
       }

@@ -20,9 +20,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark) // nanos-as-long, UTC, µs parquet timestamps
     new java.io.File(outDir).mkdirs()
+    val attempted = Seq.newBuilder[String]
+    val failed = Seq.newBuilder[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      attempted += name
       try {
         val df = fn(spark, sfDir)
         // Dump TIMESTAMP as NTZ: session tz is UTC so the wall-clock value is
@@ -39,6 +42,7 @@ object Verify {
         }
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -57,6 +61,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run manifest: which queries this dump attempted and which crashed —
+    // lets the checker fail on a query that died before writing parquet
+    // instead of mistaking its absence for "not in this subset run".
+    def arr(xs: Seq[String]): String = xs.map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"attempted": ${arr(attempted.result())}, "failed": ${arr(failed.result())}}""")
     spark.stop()
   }
 }

@@ -1,7 +1,9 @@
 package graft.llm
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.{Tables, Util}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** In-engine linear-classifier training — full-batch subgradient descent on
@@ -44,13 +46,20 @@ object LinearTrainer {
     docs.select(col("doc_id"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
 
+  /** Feature-pipeline materialization counter — a spec pins that
+    * [[classify]] runs the tokenize/hash/join pipeline exactly once (it
+    * used to run twice: once inside `train`, once for scoring). */
+  private[graft] val featureBuilds = new AtomicLong(0L)
+
   /** (doc_id, dim, weight, y) — hashed features joined with labels,
     * checkpointed once so the k training steps never re-run the
     * tokenize/hash pipeline. */
-  private def featureTable(docs: DataFrame, d: Int): DataFrame =
+  private def featureTable(docs: DataFrame, d: Int): DataFrame = {
+    featureBuilds.incrementAndGet()
     Sketches.featureHashEmbed(docs, d)
       .join(labels(docs), "doc_id")
       .localCheckpoint(eager = true)
+  }
 
   /** Train `steps` full-batch subgradient steps; returns the whole
     * training trajectory — (step, dim, w_micro, n_viol) for every step —
@@ -58,24 +67,43 @@ object LinearTrainer {
     * the step's margin-violation count BEFORE its update (step k's row
     * shows what step k's gradient saw). */
   def train(docs: DataFrame, d: Int = 16, steps: Int = 3,
-            lrMicro: Long = 100000L): DataFrame = {
-    val spark = docs.sparkSession
+            lrMicro: Long = 100000L): DataFrame =
+    trainOn(featureTable(docs, d), docs.count(), d, steps, lrMicro)
+
+  /** The training loop over an already-materialized feature table — the
+    * seam [[classify]] uses to share one checkpointed `fx` between
+    * training and scoring. The corpus-sized margin aggregation now runs
+    * ONCE per step (it used to run twice — once for the gradient's input
+    * and again for a separate `viol.count()`): the violating-doc set is
+    * checkpointed with the count riding the checkpoint job as an
+    * [[Observation]] (the CC convergence-fuse pattern,
+    * [[graft.operators.ConnectedComponents]] — the metric can't ride the
+    * gradient collect directly because AQE broadcasts the tiny violating
+    * side, and observed metrics under a broadcast-exchange subtree don't
+    * propagate to the action's listener), and the gradient job then joins
+    * the cached set instead of recomputing margins. */
+  private def trainOn(fx: DataFrame, nDocs: Long, d: Int, steps: Int,
+                      lrMicro: Long): DataFrame = {
+    val spark = fx.sparkSession
     import spark.implicits._
     require(d >= 2 && steps >= 1 && lrMicro > 0, s"bad train params ($d, $steps, $lrMicro)")
-    val fx = featureTable(docs, d)
-    val nDocs = docs.count()
     require(nDocs > 0, "empty corpus")
     var w = Array.fill(d)(0L)
     val traj = Seq.newBuilder[(Long, Long, Long, Long)]
     for (t <- 1 to steps) {
       val wDf = w.zipWithIndex.toSeq
         .map { case (wv, j) => (j.toLong, wv) }.toDF("dim", "w")
-      // pass 1: per-doc margins -> the violating doc set (hinge: y·m < 1)
+      // pass 1: per-doc margins -> the violating doc set (hinge: y·m < 1),
+      // materialized once; n_viol rides the checkpoint job's tasks.
+      val obs = Observation(s"svm_viol_$t")
       val viol = fx.join(broadcast(wDf), "dim")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(expr("weight * w")).as("margin"))
         .filter(expr("y * margin < 1000000"))
         .select(col("doc_id"))
+        .observe(obs, count(lit(1)).as("n_viol"))
+        .localCheckpoint(eager = true)
+      val nViol = obs.get("n_viol").asInstanceOf[Long]
       // pass 2: gradient over violators — d rows collected (bounded driver
       // state, not a data collect); a dim absent from every violating doc
       // keeps gradient 0
@@ -83,7 +111,6 @@ object LinearTrainer {
         .groupBy(col("dim"))
         .agg(sum(expr("-y * weight")).as("g"))
         .collect()
-      val nViol = viol.count()
       val grad = Array.fill(d)(0L)
       gRows.foreach(r => grad(r.getLong(0).toInt) = r.getLong(1))
       for (j <- 0 until d)
@@ -95,15 +122,16 @@ object LinearTrainer {
 
   /** Score every document with the final trained weights: margin, ±1
     * prediction (0 margin -> −1, the strict-inequality convention), truth
-    * and correctness — the corpus-scoring half a deployed gate runs. */
+    * and correctness — the corpus-scoring half a deployed gate runs. The
+    * feature table is built and checkpointed ONCE and shared between the
+    * training loop and the scoring pass. */
   def classify(docs: DataFrame, d: Int = 16, steps: Int = 3,
                lrMicro: Long = 100000L): DataFrame = {
-    val spark = docs.sparkSession
-    val wFinal = train(docs, d, steps, lrMicro)
+    val fx = featureTable(docs, d)
+    val wFinal = trainOn(fx, docs.count(), d, steps, lrMicro)
       .filter(col("step") === steps.toLong)
       .select(col("dim"), col("w_micro").as("w"))
-    featureTable(docs, d)
-      .join(broadcast(wFinal), "dim")
+    fx.join(broadcast(wFinal), "dim")
       .groupBy(col("doc_id"), col("y"))
       .agg(sum(expr("weight * w")).as("margin_micro"))
       .withColumn("pred", when(col("margin_micro") > 0L, 1L).otherwise(-1L))

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * way: [[realAudioTable]] writes genuine RIFF/WAVE files via the JDK's
   * `AudioSystem` codec, [[decodePcm]] parses container + format chunk back
   * and decodes every 16-bit frame (`mm_audio_real`, sample-exact). Video
-  * frame-grab is the one remaining stub — the JDK ships no container
-  * codec — with `mm_frame_sample` covering its planning geometry at the
-  * same mapPartitions seam.
+  * is real too at the container level: [[videoBytes]] synthesizes genuine
+  * multi-frame animated GIFs and [[frameSampleReal]] seek-decodes only the
+  * sampled frame indices (`mm_video_real`); the only remaining seam is an
+  * inter-frame codec (H.264-class) — no such codec ships in the JDK, and
+  * `mm_frame_sample` pins the planning geometry that a native decoder
+  * would slot into at the same mapPartitions boundary.
   *
   * Scale notes (100 TB): media blobs dominate row size, so a decode stage
   * repartitions by byte budget, never by row count; the metadata queries

@@ -117,10 +117,6 @@ object RecordLinkage {
   private def weight(agree: Column, w: Long, wDis: Long): Column =
     when(agree, lit(w)).otherwise(lit(wDis))
 
-  /** Blocked candidate generation + agreement scoring + classification.
-    * Emits only match/possible pairs (the non-match bulk — the whole point
-    * of scoring — is dropped where it is cheapest, before the shuffle to
-    * the sink). */
   /** Comparator gate + agreement scoring + classification over a candidate
     * set. The name comparator runs FIRST (derived gate: a pair that fails
     * it scores at most WNameDis + WMktAgree + WBalAgree, which sits below

@@ -76,10 +76,13 @@ object UrlCuration {
   def urlTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("lang"), expr(urlSqlExpr).as("url"))
 
-  /** Parse into components + registrable domain — one codegen'd projection. */
-  def parsed(docs: DataFrame): DataFrame =
+  /** Components + registrable domain + provenance (`source`) — one
+    * codegen'd projection over [[urlTable]]. [[parsed]] drops `source` for
+    * the schema-pinned `url_parse` view; [[blocklistAudit]] keeps it so no
+    * second urlTable scan + join is needed to recover provenance. */
+  private def parsedWithSource(docs: DataFrame): DataFrame =
     urlTable(docs).select(
-      col("doc_id"), col("url"),
+      col("doc_id"), col("source"), col("url"),
       regexp_extract(col("url"), urlRe, 1).as("scheme"),
       regexp_extract(col("url"), urlRe, 2).as("host"),
       regexp_extract(col("url"), urlRe, 3).as("path"),
@@ -87,6 +90,10 @@ object UrlCuration {
       regexp_extract(col("url"), urlRe, 5).as("fragment"))
       .withColumn("reg_domain",
         regexp_extract(lower(col("host")), regDomainRe, 1))
+
+  /** Parse into components + registrable domain — one codegen'd projection. */
+  def parsed(docs: DataFrame): DataFrame =
+    parsedWithSource(docs).drop("source")
 
   /** Canonical URL: lowercase host, strip `www.`, drop tracking params and
     * fragment, trim trailing slash. Two-step utm removal keeps the remaining
@@ -133,8 +140,7 @@ object UrlCuration {
     val spark = docs.sparkSession
     import spark.implicits._
     val bl = blockedDomains.toDF("bad_domain")
-    val p = parsed(docs)
-      .join(urlTable(docs).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val p = parsedWithSource(docs)
       .join(broadcast(bl), col("reg_domain") === col("bad_domain"), "left")
     val domBlocked = col("bad_domain").isNotNull
     val pathBlocked = !domBlocked &&

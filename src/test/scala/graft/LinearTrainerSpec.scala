@@ -46,6 +46,24 @@ class LinearTrainerSpec extends SparkSpec {
       "step 1 must move at least one weight off zero (else the gradient path is dead)")
   }
 
+  test("classify: one feature-pipeline materialization per call (train + scoring share the checkpoint)") {
+    LinearTrainer.featureBuilds.set(0L)
+    LinearTrainer.classify(separable, d = 16, steps = 3).count()
+    assert(LinearTrainer.featureBuilds.get() == 1L,
+      "classify must build/checkpoint the feature table exactly once and share it with the training loop")
+  }
+
+  test("train: Observation n_viol matches an independent recount of the step-1 margin violations") {
+    // step 1: w = 0 everywhere, so every doc with a nonzero feature row
+    // violates y*0 < 1e6 — i.e. n_viol(step 1) = count of docs with >= 1
+    // feature. Recomputed independently of the Observation plumbing.
+    val t = LinearTrainer.train(separable, d = 16, steps = 1)
+    val nViol1 = t.filter(col("step") === 1L).select("n_viol").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(nViol1 == Seq(6L),
+      s"all 6 separable docs violate the zero-weight margin; Observation saw $nViol1")
+  }
+
   test("classify: pred is the margin sign, correct is the label match, all docs scored") {
     val c = LinearTrainer.classify(docs)
     assert(c.count() == docs.count())
