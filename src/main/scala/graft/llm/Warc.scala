@@ -98,6 +98,99 @@ object WarcCodec {
   }
 }
 
+/** Per-record gzip member framing — the `.warc.gz` convention Common Crawl
+  * actually ships: each WARC record is compressed as its OWN gzip member
+  * and the members are concatenated. That framing is what makes ranged /
+  * parallel reads possible (a reader can start at any member boundary
+  * without inflating everything before it), so the member walk below
+  * returns each member's byte offset alongside its inflated payload.
+  *
+  * RFC 1952 header parsing is exact: magic `1f 8b`, DEFLATE method, the
+  * four optional FLG fields (FEXTRA/FNAME/FCOMMENT/FHCRC) skipped by spec,
+  * then a raw (nowrap) [[Inflater]] over the deflate body — the same
+  * plumbing [[ShardZip.entryStream]] uses — and the 8-byte trailer's CRC32
+  * and ISIZE both VERIFIED against the inflated bytes (a truncated or
+  * corrupted member throws IllegalArgumentException naming the offset,
+  * which the poison gate upstream turns into a quarantine row). */
+object GzipMembers {
+
+  /** Compress `payload` as one complete gzip member. */
+  def gzip(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Walk a concatenation of gzip members; returns (memberOffset,
+    * inflatedBytes) per member, strict: trailing garbage, a bad header,
+    * a truncated body, or a CRC/ISIZE mismatch all throw. */
+  def members(bytes: Array[Byte]): IndexedSeq[(Long, Array[Byte])] =
+    memberIterator(bytes).toIndexedSeq
+
+  /** Lazy member walk: each `next()` inflates ONE member, so a poison
+    * member throws only when reached and every member before it has
+    * already been yielded — exactly a ranged reader's failure semantics
+    * (the poison-gate path depends on this; a strict walk would discard
+    * the good prefix with the throw). */
+  def memberIterator(bytes: Array[Byte]): Iterator[(Long, Array[Byte])] = new Iterator[(Long, Array[Byte])] {
+    private var p = 0
+    def hasNext: Boolean = p < bytes.length
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"gzip: $msg at offset $p")
+    def next(): (Long, Array[Byte]) = {
+      val start = p
+      if (p + 10 > bytes.length) fail("truncated member header")
+      if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b)
+        fail("bad magic")
+      if (bytes(p + 2) != 8) fail(s"unsupported method ${bytes(p + 2)}")
+      val flg = bytes(p + 3) & 0xff
+      p += 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) fail("truncated FEXTRA length")
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p > bytes.length) fail("truncated optional header fields")
+      val inf = new java.util.zip.Inflater(/*nowrap=*/ true)
+      val body = try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val bos = new java.io.ByteArrayOutputStream(1024)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = try inf.inflate(buf) catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt deflate body (${e.getMessage})")
+          }
+          if (n > 0) bos.write(buf, 0, n)
+          else if (inf.needsInput()) fail("truncated deflate body")
+        }
+        p = bytes.length - inf.getRemaining
+        bos.toByteArray
+      } finally inf.end()
+      if (p + 8 > bytes.length) fail("truncated member trailer")
+      def u32le(o: Int): Long =
+        ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      if (u32le(p) != crc.getValue) fail("CRC32 mismatch")
+      if (u32le(p + 4) != (body.length.toLong & 0xffffffffL)) fail("ISIZE mismatch")
+      p += 8
+      (start.toLong, body)
+    }
+  }
+}
+
 /** WARC ingestion as a Spark pipeline: documents → bounded per-(source,
   * shard) containers → parsed record stream → per-source ingest report.
   * The fixture writes its own containers from the documents table (the
@@ -129,10 +222,31 @@ object WarcIngest {
     StructField("target_uri", StringType),
     StructField("content_length", LongType)))
 
-  /** One WARC container per (source, doc_id div docsPerShard): a warcinfo
-    * record then one response record per document, docs in doc_id order so
-    * container bytes are deterministic. */
-  def containers(docs: DataFrame): DataFrame = {
+  /** The shard's logical record list (warcinfo first, then one response
+    * per document in doc_id order) — shared by the plain and gzip
+    * container writers so both framings carry byte-identical records. */
+  private def shardRecords(source: String, shard: Long, recs: Seq[Row])
+      : Seq[(String, Seq[(String, String)], Array[Byte])] = {
+    val body = recs.map { d =>
+      val id = d.getLong(0)
+      val payload = Option(d.getString(1)).getOrElse("")
+        .getBytes(StandardCharsets.UTF_8)
+      ("response", Seq(
+        "WARC-Record-ID" -> s"<urn:graft:doc-$id>",
+        "WARC-Target-URI" -> s"https://$source.example.org/doc/$id"),
+        payload)
+    }
+    val info = ("warcinfo", Seq(
+      "WARC-Record-ID" -> s"<urn:graft:shard-$source-$shard>"),
+      s"software: graft\nshard: $source/$shard\n"
+        .getBytes(StandardCharsets.UTF_8))
+    info +: body
+  }
+
+  /** Grouped shard rows → one container per (source, shard) via `frame`. */
+  private def buildContainers(docs: DataFrame)(
+      frame: Seq[(String, Seq[(String, String)], Array[Byte])] => Array[Byte])
+      : DataFrame = {
     val enc = RowEncoder.encoderFor(containerSchema)
     docs
       .select(col("source"), expr(s"doc_id div $docsPerShard").as("shard"),
@@ -141,26 +255,35 @@ object WarcIngest {
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val source = r.getString(0)
-          val shard = r.getLong(1)
-          val recs = r.getSeq[Row](2)
-          val body = recs.map { d =>
-            val id = d.getLong(0)
-            val payload = Option(d.getString(1)).getOrElse("")
-              .getBytes(StandardCharsets.UTF_8)
-            ("response", Seq(
-              "WARC-Record-ID" -> s"<urn:graft:doc-$id>",
-              "WARC-Target-URI" -> s"https://$source.example.org/doc/$id"),
-              payload)
-          }
-          val info = ("warcinfo", Seq(
-            "WARC-Record-ID" -> s"<urn:graft:shard-$source-$shard>"),
-            s"software: graft\nshard: $source/$shard\n"
-              .getBytes(StandardCharsets.UTF_8))
-          Row(source, shard, WarcCodec.build(info +: body))
+          Row(r.getString(0), r.getLong(1),
+            frame(shardRecords(r.getString(0), r.getLong(1), r.getSeq[Row](2))))
         }
       }(enc)
   }
+
+  /** One WARC container per (source, doc_id div docsPerShard): a warcinfo
+    * record then one response record per document, docs in doc_id order so
+    * container bytes are deterministic. */
+  def containers(docs: DataFrame): DataFrame =
+    buildContainers(docs)(WarcCodec.build)
+
+  /** `.warc.gz` twin: the SAME records, but each record is its own gzip
+    * member ([[GzipMembers]]) and the members are concatenated — Common
+    * Crawl's on-disk framing. */
+  def containersGz(docs: DataFrame): DataFrame =
+    buildContainers(docs) { recs =>
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach(r => bos.write(GzipMembers.gzip(WarcCodec.build(Seq(r)))))
+      bos.toByteArray
+    }
+
+  private def responseRows(source: String, shard: Long,
+      recs: Seq[WarcCodec.Rec]): Seq[Row] =
+    recs.filter(_.warcType == "response").map { rec =>
+      val id = rec.recordId.stripPrefix("<urn:graft:doc-")
+        .stripSuffix(">").toLong
+      Row(source, shard, id, rec.targetUri, rec.payload.length.toLong)
+    }
 
   /** Parse containers to the response-record stream; the doc id is read
     * BACK out of the WARC-Record-ID urn — row-level parse parity, not an
@@ -170,14 +293,25 @@ object WarcIngest {
     containers.select(col("source"), col("shard"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          WarcCodec.parse(r.getAs[Array[Byte]](2))
-            .filter(_.warcType == "response")
-            .map { rec =>
-              val id = rec.recordId.stripPrefix("<urn:graft:doc-")
-                .stripSuffix(">").toLong
-              Row(r.getString(0), r.getLong(1), id, rec.targetUri,
-                rec.payload.length.toLong)
-            }
+          responseRows(r.getString(0), r.getLong(1),
+            WarcCodec.parse(r.getAs[Array[Byte]](2)))
+        }
+      }(enc)
+  }
+
+  /** [[records]] over `.warc.gz` containers: walk the gzip members, inflate
+    * each, parse each member as its own one-record WARC container — the
+    * exact shape a ranged Common Crawl reader has (at 100 TB each executor
+    * inflates only the members inside its byte range; the member walk IS
+    * the split algorithm). */
+  def recordsGz(containers: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(recordSchema)
+    containers.select(col("source"), col("shard"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          responseRows(r.getString(0), r.getLong(1),
+            GzipMembers.members(r.getAs[Array[Byte]](2))
+              .flatMap { case (_, m) => WarcCodec.parse(m) })
         }
       }(enc)
   }
@@ -208,32 +342,76 @@ object WarcIngest {
       }(enc)
   }
 
-  /** The ingest report: per source, shards seen, records parsed, payload
-    * bytes recovered, id range — each number re-derivable from the raw
-    * documents table, which is exactly what the oracle does. */
-  def ingestReport(docs: DataFrame): DataFrame =
-    records(containers(docs))
-      .groupBy(col("source"))
+  /** Poison-gated twin of [[recordsGz]]: a malformed container (bad gzip
+    * member OR bad WARC framing inside a member) becomes ONE quarantine
+    * row. Members BEFORE the poison are kept — the member walk is exactly
+    * how far a real ranged reader would have gotten. */
+  def recordsGzSafe(containers: DataFrame): DataFrame = {
+    val schema = recordSchema.add("ok", BooleanType).add("err", StringType)
+    val enc = RowEncoder.encoderFor(schema)
+    containers.select(col("source"), col("shard"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (source, shard) = (r.getString(0), r.getLong(1))
+          val good = Seq.newBuilder[Row]
+          try {
+            // lazy walk: every member BEFORE a poison one is yielded (and
+            // kept) before the throw — ranged-reader failure semantics
+            GzipMembers.memberIterator(r.getAs[Array[Byte]](2)).foreach {
+              case (_, m) => responseRows(source, shard, WarcCodec.parse(m))
+                .foreach(x => good += Row(x.get(0), x.get(1), x.get(2),
+                  x.get(3), x.get(4), true, null))
+            }
+            good.result()
+          } catch {
+            case e: IllegalArgumentException =>
+              good.result() :+ Row(source, shard, null, null, null, false,
+                e.getMessage)
+          }
+        }
+      }(enc)
+  }
+
+  private def report(recs: DataFrame): DataFrame =
+    recs.groupBy(col("source"))
       .agg(countDistinct(col("shard")).as("n_shards"),
         count(lit(1)).as("n_records"),
         sum(col("content_length")).as("payload_bytes"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
 
+  /** The ingest report: per source, shards seen, records parsed, payload
+    * bytes recovered, id range — each number re-derivable from the raw
+    * documents table, which is exactly what the oracle does. */
+  def ingestReport(docs: DataFrame): DataFrame =
+    report(records(containers(docs)))
+
+  /** [[ingestReport]] through the `.warc.gz` framing — same oracle, so the
+    * compressed path proves byte-level parity with the plain one. */
+  def ingestReportGz(docs: DataFrame): DataFrame =
+    report(recordsGz(containersGz(docs)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_ingest_warc" -> ((s, dir) =>
-      Util.orderAll(ingestReport(Tables.documents(s, dir)))))
+      Util.orderAll(ingestReport(Tables.documents(s, dir)))),
+    "doc_ingest_warc_gz" -> ((s, dir) =>
+      Util.orderAll(ingestReportGz(Tables.documents(s, dir)))))
 
   // strlen = UTF-8 bytes (the parser counts payload bytes, not chars);
   // n_shards mirrors the writer's doc_id div docsPerShard partitioning
+  private val reportSql: String = Util.wrap(
+    s"""SELECT source,
+       |  count(DISTINCT doc_id // $docsPerShard) AS n_shards,
+       |  count(*) AS n_records,
+       |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM documents GROUP BY source""".stripMargin,
+    Seq("source", "n_shards", "n_records", "payload_bytes", "min_doc",
+      "max_doc"))
+
   def oracle: Map[String, String] = Map(
-    "doc_ingest_warc" -> Util.wrap(
-      s"""SELECT source,
-         |  count(DISTINCT doc_id // $docsPerShard) AS n_shards,
-         |  count(*) AS n_records,
-         |  CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
-         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM documents GROUP BY source""".stripMargin,
-      Seq("source", "n_shards", "n_records", "payload_bytes", "min_doc",
-        "max_doc")))
+    "doc_ingest_warc" -> reportSql,
+    // the gz path must land on the SAME report — compression is framing,
+    // not semantics; a shared oracle string makes that parity explicit
+    "doc_ingest_warc_gz" -> reportSql)
 }
