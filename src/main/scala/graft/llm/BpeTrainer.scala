@@ -41,14 +41,61 @@ object BpeTrainer {
   final case class Merge(step: Int, a: String, b: String, count: Long)
 
   /** Left-to-right non-overlapping application of merge (a, b) to a symbol
-    * array, as a single codegen-friendly fold. */
-  private def applyMerge(syms: org.apache.spark.sql.Column, a: String, b: String) =
+    * array, as a single codegen-friendly fold. Kept as the one-merge
+    * reference form ([[applyMerges]] is the loop twin the spec pins
+    * against it). */
+  private[graft] def applyMerge(syms: org.apache.spark.sql.Column, a: String, b: String) =
     aggregate(
       slice(syms, lit(2), size(syms) - 1),
       array(element_at(syms, 1)),
       (acc, s) => when(element_at(acc, -1) === lit(a) && s === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
+
+  /** Apply a rank-ordered merge batch to the word table in ONE
+    * mapPartitions pass — the same left-to-right non-overlapping replay
+    * loop as [[bpeTokensAgainstMerges]] (spec-pinned bit-identical to the
+    * [[applyMerge]] fold), applied sequentially in batch order. Replaces
+    * the previous B-deep nested `withColumn(applyMerge(...))` chain, whose
+    * codegen cost grew superlinearly in B (measured: the k=512/B=32 wide
+    * stress spent ~12 s/round in the 32-deep expression tree; the loop
+    * pass is corpus-work-proportional instead). */
+  private[graft] def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    if (merges.isEmpty) return words
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(words.schema)
+    val (iWord, iF, iSyms) = (words.schema.fieldIndex("word"),
+      words.schema.fieldIndex("f"), words.schema.fieldIndex("syms"))
+    words.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { r =>
+        var syms: Array[String] = r.getSeq[String](iSyms).toArray
+        var i = 0
+        while (i < ms.length) {
+          val (a, b) = ms(i)
+          if (syms.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            var changed = false
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                out += (a + b); changed = true; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            if (changed) syms = out.toArray
+          }
+          i += 1
+        }
+        // positional Row against words.schema — fill by field index rather
+        // than assuming (word, f, syms) column order
+        val vals = new Array[Any](3)
+        vals(iWord) = r.get(iWord); vals(iF) = r.get(iF); vals(iSyms) = syms.toSeq
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+    }(enc)
+  }
 
   /** Run k merge steps; returns the learned merges and the final
     * (word, f, syms) table (still distributed). Stops early if no pair is
@@ -111,9 +158,8 @@ object BpeTrainer {
           merges += Merge(step, a, b, cnt)
           step += 1
         }
-        words = chosen.foldLeft(words) { case (w, (a, b, _)) =>
-          w.withColumn("syms", applyMerge(col("syms"), a, b))
-        }.localCheckpoint(true)
+        words = applyMerges(words, chosen.map(c => (c._1, c._2)).toSeq)
+          .localCheckpoint(true)
       }
     }
     (merges.toSeq, words)

@@ -10,10 +10,10 @@ object LlmQueries {
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries ++
       WarcIngest.queries ++ UrlCuration.queries ++ UnigramLm.queries ++
-      LinearTrainer.queries ++ RecordLinkage.queries
+      LinearTrainer.queries ++ RecordLinkage.queries ++ PrefData.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle ++
       WarcIngest.oracle ++ UrlCuration.oracle ++ UnigramLm.oracle ++
-      LinearTrainer.oracle ++ RecordLinkage.oracle
+      LinearTrainer.oracle ++ RecordLinkage.oracle ++ PrefData.oracle
 }

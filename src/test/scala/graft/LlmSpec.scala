@@ -1642,4 +1642,24 @@ class LlmSpec extends SparkSpec {
       1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L)),
       4L -> ((1L, 0L)), 5L -> ((1L, 0L))), s"got $out")
   }
+
+  test("bpe applyMerges loop == applyMerge fold on adversarial arrays (overlap, repeats, batch order)") {
+    import graft.llm.BpeTrainer
+    import org.apache.spark.sql.functions.{col, expr}
+    // words chosen to stress the left-to-right non-overlap rule: "aaa"
+    // (overlapping candidates), "abab" (alternation), merged-output
+    // adjacency ("aab" after (a,a) holds [aa, b])
+    val words = Seq(("aaa", 1L), ("abab", 2L), ("aab", 3L), ("ba", 4L), ("b", 5L))
+      .toDF("word", "f")
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val batch = Seq(("a", "a"), ("a", "b"))
+    val viaLoop = BpeTrainer.applyMerges(words, batch)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val viaFold = batch.foldLeft(words) { case (w, (a, b)) =>
+        w.withColumn("syms", BpeTrainer.applyMerge(col("syms"), a, b))
+      }.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(viaLoop == viaFold, s"loop/fold divergence: $viaLoop vs $viaFold")
+    assert(viaLoop("aaa") == Seq("aa", "a") && viaLoop("abab") == Seq("ab", "ab"))
+  }
 }
