@@ -1253,6 +1253,35 @@ object TextAnalysis {
     scoreTokens(tok, weightsOf(tok.join(lab, "doc_id"), col("word")), threshMicro)
   }
 
+  /** Reliability-diagram calibration of the NB gate ([[nbClassify]]):
+    * scores binned at `binMicro` width, each bin reporting its size, its
+    * mean predicted score, and the EMPIRICAL positive rate — the check
+    * every deployed quality classifier needs before its threshold is
+    * trusted (a gate can rank well and still be miscalibrated, and the
+    * fix — threshold shift vs re-train — depends on the diagram's shape).
+    * Integer-exact: bin ids by truncating division, the positive rate in
+    * micro units by integer cross-multiplication, the mean score via the
+    * shared round(sum/n) convention. One extra aggregation over the
+    * scored table — at 100 TB the diagram is B rows, the cheapest eval
+    * in the family. Default width 2000 micro resolves the NB gate's
+    * actual score spread (the smoothed mean posterior concentrates near
+    * the base rate — fixture range ~105k-117k micro, 7 bins); a
+    * coarser width would collapse the diagram to one bar. */
+  def calibration(docs: DataFrame, binMicro: Long = 2000L,
+                  posSources: Seq[String] = Seq("src0", "src1")): DataFrame = {
+    require(binMicro >= 1, s"calibration: binMicro must be >= 1, got $binMicro")
+    nbClassify(docs, posSources)
+      .join(docs.select(col("doc_id"),
+        col("source").isin(posSources: _*).cast("long").as("is_pos")), "doc_id")
+      .withColumn("bin", expr(s"nb_micro div $binMicro"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_pos")).as("n_pos"),
+        round(sum(col("nb_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_score_micro"))
+      .withColumn("pos_rate_micro", expr("n_pos * 1000000 div n"))
+  }
+
   /** [[nbClassify]] over `xxhash64(word) % nFeat` — the hashing trick:
     * vocabulary-free, the weight table is EXACTLY nFeat rows whatever the
     * corpus (broadcast at any scale), at the price of engine-specific
@@ -1784,6 +1813,7 @@ object TextAnalysis {
     "text_gopher_rules" -> ((s, dir) => Util.orderAll(
       gopherRules(docs(s, dir), minWords = 25, minMeanLen = 4))),
     "text_classify"     -> ((s, dir) => Util.orderAll(nbClassify(docs(s, dir)))),
+    "text_calibration"  -> ((s, dir) => Util.orderAll(calibration(docs(s, dir)))),
     "doc_chunk_cdc"     -> ((s, dir) => Util.orderAll(cdcChunks(docs(s, dir)))),
     "doc_dedup_cdc"     -> ((s, dir) => Util.orderAll(cdcDedup(docs(s, dir)))),
     "text_bm25_topk"    -> ((s, dir) => Util.orderAll(
@@ -2495,6 +2525,38 @@ object TextAnalysis {
         """SELECT doc_id, n_tokens, nb_micro, nb_micro >= 500000 AS quality_pred
           |FROM sc""".stripMargin,
         Seq("doc_id", "n_tokens", "nb_micro", "quality_pred"))),
+
+    // the same NB chain, then reliability bins: truncating-division bin
+    // ids, integer cross-multiplied positive rate, round(sum/n) mean
+    "text_calibration" -> (
+      """WITH lab AS (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS pos FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), ws AS (
+        |  SELECT word,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM tok JOIN lab USING (doc_id) GROUP BY word
+        |), w AS (
+        |  SELECT word,
+        |    CAST(round((n_pos + 1) * 1000000.0 / (n_pos + n_neg + 2)) AS BIGINT) AS w_micro
+        |  FROM ws
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(round(CAST(sum(w_micro) AS DOUBLE) / count(*)) AS BIGINT) AS nb_micro
+        |  FROM tok JOIN w USING (word) GROUP BY doc_id
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT nb_micro // 2000 AS bin,
+          |  count(*) AS n,
+          |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |  CAST(round(CAST(sum(nb_micro) AS DOUBLE) / count(*)) AS BIGINT) AS mean_score_micro,
+          |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+          |    // count(*) AS pos_rate_micro
+          |FROM sc JOIN lab USING (doc_id)
+          |GROUP BY 1""".stripMargin,
+        Seq("bin", "n", "n_pos", "mean_score_micro", "pos_rate_micro"))),
 
     "doc_chunk_cdc" -> (cdcCte + Util.wrap(
       """SELECT doc_id, chunk_idx, start_tok, end_tok,

@@ -692,4 +692,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("doc_curation_funnel") <= 6,
       s"funnel grew a shuffle beyond curate's own: ${exchanges("doc_curation_funnel")}")
   }
+
+  test("pref family: pairs aggregate in one keyed pass (partial min/max structs, no window); template dedup is the exact-dedup shape") {
+    // prefPairs claims ONE partial-aggregated pass per pool: the struct
+    // min/max must show a partial_min/partial_max before the exchange
+    // (map-side combine), and the plan must not contain a Window at all —
+    // a window would sort the full candidate set per pool
+    val pp = phys("pref_pairs")
+    assert(!pp.contains("Window"), s"prefPairs regressed to a window sort:\n$pp")
+    assert(pp.contains("partial_min") && pp.contains("partial_max"),
+      s"pool argmax/argmin must combine map-side:\n$pp")
+    // quality-score join + pool agg + harness sort
+    assert(exchanges("pref_pairs") <= 3,
+      s"prefPairs grew a shuffle: ${exchanges("pref_pairs")}")
+    // bestOfN: the rank <= n filter must lower to WindowGroupLimit so the
+    // per-pool trim happens map-side before the window's own shuffle
+    val pb = phys("pref_bestofn")
+    assert(pb.contains("WindowGroupLimit"),
+      s"bestOfN top-k must lower to WindowGroupLimit:\n$pb")
+    // template dedup: projection + the two-phase distinct aggregation
+    // (countDistinct(source) partial-aggregates on (template, source)
+    // before the template rollup — the standard distinct-agg shape, both
+    // phases map-side-combined) + harness sort
+    assert(exchanges("doc_template_dedup") <= 3,
+      s"templateDedup grew a shuffle: ${exchanges("doc_template_dedup")}")
+  }
 }
