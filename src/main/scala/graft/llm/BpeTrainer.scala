@@ -217,11 +217,59 @@ object BpeTrainer {
     * Scoring the training corpus against its own stored merges reproduces
     * [[bpeTokenCounts]] exactly (that identity IS the oracle for
     * `text_bpe_apply`). */
-  def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
-    val spark = docs.sparkSession
-    val merges: Array[(String, String)] = spark.read.parquet(path)
+  /** The stored-merge inference kernel: replay `ms` (training order) over
+    * one word, return its final symbol count. Split by CODE POINTS, not
+    * UTF-16 code units — the trainer's substring(word, i, 1) counts code
+    * points, so a supplementary-plane character must stay one symbol here
+    * too or the replay diverges. The presence filter is stale-tolerant
+    * (symbols ever seen in this word): extra entries only cost a scan,
+    * never change the result. Shared by the batch apply and
+    * [[graft.streaming.StreamingBpe]]. */
+  private[graft] def replayWord(ms: Array[(String, String)], w: String): Int = {
+    var syms: Array[String] = {
+      val out = new Array[String](w.codePointCount(0, w.length))
+      var ci = 0
+      var k = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        out(k) = new String(Character.toChars(cp))
+        k += 1
+        ci += Character.charCount(cp)
+      }
+      out
+    }
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    var i = 0
+    while (i < ms.length) {
+      val (a, b) = ms(i)
+      if (syms.length >= 2 && present(a) && present(b)) {
+        // left-to-right non-overlapping application — the applyMerge rule
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        var changed = false
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); changed = true; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        if (changed) { syms = out.toArray; present += (a + b) }
+      }
+      i += 1
+    }
+    syms.length
+  }
+
+  /** Load a stored merge table in training order — the k-row bounded
+    * driver collect both apply paths (batch and streaming) start from. */
+  private[graft] def loadMerges(spark: SparkSession, path: String): Array[(String, String)] =
+    spark.read.parquet(path)
       .orderBy(col("step")).select("pair_a", "pair_b").collect()
       .map(r => (r.getString(0), r.getString(1)))
+
+  def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = loadMerges(spark, path)
     val bc = spark.sparkContext.broadcast(merges)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1).distinct()
@@ -233,46 +281,7 @@ object BpeTrainer {
           org.apache.spark.sql.types.IntegerType))))
     val wordLens = words.mapPartitions { rows =>
       val ms = bc.value
-      rows.map { r =>
-        val w = r.getString(0)
-        // split by CODE POINTS, not UTF-16 code units — the trainer's
-        // substring(word, i, 1) counts code points, so a supplementary-plane
-        // character must stay one symbol here too or the replay diverges
-        var syms: Array[String] = {
-          val out = new Array[String](w.codePointCount(0, w.length))
-          var ci = 0
-          var k = 0
-          while (ci < w.length) {
-            val cp = w.codePointAt(ci)
-            out(k) = new String(Character.toChars(cp))
-            k += 1
-            ci += Character.charCount(cp)
-          }
-          out
-        }
-        // stale-tolerant presence filter: symbols ever seen in this word —
-        // extra entries only cost a scan, never change the result
-        val present = scala.collection.mutable.HashSet.empty[String]
-        syms.foreach(present += _)
-        var i = 0
-        while (i < ms.length) {
-          val (a, b) = ms(i)
-          if (syms.length >= 2 && present(a) && present(b)) {
-            // left-to-right non-overlapping application — the applyMerge rule
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var j = 0
-            var changed = false
-            while (j < syms.length) {
-              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-                out += (a + b); changed = true; j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            if (changed) { syms = out.toArray; present += (a + b) }
-          }
-          i += 1
-        }
-        Row(w, syms.length)
-      }
+      rows.map(r => Row(r.getString(0), replayWord(ms, r.getString(0))))
     }(enc)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
@@ -280,6 +289,27 @@ object BpeTrainer {
       .groupBy("doc_id")
       .agg(sum(col("n_syms")).cast("long").as("n_bpe_tokens"),
         count(lit(1)).cast("long").as("n_words"))
+  }
+
+  /** Concat-and-cut sequence packing with the budget measured in BPE
+    * TOKENS, not whitespace words — the unit a context window is actually
+    * billed in ([[TextAnalysis.packGreedy]]'s cumulative plan, fed by the
+    * trained tokenizer's counts). Same per-source doc_id order, same
+    * integer-division pack arithmetic; the only new cost is the token
+    * count join, which is the [[bpeTokenCounts]] vocabulary-sized plan. */
+  def packByBpe(docs: DataFrame, k: Int, budget: Int): DataFrame = {
+    require(budget >= 1, s"packByBpe: budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"))
+      .join(bpeTokenCounts(docs, k)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), "doc_id")
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"cum_start div $budget").as("pack_id"),
+        expr(s"cum_start % $budget").as("pack_offset"))
   }
 
   // ------------------------------------------------------------- registry
@@ -294,6 +324,8 @@ object BpeTrainer {
     // train-once / apply-from-store round trip: write the merge table,
     // tokenize the same corpus against it — must equal text_bpe_tokens,
     // which is exactly what the shared oracle asserts
+    "doc_pack_bpe" -> ((s, dir) =>
+      Util.orderAll(packByBpe(docs(s, dir), MergeSteps, 256))),
     "text_bpe_apply" -> ((s, dir) => {
       val store = java.nio.file.Files.createTempDirectory("graft-bpe-merges").toString
       writeBpeMerges(docs(s, dir), store, MergeSteps)
@@ -378,5 +410,29 @@ object BpeTrainer {
         |JOIN wl USING (w)
         |GROUP BY d.doc_id""".stripMargin,
       Seq("doc_id", "n_bpe_tokens", "n_words"))),
+
+    // the same unrolled tokenizer chain feeding packGreedy's cumulative
+    // arithmetic — budget in BPE tokens; integer // matches Spark div on
+    // the non-negative cumulative sums
+    "doc_pack_bpe" -> (unrolled +
+      s""", wl AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_syms FROM s$MergeSteps GROUP BY w
+         |), bt AS (
+         |  SELECT d.doc_id, d.source, CAST(sum(wl.n_syms) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents) d
+         |  JOIN wl USING (w)
+         |  GROUP BY d.doc_id, d.source
+         |), cum AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |         - n_tokens AS BIGINT) AS cum_start
+         |  FROM bt
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT doc_id, source, n_tokens,
+        |  cum_start // 256 AS pack_id,
+        |  cum_start % 256 AS pack_offset
+        |FROM cum""".stripMargin,
+      Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))),
   )
 }
