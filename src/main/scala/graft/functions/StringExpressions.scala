@@ -122,3 +122,61 @@ object StringFunctions {
     EditWithinOne(children.head, children(1))
   }
 }
+
+/** NFD-decompose, drop combining marks (Unicode category M), recompose
+  * nothing — the classic accent strip (DuckDB's `strip_accents`, ICU's
+  * Latin-ASCII fold for precomposed Latin input). Text pipelines run this
+  * before hashing/matching so "café" and "cafe" collide; the kernel is
+  * static and allocation-free on the ASCII fast path, so the expression
+  * stays inside whole-stage codegen like [[StringEditOps]]. */
+object UnicodeOps {
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    // ASCII fast path: nothing to decompose (byte count == char count)
+    if (s.numBytes() == s.numChars()) return s
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK
+          && t != Character.ENCLOSING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** String column: accents stripped via [[UnicodeOps]]. NULL in, NULL out. */
+case class StripAccents(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "strip_accents"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"strip_accents needs a string arg, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    UnicodeOps.stripAccents(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.UnicodeOps.stripAccents($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeFunctions {
+
+  /** Accent-stripped column (codegen'd; DuckDB `strip_accents` parity). */
+  def stripAccents(c: Column): Column =
+    GraftSql.column(StripAccents(GraftSql.expression(c)))
+}

@@ -1253,6 +1253,33 @@ object TextAnalysis {
     scoreTokens(tok, weightsOf(tok.join(lab, "doc_id"), col("word")), threshMicro)
   }
 
+  /** Accent chars the synthetic twin injects — one source of truth for
+    * both engines' synthesis and the mark count. */
+  private val AccFrom = "aeiou"
+  private val AccTo = "\u00e1\u00e9\u00ed\u00f3\u00fa" // áéíóú precomposed
+
+  /** Unicode accent normalization — the fold every multilingual pipeline
+    * runs before hashing/matching so "café" and "cafe" collide. The
+    * fixture text is pure ASCII, so (the [[UrlCuration.urlTable]]
+    * convention) a deterministic accented TWIN is synthesized — every
+    * doc_id % 3 == 1 document gets its vowels precomposed-accented via
+    * `translate` — and the operator normalizes it back with the codegen'd
+    * [[graft.functions.StripAccents]] kernel (NFD + drop combining marks,
+    * DuckDB `strip_accents` parity). `roundtrip` pins the algebra: strip
+    * after inject must reproduce the original text, and `n_accented`
+    * counts exactly the injected chars. Per-row projection, no shuffle. */
+  def normalizeUnicode(docs: DataFrame): DataFrame = {
+    val accented = when(col("doc_id") % 3 === 1,
+      translate(col("text"), AccFrom, AccTo)).otherwise(col("text"))
+    docs.select(col("doc_id"), accented.as("accented"))
+      .withColumn("normalized",
+        graft.functions.UnicodeFunctions.stripAccents(col("accented")))
+      .withColumn("n_accented",
+        (length(col("accented")) -
+          length(translate(col("accented"), AccTo, ""))).cast("long"))
+      .select(col("doc_id"), col("n_accented"), col("normalized"))
+  }
+
   /** Reliability-diagram calibration of the NB gate ([[nbClassify]]):
     * scores binned at `binMicro` width, each bin reporting its size, its
     * mean predicted score, and the EMPIRICAL positive rate — the check
@@ -1814,6 +1841,7 @@ object TextAnalysis {
       gopherRules(docs(s, dir), minWords = 25, minMeanLen = 4))),
     "text_classify"     -> ((s, dir) => Util.orderAll(nbClassify(docs(s, dir)))),
     "text_calibration"  -> ((s, dir) => Util.orderAll(calibration(docs(s, dir)))),
+    "text_normalize"    -> ((s, dir) => Util.orderAll(normalizeUnicode(docs(s, dir)))),
     "doc_chunk_cdc"     -> ((s, dir) => Util.orderAll(cdcChunks(docs(s, dir)))),
     "doc_dedup_cdc"     -> ((s, dir) => Util.orderAll(cdcDedup(docs(s, dir)))),
     "text_bm25_topk"    -> ((s, dir) => Util.orderAll(
@@ -2557,6 +2585,22 @@ object TextAnalysis {
           |FROM sc JOIN lab USING (doc_id)
           |GROUP BY 1""".stripMargin,
         Seq("bin", "n", "n_pos", "mean_score_micro", "pos_rate_micro"))),
+
+    // same synthesis (translate), ICU strip_accents == the NFD+drop-marks
+    // kernel for precomposed Latin; roundtrip is checked by the normalized
+    // column itself hashing against Spark's
+    "text_normalize" -> Util.wrap(
+      """SELECT doc_id,
+        |  CAST(length(accented) - length(translate(accented, 'áéíóú', '')) AS BIGINT)
+        |    AS n_accented,
+        |  strip_accents(accented) AS normalized
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN translate(text, 'aeiou', 'áéíóú')
+        |         ELSE text END AS accented
+        |  FROM documents
+        |) t""".stripMargin,
+      Seq("doc_id")),
 
     "doc_chunk_cdc" -> (cdcCte + Util.wrap(
       """SELECT doc_id, chunk_idx, start_tok, end_tok,

@@ -52,4 +52,35 @@ class PrefDataSpec extends SparkSpec {
     assert(bad.count() == 0L)
     assert(groups.count() > 0L, "degenerate fixture: no template collapse to report")
   }
+
+  test("stripAccents: NFD fold on precomposed/combining/supplementary input; ASCII fast path; NULL in NULL out") {
+    import graft.functions.UnicodeFunctions.stripAccents
+    val rows = Seq(
+      ("caf\u00e9", "cafe"),                    // precomposed é
+      ("cafe\u0301", "cafe"),                   // e + combining acute
+      ("\u00f1 \u00f6 \u00e0", "n o a"),      // ñ ö à
+      ("plain ascii", "plain ascii"),
+      ("\ud83d\ude00 ok", "\ud83d\ude00 ok"))  // emoji untouched (not a mark)
+      .toDF("s", "want")
+      .withColumn("got", stripAccents(col("s")))
+    assert(rows.filter(col("got") =!= col("want")).count() == 0L)
+    val nulls = Seq(Tuple1(null: String)).toDF("s")
+      .withColumn("got", stripAccents(col("s")))
+    assert(nulls.filter(col("got").isNotNull).count() == 0L)
+  }
+
+  test("normalizeUnicode: roundtrip — strip after inject reproduces the original text, counts match the injected vowels") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.table(spark, sf, "documents")
+    val out = TextAnalysis.normalizeUnicode(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(out.filter(col("normalized") =!= col("text")).count() == 0L,
+      "strip(inject(text)) must equal text")
+    val bad = out
+      .withColumn("vowels", (length(col("text")) -
+        length(translate(col("text"), "aeiou", ""))).cast("long"))
+      .filter((col("doc_id") % 3 === 1 && col("n_accented") =!= col("vowels")) ||
+        (col("doc_id") % 3 =!= 1 && col("n_accented") =!= 0L))
+    assert(bad.count() == 0L, "accent count must equal injected vowel count")
+  }
 }
