@@ -439,6 +439,27 @@ object ScaleStress {
     System.err.println(s"[stress] bpe512_merges=$nBpe bpe64_b1=$nBpeB1" +
       s" (${tBpeB1}s) bpe64_b16=$nBpeB16 (${tBpeB16}s)")
 
+    // r9: WARC framing cost at volume — the same ×N corpus through the
+    // plain and gzip-member containers. The claim under test: gz framing
+    // (build: one deflate per record; parse: the lazy member walk + per-
+    // member inflate) stays a constant-factor tax over plain, because both
+    // are single mapPartitions passes — nothing shuffles differently.
+    val (nWarc, tWarc) = timed("warc ingest plain x" + factor)(
+      graft.llm.WarcIngest.ingestReport(docsN).count())
+    val (nWarcGz, tWarcGz) = timed("warc ingest gz x" + factor)(
+      graft.llm.WarcIngest.ingestReportGz(docsN).count())
+    // r9: post-training preference surface at volume — pref_pairs is ONE
+    // partial-aggregated struct-minmax pass (pool count stays fixed while
+    // the corpus grows ×N, so output is constant-size and the cost is the
+    // map-side combine); template dedup is the exact-dedup shape over the
+    // normalized prefix key.
+    val (nPref, tPref) = timed("pref pairs x" + factor)(
+      graft.llm.PrefData.prefPairs(docsN).count())
+    val (nTmpl, tTmpl) = timed("template dedup x" + factor)(
+      graft.llm.PrefData.templateDedup(docsN).count())
+    System.err.println(s"[stress] warc_records=$nWarc warc_gz_records=$nWarcGz" +
+      s" pref_pairs=$nPref template_groups=$nTmpl")
+
     // r8 continuation: the frame-sampling scale claim, measured — decoding
     // k sampled frames must cost ~k/n̄ of decoding the whole container
     // directory (n̄ ≈ 5 stored frames/doc). The container table scales
@@ -489,27 +510,37 @@ object ScaleStress {
       s" divergence_rows=$nDiv drift_rows=$nDrift recall_rows=$nRec")
 
     // r8 continuation: bitext mining at ×N — the scale claim under test:
-    // the coarse-LSH candidate set is Σ_cell |A_c|·|B_c| (≈ brute/16 for
-    // balanced cells), NOT |A|·|B|; the brute volume is reported
+    // the coarse-LSH candidate set is Σ_cell |A_c|·|B_c| (≈ brute/cells
+    // for balanced cells), NOT |A|·|B|; the brute volume is reported
     // arithmetically (never materialized at ×N), the bucketed candidate
     // count and the full margin-mining pipeline run for real.
+    //
+    // r9 lesson (learned as an OOM, not a code review): the cell count
+    // must TRACK corpus size — candidates are O(N²/cells), so a fixed
+    // 16-cell quantizer that is fine at ×10 (7.7M candidates) is 100× that
+    // at ×100 (~770M rows into the margin windows → heap death). This is
+    // IVF's nlist ∝ √N rule wearing LSH clothes: ×10 keeps 4 planes for
+    // record comparability, ×100 uses the family's full 8 planes
+    // (256 cells).
+    val btPlanes = if (factor >= 100) 8 else 4
+    val btCells = 1L << btPlanes
     val nEvenBt = embN.filter(col("vec_id") % 2 === 0).count()
     val nOddBt = embN.filter(col("vec_id") % 2 === 1).count()
     val nBtBrute = nEvenBt * nOddBt
     val (nBtCand, tBtCand) = timed("bitext lsh candidates x" + factor) {
       val bk = graft.llm.Similarity.lshBuckets(embN)
-        .select(col("vec_id"), pmod(col("bucket"), lit(16L)).as("cell"))
+        .select(col("vec_id"), pmod(col("bucket"), lit(btCells)).as("cell"))
       bk.filter(col("vec_id") % 2 === 0).select(col("cell"))
         .join(bk.filter(col("vec_id") % 2 === 1).select(col("cell")), Seq("cell"))
         .count()
     }
     val (nBt, tBt) = timed("bitext lsh mine x" + factor)(
       graft.llm.Similarity.bitextMineLsh(embN, 4,
-        graft.llm.Similarity.BitextMinPpm).count())
+        graft.llm.Similarity.BitextMinPpm, coarsePlanes = btPlanes).count())
     System.err.println(s"[stress] bitext_cand_brute=$nBtBrute " +
-      s"bitext_cand_lsh=$nBtCand bitext_pairs=$nBt")
+      s"bitext_cand_lsh=$nBtCand bitext_pairs=$nBt planes=$btPlanes")
 
-    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
+    val json = s"""{"metric":"stress_x$factor","profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -365,7 +365,15 @@ object Similarity {
 
   /** Bucketed bitext mining: candidates restricted to pairs sharing a
     * coarse LSH cell (low `coarsePlanes` hyperplanes of the family-0
-    * table), margins computed over the same bucketed candidate set. */
+    * table), margins computed over the same bucketed candidate set.
+    *
+    * SIZE THE QUANTIZER TO THE CORPUS: candidate volume is O(|A|·|B| /
+    * cells) for balanced cells, so a cell count chosen at one corpus size
+    * is quadratically wrong at another — IVF's nlist ∝ √N rule applies
+    * verbatim (measured: 16 cells = 7.7M candidates at the ×10 stress but
+    * ~770M at ×100, which is a window-sort heap death; 256 cells restores
+    * it). The 8-plane cap is this fixture family's bucket-table width —
+    * a production build sizes the plane family to ~log2(√(|A|·|B|)). */
   def bitextMineLsh(emb: DataFrame, k: Int, minPpm: Long,
                     coarsePlanes: Int = 4): DataFrame = {
     require(coarsePlanes >= 1 && coarsePlanes <= 8,
