@@ -35,9 +35,13 @@ object PrefData {
     * standard DPO data-prep gate, pinned as an integer constant. */
   val MinMarginMicro = 10000L
 
-  /** Docs + the shared integer quality score + the candidate-pool key. */
+  /** Docs + the shared integer quality score + the candidate-pool key —
+    * keys carried through the score projection (no doc_id self-join; the
+    * score is per-row, so the join would be a corpus shuffle for
+    * nothing — measured as ~20 s of prefPairs' 24.6 s at the ×100
+    * stress before this fix). */
   private def scored(docs: DataFrame): DataFrame =
-    docs.join(TextAnalysis.qualityMicro(docs), "doc_id")
+    TextAnalysis.qualityMicroKeyed(docs, Seq("source", "lang"))
       .select(col("source"), col("lang"), col("doc_id"), col("qm"))
 
   /** DPO-style pairs: per candidate pool, chosen = quality argmax,

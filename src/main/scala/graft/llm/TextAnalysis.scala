@@ -324,9 +324,18 @@ object TextAnalysis {
     * micro units — the argmax key for quality-keeper dedup
     * ([[Dedup.dedupKeepBest]]) and the same double→micro snap the
     * percentile/profile consumers use. */
-  def qualityMicro(docs: DataFrame): DataFrame =
-    withQualitySignals(docs).select(col("doc_id"),
-      round(round(col("quality_score"), 6) * 1e6).cast("long").as("qm"))
+  def qualityMicro(docs: DataFrame): DataFrame = qualityMicroKeyed(docs)
+
+  /** [[qualityMicro]] with extra key columns carried THROUGH the quality
+    * projection — callers that need (source, lang, …) alongside `qm` must
+    * use this instead of joining `qualityMicro` back onto the corpus: the
+    * score is a per-row projection, so recovering dropped columns via a
+    * doc_id self-join is a corpus-sized shuffle for nothing (measured:
+    * prefPairs at the ×100 stress spent ~20 s of its 24.6 s in exactly
+    * that join). */
+  def qualityMicroKeyed(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    withQualitySignals(docs).select(col("doc_id") +: keep.map(col) :+
+      round(round(col("quality_score"), 6) * 1e6).cast("long").as("qm"): _*)
 
   /** Heuristic quality score from length / stopword / punctuation ratios —
     * raw ratios feed the score unrounded; only outputs are rounded. */
