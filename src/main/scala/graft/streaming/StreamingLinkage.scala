@@ -37,13 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object StreamingLinkage {
 
+  /** Broadcast ceiling for the clean dimension — the same size-conditional
+    * convention as [[graft.cdr.CdrPipeline]]'s dim hint: force the build
+    * side only while Catalyst's own size estimate stays under the bound,
+    * so a dimension that outgrows executor memory degrades to a shuffled
+    * join instead of OOMing on a forced broadcast. */
+  val CleanDimMaxBytes: Long = 256L << 20
+
+  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame = {
+    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown =
+      size >= BigInt(dim.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unknown || size <= BigInt(maxBytes)) broadcast(dim) else dim
+  }
+
   /** `dirtyStream` must carry the dirty-side schema (cust_b, b_name, nk,
     * b_cents, b_mkt); `clean` is the static clean dimension (cust_a,
     * a_name, nk, a_cents, a_mkt). Returns the match/possible pair stream
     * (Append-safe: no aggregation, no state). */
-  def link(dirtyStream: DataFrame, clean: DataFrame): DataFrame =
+  def link(dirtyStream: DataFrame, clean: DataFrame,
+           dimMaxBytes: Long = CleanDimMaxBytes): DataFrame =
     RecordLinkage.scoreCandidates(
-      dirtyStream.join(clean.hint("broadcast"), "nk"))
+      dirtyStream.join(hintIfSmall(clean, dimMaxBytes), "nk"))
 
   /** Per-micro-batch confusion summary (the [[RecordLinkage.linkEval]]
     * cells keyed by batch) via foreachBatch — aggregation over a stream
