@@ -38,8 +38,8 @@ object PrefData {
   /** Docs + the shared integer quality score + the candidate-pool key —
     * keys carried through the score projection (no doc_id self-join; the
     * score is per-row, so the join would be a corpus shuffle for
-    * nothing — measured as ~20 s of prefPairs' 24.6 s at the ×100
-    * stress before this fix). */
+    * nothing — measured: 24.6 s → 17.5 s at the ×100 stress; the
+    * remainder is the per-row scoring itself). */
   private def scored(docs: DataFrame): DataFrame =
     TextAnalysis.qualityMicroKeyed(docs, Seq("source", "lang"))
       .select(col("source"), col("lang"), col("doc_id"), col("qm"))

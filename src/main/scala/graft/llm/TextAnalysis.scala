@@ -331,8 +331,8 @@ object TextAnalysis {
     * use this instead of joining `qualityMicro` back onto the corpus: the
     * score is a per-row projection, so recovering dropped columns via a
     * doc_id self-join is a corpus-sized shuffle for nothing (measured:
-    * prefPairs at the ×100 stress spent ~20 s of its 24.6 s in exactly
-    * that join). */
+    * dropping it took prefPairs from 24.6 s to 17.5 s at the ×100
+    * stress — the remainder is the per-row scoring itself). */
   def qualityMicroKeyed(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
     withQualitySignals(docs).select(col("doc_id") +: keep.map(col) :+
       round(round(col("quality_score"), 6) * 1e6).cast("long").as("qm"): _*)
