@@ -50,11 +50,13 @@ if os.path.exists(manifest_path):
         print(f"FAIL {name}: crashed during Verify (see its stderr)")
         fails += 1
 skipped = []
+manifest_fails = fails
 for name, sql in sorted(oracle.items()):
     if not os.path.isdir(f"{OUT}/{name}"):
         if expected is not None and name in expected and name not in crashed:
             print(f"FAIL {name}: attempted per manifest but no parquet in outDir")
             fails += 1
+            manifest_fails += 1
         elif name not in crashed:
             skipped.append(name)
         continue
@@ -92,5 +94,7 @@ for name, sql in sorted(oracle.items()):
 
 if skipped:
     print(f"\nskipped (not attempted in this dump): {', '.join(skipped)}")
-print(f"\n{ran - fails}/{ran} queries match ({len(skipped)} not in this dump)")
+compare_fails = fails - manifest_fails
+print(f"\n{ran - compare_fails}/{ran} compared queries match; "
+      f"{fails} total failures ({len(skipped)} not in this dump)")
 sys.exit(1 if fails else 0)
