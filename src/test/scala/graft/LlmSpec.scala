@@ -1662,4 +1662,23 @@ class LlmSpec extends SparkSpec {
     assert(viaLoop == viaFold, s"loop/fold divergence: $viaLoop vs $viaFold")
     assert(viaLoop("aaa") == Seq("aa", "a") && viaLoop("abab") == Seq("ab", "ab"))
   }
+
+  test("dedupScopedEval: scoped dominates global per source; both bounded by pool size; policy arms nest") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, sf, "documents")
+    val ev = Dedup.dedupScopedEval(docs, 0.4)
+    // scoped-only dedup can never drop a doc global dedup keeps (same-source
+    // pairs are a subset of all pairs), so survivors nest per source
+    val bad = ev.filter(col("n_survive_scoped") < col("n_survive_global") ||
+      col("n_survive_global") > col("n_docs") ||
+      col("n_survive_scoped") > col("n_docs"))
+    assert(bad.count() == 0L)
+    // the contrast must actually exist on the fixture (near-dups are
+    // overwhelmingly cross-source by construction)
+    val t = ev.agg(org.apache.spark.sql.functions.sum("n_survive_scoped").as("s"),
+      org.apache.spark.sql.functions.sum("n_survive_global").as("g")).head()
+    assert(t.getLong(0) > t.getLong(1),
+      "degenerate fixture: scoped and global dedup keep identical sets")
+  }
 }
