@@ -114,7 +114,9 @@ object ShardZip {
         // .close() — without this override every entry read leaks native
         // zlib window buffers until the Cleaner runs (review-caught)
         new InflaterInputStream(raw, inf) {
-          override def close(): Unit = try super.close() finally inf.end()
+          // this.inf == the outer inf (same object, passed to the ctor);
+          // the explicit form resolves the Scala-3 legacy-binding ambiguity
+          override def close(): Unit = try super.close() finally this.inf.end()
         }
       case m => throw new IllegalArgumentException(
         s"ShardZip: unsupported compression method $m for '${e.name}'")

@@ -42,7 +42,7 @@ final class PartialKeyCache[K, V](fetch: K => Seq[V],
   // removeEldestEntry fires on insert once the key budget is exceeded
   private val map = new java.util.LinkedHashMap[K, Entry](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, Entry]): Boolean =
-      size() > maxRows
+      this.size() > maxRows // the map's size (explicit: Scala-3 legacy-binding)
   }
   private var fetchCount = 0L
 
