@@ -198,7 +198,10 @@ object Dedup {
     * contrast is real: at sf0.01, 25 verified pairs exist and only 1 is
     * same-source, so the scoped arm keeps ~24 extra docs. */
   def dedupScopedEval(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val pairs = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
+    // the LSH-banded pair table, not the quadratic ngram baseline — this
+    // is a policy-evaluation operator, so its pair mining must be the
+    // production (linear-signature, band-join) path
+    val pairs = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = true) // two policy arms read it; mine once
     val src = docs.select(col("doc_id"), col("source"))
     val bySrc = pairs
@@ -1635,23 +1638,12 @@ object Dedup {
         |)
         |""".stripMargin + Util.wrap(jaccardVerify, Seq("doc_a", "doc_b", "jaccard"))),
 
-    // same verified-pair chain, then the two keeper policies as filters on
-    // the pair set: dropped globally = doc_b of ANY pair; dropped scoped =
+    // the minhash-LSH verified-pair chain (the production mining path the
+    // Spark side uses), then the two keeper policies as filters on the
+    // pair set: dropped globally = doc_b of ANY pair; dropped scoped =
     // doc_b of a same-source pair
-    "doc_dedup_scoped" -> (
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
-        |  WHERE len(words) >= 3
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pr AS (
+    "doc_dedup_scoped" -> (tokCte + minhashChain +
+      """, pr AS (
         |""".stripMargin + jaccardVerify + """
         |), dg AS (SELECT DISTINCT doc_b AS doc_id FROM pr),
         |ds AS (
