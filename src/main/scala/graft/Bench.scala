@@ -122,10 +122,17 @@ object Bench {
       val dt = baseline.get(name) match {
         case Some(base) if first > base * 1.5 && first > 0.3 =>
           val more = Seq(timeOnce(name, fn), timeOnce(name, fn)).filter(_ >= 0)
-          if (more.size == 2) {
-            val med = (first +: more).sorted.apply(1)
+          // median over ALL valid samples collected (first + whichever
+          // re-runs succeeded): with one flaky re-run the surviving sample
+          // still votes, instead of silently degrading to the stalled
+          // original exactly when re-runs are flaky (advisor r9)
+          if (more.nonEmpty) {
+            val all = (first +: more).sorted
+            // lower median: 3 samples -> true median; 2 samples (one flaky
+            // re-run) -> the faster of the two, never the stalled original
+            val med = all((all.size - 1) / 2)
             System.err.println(
-              f"[bench] $name%-24s rerun: ${(first +: more).map(t => f"$t%.2f").mkString("/")} -> median $med%.2f s")
+              f"[bench] $name%-24s rerun: ${all.map(t => f"$t%.2f").mkString("/")} -> median $med%.2f s")
             med
           } else first
         case _ => first

@@ -69,7 +69,36 @@ object RecallProbe {
       "ivfpq_np8" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8)),
       "ivfpq_np8_mod7" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8, codeMod = 7)))
     rows.foreach { case (n, r) => System.err.println(f"[recall] $n%-18s $r%.4f") }
-    val json = rows.map { case (n, r) => "\"" + n + "\":" + r }
+
+    // The sized default path (ivfSizedParams): recall at the derived knobs
+    // must clear the stated target — this row IS the gate the sized
+    // defaults ship behind — plus the measured cost/recall frontier at the
+    // sized nlist: scan fraction = candidate pairs / (nQ × corpus), so
+    // every recall number carries the probe cost it was bought at.
+    val nTot = emb.count()
+    val corpusN = nTot - nQ
+    val (nlist, cmod, sizedNp) = Similarity.ivfSizedParams(nTot, 0.8)
+    def scanFrac(np: Int): Double =
+      math.round(10000.0 * Similarity.ivfCandidateCount(emb, nQ, cmod, np, 2) /
+        (nQ.toDouble * corpusN)) / 10000.0
+    val frontierNp =
+      (Seq(nlist / 8, nlist / 4, nlist / 2, sizedNp, nlist).map(math.max(1, _))
+        ++ Seq(Similarity.ivfSizedParams(nTot, 0.9)._3)).distinct.sorted
+    val frontier = frontierNp.flatMap { np =>
+      val r = recall(Similarity.ivfKmeansTopK(emb, nQ, k, cmod, np, iters = 2))
+      val s = scanFrac(np)
+      System.err.println(f"[recall] ivf_sized np=$np%-3d recall=$r%.4f scan=$s%.4f")
+      Seq(s"ivf_sized_np${np}" -> r, s"ivf_sized_np${np}_scan" -> s)
+    }
+    val sizedMeta = Seq(
+      "ivf_sized_nlist" -> nlist.toDouble, "ivf_sized_cmod" -> cmod.toDouble,
+      "ivf_sized_nprobe" -> sizedNp.toDouble,
+      "ivf_sized_target" -> 0.8,
+      "ivf_sized" -> recall(Similarity.ivfSizedTopK(emb, nQ, k)))
+    sizedMeta.takeRight(1).foreach { case (n, r) =>
+      System.err.println(f"[recall] $n%-18s $r%.4f (target 0.8)") }
+
+    val json = (rows ++ sizedMeta ++ frontier).map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")
     println(json)
     Util.writeJson("RECALL_OUT", "RECALL_LOCAL.json", json)

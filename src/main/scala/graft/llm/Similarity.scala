@@ -462,6 +462,52 @@ object Similarity {
     ivfFrom(e, kmeansCentroids(e, centroidMod, iters), nQueries, k, nprobe)
   }
 
+  /** Corpus-sized IVF parameters — `(nlist, centroidMod, nprobe)` derived
+    * from the corpus size `n` and a recall target, replacing hand-picked
+    * knobs with the rule a production index would ship:
+    *
+    *  - `nlist = max(4, round(√n))` — the FAISS nlist ∝ √N sizing (the r9
+    *    bitext-quantizer lesson, [[bitextMineLsh]]): cells grow with the
+    *    corpus so per-cell population stays √N-ish and neither the
+    *    centroid broadcast nor the largest cell becomes quadratic.
+    *  - `centroidMod = max(1, round(n / nlist))` — the deterministic
+    *    mod-sample seed stride that yields ≈nlist seeds.
+    *  - `nprobe = max(1, ceil(nlist · min(1, 1.15 · target⁴)))` — the scan
+    *    fraction calibrated on the WORST case, an unstructured corpus
+    *    (this fixture's embeddings have no cluster structure: measured
+    *    within-label mean cosine ≈ cross-label ≈ 0), where the measured
+    *    recall-vs-scan frontier fits recall ≈ scan^(1/4); real-world
+    *    clustered embeddings reach the target at a smaller scan, so the
+    *    rule errs safe. Measured here (RECALL_LOCAL.json `ivf_sized_*`):
+    *    target 0.8 → recall@10 = 0.85 at scan 0.48 on sf0.1.
+    *
+    * The scan fraction is snapped to integer ppm BEFORE the ceil so the
+    * JVM and DuckDB land on the same nprobe regardless of libm pow ulps. */
+  def ivfSizedParams(n: Long, targetRecall: Double): (Int, Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    val nlist = math.max(4L, math.round(math.sqrt(n.toDouble)))
+    val cmod = math.max(1L, math.round(n.toDouble / nlist))
+    val scanPpm = math.min(1000000L,
+      math.round(1.15 * math.pow(targetRecall, 4) * 1000000))
+    val nprobe = math.max(1L, (nlist * scanPpm + 999999L) / 1000000L)
+    (nlist.toInt, cmod.toInt, nprobe.toInt)
+  }
+
+  /** The production-default ANN path: [[ivfKmeansTopK]] with EVERY knob
+    * derived from the corpus by [[ivfSizedParams]] — the caller states a
+    * recall target, not index internals. One extra corpus count() at
+    * index-build time buys the sizing; at 100 TB that count rides the
+    * parquet footer statistics. Gated by [[annRecallEval]] /
+    * `RecallProbe`: the sized defaults must measure ≥ the stated target
+    * on the fixture before they ship. */
+  def ivfSizedTopK(emb: DataFrame, nQueries: Int, k: Int,
+                   targetRecall: Double = 0.8, iters: Int = 2): DataFrame = {
+    val (_, cmod, nprobe) = ivfSizedParams(emb.count(), targetRecall)
+    val e = normed(emb).localCheckpoint(true)
+    ivfFrom(e, kmeansCentroids(e, cmod, iters), nQueries, k, nprobe)
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into cells by
     * nearest centroid, probe only the query's `nprobe` best cells, rescore
     * exactly inside them.
@@ -519,6 +565,20 @@ object Similarity {
       assignToCells(e.filter(col("vec_id") >= nQueries), cent),
       k, Seq("cid"))
 
+  /** Diagnostic for [[graft.RecallProbe]]'s cost/recall frontier: the
+    * number of (query, candidate) pairs the IVF probe join actually scores
+    * at the given knobs — the measured probe cost the recall is bought at
+    * (scan fraction = this / (nQueries × corpus)). */
+  private[graft] def ivfCandidateCount(emb: DataFrame, nQueries: Int,
+                                       centroidMod: Int, nprobe: Int,
+                                       iters: Int): Long = {
+    val e = normed(emb).localCheckpoint(true)
+    val cent = kmeansCentroids(e, centroidMod, iters)
+    probesOf(e.filter(col("vec_id") < nQueries), cent, nprobe)
+      .join(assignToCells(e.filter(col("vec_id") >= nQueries), cent), Seq("cid"))
+      .count()
+  }
+
   /** Materialize the reusable IVF index — the [[graft.llm.Dedup.writeNearDupIndex]]
     * pattern for the ANN path: k-means-refined centroids and the corpus's
     * cell assignment, both parquet. The corpus is scanned once at
@@ -533,6 +593,31 @@ object Similarity {
     val cent = kmeansCentroids(e, centroidMod, iters)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     assignToCells(e, cent).write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** [[writeIvfIndex]] with [[ivfSizedParams]] defaults: the index is
+    * built at the corpus-derived nlist and the derived nprobe is stored
+    * WITH the index (a one-row `params` parquet), so query batches probe
+    * at the recall the index was sized for without the caller re-deriving
+    * knobs — the index artifact carries its own contract. */
+  def writeIvfIndexSized(corpus: DataFrame, path: String,
+                         targetRecall: Double = 0.8, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (nlist, cmod, nprobe) = ivfSizedParams(corpus.count(), targetRecall)
+    writeIvfIndex(corpus, path, cmod, iters)
+    Seq((nlist, cmod, nprobe, targetRecall))
+      .toDF("nlist", "centroid_mod", "nprobe", "target_recall")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** ANN top-k against a [[writeIvfIndexSized]] index at the stored
+    * nprobe — the stored-index twin of [[ivfSizedTopK]]. */
+  def ivfTopKAgainstIndexSized(queries: DataFrame, path: String,
+                               k: Int): DataFrame = {
+    val nprobe = queries.sparkSession.read.parquet(s"$path/params")
+      .select("nprobe").head().getInt(0)
+    ivfTopKAgainstIndex(queries, path, k, nprobe)
   }
 
   /** ANN top-k for a fresh query batch against a stored [[writeIvfIndex]]
@@ -1219,6 +1304,7 @@ object Similarity {
     "emb_drift_ref" -> ((s, dir) => Util.orderAll(embDriftRef(emb(s, dir)))),
     "ann_ivf"   -> ((s, dir) => Util.orderAll(ivfTopK(emb(s, dir), 5, 10))),
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
+    "ann_ivf_sized" -> ((s, dir) => Util.orderAll(ivfSizedTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
     "ann_ivfpq" -> ((s, dir) => Util.orderAll(ivfPqTopK(emb(s, dir), 5, 10))),
     // threshold 0.35: the fixture's highest within-cell cosine is 0.472
@@ -1765,6 +1851,54 @@ object Similarity {
         |), probes AS (
         |  SELECT vec_id AS query_id, v AS va, nrm AS na, cid
         |  FROM ranked WHERE vec_id < 5 AND crk <= 2
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT query_id, neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / (na * nb), 6) DESC,
+          |               neighbor_id ASC) AS rk
+          |  FROM probes JOIN cells USING (cid)
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // the sized default path: every knob derived from count(*) inside the
+    // query — nlist = max(4, round(sqrt(n))), seed stride = round(n/nlist),
+    // nprobe = ceil(nlist * scan_ppm/1e6) with scan_ppm = the ppm-snapped
+    // 1.15*0.8^4 calibration — then the ann_ivf_kmeans chain (two unrolled
+    // Lloyd's steps) at those derived knobs. Integer ppm + integer-ceil
+    // division keep both engines on identical (cmod, nprobe) at every SF.
+    "ann_ivf_sized" -> (normCte +
+      """, prm AS (
+        |  SELECT nlist,
+        |    greatest(1, CAST(round(cnt / nlist) AS BIGINT)) AS cmod,
+        |    greatest(1, (nlist * least(1000000, CAST(round(1.15 * pow(0.8, 4) * 1000000) AS BIGINT)) + 999999) // 1000000) AS nprobe
+        |  FROM (
+        |    SELECT greatest(4, CAST(round(sqrt(cnt)) AS BIGINT)) AS nlist, cnt
+        |    FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM n) c0
+        |  ) c1
+        |), cent0 AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n, prm
+        |  WHERE vec_id % prm.cmod = 0
+        |)
+        |""".stripMargin +
+      lloydIter("cent0", "sasg1", "scent1") +
+      lloydIter("scent1", "sasg2", "scent2") +
+      """, ranked AS (
+        |  SELECT vec_id, v, nrm, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+        |  FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+        |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]))
+        |        / (n.nrm * c.cnrm), 6) AS csim
+        |    FROM n CROSS JOIN scent2 c
+        |  ) s
+        |), cells AS (
+        |  SELECT vec_id AS neighbor_id, v AS vb, nrm AS nb, cid
+        |  FROM ranked WHERE vec_id >= 5 AND crk = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, v AS va, nrm AS na, cid
+        |  FROM ranked, prm WHERE vec_id < 5 AND crk <= prm.nprobe
         |)
         |""".stripMargin + Util.wrap(
         """SELECT query_id, neighbor_id, cosine, rk FROM (

@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.DataFrame
+
+/** Specs for the round-10 work: the recall-sized ANN default path
+  * (ivfSizedParams / ivfSizedTopK / the sized stored index) and the
+  * mine-once/report-many dedup report index. Fixture oracle parity stays
+  * the driver's DuckDB gate; these pin the sizing arithmetic, the
+  * probe-all anchor, and the stored-artifact contracts the oracle can't
+  * isolate. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfSizedParams: exact knobs at the fixture sizes, ppm-snapped scan, monotone in target, probe-all at target 1.0") {
+    // the values the oracle SQL must land on at each SF (hand-checked:
+    // nlist = round(sqrt n), cmod = round(n/nlist), scan_ppm(0.8) = 471040)
+    assert(Similarity.ivfSizedParams(2000L, 0.8) == ((45, 44, 22)))
+    assert(Similarity.ivfSizedParams(500L, 0.8) == ((22, 23, 11)))
+    assert(Similarity.ivfSizedParams(500L, 0.9) == ((22, 23, 17)))
+    // target 1.0 caps scan at 1 => nprobe == nlist (probe-all)
+    val (nl, _, np) = Similarity.ivfSizedParams(2000L, 1.0)
+    assert(np == nl)
+    // nprobe is monotone in the recall target; nlist/cmod are not affected
+    val byTarget = Seq(0.5, 0.7, 0.8, 0.9, 1.0)
+      .map(t => Similarity.ivfSizedParams(2000L, t))
+    assert(byTarget.map(_._3) == byTarget.map(_._3).sorted)
+    assert(byTarget.map(p => (p._1, p._2)).distinct.size == 1)
+    // nlist grows ~ sqrt(n): 100x the corpus, ~10x the cells — the rule
+    // that keeps per-cell population and the centroid broadcast sublinear
+    val small = Similarity.ivfSizedParams(10000L, 0.8)._1
+    val big = Similarity.ivfSizedParams(1000000L, 0.8)._1
+    assert(big == 1000 && small == 100)
+  }
+
+  test("ivfSizedTopK at target 1.0 is exactly brute force (probe-all anchor)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    // scan fraction 1.0 => nprobe == nlist >= surviving #cells, so every
+    // cell is probed and the rescore set is the full corpus — the same
+    // anchor trick as the stored-index probe-all spec
+    assert(rows(Similarity.ivfSizedTopK(emb, 5, 10, targetRecall = 1.0)) ==
+      rows(Similarity.bruteForceTopK(emb, 5, 10)))
+  }
+
+  test("sized stored IVF index: params parquet carries the derived knobs; the sized query path probes at the stored nprobe") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter($"vec_id" >= 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfidx-sized").toString
+    Similarity.writeIvfIndexSized(corpus, idx)
+    val p = spark.read.parquet(s"$idx/params")
+      .select("nlist", "centroid_mod", "nprobe").head()
+    val expected = Similarity.ivfSizedParams(corpus.count(), 0.8)
+    assert((p.getInt(0), p.getInt(1), p.getInt(2)) == expected,
+      s"stored params ${p} != derived $expected")
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Similarity.ivfTopKAgainstIndexSized(queries, idx, 10)) ==
+      rows(Similarity.ivfTopKAgainstIndex(queries, idx, 10, expected._3)))
+  }
+}
