@@ -52,6 +52,11 @@ if os.path.exists(manifest_path):
 skipped = []
 manifest_fails = fails
 for name, sql in sorted(oracle.items()):
+    # a crashed query is already reported as a FAIL above; a stale parquet
+    # dir surviving from a previous dump into the same outDir must not get
+    # it double-counted (crash FAIL + stale-data compare) — advisor r9
+    if name in crashed:
+        continue
     if not os.path.isdir(f"{OUT}/{name}"):
         if expected is not None and name in expected and name not in crashed:
             print(f"FAIL {name}: attempted per manifest but no parquet in outDir")

@@ -61,13 +61,25 @@ object RecallProbe {
       "pq_mod61" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 61)),
       "pq_mod23" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 23)),
       "pq_mod7" -> recall(Similarity.pqTopK(emb, nQ, k, codeMod = 7)),
+      // PQ + exact re-rank (FAISS refine): recall is "true neighbor in the
+      // PQ top k·refine", the production fix for PQ's coarse ranking; the
+      // refine ladder records how fast it converges and what it costs
+      // (exact-vector reads per query = k·refine)
+      "pq_refine4" -> recall(Similarity.pqRefineTopK(emb, nQ, k, refine = 4)),
+      "pq_refine16" -> recall(Similarity.pqRefineTopK(emb, nQ, k, refine = 16)),
+      "pq_refine64" -> recall(Similarity.pqRefineTopK(emb, nQ, k, refine = 64)),
       // IVFPQ composes both knobs: nprobe widens the scanned cells, codeMod
       // refines the residual codebook — at equal codeMod vs plain PQ the
       // delta is pure residual-quantization gain
       "ivfpq_np2" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 2)),
       "ivfpq_np4" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 4)),
       "ivfpq_np8" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8)),
-      "ivfpq_np8_mod7" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8, codeMod = 7)))
+      "ivfpq_np8_mod7" -> recall(Similarity.ivfPqTopK(emb, nQ, k, nprobe = 8, codeMod = 7)),
+      // IVF-PQ + exact re-rank: ceiling = the probed cells' coverage (the
+      // IVF arm's own recall at the same nprobe) — refine recovers the PQ
+      // quantization loss inside it
+      "ivfpq_np8_refine16" -> recall(Similarity.ivfPqRefineTopK(emb, nQ, k, nprobe = 8, refine = 16)),
+      "ivfpq_np8_refine64" -> recall(Similarity.ivfPqRefineTopK(emb, nQ, k, nprobe = 8, refine = 64)))
     rows.foreach { case (n, r) => System.err.println(f"[recall] $n%-18s $r%.4f") }
 
     // The sized default path (ivfSizedParams): recall at the derived knobs

@@ -60,7 +60,60 @@ object StreamBench {
     val dt = (System.nanoTime() - t0) / 1e9
     q.stop()
     val outRows = spark.read.parquet(out).count()
-    println(f"""{"metric":"stream_rows_per_sec","value":${fed / dt}%.0f,"unit":"rows/s","in_rows":$fed,"out_rows":$outRows,"batches":$nBatches,"sec":$dt%.2f}""")
+
+    // ---- stateful-twin state-scale arm: #keys × provider matrix ----
+    // The CDR pipeline above is stateless per micro-batch (broadcast joins
+    // + per-batch argmax); the flatMapGroupsWithState twins are where
+    // streaming STATE scales with the key space. Measure StreamingCdc (the
+    // O(1)-state-per-key twin) at K and 10K keys under the default
+    // (HDFS-backed, on-heap) provider and under RocksDB — the production
+    // store once keys outgrow the heap. Local caveat recorded with the
+    // numbers: at these key counts both stores fit in memory, so RocksDB
+    // shows its per-access overhead, not its scale win; the row exists to
+    // pin that the twins RUN under RocksDB at 10× keys and what the
+    // overhead costs, not to claim a local speedup.
+    val baseKeys = sys.env.getOrElse("SPARK_GRAFT_STATE_KEYS", "20000").toLong
+    def cdcStateBench(provider: Option[String], keys: Long, batches: Int): Double = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider match {
+        case Some(p) => spark.conf.set(key, p)
+        case None    => spark.conf.unset(key)
+      }
+      try {
+        val memc = MemoryStream[(Long, java.sql.Timestamp, Long, Double, String)](spark)
+        val qc = graft.streaming.StreamingCdc.run(
+            memc.toDF().toDF("user_id", "ts", "event_id", "value", "event_type"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", Files.createTempDirectory("graft-sb-cdc").toString)
+          .format("noop").start()
+        def batchRows(b: Long) = (0L until keys).map { k =>
+          (k, new java.sql.Timestamp(1700000000000L + b * 1000L),
+            b * keys + k, k.toDouble, if (k % 97 == 0) "error" else "view")
+        }
+        try {
+          memc.addData(batchRows(0)) // warm: state creation + codegen
+          qc.processAllAvailable()
+          val t = System.nanoTime()
+          (1 to batches).foreach { b =>
+            memc.addData(batchRows(b.toLong)); qc.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t) / 1e9
+          (keys * batches) / sec
+        } finally qc.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    val rocksDb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val cdcMem1 = cdcStateBench(None, baseKeys, 3)
+    val cdcMem10 = cdcStateBench(None, baseKeys * 10, 3)
+    val cdcRdb1 = cdcStateBench(Some(rocksDb), baseKeys, 3)
+    val cdcRdb10 = cdcStateBench(Some(rocksDb), baseKeys * 10, 3)
+
+    println(f"""{"metric":"stream_rows_per_sec","value":${fed / dt}%.0f,"unit":"rows/s","in_rows":$fed,"out_rows":$outRows,"batches":$nBatches,"sec":$dt%.2f,"state_keys":$baseKeys,"cdc_hdfs_rows_per_sec":$cdcMem1%.0f,"cdc_hdfs_x10keys_rows_per_sec":$cdcMem10%.0f,"cdc_rocksdb_rows_per_sec":$cdcRdb1%.0f,"cdc_rocksdb_x10keys_rows_per_sec":$cdcRdb10%.0f}""")
     spark.stop()
   }
 }

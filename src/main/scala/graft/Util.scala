@@ -1,10 +1,26 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Shared helpers for driver-checkable queries. */
 object Util {
+
+  /** SIZE-CONDITIONAL broadcast hint — the one safety-relevant broadcast
+    * convention shared by every dim-join in the repo (CdrPipeline,
+    * StreamingLinkage): known-small → hint; known-big → unhinted (graceful
+    * degrade to Catalyst's own strategy instead of a 3am broadcast OOM);
+    * UNKNOWN (stats at the `defaultSizeInBytes` sentinel — e.g. a raw
+    * stats-less `spark.read.jdbc` dim) → hint, preserving the pipeline's
+    * no-exchange contract on the fact stream, which is what the
+    * unconditional hint guaranteed and what a stats-blind drop would
+    * silently shuffle every micro-batch. Reads plan stats — no Spark job. */
+  def broadcastIfSmall(dim: DataFrame, maxBytes: Long): DataFrame = {
+    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown =
+      size >= BigInt(dim.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (unknown || size <= BigInt(maxBytes)) broadcast(dim) else dim
+  }
 
   /** Shared measurement-JSON persistence for the diagnostic mains (Bench /
     * ScaleStress / RecallProbe): stdout tails get truncated by the driver's

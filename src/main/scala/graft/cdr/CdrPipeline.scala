@@ -66,22 +66,13 @@ object CdrPipeline {
   val DimBroadcastMaxBytes: Long = 256L << 20
 
   /** Emit the `broadcast()` hint unless Catalyst's size estimate of the dim
-    * plan DEMONSTRATES the dim exceeds `maxBytes`. Tri-state on purpose:
-    * known-small → hint; known-big → unhinted (graceful degrade to
-    * Catalyst's own strategy instead of a 3am broadcast OOM); UNKNOWN
-    * (stats at the `defaultSizeInBytes` sentinel — e.g. a raw stats-less
-    * `spark.read.jdbc` dim) → hint, preserving the pipeline's no-exchange
-    * contract on the CDR fact stream, which is what the unconditional hint
-    * guaranteed and what a stats-blind drop would silently shuffle every
-    * micro-batch. Dims routed through `DimensionCache` count eagerly, so a
-    * genuinely oversized dim always reaches the known-big arm there. Reads
-    * plan stats — no Spark job. */
-  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame = {
-    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknown =
-      size >= BigInt(dim.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (unknown || size <= BigInt(maxBytes)) broadcast(dim) else dim
-  }
+    * plan DEMONSTRATES the dim exceeds `maxBytes` — the shared tri-state
+    * convention, [[graft.Util.broadcastIfSmall]] (one definition; the
+    * streaming linkage dim join uses the same one, so the safety logic
+    * can't drift). Dims routed through `DimensionCache` count eagerly, so
+    * a genuinely oversized dim always reaches the known-big arm there. */
+  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame =
+    graft.Util.broadcastIfSmall(dim, maxBytes)
 
   /** J1/J2 + P6: subscriber lookup join on `imsi` with coalesce-merge
     * (EnrichmentApp.java:300-318, EnrichmentAppWithoutExplode.java:275-293).

@@ -203,6 +203,15 @@ object Dedup {
     // production (linear-signature, band-join) path
     val pairs = minhashLsh(docs, threshold).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(eager = true) // two policy arms read it; mine once
+    scopedEvalFromPairs(pairs, docs)
+  }
+
+  /** [[dedupScopedEval]] body over an ALREADY-MINED pair table — the
+    * consumer form of the mine-once/report-many convention
+    * ([[writeDedupArtifact]]): policy evaluation over a 100 TB corpus is
+    * two filters over a stored parquet artifact, never a re-mine. */
+  def scopedEvalFromPairs(pairsIn: DataFrame, docs: DataFrame): DataFrame = {
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
     val src = docs.select(col("doc_id"), col("source"))
     val bySrc = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
@@ -662,6 +671,52 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/sidfreq")
   }
 
+  /** Mine ONCE, report many: materialize the verified near-dup artifact —
+    * the LSH-verified pair table `(doc_a, doc_b, jaccard)` and the CC
+    * cluster labels `(doc_id, cluster)` — as parquet. Every report in the
+    * dedup family (keep / keep-best / cluster terms / triangles /
+    * attribution / scoped policy eval / pagerank) is a consumer of this
+    * artifact: at 100 TB the corpus is shingled and banded exactly once
+    * per curation run, and each report is a join/agg over a pair table
+    * ~10⁶× smaller than the corpus. The `*FromPairs`/`*FromClusters`
+    * forms above are the consumer bodies; the recompute forms delegate to
+    * the SAME bodies, so stored-vs-recompute parity is structural, not
+    * coincidental (spec-asserted hash-equal anyway). */
+  def writeDedupArtifact(docs: DataFrame, path: String, threshold: Double): Unit = {
+    val pairs = minhashLsh(docs, threshold).localCheckpoint(eager = true)
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    // cluster labels derive from the just-mined pairs — the corpus is NOT
+    // re-shingled for the CC pass; docs contributes only the node id set
+    clustersFromPairs(docs, pairs)
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** Per-JVM memoized [[writeDedupArtifact]] store, keyed on
+    * (corpus dir, threshold): the first `dedup_stored_*` query of a
+    * Verify/Bench/test session mines and writes; every later consumer
+    * reads parquet. This is the harness-side stand-in for the production
+    * convention where the curation run's artifact lives at a well-known
+    * warehouse path. */
+  private val artifactDirs =
+    scala.collection.mutable.HashMap.empty[(String, Double), String]
+  def dedupArtifact(s: SparkSession, dir: String, threshold: Double): String =
+    artifactDirs.synchronized {
+      artifactDirs.getOrElseUpdate((dir, threshold), {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-dedup-artifact").toString
+        writeDedupArtifact(Tables.documents(s, dir), p, threshold)
+        p
+      })
+    }
+
+  /** The stored artifact's pair side, read back. */
+  def storedPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    s.read.parquet(s"${dedupArtifact(s, dir, threshold)}/pairs")
+
+  /** The stored artifact's cluster-label side, read back. */
+  def storedClusters(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    s.read.parquet(s"${dedupArtifact(s, dir, threshold)}/clusters")
+
   /** Which documents of `newDocs` near-duplicate the indexed corpus —
     * [[incrementalMinhash]] semantics (per new doc: match count, best
     * Jaccard, the partner achieving it) at per-increment cost: the corpus
@@ -711,9 +766,16 @@ object Dedup {
     * their own id. This is the operator that turns pairwise dedup output
     * into per-document keep/drop decisions at corpus scale — see
     * [[graft.operators.ConnectedComponents]] for the iteration shape. */
-  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val edges = minhashLsh(docs, threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame =
+    clustersFromPairs(docs, minhashLsh(docs, threshold))
+
+  /** [[dedupClusters]] body over an already-mined pair table (the
+    * mine-once/report-many consumer form): CC labeling is a graph
+    * computation over the verified pair set, never a reason to re-shingle
+    * the corpus. `docs` contributes ONLY `doc_id` (the node set, so
+    * singletons keep their own label). */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val nodes = docs.select(col("doc_id").as("id"))
     graft.operators.ConnectedComponents(nodes, edges)
       .select(col("id").as("doc_id"), col("label").as("cluster"))
@@ -725,7 +787,12 @@ object Dedup {
     * dropped from the corpus — pairs → clusters → THIS is the actual
     * dedup a training-data pipeline executes. */
   def dedupKeep(docs: DataFrame, threshold: Double): DataFrame =
-    dedupClusters(docs, threshold)
+    keepFromClusters(dedupClusters(docs, threshold))
+
+  /** [[dedupKeep]] body over an already-labeled cluster table — a single
+    * aggregation over the stored artifact's `clusters` side. */
+  def keepFromClusters(clusters: DataFrame): DataFrame =
+    clusters
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("cluster_size"))
       .select(col("cluster").as("doc_id"), col("cluster_size"))
@@ -745,10 +812,16 @@ object Dedup {
     * LSH-quasi-clique-sized, never corpus-sized. The quality micro-snap
     * makes the argmax key integer-exact, so both engines elect the same
     * keeper without an FP tie hazard. */
-  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame = {
+  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame =
+    keepBestFromClusters(dedupClusters(docs, threshold), docs)
+
+  /** [[dedupKeepBest]] body over an already-labeled cluster table. `docs`
+    * is read ONLY for the quality score — text never enters the mining
+    * path again; the cluster-keyed window is the same single shuffle. */
+  def keepBestFromClusters(clusters: DataFrame, docs: DataFrame): DataFrame = {
     val byQ = Window.partitionBy("cluster")
       .orderBy(col("qm").desc, col("doc_id").asc)
-    dedupClusters(docs, threshold)
+    clusters
       .join(TextAnalysis.qualityMicro(docs), "doc_id")
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster")))
@@ -1212,8 +1285,13 @@ object Dedup {
     * (cluster, term), df on term; the top-k rank is a WindowGroupLimit
     * candidate (per-partition pre-trim) like every other rank-filter in
     * the repo. */
-  def clusterTerms(docs: DataFrame, threshold: Double, topK: Int): DataFrame = {
-    val clusters = dedupClusters(docs, threshold)
+  def clusterTerms(docs: DataFrame, threshold: Double, topK: Int): DataFrame =
+    clusterTermsFrom(dedupClusters(docs, threshold), docs, topK)
+
+  /** [[clusterTerms]] body over an already-labeled cluster table — the
+    * mine-once consumer form; `docs` feeds only the tf explode (the report
+    * needs the text), the cluster labels come from the stored artifact. */
+  def clusterTermsFrom(clusters: DataFrame, docs: DataFrame, topK: Int): DataFrame = {
     val multi = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1).select("cluster")
     val member = clusters.join(broadcast(multi), "cluster")
@@ -1282,9 +1360,16 @@ object Dedup {
     * invariant. The near-dup graph here is LSH-candidate-bounded, so even
     * id-orientation has no hot node by construction.
     */
-  def triangleCounts(docs: DataFrame, threshold: Double): DataFrame = {
-    val e = minhashLsh(docs, threshold).select("doc_a", "doc_b")
-      .localCheckpoint(eager = true)
+  def triangleCounts(docs: DataFrame, threshold: Double): DataFrame =
+    trianglesFromPairs(minhashLsh(docs, threshold).select("doc_a", "doc_b")
+      .localCheckpoint(eager = true))
+
+  /** [[triangleCounts]] body over an already-mined pair table. The input
+    * must be oriented doc_a < doc_b (both [[minhashLsh]] and the stored
+    * artifact guarantee it); three self-joins of a stored parquet table,
+    * zero corpus scans. */
+  def trianglesFromPairs(pairs: DataFrame): DataFrame = {
+    val e = pairs.select("doc_a", "doc_b")
     val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
@@ -1376,9 +1461,14 @@ object Dedup {
     * attribution adds two broadcast-able doc→source joins (two narrow
     * columns) and a rollup keyed on source pairs — cardinality |sources|²,
     * tiny. The distinct-doc count shuffles pair-set-sized data, not corpus. */
-  def dupAttribution(docs: DataFrame, threshold: Double): DataFrame = {
+  def dupAttribution(docs: DataFrame, threshold: Double): DataFrame =
+    attributionFromPairs(minhashLsh(docs, threshold), docs)
+
+  /** [[dupAttribution]] body over an already-mined pair table (must carry
+    * `jaccard`); `docs` contributes only the two narrow doc→source joins. */
+  def attributionFromPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val lab = minhashLsh(docs, threshold)
+    val lab = pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
       .withColumn("source_a", least(col("sa"), col("sb")))
@@ -1449,6 +1539,37 @@ object Dedup {
     "doc_dedup_embedding_lsh_multi" -> ((s, dir) => Util.orderAll(embeddingPairsLshMulti(emb(s, dir), 0.35))),
     "doc_dedup_embedding_clusters" -> ((s, dir) => Util.orderAll(embeddingClusters(emb(s, dir), 0.35))),
     "doc_dedup_embedding_keep" -> ((s, dir) => Util.orderAll(embeddingKeep(emb(s, dir), 0.35))),
+
+    // ---- mine once, report many: the stored-artifact consumer family ----
+    // `dedup_artifact` mines + writes the artifact once per session (and
+    // returns the pair table read BACK from the store, so in the
+    // alphabetically-ordered bench the one-time mining cost lands on this
+    // row); every `dedup_stored_*` consumer below reads the same artifact
+    // and never re-shingles — spec-asserted (StoredDedupSpec) hash-equal
+    // to its recompute form and plan-asserted scan-of-parquet-only.
+    "dedup_artifact" -> ((s, dir) => Util.orderAll(
+      storedPairs(s, dir, 0.4))),
+    "dedup_stored_attribution" -> ((s, dir) => Util.orderAll(
+      attributionFromPairs(storedPairs(s, dir, 0.4), docs(s, dir)))),
+    "dedup_stored_clusters" -> ((s, dir) => Util.orderAll(
+      storedClusters(s, dir, 0.4))),
+    "dedup_stored_keep" -> ((s, dir) => Util.orderAll(
+      keepFromClusters(storedClusters(s, dir, 0.4)))),
+    "dedup_stored_keep_best" -> ((s, dir) => Util.orderAll(
+      keepBestFromClusters(storedClusters(s, dir, 0.4), docs(s, dir)))),
+    "dedup_stored_pagerank" -> ((s, dir) => {
+      val edges = storedPairs(s, dir, 0.4)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Util.orderAll(graft.operators.PageRank(
+        docs(s, dir).select(col("doc_id").as("id")), edges, 3)
+        .select(col("id").as("doc_id"), col("pr_micro")))
+    }),
+    "dedup_stored_scoped" -> ((s, dir) => Util.orderAll(
+      scopedEvalFromPairs(storedPairs(s, dir, 0.4), docs(s, dir)))),
+    "dedup_stored_terms" -> ((s, dir) => Util.orderAll(
+      clusterTermsFrom(storedClusters(s, dir, 0.4), docs(s, dir), 3))),
+    "dedup_stored_triangles" -> ((s, dir) => Util.orderAll(
+      trianglesFromPairs(storedPairs(s, dir, 0.4)))),
   )
 
   /** One SNM pass as suffix-named CTEs (`pairs_$sfx` is the verified pair
@@ -1609,7 +1730,27 @@ object Dedup {
          |)
          |""".stripMargin
 
-  def oracle: Map[String, String] = Map(
+  /** Stored-consumer oracle aliases: each `dedup_stored_*` query is
+    * hash-equal to its recompute form by construction (same consumer body,
+    * pair table from parquet instead of a fresh mine), so it shares that
+    * form's oracle SQL verbatim — one SQL definition per semantics, no
+    * second chain to drift. */
+  private[graft] val storedOracleAlias = Map(
+    "dedup_artifact"           -> "doc_dedup_minhash",
+    "dedup_stored_attribution" -> "doc_dup_attribution",
+    "dedup_stored_clusters"    -> "doc_dedup_clusters",
+    "dedup_stored_keep"        -> "doc_dedup_keep",
+    "dedup_stored_keep_best"   -> "doc_dedup_keep_best",
+    "dedup_stored_pagerank"    -> "doc_dedup_pagerank",
+    "dedup_stored_scoped"      -> "doc_dedup_scoped",
+    "dedup_stored_terms"       -> "doc_cluster_terms",
+    "dedup_stored_triangles"   -> "doc_dedup_triangles",
+  )
+
+  def oracle: Map[String, String] =
+    oracleBase ++ storedOracleAlias.map { case (k, v) => k -> oracleBase(v) }
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "doc_dedup_pagerank" -> (pagerankCte + Util.wrap(
       "SELECT id AS doc_id, pr AS pr_micro FROM it3",
       Seq("doc_id", "pr_micro"))),

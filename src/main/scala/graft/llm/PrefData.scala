@@ -62,6 +62,29 @@ object PrefData {
       .filter(col("chosen_doc") =!= col("rejected_doc") &&
         col("margin_micro") >= MinMarginMicro)
 
+  /** DPO pairs pooled by PROMPT TEMPLATE — the real post-training shape:
+    * "N sampled responses to one prompt" means the pool key is the prompt
+    * skeleton, not the (source, lang) provenance stand-in. Composes the
+    * [[templateDedup]] key (same [[templateCol]] normalization, so the
+    * template-dedup report and the pair construction agree on what "one
+    * prompt" is) with the [[prefPairs]] struct-min/max aggregation: still
+    * ONE map-side-combined pass keyed on the template — at 100 TB the
+    * prompt id is the natural partitioner and no per-pool sort exists.
+    * Single-doc templates can't clear `chosen ≠ rejected` and drop out,
+    * mirroring templateDedup's `n_docs > 1` gate. */
+  def prefPairsByTemplate(docs: DataFrame, k: Int = 4): DataFrame =
+    TextAnalysis.qualityMicroKeyed(
+        docs.withColumn("template", templateCol(k)), Seq("template"))
+      .groupBy(col("template"))
+      .agg(max(struct(col("qm"), col("doc_id"))).as("c"),
+        min(struct(col("qm"), col("doc_id"))).as("r"))
+      .select(col("template"),
+        col("c.doc_id").as("chosen_doc"), col("r.doc_id").as("rejected_doc"),
+        col("c.qm").as("chosen_qm"), col("r.qm").as("rejected_qm"),
+        (col("c.qm") - col("r.qm")).as("margin_micro"))
+      .filter(col("chosen_doc") =!= col("rejected_doc") &&
+        col("margin_micro") >= MinMarginMicro)
+
   /** Rejection sampling / best-of-n: the top `n` candidates per pool by
     * (quality, doc_id) with their rank — what a reward-model distillation
     * step consumes. The rank ≤ n filter prunes the pool before anything
@@ -99,6 +122,10 @@ object PrefData {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pref_pairs" -> ((s, dir) => Util.orderAll(prefPairs(docs(s, dir)))),
+    // k=2: the fixture's synthetic texts share 2-token openers far more
+    // than 4-token ones (93 margin-clearing pairs vs 1 at k=4) — the
+    // 1-row k=4 check would be near-vacuous
+    "pref_pairs_template" -> ((s, dir) => Util.orderAll(prefPairsByTemplate(docs(s, dir), k = 2))),
     "pref_bestofn" -> ((s, dir) => Util.orderAll(bestOfN(docs(s, dir)))),
     "doc_template_dedup" -> ((s, dir) => Util.orderAll(templateDedup(docs(s, dir)))))
 
@@ -125,6 +152,28 @@ object PrefData {
              |FROM c JOIN r USING (source, lang)
              |WHERE chosen_doc <> rejected_doc AND chosen_qm - rejected_qm >= $MinMarginMicro""".stripMargin,
           Seq("source", "lang", "chosen_doc"))}""".stripMargin),
+
+    // same min/max-rank construction as pref_pairs, pooled on the
+    // doc_template_dedup key expression — one template normalization on
+    // both engines (the SQL below is the templateDedup oracle's key verbatim)
+    "pref_pairs_template" -> (s"""WITH q AS (
+       |  SELECT lower(regexp_replace(array_to_string(string_split(text, ' ')[1:2], ' '),
+       |      '[0-9]+', '0', 'g')) AS template,
+       |    doc_id, ${TextAnalysis.qsMicroSql} AS qm
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY template ORDER BY qm DESC, doc_id DESC) AS rc,
+       |    row_number() OVER (PARTITION BY template ORDER BY qm ASC, doc_id ASC) AS rr
+       |  FROM q
+       |), c AS (SELECT template, doc_id AS chosen_doc, qm AS chosen_qm FROM ranked WHERE rc = 1),
+       |   r AS (SELECT template, doc_id AS rejected_doc, qm AS rejected_qm FROM ranked WHERE rr = 1)
+       |${Util.wrap(
+          s"""SELECT template, chosen_doc, rejected_doc, chosen_qm, rejected_qm,
+             |  chosen_qm - rejected_qm AS margin_micro
+             |FROM c JOIN r USING (template)
+             |WHERE chosen_doc <> rejected_doc AND chosen_qm - rejected_qm >= $MinMarginMicro""".stripMargin,
+          Seq("template", "chosen_doc"))}""".stripMargin),
 
     "pref_bestofn" -> (scoredCte + s"""
        |${Util.wrap(

@@ -703,8 +703,10 @@ object Similarity {
     * broadcast. Exact-integer micro-unit distances everywhere — the sum of
     * m table entries is exact Long arithmetic, so no float summation order
     * exists and ranking (approx ASC, neighbor ASC) is deterministic. */
-  def pqTopK(emb: DataFrame, nQueries: Int, k: Int, codeMod: Int = 61): DataFrame = {
-    val e = normed(emb)
+  def pqTopK(emb: DataFrame, nQueries: Int, k: Int, codeMod: Int = 61): DataFrame =
+    pqTopKFrom(normed(emb), nQueries, k, codeMod)
+
+  private def pqTopKFrom(e: DataFrame, nQueries: Int, k: Int, codeMod: Int): DataFrame = {
     val cb = pqCodebook(e, codeMod)
     val codes = pqEncode(pqSubvectors(e.filter(col("vec_id") >= nQueries)), cb)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cid"))
@@ -719,6 +721,35 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
+  }
+
+  /** PQ-ADC with EXACT re-rank (the FAISS IndexRefineFlat composition —
+    * Jégou et al. 2011 §V.A "re-ranking with source coding"): the PQ code
+    * scan is a cheap FILTER, not the final ranking. Stage 1 ranks the
+    * whole corpus by approximate ADC distance and keeps `k·refine`
+    * candidates per query; stage 2 rescores ONLY those candidates with
+    * exact cosine and re-ranks under the shared [[cosineTopK]] contract.
+    * This is the standard production fix for PQ's coarse top-k (4
+    * subspaces of 16-dim codes can't order close neighbors): recall is
+    * set by "is the true neighbor anywhere in the PQ top k·refine", which
+    * converges to 1 far faster than PQ@k itself, while exact-vector reads
+    * stay k·refine per query instead of corpus-sized.
+    *
+    * Scale shape: stage 1 is the linear code scan (corpus contributes
+    * 4-int codes only); stage 2 joins the (queries × k·refine) candidate
+    * table — broadcast-sized by construction — against the corpus vectors
+    * on vec_id, so full vectors are read exactly for candidates, the
+    * ranked-retrieval analogue of the LSH verify join. Output schema and
+    * tie rules are [[bruteForceTopK]]'s, so recall eval slots in
+    * unchanged. */
+  def pqRefineTopK(emb: DataFrame, nQueries: Int, k: Int,
+                   codeMod: Int = 61, refine: Int = 16): DataFrame = {
+    // localCheckpoint: the normed corpus feeds the PQ stage (codebook,
+    // encode, query tables) AND the exact rescore — one materialization
+    val e = normed(emb).localCheckpoint(eager = true)
+    val cand = pqTopKFrom(e, nQueries, k * refine, codeMod)
+      .select(col("query_id"), col("neighbor_id"))
+    exactReRank(e, cand, nQueries, k)
   }
 
   /** IVF-PQ ANN top-k (the FAISS IVFPQ composition): IVF's coarse cells
@@ -737,8 +768,55 @@ object Similarity {
     * |corpus| × nprobe / #cells rows of 4-int codes. */
   def ivfPqTopK(emb: DataFrame, nQueries: Int, k: Int,
                 centroidMod: Int = 37, nprobe: Int = 2,
-                codeMod: Int = 61): DataFrame = {
+                codeMod: Int = 61): DataFrame =
+    rankByApprox(ivfPqApproxFrom(normed(emb).localCheckpoint(eager = true),
+      nQueries, centroidMod, nprobe, codeMod), k)
+
+  /** IVF-PQ + exact re-rank — the FAISS IVFPQ,RFlat composition, the
+    * billion-vector production default: coarse cells bound WHICH vectors
+    * are scored, PQ codes bound WHAT is read per scored vector, and the
+    * exact re-rank of the top k·refine ADC candidates recovers the
+    * quantization loss (recall ceiling = the probed cells' coverage, i.e.
+    * the IVF arm's own recall — refine buys back everything PQ coarseness
+    * lost inside it). Same candidate/re-rank mechanics as
+    * [[pqRefineTopK]]; exact-vector reads stay k·refine per query. */
+  def ivfPqRefineTopK(emb: DataFrame, nQueries: Int, k: Int,
+                      centroidMod: Int = 37, nprobe: Int = 2,
+                      codeMod: Int = 61, refine: Int = 16): DataFrame = {
     val e = normed(emb).localCheckpoint(eager = true)
+    val cand = rankByApprox(
+        ivfPqApproxFrom(e, nQueries, centroidMod, nprobe, codeMod), k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    exactReRank(e, cand, nQueries, k)
+  }
+
+  /** Shared (approx ASC, neighbor ASC) top-k over an ADC distance table —
+    * the quantized-family ranking contract (PQ / IVF-PQ, plain and
+    * refine). */
+  private def rankByApprox(approx: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist_micro").asc, col("neighbor_id").asc)
+    approx
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
+  }
+
+  /** Shared exact-rescore stage for the refine family: join the (small by
+    * construction) candidate table back to the full vectors on vec_id and
+    * re-rank under the [[cosineTopK]] contract. */
+  private def exactReRank(e: DataFrame, cand: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val c = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+    rankTopK(cand.join(q, "query_id").join(c, "neighbor_id"), k)
+  }
+
+  private def ivfPqApproxFrom(e: DataFrame, nQueries: Int,
+                              centroidMod: Int, nprobe: Int,
+                              codeMod: Int): DataFrame = {
     val cent = e.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val subs = e.sparkSession.range(PqSubspaces).select(col("id").cast("int").as("s"))
@@ -775,14 +853,9 @@ object Similarity {
       .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
       .join(broadcast(cbr), Seq("s"))
       .select(col("query_id"), col("cid"), col("s"), col("code"), pqDistMicro.as("qdm"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist_micro").asc, col("neighbor_id").asc)
     codes.join(broadcast(qtab), Seq("cid", "s", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("qdm")).as("approx_dist_micro"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("approx_dist_micro"), col("rk"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -1306,7 +1379,9 @@ object Similarity {
     "ann_ivf_kmeans" -> ((s, dir) => Util.orderAll(ivfKmeansTopK(emb(s, dir), 5, 10))),
     "ann_ivf_sized" -> ((s, dir) => Util.orderAll(ivfSizedTopK(emb(s, dir), 5, 10))),
     "ann_pq"    -> ((s, dir) => Util.orderAll(pqTopK(emb(s, dir), 5, 10))),
+    "ann_pq_refine" -> ((s, dir) => Util.orderAll(pqRefineTopK(emb(s, dir), 5, 10))),
     "ann_ivfpq" -> ((s, dir) => Util.orderAll(ivfPqTopK(emb(s, dir), 5, 10))),
+    "ann_ivfpq_refine" -> ((s, dir) => Util.orderAll(ivfPqRefineTopK(emb(s, dir), 5, 10))),
     // threshold 0.35: the fixture's highest within-cell cosine is 0.472
     // (same argument as doc_dedup_embedding_lsh) — 0.5 would be vacuous
     "doc_dedup_semantic" -> ((s, dir) => Util.orderAll(semDedup(emb(s, dir), 0.35))),
@@ -1337,6 +1412,105 @@ object Similarity {
       |""".stripMargin
 
   private val annCols = Seq("query_id", "neighbor_id", "cosine", "rk")
+
+  /** The PQ-ADC chain (subvectors → codebook → integer-micro distance
+    * tables → per-subspace argmin codes → BIGINT ADC sums) as CTEs ending
+    * in `approx(query_id, neighbor_id, approx_dist_micro)` — ONE
+    * definition consumed by both the ann_pq and ann_pq_refine oracles so
+    * the quantization arithmetic can't drift between them. */
+  private val pqChainCte =
+    s""", ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
+       |, sp AS (
+       |  SELECT vec_id, s,
+       |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sub,
+       |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+       |      x -> x * x)) AS xx
+       |  FROM n, ss
+       |), cb AS (
+       |  SELECT s, vec_id AS cid,
+       |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS cv,
+       |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+       |      x -> x * x)) AS cc
+       |  FROM n, ss WHERE vec_id % 61 = 0
+       |), alldist AS (
+       |  SELECT sp.vec_id, sp.s, cb.cid,
+       |    CAST(round((sp.xx + cb.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> sp.sub[i] * cb.cv[i]))) * 1000000) AS BIGINT) AS dm
+       |  FROM sp JOIN cb ON sp.s = cb.s
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, s, cid FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dm ASC, cid ASC) AS rk
+       |    FROM alldist WHERE vec_id >= 5) t
+       |  WHERE rk = 1
+       |), qtab AS (
+       |  SELECT vec_id AS query_id, s, cid, dm AS qdm
+       |  FROM alldist WHERE vec_id < 5
+       |), approx AS (
+       |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
+       |  FROM codes JOIN qtab USING (s, cid)
+       |  GROUP BY 1, 2
+       |)
+       |""".stripMargin
+
+  /** The IVF-PQ chain (coarse cells -> residual subvectors -> residual
+    * codebook -> integer-micro tables -> per-cell ADC sums) as CTEs
+    * ending in `approx(query_id, neighbor_id, approx_dist_micro)` -- ONE
+    * definition consumed by the ann_ivfpq and ann_ivfpq_refine oracles. */
+  private val ivfpqChainCte =
+    s""", cent AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
+         |), ranked AS (
+         |  SELECT vec_id, v, nrm, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+         |  FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
+         |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
+         |        / (n.nrm * cent.cnrm), 6) AS csim
+         |    FROM n CROSS JOIN cent
+         |  ) s
+         |), ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
+         |, rsub AS (
+         |  SELECT r.vec_id, r.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN cent USING (cid) WHERE crk = 1
+         |  ) r, ss
+         |), cbr AS (
+         |  SELECT s, vec_id AS code, sub AS cv, xx AS cc FROM rsub WHERE vec_id % 61 = 0
+         |), codes AS (
+         |  SELECT vec_id AS neighbor_id, cid, s, code FROM (
+         |    SELECT r.vec_id, r.cid, r.s, c.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, r.s ORDER BY
+         |        CAST(round((r.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |          i -> r.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) ASC, c.code ASC) AS rk
+         |    FROM rsub r JOIN cbr c ON r.s = c.s WHERE r.vec_id >= 5) t
+         |  WHERE rk = 1
+         |), qsub AS (
+         |  SELECT q.query_id, q.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id AS query_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN cent USING (cid) WHERE vec_id < 5 AND crk <= 2
+         |  ) q, ss
+         |), qtab AS (
+         |  SELECT q.query_id, q.cid, q.s, c.code,
+         |    CAST(round((q.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |      i -> q.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) AS qdm
+         |  FROM qsub q JOIN cbr c ON q.s = c.s
+         |), approx AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
+         |  FROM codes JOIN qtab USING (cid, s, code)
+         |  GROUP BY 1, 2
+         |)
+         |""".stripMargin
 
   /** Margin gate for the bitext queries (ppm of the margin ratio). Mutual-
     * best pairs have margin ≥ 1.0 by construction, so the knob only starts
@@ -1472,41 +1646,8 @@ object Similarity {
     // codebook is the vec_id % 61 sample's subvectors; dm is the identical
     // xx + cc − 2·x·c combination rounded ONCE to integer micros; encode =
     // per-(vector, subspace) argmin; approx distance = exact BIGINT sum of
-    // the m table entries
-    "ann_pq" -> (normCte +
-      s""", ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
-         |, sp AS (
-         |  SELECT vec_id, s,
-         |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sub,
-         |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
-         |      x -> x * x)) AS xx
-         |  FROM n, ss
-         |), cb AS (
-         |  SELECT s, vec_id AS cid,
-         |    list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS cv,
-         |    list_sum(list_transform(list_slice(v, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
-         |      x -> x * x)) AS cc
-         |  FROM n, ss WHERE vec_id % 61 = 0
-         |), alldist AS (
-         |  SELECT sp.vec_id, sp.s, cb.cid,
-         |    CAST(round((sp.xx + cb.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
-         |      i -> sp.sub[i] * cb.cv[i]))) * 1000000) AS BIGINT) AS dm
-         |  FROM sp JOIN cb ON sp.s = cb.s
-         |), codes AS (
-         |  SELECT vec_id AS neighbor_id, s, cid FROM (
-         |    SELECT vec_id, s, cid,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dm ASC, cid ASC) AS rk
-         |    FROM alldist WHERE vec_id >= 5) t
-         |  WHERE rk = 1
-         |), qtab AS (
-         |  SELECT vec_id AS query_id, s, cid, dm AS qdm
-         |  FROM alldist WHERE vec_id < 5
-         |), approx AS (
-         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
-         |  FROM codes JOIN qtab USING (s, cid)
-         |  GROUP BY 1, 2
-         |)
-         |""".stripMargin + Util.wrap(
+    // the m table entries (chain shared with ann_pq_refine: pqChainCte)
+    "ann_pq" -> (normCte + pqChainCte + Util.wrap(
         """SELECT query_id, neighbor_id, approx_dist_micro, rk FROM (
           |  SELECT query_id, neighbor_id, approx_dist_micro,
           |    row_number() OVER (PARTITION BY query_id
@@ -1514,71 +1655,63 @@ object Similarity {
           |  FROM approx) t WHERE rk <= 10""".stripMargin,
         Seq("query_id", "neighbor_id", "approx_dist_micro", "rk"))),
 
+    // PQ + exact re-rank: the same pqChainCte picks k·refine = 160 ADC
+    // candidates per query (PQ's tie rules), then exact cosine over ONLY
+    // those candidates re-ranks under the ann_brute contract
+    "ann_pq_refine" -> (normCte + pqChainCte +
+      """, cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS prk
+        |    FROM approx) t WHERE prk <= 160
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY cand.query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               cand.neighbor_id ASC) AS rk
+          |  FROM cand
+          |  JOIN n q ON q.vec_id = cand.query_id
+          |  JOIN n c ON c.vec_id = cand.neighbor_id
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
     // IVF-PQ: ann_ivf's cent/ranked chain supplies cell assignment (crk=1)
     // and probe lists (crk<=2); residuals are exact IEEE subtractions
     // against the cell centroid; then the ann_pq chain runs on residual
     // subvectors with the cell id carried through the code/table join so a
     // neighbor is scored only inside probed cells
-    "ann_ivfpq" -> (normCte +
-      s""", cent AS (
-         |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 37 = 0
-         |), ranked AS (
-         |  SELECT vec_id, v, nrm, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
-         |  FROM (
-         |    SELECT n.vec_id, n.v, n.nrm, cent.cid,
-         |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * cent.cv[i]))
-         |        / (n.nrm * cent.cnrm), 6) AS csim
-         |    FROM n CROSS JOIN cent
-         |  ) s
-         |), ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
-         |, rsub AS (
-         |  SELECT r.vec_id, r.cid, ss.s,
-         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
-         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
-         |      x -> x * x)) AS xx
-         |  FROM (
-         |    SELECT ranked.vec_id, ranked.cid,
-         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
-         |    FROM ranked JOIN cent USING (cid) WHERE crk = 1
-         |  ) r, ss
-         |), cbr AS (
-         |  SELECT s, vec_id AS code, sub AS cv, xx AS cc FROM rsub WHERE vec_id % 61 = 0
-         |), codes AS (
-         |  SELECT vec_id AS neighbor_id, cid, s, code FROM (
-         |    SELECT r.vec_id, r.cid, r.s, c.code,
-         |      row_number() OVER (PARTITION BY r.vec_id, r.s ORDER BY
-         |        CAST(round((r.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
-         |          i -> r.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) ASC, c.code ASC) AS rk
-         |    FROM rsub r JOIN cbr c ON r.s = c.s WHERE r.vec_id >= 5) t
-         |  WHERE rk = 1
-         |), qsub AS (
-         |  SELECT q.query_id, q.cid, ss.s,
-         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
-         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
-         |      x -> x * x)) AS xx
-         |  FROM (
-         |    SELECT ranked.vec_id AS query_id, ranked.cid,
-         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
-         |    FROM ranked JOIN cent USING (cid) WHERE vec_id < 5 AND crk <= 2
-         |  ) q, ss
-         |), qtab AS (
-         |  SELECT q.query_id, q.cid, q.s, c.code,
-         |    CAST(round((q.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
-         |      i -> q.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) AS qdm
-         |  FROM qsub q JOIN cbr c ON q.s = c.s
-         |), approx AS (
-         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
-         |  FROM codes JOIN qtab USING (cid, s, code)
-         |  GROUP BY 1, 2
-         |)
-         |""".stripMargin + Util.wrap(
+    "ann_ivfpq" -> (normCte + ivfpqChainCte + Util.wrap(
         """SELECT query_id, neighbor_id, approx_dist_micro, rk FROM (
           |  SELECT query_id, neighbor_id, approx_dist_micro,
           |    row_number() OVER (PARTITION BY query_id
           |      ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS rk
           |  FROM approx) t WHERE rk <= 10""".stripMargin,
         Seq("query_id", "neighbor_id", "approx_dist_micro", "rk"))),
+
+    // IVF-PQ + exact re-rank: same ivfpqChainCte candidates (top k·refine
+    // = 160 by ADC distance), exact cosine re-rank under the brute contract
+    "ann_ivfpq_refine" -> (normCte + ivfpqChainCte +
+      """, cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS prk
+        |    FROM approx) t WHERE prk <= 160
+        |)
+        |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY cand.query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               cand.neighbor_id ASC) AS rk
+          |  FROM cand
+          |  JOIN n q ON q.vec_id = cand.query_id
+          |  JOIN n c ON c.vec_id = cand.neighbor_id
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
 
     "ann_lsh" -> (normCte + lshChainCte + Util.wrap(
         """SELECT query_id, neighbor_id, cosine, rk FROM (

@@ -162,6 +162,15 @@ object GzipMembers {
       if ((flg & 0x02) != 0) p += 2 // FHCRC
       if (p > bytes.length) fail("truncated optional header fields")
       val inf = new java.util.zip.Inflater(/*nowrap=*/ true)
+      // Decompression-bomb gate: untrusted crawl input can pack ~1000:1
+      // expansion into a tiny member, and an unbounded inflate OOMs the
+      // executor with an Error the quarantine path can't catch. Cap the
+      // inflated size at a generous multiple of the COMPRESSED remainder
+      // (deflate tops out near 1032:1; WARC text members sit well under
+      // 20:1) plus a floor for tiny members, and fail(...) with the
+      // IllegalArgumentException the poison gate turns into a quarantine
+      // row instead of a job kill.
+      val maxInflated = math.max(1L << 20, (bytes.length - p).toLong * 64L)
       val body = try {
         inf.setInput(bytes, p, bytes.length - p)
         val bos = new java.io.ByteArrayOutputStream(1024)
@@ -171,8 +180,19 @@ object GzipMembers {
             case e: java.util.zip.DataFormatException =>
               fail(s"corrupt deflate body (${e.getMessage})")
           }
-          if (n > 0) bos.write(buf, 0, n)
+          if (n > 0) {
+            if (bos.size().toLong + n > maxInflated)
+              fail(s"member inflates past $maxInflated bytes (decompression bomb?)")
+            bos.write(buf, 0, n)
+          }
           else if (inf.needsInput()) fail("truncated deflate body")
+          // defensive: nowrap inflate can't legally need a preset
+          // dictionary, but a zero-progress state that is neither finished
+          // nor input-starved must break the loop, not spin the task
+          // (n == 0 with finished() just turned true is the normal exit —
+          // the while condition handles it, don't fail on it)
+          else if (!inf.finished())
+            fail("inflater stalled (no progress, not finished, input remains)")
         }
         p = bytes.length - inf.getRemaining
         bos.toByteArray

