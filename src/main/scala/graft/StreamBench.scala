@@ -113,7 +113,10 @@ object StreamBench {
     val cdcRdb1 = cdcStateBench(Some(rocksDb), baseKeys, 3)
     val cdcRdb10 = cdcStateBench(Some(rocksDb), baseKeys * 10, 3)
 
-    println(f"""{"metric":"stream_rows_per_sec","value":${fed / dt}%.0f,"unit":"rows/s","in_rows":$fed,"out_rows":$outRows,"batches":$nBatches,"sec":$dt%.2f,"state_keys":$baseKeys,"cdc_hdfs_rows_per_sec":$cdcMem1%.0f,"cdc_hdfs_x10keys_rows_per_sec":$cdcMem10%.0f,"cdc_rocksdb_rows_per_sec":$cdcRdb1%.0f,"cdc_rocksdb_x10keys_rows_per_sec":$cdcRdb10%.0f}""")
+    val json = f"""{"metric":"stream_rows_per_sec","value":${fed / dt}%.0f,"unit":"rows/s","in_rows":$fed,"out_rows":$outRows,"batches":$nBatches,"sec":$dt%.2f,"state_keys":$baseKeys,"cdc_hdfs_rows_per_sec":$cdcMem1%.0f,"cdc_hdfs_x10keys_rows_per_sec":$cdcMem10%.0f,"cdc_rocksdb_rows_per_sec":$cdcRdb1%.0f,"cdc_rocksdb_x10keys_rows_per_sec":$cdcRdb10%.0f}"""
+    println(json)
+    // persist like Bench/ScaleStress: the record stays diffable across rounds
+    Util.writeJson("STREAMBENCH_OUT", "STREAMBENCH_LOCAL.json", json)
     spark.stop()
   }
 }
