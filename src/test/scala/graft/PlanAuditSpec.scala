@@ -717,4 +717,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("doc_template_dedup") <= 3,
       s"templateDedup grew a shuffle: ${exchanges("doc_template_dedup")}")
   }
+
+  test("stored dedup consumers: report cost is artifact-scan + its own agg, never mining shuffles") {
+    // build the artifact once so the consumer plans below are pure reads
+    graft.llm.Dedup.dedupArtifact(spark, sf, 0.4)
+    // keep = one aggregation over the stored cluster labels: scan + the
+    // cluster groupBy + the harness sort — the whole report is 2 keyed
+    // exchanges over a table ~10^6x smaller than the corpus at scale
+    assert(exchanges("dedup_stored_keep") <= 2,
+      s"stored keep grew a shuffle: ${exchanges("dedup_stored_keep")}")
+    // clusters = the artifact read-back itself: scan + harness sort only
+    assert(exchanges("dedup_stored_clusters") <= 1,
+      s"stored clusters must be scan+sort only: ${exchanges("dedup_stored_clusters")}")
+    // scoped policy eval = two filters over the pair table + the per-source
+    // rollup: pair-table-keyed joins + one source agg + harness sort; the
+    // corpus contributes only the (doc_id, source) projection
+    assert(exchanges("dedup_stored_scoped") <= 6,
+      s"stored scoped eval grew a shuffle: ${exchanges("dedup_stored_scoped")}")
+    // and none of them re-mine: no band-value key anywhere in the plan
+    Seq("dedup_stored_keep", "dedup_stored_clusters", "dedup_stored_scoped")
+      .foreach { n => assert(!phys(n).contains("bval"), s"$n re-mines:\n${phys(n)}") }
+  }
 }
