@@ -261,6 +261,14 @@ object Dedup {
     // no unpersist bookkeeping leaking executor memory across queries.
     val shid = shingleIds(tokenized(docs), exactVocabBound)
       .localCheckpoint(eager = true)
+    pairsFromShid(shid, threshold, saltBuckets)
+  }
+
+  /** Mine → verify over an already-materialized shingle-id table — the
+    * [[minhashLsh]] body, shared with the hashed/appendable artifact path
+    * so the candidate/verify arithmetic exists once. */
+  private def pairsFromShid(shid: DataFrame, threshold: Double,
+                            saltBuckets: Int): DataFrame = {
     val cand = candidatesOf(signaturesOf(shid), saltBuckets)
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
@@ -716,6 +724,142 @@ object Dedup {
   /** The stored artifact's cluster-label side, read back. */
   def storedClusters(s: SparkSession, dir: String, threshold: Double): DataFrame =
     s.read.parquet(s"${dedupArtifact(s, dir, threshold)}/clusters")
+
+  /** APPENDABLE variant of [[writeDedupArtifact]] — the artifact a corpus
+    * that grows daily actually maintains. Ids are `xxhash64`
+    * ([[shingleIdsHashed]]) BY NECESSITY (base-(V+1) encoding would
+    * renumber every stored shingle when the vocabulary grows — the
+    * [[writeNearDupIndex]] lesson), which is also why this form is
+    * spec-verified (append ≡ rebuild, bit-identical) rather than
+    * DuckDB-oracle-checked: the oracle chain pins the vocab encoding.
+    * Parts: shingles / bands / counts / nodes (all APPEND-grown by
+    * [[appendDedupArtifact]] — increment-sized writes), pairs / clusters
+    * (pair-table-sized, rewritten per append), params (the threshold the
+    * artifact was mined at — appends refuse to mix thresholds). */
+  def writeDedupArtifactHashed(docs: DataFrame, path: String,
+                               threshold: Double): Unit = {
+    val shid = shingleIdsHashed(tokenized(docs)).localCheckpoint(eager = true)
+    val nodes = docs.select(col("doc_id"))
+    writeIncrementParts(shid, nodes, path, ingestBatch = 0L, dynamic = false)
+    docs.sparkSession.range(1).select(lit(threshold).as("threshold"))
+      .write.mode("overwrite").parquet(s"$path/params")
+    val pairs = pairsFromShid(shid, threshold, saltBuckets = 1)
+      .localCheckpoint(eager = true)
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    clustersFromPairs(nodes, pairs)
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** The per-document parts of the hashed artifact, written as ONE
+    * `ingest_batch=` partition — the idempotency unit: a replayed
+    * micro-batch (dynamic partition overwrite) rewrites ITS partition
+    * instead of appending duplicates, the same exactly-once convention as
+    * the corpus-ingest sinks. */
+  private def writeIncrementParts(shid: DataFrame, nodes: DataFrame,
+                                  path: String, ingestBatch: Long,
+                                  dynamic: Boolean): Unit = {
+    // dynamic=false (initial build): a FULL overwrite, resetting any
+    // previous artifact at the path; dynamic=true (append): overwrite
+    // ONLY this increment's ingest_batch partition, leaving the corpus
+    // partitions untouched — the replay-idempotent write
+    def part(df: DataFrame, p: String): Unit =
+      df.withColumn("ingest_batch", lit(ingestBatch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+        .partitionBy("ingest_batch").parquet(s"$path/$p")
+    part(shid, "shingles")
+    part(bandsOf(signaturesOf(shid)), "bands")
+    part(shid.groupBy("doc_id").agg(count(lit(1)).as("c")), "counts")
+    part(nodes, "nodes")
+  }
+
+  /** Fold a corpus increment into a stored hashed artifact at
+    * INCREMENT cost: the corpus is never re-shingled and never re-banded —
+    * the only corpus-sized READS are the stored band table (one equi-join
+    * against the increment's bands) and the stored shingle table (one scan
+    * through the verify join), and the only corpus-sized part that gets
+    * REWRITTEN is nothing: shingles/bands/counts/nodes grow by parquet
+    * APPEND (increment-sized files), while pairs/clusters — pair-table-
+    * sized, ~10⁶× under the corpus — are recomputed and swapped.
+    *
+    * Correctness law (spec-asserted bit-identical): band collisions
+    * decompose pairwise, so rebuild(A∪B)'s verified pairs =
+    * verified(A×A) ∪ verified(A×B) ∪ verified(B×B) — the first set IS the
+    * stored pair table, the other two are mined here; Jaccard verification
+    * depends only on the two documents' shingle sets, which hashed ids
+    * make corpus-independent. CC labels are recomputed over the unioned
+    * pair table (pair-table-sized work; labels are global by nature — an
+    * A↔B edge can merge two old components, so no per-increment label
+    * patch exists). */
+  /** [[appendDedupArtifact]] with the increment id derived as
+    * max(ingest_batch)+1 — the ad-hoc "fold today's data in" form. */
+  def appendDedupArtifact(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val next = spark.read.parquet(s"$path/nodes")
+      .agg(max(col("ingest_batch").cast("long"))).head().getLong(0) + 1L
+    appendDedupArtifact(newDocs, path, next)
+  }
+
+  def appendDedupArtifact(newDocs: DataFrame, path: String,
+                          ingestBatch: Long): Unit = {
+    val spark = newDocs.sparkSession
+    val threshold = spark.read.parquet(s"$path/params").head().getDouble(0)
+    // the corpus side EXCLUDES this increment's own partition: on the
+    // first application that filter is a no-op, on a crash REPLAY it makes
+    // the whole operation idempotent — the replayed partition is ignored
+    // on the read side and dynamically overwritten on the write side, so
+    // the batch's shingles can never be double-counted into a Jaccard
+    // denominator (Structured Streaming replays a batch id with identical
+    // content, which is what makes the rewrite a true no-op)
+    def oldPart(p: String, cols: String*) = spark.read.parquet(s"$path/$p")
+      .filter(col("ingest_batch").cast("long") =!= ingestBatch)
+      .select(cols.map(col): _*)
+    val oldPairs = spark.read.parquet(s"$path/pairs").localCheckpoint(eager = true)
+    val oldBands = oldPart("bands", "doc_id", "band", "bval")
+    val oldShid = oldPart("shingles", "doc_id", "sid")
+    val oldCnt = oldPart("counts", "doc_id", "c")
+    val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
+    val newBands = bandsOf(signaturesOf(newShid)).localCheckpoint(eager = true)
+    val newCnt = newShid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // increment-internal candidates: the band self-join of B alone
+    val candNew = newBands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      .join(newBands.select(col("doc_id").as("doc_b"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // straddling candidates: increment bands vs STORED bands (ids
+    // interleave, so orient explicitly — candidatesOf's a<b convention)
+    val candStraddle = newBands.select(col("doc_id").as("dn"), col("band"), col("bval"))
+      .join(oldBands.select(col("doc_id").as("de"), col("band"), col("bval")),
+        Seq("band", "bval"))
+      .select(least(col("dn"), col("de")).as("doc_a"),
+        greatest(col("dn"), col("de")).as("doc_b"))
+      .distinct()
+    val cand = candNew.unionByName(candStraddle).distinct()
+    // verify against the union shingle view; denominators come from the
+    // STORED counts for corpus docs (never a corpus-wide re-aggregation)
+    val allShid = oldShid.unionByName(newShid)
+    val cntAll = oldCnt.unionByName(newCnt)
+    val xa = allShid.select(col("doc_id").as("doc_a"), col("sid"))
+    val xb = allShid.select(col("doc_id").as("doc_b"), col("sid"))
+    val inter = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // distinct: on a replay the re-mined pairs already sit in the stored
+    // pair table verbatim (same jaccard arithmetic) — the union must not
+    // duplicate them
+    val pairs = oldPairs
+      .unionByName(jaccardVerified(inter, cntAll, threshold))
+      .distinct()
+      .localCheckpoint(eager = true)
+    // grow the per-document parts by one increment-sized partition
+    // (dynamic overwrite of ingest_batch=N — replay-idempotent)
+    writeIncrementParts(newShid, newDocs.select(col("doc_id")), path,
+      ingestBatch, dynamic = true)
+    // swap the pair-table-sized derived parts
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    clustersFromPairs(spark.read.parquet(s"$path/nodes").select("doc_id"), pairs)
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
 
   /** Which documents of `newDocs` near-duplicate the indexed corpus —
     * [[incrementalMinhash]] semantics (per new doc: match count, best

@@ -75,6 +75,66 @@ class Round10OpsSpec extends SparkSpec {
     assert(refined.nonEmpty)
   }
 
+  test("appendable hashed artifact: build(A) + append(B) == rebuild(A union B), bit-identical parts") {
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter($"doc_id" % 7 =!= 0)
+    val b = docs.filter($"doc_id" % 7 === 0)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-dedup-app").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-dedup-reb").toString
+    graft.llm.Dedup.writeDedupArtifactHashed(a, p1, 0.3)
+    graft.llm.Dedup.appendDedupArtifact(b, p1)
+    graft.llm.Dedup.writeDedupArtifactHashed(docs, p2, 0.3)
+    // ingest_batch is provenance, not content: the append path lands B in
+    // partition 1 while the rebuild holds everything in partition 0 — the
+    // law is over the CONTENT columns
+    def rows(p: String, part: String) =
+      spark.read.parquet(s"$p/$part").drop("ingest_batch")
+        .collect().map(_.toString).sorted.toSeq
+    for (part <- Seq("pairs", "clusters", "counts", "nodes"))
+      assert(rows(p1, part) == rows(p2, part), s"append != rebuild on $part")
+    // crash-replay idempotency: re-applying the SAME increment under the
+    // SAME ingest_batch id (what Structured Streaming does after a crash
+    // between sink write and checkpoint commit) must change nothing —
+    // the partition is dynamically overwritten, the corpus side excludes
+    // it on read, and the re-mined pairs dedupe against the stored table
+    val before = Seq("pairs", "clusters", "counts", "nodes").map(rows(p1, _))
+    graft.llm.Dedup.appendDedupArtifact(b, p1, ingestBatch = 1L)
+    val after = Seq("pairs", "clusters", "counts", "nodes").map(rows(p1, _))
+    assert(after == before, "replayed append mutated the artifact")
+    // non-vacuity: the law must be exercised by real pairs, including at
+    // least one STRADDLING the increment boundary (the case only the
+    // append path's stored-band join can find)
+    val pairs = spark.read.parquet(s"$p1/pairs")
+    assert(pairs.count() > 0, "fixture produced no pairs — law vacuous")
+    assert(pairs.filter(($"doc_a" % 7 === 0) =!= ($"doc_b" % 7 === 0)).count() > 0,
+      "no pair straddles the increment split — straddle arm untested")
+  }
+
+  test("streaming artifact maintenance: stream of micro-batches == one-shot rebuild over everything delivered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val seed = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1).as[(Long, String)].collect().toSeq
+    val b2 = docs.filter($"doc_id" % 3 === 2).as[(Long, String)].collect().toSeq
+    val p = java.nio.file.Files.createTempDirectory("graft-stream-art").toString
+    graft.llm.Dedup.writeDedupArtifactHashed(seed, p, 0.3)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = streaming.StreamingArtifact.run(mem.toDF().toDF("doc_id", "text"), p,
+      java.nio.file.Files.createTempDirectory("graft-stream-art-ckpt").toString)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val p2 = java.nio.file.Files.createTempDirectory("graft-stream-art-reb").toString
+    graft.llm.Dedup.writeDedupArtifactHashed(docs, p2, 0.3)
+    def rows(path: String, part: String) =
+      spark.read.parquet(s"$path/$part").drop("ingest_batch")
+        .collect().map(_.toString).sorted.toSeq
+    for (part <- Seq("pairs", "clusters", "counts", "nodes"))
+      assert(rows(p, part) == rows(p2, part), s"streamed artifact != rebuild on $part")
+    assert(spark.read.parquet(s"$p/pairs").count() > 0)
+  }
+
   test("mine once, report many: every dedup_stored_* consumer is row- and schema-equal to its recompute form") {
     for ((stored, orig) <- graft.llm.Dedup.storedOracleAlias) {
       val a = SparkEntry.queries(stored)(spark, sf)
