@@ -460,6 +460,33 @@ object ScaleStress {
     System.err.println(s"[stress] warc_records=$nWarc warc_gz_records=$nWarcGz" +
       s" pref_pairs=$nPref template_groups=$nTmpl")
 
+    // r10: the appendable-artifact cost claim, measured — folding a 10%
+    // increment into a stored artifact vs rebuilding over everything. The
+    // append still pays the corpus-side band join + the pair/cluster
+    // recompute, so it is NOT 10% of the rebuild; the claim it pins is
+    // that the increment path never re-shingles the corpus and its cost
+    // is bounded by increment mining + pair-table work.
+    // skippable like simhash: the replicated corpus makes cross-copy band
+    // collisions (copies share all but one shingle) ~quadratic in the
+    // factor — at ×100 the candidate/verify volume OOMs on the ANSWER,
+    // not the algorithm (observed: heap exhaustion in the verify join's
+    // stage at ×100 while ×10 runs in seconds)
+    val skipArtifact = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("artifact"))
+    val artDir = s"/tmp/graft-stress-artifact-x$factor"
+    val (tArtBuild, tArtAppend, tArtRebuild) =
+      if (skipArtifact) (-1.0, -1.0, -1.0)
+      else {
+        val docsOld = docsN.filter(col("doc_id") % 10 =!= 0)
+        val docsInc = docsN.filter(col("doc_id") % 10 === 0)
+        val (_, tb) = timed("artifact build 90% x" + factor)(
+          graft.llm.Dedup.writeDedupArtifactHashed(docsOld, s"$artDir/a", 0.4))
+        val (_, ta) = timed("artifact append 10% x" + factor)(
+          graft.llm.Dedup.appendDedupArtifact(docsInc, s"$artDir/a"))
+        val (_, tr2) = timed("artifact rebuild 100% x" + factor)(
+          graft.llm.Dedup.writeDedupArtifactHashed(docsN, s"$artDir/b", 0.4))
+        (tb, ta, tr2)
+      }
+
     // r8 continuation: the frame-sampling scale claim, measured — decoding
     // k sampled frames must cost ~k/n̄ of decoding the whole container
     // directory (n̄ ≈ 5 stored frames/doc). The container table scales
@@ -551,12 +578,14 @@ object ScaleStress {
         "pair count is answer-size-bound on the replicated corpus (~quadratic in factor, 59.5M pairs at x10); the answer, not the algorithm, dominates"),
       (skipCont, "containment_naive_contrast",
         "naive-candidate contrast stage is answer-size-bound (~quadratic in factor, 27.7M candidates at x10); prefix-filter path is the measured scale path"),
+      (skipArtifact, "artifact_build_append",
+        "hashed-artifact minhash mining of the replicated corpus is answer-size-bound (cross-copy band collisions ~quadratic in factor); the build/append/rebuild contrast is on record at x10"),
       (skipSkew, "skew_salting_and_winnow",
         "skew + winnow adversary section: pair fan-out is quadratic in replication; the salted-vs-plain and df-cap max-task contrasts are on record at x10 (3-rep medians) — covers the skew_* and winnow_* rows"),
     ).collect { case (true, key, why) => s""""$key":"$why"""" }
       .mkString("{", ",", "}")
 
-    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
+    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"artifact_build_sec":$tArtBuild,"artifact_append_sec":$tArtAppend,"artifact_rebuild_sec":$tArtRebuild,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -283,6 +283,9 @@ object Similarity {
           expr("(n_hit * CAST(1000000 AS BIGINT)) div n_truth").as("recall_ppm"))
     recallOf("lsh", lshTopK(emb, nQueries, k))
       .unionByName(recallOf("multiprobe", lshTopKMultiprobe(emb, nQueries, k)))
+      // the quantized-family production path: PQ-ADC candidates + exact
+      // re-rank — recall here is oracle-CHECKED, not just probe-measured
+      .unionByName(recallOf("pq_refine", pqRefineTopK(emb, nQueries, k)))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER /
@@ -632,6 +635,96 @@ object Similarity {
     val cent = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")
     cosineTopK(probesOf(normed(queries), cent, nprobe), cells, k, Seq("cid"))
+  }
+
+  /** Stored IVF-PQ(+refine) index — the memory-bound serving path
+    * (FAISS `IVFPQ,RFlat` persisted): the ADC scan reads centroids +
+    * 4-int codes + the residual codebook (together ~30× smaller than the
+    * vectors), and the exact vectors live in a SEPARATE on-disk part the
+    * query path touches only for the k·refine candidates per query — the
+    * ranged-read shape. Every knob is corpus-derived ([[ivfSizedParams]])
+    * and stored WITH the index (`params`), so query batches serve at the
+    * contract the index was built for. Coarse cells and residual codebook
+    * are the same deterministic constructions as [[ivfPqTopK]], computed
+    * over the CORPUS only (an index can't see future queries). */
+  def writeIvfPqIndexSized(corpus: DataFrame, path: String,
+                           targetRecall: Double = 0.8,
+                           codeMod: Int = 61, refine: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (nlist, cmod, nprobe) = ivfSizedParams(corpus.count(), targetRecall)
+    val e = normed(corpus).localCheckpoint(eager = true)
+    val cent = e.filter(col("vec_id") % cmod === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .localCheckpoint(eager = true)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val subs = spark.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    val rsub = assignToCells(e, cent)
+      .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
+      .select(col("neighbor_id").as("vec_id"), col("cid"),
+        zip_with(col("vb"), col("cv"), (a, b) => a - b).as("rv"))
+      .crossJoin(broadcast(subs))
+      .select(col("vec_id"), col("cid"), col("s"),
+        slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
+      .localCheckpoint(eager = true)
+    val cbr = rsub.filter(col("vec_id") % codeMod === 0)
+      .select(col("s"), col("vec_id").as("code"), col("sub").as("cv"),
+        col("xx").as("cc"))
+      .localCheckpoint(eager = true)
+    cbr.write.mode("overwrite").parquet(s"$path/codebook")
+    rsub.join(broadcast(cbr), Seq("s"))
+      .withColumn("dm", pqDistMicro)
+      .groupBy(col("vec_id"), col("cid"), col("s"))
+      .agg(min(struct(col("dm"), col("code"))).as("w"))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("s"),
+        col("w.code").as("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    // refine's exact vectors: a separate part the ADC scan never reads
+    e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    Seq((nlist, cmod, nprobe, targetRecall, codeMod, refine))
+      .toDF("nlist", "centroid_mod", "nprobe", "target_recall", "code_mod", "refine")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** ANN top-k against a [[writeIvfPqIndexSized]] index at the stored
+    * contract (override knobs for the probe-all/refine-all anchor spec):
+    * query residual ADC tables vs the stored codebook for the probed
+    * cells, one equi-join against the stored codes, exact re-rank of the
+    * k·refine candidates against the stored vectors part. */
+  def ivfPqRefineAgainstIndex(queries: DataFrame, path: String, k: Int,
+                              nprobeOverride: Option[Int] = None,
+                              refineOverride: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val prm = spark.read.parquet(s"$path/params").head()
+    val nprobe = nprobeOverride.getOrElse(prm.getAs[Int]("nprobe"))
+    val refine = refineOverride.getOrElse(prm.getAs[Int]("refine"))
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cbr = spark.read.parquet(s"$path/codebook").localCheckpoint(eager = true)
+    val codes = spark.read.parquet(s"$path/codes")
+    val subs = spark.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    val q = normed(queries).localCheckpoint(eager = true)
+    val qtab = probesOf(q, cent, nprobe)
+      .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
+      .select(col("query_id"), col("cid"),
+        zip_with(col("va"), col("cv"), (a, b) => a - b).as("rv"))
+      .crossJoin(broadcast(subs))
+      .select(col("query_id"), col("cid"), col("s"),
+        slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
+      .join(broadcast(cbr), Seq("s"))
+      .select(col("query_id"), col("cid"), col("s"), col("code"),
+        pqDistMicro.as("qdm"))
+    val approx = codes.join(broadcast(qtab), Seq("cid", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdm")).as("approx_dist_micro"))
+    val cand = rankByApprox(approx, k * refine)
+      .select("query_id", "neighbor_id")
+    val qv = q.select(col("vec_id").as("query_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    rankTopK(cand.join(qv, "query_id")
+      .join(spark.read.parquet(s"$path/vectors"), "neighbor_id"), k)
   }
 
   /** Product-quantization geometry: m = 4 subspaces × 16 dims (the corpus
@@ -1765,7 +1858,7 @@ object Similarity {
     // recall@10 of the lsh and multiprobe paths vs the exact brute top-10;
     // LEFT join keeps bucket-miss queries with n_hit = 0; ppm is exact
     // BIGINT division on both engines
-    "ann_recall_eval" -> (normCte + lshChainCte +
+    "ann_recall_eval" -> (normCte + lshChainCte + pqChainCte +
       """, probes AS (
         |  SELECT vec_id, v, nrm,
         |    CASE WHEN z = 0 THEN bucket
@@ -1796,6 +1889,22 @@ object Similarity {
         |                 c.vec_id ASC) AS rk
         |    FROM probes q JOIN nb c ON q.bucket = c.bucket AND c.vec_id >= 5
         |  ) t WHERE rk <= 10
+        |), rcand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS prk
+        |    FROM approx) t WHERE prk <= 160
+        |), ap3 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT rcand.query_id, rcand.neighbor_id,
+        |      row_number() OVER (PARTITION BY rcand.query_id
+        |        ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+        |                 rcand.neighbor_id ASC) AS rk
+        |    FROM rcand
+        |    JOIN n q ON q.vec_id = rcand.query_id
+        |    JOIN n c ON c.vec_id = rcand.neighbor_id
+        |  ) t WHERE rk <= 10
         |)
         |""".stripMargin + Util.wrap(
         """SELECT 'lsh' AS method, t.query_id,
@@ -1813,6 +1922,15 @@ object Similarity {
           |  (CAST(count(a.neighbor_id) AS BIGINT) * CAST(1000000 AS BIGINT))
           |    // CAST(count(*) AS BIGINT) AS recall_ppm
           |FROM tr t LEFT JOIN ap2 a
+          |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+          |GROUP BY t.query_id
+          |UNION ALL
+          |SELECT 'pq_refine' AS method, t.query_id,
+          |  CAST(count(*) AS BIGINT) AS n_truth,
+          |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+          |  (CAST(count(a.neighbor_id) AS BIGINT) * CAST(1000000 AS BIGINT))
+          |    // CAST(count(*) AS BIGINT) AS recall_ppm
+          |FROM tr t LEFT JOIN ap3 a
           |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
           |GROUP BY t.query_id""".stripMargin,
         Seq("method", "query_id", "n_truth", "n_hit", "recall_ppm"))),

@@ -685,9 +685,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges("doc_drift_ref") <= 8,
       s"drift grew a shuffle: ${exchanges("doc_drift_ref")}")
 
-    // recall eval: two production ANN paths + exact truth, hit-matching on
-    // top-k-sized sets; funnel: curate's own shape + one global agg stack
-    assert(exchanges("ann_recall_eval") <= 19,
+    // recall eval: three production ANN paths + exact truth, hit-matching
+    // on top-k-sized sets (r10 adds the pq_refine arm: codebook agg +
+    // encode argmin + ADC sum + candidate/re-rank windows = 7 more keyed
+    // exchanges, each over code- or candidate-sized data, never corpus)
+    assert(exchanges("ann_recall_eval") <= 26,
       s"recall eval grew a shuffle: ${exchanges("ann_recall_eval")}")
     assert(exchanges("doc_curation_funnel") <= 6,
       s"funnel grew a shuffle beyond curate's own: ${exchanges("doc_curation_funnel")}")

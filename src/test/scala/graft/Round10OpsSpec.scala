@@ -75,6 +75,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(refined.nonEmpty)
   }
 
+  test("stored IVF-PQ refine index: probe-all + refine-all anchors to brute force; params carry the contract") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter($"vec_id" >= 5)
+    val queries = emb.filter($"vec_id" < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndexSized(corpus, idx)
+    val prm = spark.read.parquet(s"$idx/params").head()
+    assert(prm.getAs[Int]("nlist") ==
+      Similarity.ivfSizedParams(corpus.count(), 0.8)._1,
+      "stored nlist != derived")
+    // probe-all + corpus-covering refine: the ADC stage can only LOSE
+    // candidates; with none lost, the exact re-rank IS brute force over
+    // the index corpus — the strongest whole-chain anchor available
+    val n = corpus.count().toInt
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Similarity.ivfPqRefineAgainstIndex(queries, idx, 10,
+        nprobeOverride = Some(n), refineOverride = Some(n))) ==
+      rows(Similarity.bruteForceTopK(emb, 5, 10)))
+    // the stored default contract serves k deterministic rows per query
+    val d = Similarity.ivfPqRefineAgainstIndex(queries, idx, 10)
+    assert(d.groupBy("query_id").count().collect().forall(_.getLong(1) == 10L))
+  }
+
   test("appendable hashed artifact: build(A) + append(B) == rebuild(A union B), bit-identical parts") {
     val docs = Tables.documents(spark, sf)
     val a = docs.filter($"doc_id" % 7 =!= 0)

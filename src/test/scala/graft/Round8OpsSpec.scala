@@ -633,8 +633,11 @@ class Round8OpsSpec extends SparkSpec {
     // both methods must reproduce the exact ranking: recall ≡ 1.
     val ray = Seq.tabulate(8)(i =>
       (i.toLong, Array(1.0f + i, 0.0f, 0.0f, 0.0f), i)).toDF("vec_id", "embedding", "label")
+    // 3 methods (lsh, multiprobe, pq_refine — r10 adds the quantized arm)
+    // × 2 queries; pq_refine is perfect here too: k·refine covers the
+    // whole corpus, so the exact re-rank IS the brute ranking
     val perfect = Similarity.annRecallEval(ray, 2, 3).collect()
-    assert(perfect.length === 4)
+    assert(perfect.length === 6)
     assert(perfect.forall(r => r.getAs[Long]("n_truth") == 3L
       && r.getAs[Long]("recall_ppm") == 1000000L), perfect.mkString(", "))
     // fixture: the multiprobe candidate set is a superset of the lsh one,
