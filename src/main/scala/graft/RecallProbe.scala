@@ -40,7 +40,12 @@ object RecallProbe {
     def recall(df: DataFrame): Double =
       math.round(10000.0 * (pairs(df) & brute).size / brute.size) / 10000.0
 
-    val rows = Seq(
+    // RECALL_ONLY=stored — quick-iteration gate: run ONLY the stored-index
+    // section and print (never overwrite RECALL_LOCAL.json with a partial
+    // record — the bench's BENCH_ONLY convention).
+    val onlyStored = sys.env.get("RECALL_ONLY").contains("stored")
+
+    val rows = if (onlyStored) Seq.empty else Seq(
       "lsh_fam1" -> recall(Similarity.lshTopK(emb, nQ, k)),
       "lsh_fam2" -> recall(Similarity.lshTopKMulti(emb, nQ, k, 2)),
       "lsh_fam4" -> recall(Similarity.lshTopKMulti(emb, nQ, k, 4)),
@@ -96,13 +101,13 @@ object RecallProbe {
     val frontierNp =
       (Seq(nlist / 8, nlist / 4, nlist / 2, sizedNp, nlist).map(math.max(1, _))
         ++ Seq(Similarity.ivfSizedParams(nTot, 0.9)._3)).distinct.sorted
-    val frontier = frontierNp.flatMap { np =>
+    val frontier = if (onlyStored) Seq.empty else frontierNp.flatMap { np =>
       val r = recall(Similarity.ivfKmeansTopK(emb, nQ, k, cmod, np, iters = 2))
       val s = scanFrac(np)
       System.err.println(f"[recall] ivf_sized np=$np%-3d recall=$r%.4f scan=$s%.4f")
       Seq(s"ivf_sized_np${np}" -> r, s"ivf_sized_np${np}_scan" -> s)
     }
-    val sizedMeta = Seq(
+    val sizedMeta = if (onlyStored) Seq.empty else Seq(
       "ivf_sized_nlist" -> nlist.toDouble, "ivf_sized_cmod" -> cmod.toDouble,
       "ivf_sized_nprobe" -> sizedNp.toDouble,
       "ivf_sized_target" -> 0.8,
@@ -110,10 +115,48 @@ object RecallProbe {
     sizedMeta.takeRight(1).foreach { case (n, r) =>
       System.err.println(f"[recall] $n%-18s $r%.4f (target 0.8)") }
 
-    val json = (rows ++ sizedMeta ++ frontier).map { case (n, r) => "\"" + n + "\":" + r }
+    // The STORED IVF-PQ serving contract (writeIvfPqIndexSized →
+    // ivfPqRefineAgainstIndex at the params the index carries) — the r10
+    // verdict's one unmeasured headline claim. The index is built over the
+    // corpus side only (an index can't see future queries), then recall is
+    // measured (a) at the stored contract exactly, and (b) along the refine
+    // ladder at the stored nprobe, so the refine default is anchored to a
+    // measured recovery curve, not extrapolated from hand-picked nprobes.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-ivfpq").toString
+    val corpus = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= nQ)
+    val qrs = emb.filter(org.apache.spark.sql.functions.col("vec_id") < nQ)
+    Similarity.writeIvfPqIndexSized(corpus, idxDir)
+    val prm = spark.read.parquet(s"$idxDir/params").head()
+    val storedNp = prm.getAs[Int]("nprobe")
+    val storedRefine = prm.getAs[Int]("refine")
+    val refineLadder = Seq(4, 16, 32, 64).flatMap { rf =>
+      val r = recall(Similarity.ivfPqRefineAgainstIndex(qrs, idxDir, k,
+        refineOverride = Some(rf)))
+      System.err.println(f"[recall] ivfpq_sized refine=$rf%-3d recall=$r%.4f (np=$storedNp)")
+      Seq(s"ivfpq_sized_refine$rf" -> r)
+    }
+    val storedContract = recall(Similarity.ivfPqRefineAgainstIndex(qrs, idxDir, k))
+    System.err.println(
+      f"[recall] ivfpq_sized stored contract np=$storedNp refine=$storedRefine recall=$storedContract%.4f (target 0.8)")
+    // the coverage ceiling at the stored nprobe: refine large enough that
+    // every ADC candidate in the probed cells is exactly re-ranked — what
+    // the refine stage can at best recover to
+    val ceiling = recall(Similarity.ivfPqRefineAgainstIndex(qrs, idxDir, k,
+      refineOverride = Some((corpusN / k + 1).toInt)))
+    System.err.println(f"[recall] ivfpq_sized ceiling (refine-all) recall=$ceiling%.4f")
+    val ivfpqSized = Seq(
+      "ivfpq_sized_nprobe" -> storedNp.toDouble,
+      "ivfpq_sized_refine" -> storedRefine.toDouble,
+      "ivfpq_sized_target" -> 0.8,
+      "ivfpq_sized" -> storedContract,
+      "ivfpq_sized_ceiling" -> ceiling) ++ refineLadder
+
+    val json = (rows ++ sizedMeta ++ frontier ++ ivfpqSized)
+      .map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")
     println(json)
-    Util.writeJson("RECALL_OUT", "RECALL_LOCAL.json", json)
+    if (!onlyStored) Util.writeJson("RECALL_OUT", "RECALL_LOCAL.json", json)
     spark.stop()
   }
 }

@@ -704,7 +704,12 @@ object Dedup {
     * Verify/Bench/test session mines and writes; every later consumer
     * reads parquet. This is the harness-side stand-in for the production
     * convention where the curation run's artifact lives at a well-known
-    * warehouse path. */
+    * warehouse path. Staleness hazard (accepted for the harness): the memo
+    * is never invalidated, so a session that REGENERATES the fixture at
+    * the same path would silently serve results mined from the old corpus,
+    * and the temp dirs live for the JVM. Fixtures are immutable per
+    * session here; a production deployment keys the artifact path on a
+    * corpus fingerprint instead. */
   private val artifactDirs =
     scala.collection.mutable.HashMap.empty[(String, Double), String]
   def dedupArtifact(s: SparkSession, dir: String, threshold: Double): String =
@@ -795,10 +800,33 @@ object Dedup {
     * max(ingest_batch)+1 — the ad-hoc "fold today's data in" form. */
   def appendDedupArtifact(newDocs: DataFrame, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val next = spark.read.parquet(s"$path/nodes")
-      .agg(max(col("ingest_batch").cast("long"))).head().getLong(0) + 1L
+    // empty-seed bootstrap: a seed built from zero documents writes no
+    // partition directories (Spark can't materialize partition dirs for
+    // zero rows), so the nodes read has no schema to infer — the first
+    // real increment starts the partition sequence at 0
+    val next = readPartOr(spark, path, "nodes") {
+        spark.range(0).select(col("id").as("doc_id"))
+      }
+      .agg(max(col("ingest_batch").cast("long"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1L
+      }
     appendDedupArtifact(newDocs, path, next)
   }
+
+  /** Read a per-document artifact part, falling back to an empty
+    * DataFrame shaped like `like` (plus the ingest_batch partition column)
+    * when the part has no schema-bearing files — the empty-seed case: a
+    * hashed artifact built from zero documents writes no partition dirs,
+    * and the first append must bootstrap, not fail schema inference. */
+  private def readPartOr(spark: SparkSession, path: String, p: String)
+                        (like: => DataFrame): DataFrame =
+    try spark.read.parquet(s"$path/$p")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        like.limit(0).withColumn("ingest_batch", lit(0L))
+    }
 
   def appendDedupArtifact(newDocs: DataFrame, path: String,
                           ingestBatch: Long): Unit = {
@@ -811,16 +839,28 @@ object Dedup {
     // the batch's shingles can never be double-counted into a Jaccard
     // denominator (Structured Streaming replays a batch id with identical
     // content, which is what makes the rewrite a true no-op)
-    def oldPart(p: String, cols: String*) = spark.read.parquet(s"$path/$p")
-      .filter(col("ingest_batch").cast("long") =!= ingestBatch)
-      .select(cols.map(col): _*)
-    val oldPairs = spark.read.parquet(s"$path/pairs").localCheckpoint(eager = true)
-    val oldBands = oldPart("bands", "doc_id", "band", "bval")
-    val oldShid = oldPart("shingles", "doc_id", "sid")
-    val oldCnt = oldPart("counts", "doc_id", "c")
     val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
     val newBands = bandsOf(signaturesOf(newShid)).localCheckpoint(eager = true)
     val newCnt = newShid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    // empty-seed bootstrap: each stored part falls back to an empty frame
+    // shaped like ITS increment twin (readPartOr) — no hardcoded schemas
+    // to drift, and the append algebra below degenerates to exactly the
+    // initial build when every stored side is empty
+    def oldPart(p: String, like: => DataFrame, cols: String*) =
+      readPartOr(spark, path, p)(like)
+        .filter(col("ingest_batch").cast("long") =!= ingestBatch)
+        .select(cols.map(col): _*)
+    val oldPairs = (
+      try spark.read.parquet(s"$path/pairs")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+            col("id").cast("double").as("jaccard"))
+      }).localCheckpoint(eager = true)
+    val oldBands = oldPart("bands", newBands, "doc_id", "band", "bval")
+    val oldShid = oldPart("shingles", newShid, "doc_id", "sid")
+    val oldCnt = oldPart("counts", newCnt, "doc_id", "c")
     // increment-internal candidates: the band self-join of B alone
     val candNew = newBands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
       .join(newBands.select(col("doc_id").as("doc_b"), col("band"), col("bval")),

@@ -637,25 +637,63 @@ object Similarity {
     cosineTopK(probesOf(normed(queries), cent, nprobe), cells, k, Seq("cid"))
   }
 
+  /** Refine factor for the sized IVF-PQ index, derived from the recall
+    * target the same way [[ivfSizedParams]] derives nprobe — from a
+    * measured worst-case calibration, in drift-proof integer ppm.
+    *
+    * Requirement: coverage(nprobe) · recovery(refine) ≥ target. The nprobe
+    * rule already routes the target through the scan fraction (coverage ≈
+    * scan^(1/4) on the worst-case fixture), so the recovery the refine
+    * stage must supply is the near-constant ratio target/coverage. The
+    * measured recovery curve at the sized nprobe (RECALL_LOCAL.json
+    * `ivfpq_sized_refine{4,16,32,64}`: 0.25 / 0.55 / 0.70 / 0.83 of a
+    * 0.846 ceiling) is bounded BELOW by recovery(r) ≥ √(r/64) — the safe
+    * fit — giving refine = ceil(64 · (target/coverage)²). Structurally the
+    * target cancels (both terms scale with it), so the derivation lands on
+    * 60–64 for every target: PQ's quantization loss at this 4×16 geometry
+    * is what refine pays for, and that loss does not shrink with the
+    * target. Real-world clustered embeddings saturate earlier, so the rule
+    * errs safe — the [[ivfSizedParams]] worst-case convention. */
+  def ivfPqSizedRefine(targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0,1], got $targetRecall")
+    val scanPpm = math.min(1000000L,
+      math.round(1.15 * math.pow(targetRecall, 4) * 1000000))
+    // coverage ≈ scan^(1/4), snapped to ppm before any comparison so JVM
+    // and DuckDB pow ulps can't flip the ceil (the ivfSizedParams rule)
+    val covPpm = math.round(math.pow(scanPpm / 1000000.0, 0.25) * 1000000)
+    val tgtPpm = math.round(targetRecall * 1000000)
+    val fPpm = math.min(1000000L, (tgtPpm * 1000000L + covPpm - 1) / covPpm)
+    ((64L * fPpm * fPpm + 999999999999L) / 1000000000000L).toInt
+  }
+
   /** Stored IVF-PQ(+refine) index — the memory-bound serving path
     * (FAISS `IVFPQ,RFlat` persisted): the ADC scan reads centroids +
     * 4-int codes + the residual codebook (together ~30× smaller than the
     * vectors), and the exact vectors live in a SEPARATE on-disk part the
     * query path touches only for the k·refine candidates per query — the
-    * ranged-read shape. Every knob is corpus-derived ([[ivfSizedParams]])
-    * and stored WITH the index (`params`), so query batches serve at the
-    * contract the index was built for. Coarse cells and residual codebook
-    * are the same deterministic constructions as [[ivfPqTopK]], computed
-    * over the CORPUS only (an index can't see future queries). */
+    * ranged-read shape. Every knob is corpus-derived ([[ivfSizedParams]] /
+    * [[ivfPqSizedRefine]]) and stored WITH the index (`params`), so query
+    * batches serve at the contract the index was built for — measured at
+    * that exact contract in RECALL_LOCAL.json (`ivfpq_sized`). Coarse
+    * cells and residual codebook are the same deterministic constructions
+    * as [[ivfPqTopK]], computed over the CORPUS only (an index can't see
+    * future queries). */
   def writeIvfPqIndexSized(corpus: DataFrame, path: String,
                            targetRecall: Double = 0.8,
-                           codeMod: Int = 61, refine: Int = 16): Unit = {
+                           codeMod: Int = 61): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (nlist, cmod, nprobe) = ivfSizedParams(corpus.count(), targetRecall)
+    val refine = ivfPqSizedRefine(targetRecall)
+    // k-means-refined centroids, same as [[writeIvfIndexSized]]: the sizing
+    // rule's measured recall frontier (ivfSizedParams scaladoc) was
+    // calibrated on Lloyd's-refined cells — a plain mod-sample centroid
+    // table caps coverage well below the rule's assumption at the same
+    // nprobe (measured r11: stored contract served 0.354 at target 0.8
+    // before this fix; RECALL_LOCAL.json ivfpq_sized_* carries the after)
     val e = normed(corpus).localCheckpoint(eager = true)
-    val cent = e.filter(col("vec_id") % cmod === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cent = kmeansCentroids(e, cmod, iters = 2)
       .localCheckpoint(eager = true)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val subs = spark.range(PqSubspaces).select(col("id").cast("int").as("s"))
@@ -726,6 +764,27 @@ object Similarity {
     rankTopK(cand.join(qv, "query_id")
       .join(spark.read.parquet(s"$path/vectors"), "neighbor_id"), k)
   }
+
+  /** Per-JVM memoized [[writeIvfPqIndexSized]] store keyed on corpus dir —
+    * the [[graft.llm.Dedup.dedupArtifact]] convention for the ANN serving
+    * path: the first `ann_ivfpq_sized` query of a Verify/Bench/test
+    * session builds and writes, every later call reads parquet. Same
+    * staleness hazard as that memo: a session that regenerates the fixture
+    * at the same path would serve an index built from the old corpus —
+    * acceptable for the harness (fixtures are immutable per session); a
+    * production deployment keys the index path on a corpus fingerprint. */
+  private val ivfPqIndexDirs =
+    scala.collection.mutable.HashMap.empty[String, String]
+  def ivfPqSizedIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexDirs.synchronized {
+      ivfPqIndexDirs.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-index").toString
+        writeIvfPqIndexSized(
+          Tables.embeddings(s, dir).filter(col("vec_id") >= 5), p)
+        p
+      })
+    }
 
   /** Product-quantization geometry: m = 4 subspaces × 16 dims (the corpus
     * is 64-dim). */
@@ -1475,6 +1534,12 @@ object Similarity {
     "ann_pq_refine" -> ((s, dir) => Util.orderAll(pqRefineTopK(emb(s, dir), 5, 10))),
     "ann_ivfpq" -> ((s, dir) => Util.orderAll(ivfPqTopK(emb(s, dir), 5, 10))),
     "ann_ivfpq_refine" -> ((s, dir) => Util.orderAll(ivfPqRefineTopK(emb(s, dir), 5, 10))),
+    // the stored serving path at its OWN stored contract (sized nprobe +
+    // derived refine against the memoized writeIvfPqIndexSized artifact) —
+    // the oracle re-derives every knob from count(*) and replays the whole
+    // chain, so the params the index carries are themselves checked
+    "ann_ivfpq_sized" -> ((s, dir) => Util.orderAll(ivfPqRefineAgainstIndex(
+      emb(s, dir).filter(col("vec_id") < 5), ivfPqSizedIndex(s, dir), 10))),
     // threshold 0.35: the fixture's highest within-cell cosine is 0.472
     // (same argument as doc_dedup_embedding_lsh) — 0.5 would be vacuous
     "doc_dedup_semantic" -> ((s, dir) => Util.orderAll(semDedup(emb(s, dir), 0.35))),
@@ -1662,14 +1727,15 @@ object Similarity {
     * (csim DESC, cid ASC), then per-(cell, dim) means in exact integer
     * micro-units (CAST pins DuckDB's HUGEINT sum), list rebuilt in dim
     * order and the norm recomputed over it. */
-  private def lloydIter(cin: String, asg: String, cout: String): String =
+  private def lloydIter(cin: String, asg: String, cout: String,
+                        src: String = "n"): String =
     s""", $asg AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT n.vec_id, n.v, c.cid,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
        |        round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) DESC,
        |        c.cid ASC) AS rk
-       |    FROM n CROSS JOIN $cin c
+       |    FROM $src n CROSS JOIN $cin c
        |  ) t WHERE rk = 1
        |), $cout AS (
        |  SELECT cid, list(cx ORDER BY dim) AS cv,
@@ -1795,6 +1861,110 @@ object Similarity {
         |    FROM approx) t WHERE prk <= 160
         |)
         |""".stripMargin + Util.wrap(
+        """SELECT query_id, neighbor_id, cosine, rk FROM (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY cand.query_id
+          |      ORDER BY round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) DESC,
+          |               cand.neighbor_id ASC) AS rk
+          |  FROM cand
+          |  JOIN n q ON q.vec_id = cand.query_id
+          |  JOIN n c ON c.vec_id = cand.neighbor_id
+          |) t WHERE rk <= 10""".stripMargin, annCols)),
+
+    // the STORED sized IVF-PQ serving path, replayed end-to-end: corpus =
+    // vec_id >= 5 (an index can't see future queries); every knob is
+    // re-derived from count(*) — nlist/cmod/nprobe via the ann_ivf_sized
+    // arithmetic, refine via the ivfPqSizedRefine integer-ppm chain
+    // (coverage = scan^(1/4) ppm-snapped, f = ceil-div target/coverage,
+    // refine = ceil(64·f²)) — then two corpus-only Lloyd's steps, the
+    // residual-PQ encode/ADC chain at the derived nprobe, and the exact
+    // re-rank of the top k·refine candidates under the brute contract
+    "ann_ivfpq_sized" -> (normCte +
+      """, nc AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 5)
+        |, prm AS (
+        |  SELECT nlist, cmod, nprobe,
+        |    (64 * f_ppm * f_ppm + 999999999999) // 1000000000000 AS refine
+        |  FROM (
+        |    SELECT nlist, cmod, nprobe,
+        |      least(1000000, (CAST(800000 AS BIGINT) * 1000000 + cov_ppm - 1) // cov_ppm) AS f_ppm
+        |    FROM (
+        |      SELECT nlist,
+        |        greatest(1, CAST(round(cnt / nlist) AS BIGINT)) AS cmod,
+        |        greatest(1, (nlist * scan_ppm + 999999) // 1000000) AS nprobe,
+        |        CAST(round(pow(scan_ppm / 1000000.0, 0.25) * 1000000) AS BIGINT) AS cov_ppm
+        |      FROM (
+        |        SELECT greatest(4, CAST(round(sqrt(cnt)) AS BIGINT)) AS nlist, cnt,
+        |          least(1000000, CAST(round(1.15 * pow(0.8, 4) * 1000000) AS BIGINT)) AS scan_ppm
+        |        FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nc) c0
+        |      ) c1
+        |    ) c2
+        |  ) c3
+        |), cent0 AS (
+        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM nc, prm
+        |  WHERE vec_id % prm.cmod = 0
+        |)
+        |""".stripMargin +
+      lloydIter("cent0", "pqasg1", "pqcent1", src = "nc") +
+      lloydIter("pqcent1", "pqasg2", "pqcent2", src = "nc") +
+      s""", ranked AS (
+         |  SELECT vec_id, v, nrm, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crk
+         |  FROM (
+         |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |      round(list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i]))
+         |        / (n.nrm * c.cnrm), 6) AS csim
+         |    FROM n CROSS JOIN pqcent2 c
+         |  ) s
+         |), ss AS (SELECT unnest(range(0, $PqSubspaces)) AS s)
+         |, rsub AS (
+         |  SELECT r.vec_id, r.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN pqcent2 USING (cid) WHERE vec_id >= 5 AND crk = 1
+         |  ) r, ss
+         |), cbr AS (
+         |  SELECT s, vec_id AS code, sub AS cv, xx AS cc FROM rsub WHERE vec_id % 61 = 0
+         |), codes AS (
+         |  SELECT vec_id AS neighbor_id, cid, s, code FROM (
+         |    SELECT r.vec_id, r.cid, r.s, c.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, r.s ORDER BY
+         |        CAST(round((r.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |          i -> r.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) ASC, c.code ASC) AS rk
+         |    FROM rsub r JOIN cbr c ON r.s = c.s) t
+         |  WHERE rk = 1
+         |), qsub AS (
+         |  SELECT q.query_id, q.cid, ss.s,
+         |    list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim) AS sub,
+         |    list_sum(list_transform(list_slice(rv, ss.s * $PqSubDim + 1, ss.s * $PqSubDim + $PqSubDim),
+         |      x -> x * x)) AS xx
+         |  FROM (
+         |    SELECT ranked.vec_id AS query_id, ranked.cid,
+         |      list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+         |    FROM ranked JOIN pqcent2 USING (cid), prm
+         |    WHERE vec_id < 5 AND crk <= prm.nprobe
+         |  ) q, ss
+         |), qtab AS (
+         |  SELECT q.query_id, q.cid, q.s, c.code,
+         |    CAST(round((q.xx + c.cc - 2 * list_sum(list_transform(range(1, $PqSubDim + 1),
+         |      i -> q.sub[i] * c.cv[i]))) * 1000000) AS BIGINT) AS qdm
+         |  FROM qsub q JOIN cbr c ON q.s = c.s
+         |), approx AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(qdm) AS BIGINT) AS approx_dist_micro
+         |  FROM codes JOIN qtab USING (cid, s, code)
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY approx_dist_micro ASC, neighbor_id ASC) AS prk
+         |    FROM approx) t, prm WHERE prk <= 10 * prm.refine
+         |)
+         |""".stripMargin + Util.wrap(
         """SELECT query_id, neighbor_id, cosine, rk FROM (
           |  SELECT cand.query_id, cand.neighbor_id,
           |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine,

@@ -165,12 +165,18 @@ object GzipMembers {
       // Decompression-bomb gate: untrusted crawl input can pack ~1000:1
       // expansion into a tiny member, and an unbounded inflate OOMs the
       // executor with an Error the quarantine path can't catch. Cap the
-      // inflated size at a generous multiple of the COMPRESSED remainder
-      // (deflate tops out near 1032:1; WARC text members sit well under
-      // 20:1) plus a floor for tiny members, and fail(...) with the
-      // IllegalArgumentException the poison gate turns into a quarantine
-      // row instead of a job kill.
-      val maxInflated = math.max(1L << 20, (bytes.length - p).toLong * 64L)
+      // inflated size at a generous multiple of the COMPRESSED REMAINDER
+      // OF THE BUFFER (not the current member — member length isn't known
+      // until inflate finishes, so the cap is loose for early members of a
+      // multi-member file and tight only for the last; it still bounds the
+      // worst case at 256× the file) plus a floor for tiny members, and
+      // fail(...) with the IllegalArgumentException the poison gate turns
+      // into a quarantine row instead of a job kill. 256:1 sits ~4× under
+      // deflate's 1032:1 ceiling while clearing legitimate highly-
+      // repetitive crawl members (whitespace/table-heavy HTML routinely
+      // exceeds 64:1 once inflated size passes the floor — silently
+      // quarantining those is data loss, the r10 ADVICE finding).
+      val maxInflated = math.max(1L << 20, (bytes.length - p).toLong * 256L)
       val body = try {
         inf.setInput(bytes, p, bytes.length - p)
         val bos = new java.io.ByteArrayOutputStream(1024)

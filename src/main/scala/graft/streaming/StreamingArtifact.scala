@@ -21,9 +21,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * changes nothing (Round10OpsSpec).
   *
   * The artifact must exist before the stream starts
-  * ([[graft.llm.Dedup.writeDedupArtifactHashed]], empty corpus allowed);
-  * stream batch ids map to partitions `batchId + 1` so partition 0 stays
-  * the initial build's. */
+  * ([[graft.llm.Dedup.writeDedupArtifactHashed]]; an EMPTY seed corpus is
+  * allowed — the first append bootstraps the schema-less partition dirs,
+  * spec-pinned in Round11OpsSpec "empty-seed hashed artifact"); stream
+  * batch ids map to partitions `batchId + 1` so partition 0 stays the
+  * initial build's. */
 object StreamingArtifact {
 
   /** `docs` must carry (doc_id, text). */

@@ -69,10 +69,19 @@ class Round10OpsSpec extends SparkSpec {
     val n = emb.count().toInt
     assert(rows(Similarity.pqRefineTopK(emb, 5, 10, refine = n)) ==
       rows(Similarity.bruteForceTopK(emb, 5, 10)))
-    // and a bounded refine is a SUBSET chain: its hits are brute-force hits
-    val refined = rows(Similarity.pqRefineTopK(emb, 5, 10, refine = 4))
-      .map(r => (r._1, r._2))
-    assert(refined.nonEmpty)
+    // monotone-recovery law: widening refine can only ADD brute-force hits
+    // (the candidate set grows monotonically and the exact re-rank keeps
+    // any truth member it sees), so hit counts are non-decreasing in
+    // refine and reach |truth| at corpus-covering refine. (The output SET
+    // is not a subset chain — a lossy ADC stage can promote non-brute
+    // neighbors into the top-k at small refine — so the law is on hits.)
+    val truth = rows(Similarity.bruteForceTopK(emb, 5, 10)).map(r => (r._1, r._2))
+    def hits(refine: Int): Int =
+      rows(Similarity.pqRefineTopK(emb, 5, 10, refine = refine))
+        .map(r => (r._1, r._2)).count(truth.contains)
+    val ladder = Seq(hits(4), hits(16), hits(n))
+    assert(ladder == ladder.sorted, s"hits not monotone in refine: $ladder")
+    assert(ladder.last == truth.size)
   }
 
   test("stored IVF-PQ refine index: probe-all + refine-all anchors to brute force; params carry the contract") {
@@ -85,6 +94,13 @@ class Round10OpsSpec extends SparkSpec {
     assert(prm.getAs[Int]("nlist") ==
       Similarity.ivfSizedParams(corpus.count(), 0.8)._1,
       "stored nlist != derived")
+    // the refine contract is DERIVED from the target too (r11: refine=16
+    // measured 0.55 at target 0.8 — the ivfPqSizedRefine calibration
+    // replaced it; 60 at every target ≤ 0.97, 64 at target 1.0)
+    assert(prm.getAs[Int]("refine") == Similarity.ivfPqSizedRefine(0.8),
+      "stored refine != derived")
+    assert(Similarity.ivfPqSizedRefine(0.8) == 60)
+    assert(Similarity.ivfPqSizedRefine(1.0) == 64)
     // probe-all + corpus-covering refine: the ADC stage can only LOSE
     // candidates; with none lost, the exact re-rank IS brute force over
     // the index corpus — the strongest whole-chain anchor available

@@ -60,7 +60,7 @@ class WarcGzSpec extends SparkSpec {
 
   test("member walk: a decompression-bomb member fails as IllegalArgumentException, not an OOM Error") {
     // ~128 MB of zeros deflates to ~128 KB — a >1000:1 member, far past the
-    // 64:1-of-compressed-remainder cap; the gate must throw the same
+    // 256:1-of-compressed-remainder cap; the gate must throw the same
     // IllegalArgumentException type the poison path quarantines, BEFORE
     // materializing the inflated bytes
     val bomb = GzipMembers.gzip(new Array[Byte](128 << 20))
@@ -71,6 +71,24 @@ class WarcGzSpec extends SparkSpec {
     val ok = GzipMembers.gzip(b("normal text " * 1000))
     assert(new String(GzipMembers.members(ok).head._2, StandardCharsets.UTF_8)
       == "normal text " * 1000)
+    // LEGITIMATE highly-repetitive crawl content — whitespace/table-heavy
+    // HTML with a counter every 8th row — compresses ~130:1, past the old
+    // 64:1 cap but under 256:1, and inflates past the 1 MiB floor. The r10
+    // ADVICE finding: the old cap silently quarantined members like this
+    // (data loss); the raised cap must pass them through intact.
+    val sb = new StringBuilder
+    for (i <- 0 until 20000) {
+      if (i % 8 == 0) sb.append(f"<tr><td>$i%08d</td></tr>\n")
+      sb.append("<tr><td>").append(" " * 120).append("</td></tr>\n")
+    }
+    val html = sb.toString
+    val rep = GzipMembers.gzip(b(html))
+    val ratio = html.length.toDouble / rep.length
+    assert(ratio > 64 && ratio < 256,
+      f"fixture drifted out of the cap gap: ratio $ratio%.1f")
+    assert(html.length > (1 << 20), "fixture must inflate past the floor")
+    assert(new String(GzipMembers.members(rep).head._2, StandardCharsets.UTF_8)
+      == html, "legitimate repetitive member was quarantined by the cap")
   }
 
   test("gz ingest parity: the .warc.gz report equals the plain-WARC report row-for-row") {
