@@ -541,7 +541,7 @@ object Similarity {
     * unique so comparison never reaches the payload fields, and the plan
     * avoids sorting the corpus×centroid cross by the whole chain (same
     * lesson as CdrPipeline.dedupLatestAgg / SCALE.md "argmax at scale"). */
-  private def assignToCells(side: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignToCells(side: DataFrame, cent: DataFrame): DataFrame =
     centroidScored(side, cent)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), (-col("cid")).as("ncid"),
@@ -594,24 +594,116 @@ object Similarity {
                     centroidMod: Int = 37, iters: Int = 2): Unit = {
     val e = normed(corpus).localCheckpoint(true)
     val cent = kmeansCentroids(e, centroidMod, iters)
+    // fail the BUILD, not the first query: a corpus whose vec_ids never
+    // hit the seed stride (ids not ~uniform mod centroidMod) would
+    // otherwise write an index with zero cells silently
+    require(!cent.isEmpty,
+      s"empty centroid table: no corpus vec_id % $centroidMod == 0 — " +
+        "re-key vec_id or pass a different centroidMod")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCells(e, cent).write.mode("overwrite").parquet(s"$path/cells")
+    writeIndexPart(assignToCells(e, cent), s"$path/cells",
+      ingestBatch = 0L, dynamic = false)
   }
+
+  /** Per-vector index parts (cells / codes / vectors) are written as ONE
+    * `ingest_batch=` partition — the idempotency unit of the appendable
+    * index, the [[graft.llm.Dedup]] writeIncrementParts convention: a
+    * replayed micro-batch (dynamic partition overwrite) rewrites ITS
+    * partition instead of appending duplicates. Readers are unaffected:
+    * every query path projects its columns explicitly, so the partition
+    * column never reaches an output. */
+  private def writeIndexPart(df: DataFrame, path: String,
+                             ingestBatch: Long, dynamic: Boolean): Unit =
+    df.withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("ingest_batch").parquet(path)
 
   /** [[writeIvfIndex]] with [[ivfSizedParams]] defaults: the index is
     * built at the corpus-derived nlist and the derived nprobe is stored
     * WITH the index (a one-row `params` parquet), so query batches probe
     * at the recall the index was sized for without the caller re-deriving
-    * knobs — the index artifact carries its own contract. */
+    * knobs — the index artifact carries its own contract. `build_n` (the
+    * corpus size the centroids were trained on) rides along for the
+    * [[ivfIndexNeedsRebuild]] drift trigger. */
   def writeIvfIndexSized(corpus: DataFrame, path: String,
                          targetRecall: Double = 0.8, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (nlist, cmod, nprobe) = ivfSizedParams(corpus.count(), targetRecall)
+    val n = corpus.count()
+    val (nlist, cmod, nprobe) = ivfSizedParams(n, targetRecall)
     writeIvfIndex(corpus, path, cmod, iters)
-    Seq((nlist, cmod, nprobe, targetRecall))
-      .toDF("nlist", "centroid_mod", "nprobe", "target_recall")
+    Seq((nlist, cmod, nprobe, targetRecall, n))
+      .toDF("nlist", "centroid_mod", "nprobe", "target_recall", "build_n")
       .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Fold a vector increment into a stored sized IVF index at INCREMENT
+    * cost: the new vectors are assigned against the STORED centroids (the
+    * [[semDedupAgainstIndex]] shape — one broadcast probe + argmax per new
+    * vector; the indexed corpus is never read, never re-clustered) and
+    * land as one `ingest_batch` partition of the cells part via dynamic
+    * partition overwrite — the replay-idempotent write. This is what makes
+    * a daily-growing corpus's ANN index maintainable at 100 TB: the
+    * alternative re-trains centroids and re-assigns every stored vector
+    * per increment.
+    *
+    * Correctness law (spec-asserted bit-identical): cell assignment is
+    * per-vector against a fixed centroid table, so append(B) after
+    * build(A) holds exactly the rows assign-against-the-same-centroids
+    * would produce over A ∪ B. Centroids DRIFT as the corpus grows — the
+    * index stores `build_n` and [[ivfIndexNeedsRebuild]] trips once the
+    * indexed total exceeds `rebuildFactor ×` it (then rebuild re-trains
+    * Lloyd's over everything, the one full-corpus pass the append path
+    * amortizes away). */
+  def appendIvfIndex(newVecs: DataFrame, path: String): Unit =
+    appendIvfIndex(newVecs, path, nextIngestBatch(newVecs.sparkSession, s"$path/cells"))
+
+  def appendIvfIndex(newVecs: DataFrame, path: String, ingestBatch: Long): Unit = {
+    val cent = newVecs.sparkSession.read.parquet(s"$path/centroids")
+    writeIndexPart(assignAgainst(newVecs, cent), s"$path/cells",
+      ingestBatch, dynamic = true)
+  }
+
+  /** Cell assignment of raw (vec_id, embedding) rows against a fixed
+    * centroid table — the per-vector operation [[appendIvfIndex]] appends
+    * and the append≡rebuild spec recomputes over the union. */
+  private[graft] def assignAgainst(vecs: DataFrame, cent: DataFrame): DataFrame =
+    assignToCells(normed(vecs), cent)
+
+  /** Residual-PQ codes of raw vectors against fixed centroid + codebook
+    * tables — [[appendIvfPqIndex]]'s per-vector operation, exposed for the
+    * append≡rebuild spec. */
+  private[graft] def pqCodesAgainst(vecs: DataFrame, cent: DataFrame,
+                                    cbr: DataFrame): DataFrame =
+    encodeResiduals(residualSubs(normed(vecs), cent), cbr)
+
+  /** max(ingest_batch)+1 over a stored per-vector part — the ad-hoc "fold
+    * today's vectors in" id derivation (parquet footer metadata makes the
+    * max cheap; streaming maintainers pass the batch id explicitly). */
+  private def nextIngestBatch(spark: SparkSession, partPath: String): Long =
+    spark.read.parquet(partPath)
+      .agg(max(col("ingest_batch").cast("long"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1L
+      }
+
+  /** Centroid-drift rebuild trigger: true once the indexed corpus has
+    * outgrown the centroids it was clustered under (`rebuildFactor ×` the
+    * stored build size). Appends keep the index CORRECT at any growth
+    * (assignment is exact against the stored centroids) but cell balance
+    * and probe recall degrade as the data distribution outruns the frozen
+    * cell structure — the standard IVF maintenance rule. The count rides
+    * parquet footer statistics, not a scan. */
+  def ivfIndexNeedsRebuild(spark: SparkSession, path: String,
+                           rebuildFactor: Double = 2.0): Boolean =
+    indexNeedsRebuild(spark, path, "cells", rebuildFactor)
+
+  private def indexNeedsRebuild(spark: SparkSession, path: String,
+                                part: String, rebuildFactor: Double): Boolean = {
+    val buildN = spark.read.parquet(s"$path/params")
+      .select(col("build_n").cast("long")).head().getLong(0)
+    spark.read.parquet(s"$path/$part").count() > rebuildFactor * buildN
   }
 
   /** ANN top-k against a [[writeIvfIndexSized]] index at the stored
@@ -695,9 +787,37 @@ object Similarity {
     val e = normed(corpus).localCheckpoint(eager = true)
     val cent = kmeansCentroids(e, cmod, iters = 2)
       .localCheckpoint(eager = true)
+    require(!cent.isEmpty,
+      s"empty centroid table: no corpus vec_id % $cmod == 0 — " +
+        "re-key vec_id (the writeIvfIndex empty-seed guard)")
     cent.write.mode("overwrite").parquet(s"$path/centroids")
-    val subs = spark.range(PqSubspaces).select(col("id").cast("int").as("s"))
-    val rsub = assignToCells(e, cent)
+    val rsub = residualSubs(e, cent).localCheckpoint(eager = true)
+    val cbr = rsub.filter(col("vec_id") % codeMod === 0)
+      .select(col("s"), col("vec_id").as("code"), col("sub").as("cv"),
+        col("xx").as("cc"))
+      .localCheckpoint(eager = true)
+    require(!cbr.isEmpty,
+      s"empty PQ codebook: no corpus vec_id % $codeMod == 0")
+    cbr.write.mode("overwrite").parquet(s"$path/codebook")
+    writeIndexPart(encodeResiduals(rsub, cbr), s"$path/codes",
+      ingestBatch = 0L, dynamic = false)
+    // refine's exact vectors: a separate part the ADC scan never reads
+    writeIndexPart(
+      e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
+      s"$path/vectors", ingestBatch = 0L, dynamic = false)
+    Seq((nlist, cmod, nprobe, targetRecall, codeMod, refine, corpus.count()))
+      .toDF("nlist", "centroid_mod", "nprobe", "target_recall", "code_mod",
+        "refine", "build_n")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Residual subvectors of every vector in `e` against its own best cell
+    * of `cent` — (vec_id, cid, s, sub, xx). Shared by the sized index
+    * build and [[appendIvfPqIndex]], so build/append parity is structural,
+    * not coincidental (the Dedup stored-consumer convention). */
+  private[graft] def residualSubs(e: DataFrame, cent: DataFrame): DataFrame = {
+    val subs = e.sparkSession.range(PqSubspaces).select(col("id").cast("int").as("s"))
+    assignToCells(e, cent)
       .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
       .select(col("neighbor_id").as("vec_id"), col("cid"),
         zip_with(col("vb"), col("cv"), (a, b) => a - b).as("rv"))
@@ -705,26 +825,53 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("s"),
         slice(col("rv"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
       .withColumn("xx", VectorFunctions.vecDot(col("sub"), col("sub")))
-      .localCheckpoint(eager = true)
-    val cbr = rsub.filter(col("vec_id") % codeMod === 0)
-      .select(col("s"), col("vec_id").as("code"), col("sub").as("cv"),
-        col("xx").as("cc"))
-      .localCheckpoint(eager = true)
-    cbr.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Residual-PQ encode against a FIXED codebook — per-(vector, subspace)
+    * integer-micro argmin, carrying the cell id. Shared by build and
+    * append: an increment encodes against the STORED codebook verbatim. */
+  private[graft] def encodeResiduals(rsub: DataFrame, cbr: DataFrame): DataFrame =
     rsub.join(broadcast(cbr), Seq("s"))
       .withColumn("dm", pqDistMicro)
       .groupBy(col("vec_id"), col("cid"), col("s"))
       .agg(min(struct(col("dm"), col("code"))).as("w"))
       .select(col("vec_id").as("neighbor_id"), col("cid"), col("s"),
         col("w.code").as("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
-    // refine's exact vectors: a separate part the ADC scan never reads
-    e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
-    Seq((nlist, cmod, nprobe, targetRecall, codeMod, refine))
-      .toDF("nlist", "centroid_mod", "nprobe", "target_recall", "code_mod", "refine")
-      .write.mode("overwrite").parquet(s"$path/params")
+
+  /** Fold a vector increment into a stored sized IVF-PQ index at
+    * INCREMENT cost — the [[appendIvfIndex]] law extended through the PQ
+    * chain: new vectors are assigned against the STORED centroids,
+    * residual-encoded against the STORED codebook (both per-vector
+    * operations against fixed broadcast tables, so append ≡
+    * assign-against-the-same-tables rebuild, spec-asserted bit-identical),
+    * and land as one `ingest_batch` partition of codes AND vectors via
+    * dynamic partition overwrite (replay-idempotent). Codebook drift
+    * follows centroid drift — [[ivfPqIndexNeedsRebuild]] trips at the
+    * same `rebuildFactor ×` build_n rule. */
+  def appendIvfPqIndex(newVecs: DataFrame, path: String): Unit =
+    appendIvfPqIndex(newVecs, path,
+      nextIngestBatch(newVecs.sparkSession, s"$path/vectors"))
+
+  def appendIvfPqIndex(newVecs: DataFrame, path: String,
+                       ingestBatch: Long): Unit = {
+    val spark = newVecs.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+      .localCheckpoint(eager = true)
+    val cbr = spark.read.parquet(s"$path/codebook")
+      .localCheckpoint(eager = true)
+    val e = normed(newVecs).localCheckpoint(eager = true)
+    writeIndexPart(encodeResiduals(residualSubs(e, cent), cbr),
+      s"$path/codes", ingestBatch, dynamic = true)
+    writeIndexPart(
+      e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
+      s"$path/vectors", ingestBatch, dynamic = true)
   }
+
+  /** [[ivfIndexNeedsRebuild]] for the IVF-PQ index (the vectors part is
+    * its per-vector unit). */
+  def ivfPqIndexNeedsRebuild(spark: SparkSession, path: String,
+                             rebuildFactor: Double = 2.0): Boolean =
+    indexNeedsRebuild(spark, path, "vectors", rebuildFactor)
 
   /** ANN top-k against a [[writeIvfPqIndexSized]] index at the stored
     * contract (override knobs for the probe-all/refine-all anchor spec):

@@ -30,4 +30,106 @@ class Round11OpsSpec extends SparkSpec {
         s"empty-seed append != rebuild on $part")
     assert(spark.read.parquet(s"$p/pairs").count() > 0, "law vacuous")
   }
+
+  private def partRows(path: String, part: String): Seq[String] =
+    spark.read.parquet(s"$path/$part").drop("ingest_batch")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("appendable IVF index: append == assign-against-stored-centroids rebuild, bit-identical cells; replay is a no-op; probe-all anchors to brute") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter($"vec_id" >= 5)
+    // id-RANGE split (yesterday's ids / today's): a mod split can align
+    // with the derived centroid stride and starve the seed sample — which
+    // the build now rejects loudly (the empty-centroid require)
+    val a = corpus.filter($"vec_id" < 340)
+    val b = corpus.filter($"vec_id" >= 340)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeIvfIndexSized(a, idx)
+    Similarity.appendIvfIndex(b, idx) // ad-hoc form derives batch id = 1
+    // the law: assignment is per-vector against a FIXED centroid table, so
+    // the appended index's cells hold exactly what assigning A∪B against
+    // the STORED centroids produces — bit-identical content
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val expected = Similarity.assignAgainst(corpus, cent)
+      .collect().map(_.toString).sorted.toSeq
+    assert(partRows(idx, "cells") == expected, "append != rebuild on cells")
+    // replay idempotence: re-appending the SAME increment under the SAME
+    // ingest_batch id dynamically overwrites its partition bit-identically
+    Similarity.appendIvfIndex(b, idx, ingestBatch = 1L)
+    assert(partRows(idx, "cells") == expected, "replayed append mutated cells")
+    // whole-chain anchor: probe-all over the appended index == brute force
+    // over the full corpus (every appended vector is reachable)
+    val queries = emb.filter($"vec_id" < 5)
+    val nCells = cent.count().toInt
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Similarity.ivfTopKAgainstIndex(queries, idx, 10, nprobe = nCells)) ==
+      rows(Similarity.bruteForceTopK(emb, 5, 10)))
+    // centroid-drift trigger: A alone (build_n) is under 2x, A∪B+A again is over
+    assert(!Similarity.ivfIndexNeedsRebuild(spark, idx),
+      "trigger tripped below the rebuild factor")
+    val b2 = b.withColumn("vec_id", $"vec_id" + 100000L)
+    Similarity.appendIvfIndex(b2, idx)
+    val total = spark.read.parquet(s"$idx/cells").count()
+    val buildN = spark.read.parquet(s"$idx/params")
+      .select($"build_n".cast("long")).head().getLong(0)
+    assert(Similarity.ivfIndexNeedsRebuild(spark, idx, rebuildFactor = 0.5),
+      "trigger must trip at a factor the growth exceeds")
+    assert(Similarity.ivfIndexNeedsRebuild(spark, idx) ==
+      (total > 2.0 * buildN), "default trigger != the documented rule")
+  }
+
+  test("appendable IVF-PQ index: append == encode-against-stored-tables rebuild on codes AND vectors; replay no-op; probe-all+refine-all anchors to brute") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = emb.filter($"vec_id" >= 5)
+    val a = corpus.filter($"vec_id" < 340)
+    val b = corpus.filter($"vec_id" >= 340)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    Similarity.writeIvfPqIndexSized(a, idx)
+    Similarity.appendIvfPqIndex(b, idx) // ad-hoc form derives batch id = 1
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val cbr = spark.read.parquet(s"$idx/codebook")
+    val expCodes = Similarity.pqCodesAgainst(corpus, cent, cbr)
+      .collect().map(_.toString).sorted.toSeq
+    assert(partRows(idx, "codes") == expCodes, "append != rebuild on codes")
+    Similarity.appendIvfPqIndex(b, idx, ingestBatch = 1L)
+    assert(partRows(idx, "codes") == expCodes, "replayed append mutated codes")
+    // the vectors part grew by exactly the increment (refine reads see B)
+    assert(spark.read.parquet(s"$idx/vectors").count() == corpus.count())
+    // probe-all + corpus-covering refine over the APPENDED index == brute
+    // force over the full corpus — the strongest whole-chain anchor
+    val queries = emb.filter($"vec_id" < 5)
+    val n = corpus.count().toInt
+    def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
+    assert(rows(Similarity.ivfPqRefineAgainstIndex(queries, idx, 10,
+        nprobeOverride = Some(n), refineOverride = Some(n))) ==
+      rows(Similarity.bruteForceTopK(emb, 5, 10)))
+    assert(!Similarity.ivfPqIndexNeedsRebuild(spark, idx))
+    assert(Similarity.ivfPqIndexNeedsRebuild(spark, idx, rebuildFactor = 0.5))
+  }
+
+  test("streaming ANN index maintenance: stream of micro-batches == assign-against-stored-centroids over everything delivered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.table(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val corpus = emb.filter($"vec_id" >= 5)
+    val seed = corpus.filter($"vec_id" < 170)
+    val b1 = corpus.filter($"vec_id" >= 170 && $"vec_id" < 335)
+      .as[(Long, Array[Float])].collect().toSeq
+    val b2 = corpus.filter($"vec_id" >= 335).as[(Long, Array[Float])].collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.writeIvfIndexSized(seed, idx)
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = streaming.StreamingAnnIndex.run(
+      mem.toDF().toDF("vec_id", "embedding"), idx,
+      java.nio.file.Files.createTempDirectory("graft-ivf-stream-ckpt").toString)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val expected = Similarity.assignAgainst(corpus, cent)
+      .collect().map(_.toString).sorted.toSeq
+    assert(partRows(idx, "cells") == expected,
+      "streamed index != assign-against-stored-centroids rebuild")
+  }
 }
