@@ -10,10 +10,12 @@ object LlmQueries {
     Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ Sketches.queries ++ BpeTrainer.queries ++
       WarcIngest.queries ++ UrlCuration.queries ++ UnigramLm.queries ++
-      LinearTrainer.queries ++ RecordLinkage.queries ++ PrefData.queries
+      LinearTrainer.queries ++ RecordLinkage.queries ++ PrefData.queries ++
+      TrainingShards.queries
   def oracle: Map[String, String] =
     Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
       Multimodal.oracle ++ Sketches.oracle ++ BpeTrainer.oracle ++
       WarcIngest.oracle ++ UrlCuration.oracle ++ UnigramLm.oracle ++
-      LinearTrainer.oracle ++ RecordLinkage.oracle ++ PrefData.oracle
+      LinearTrainer.oracle ++ RecordLinkage.oracle ++ PrefData.oracle ++
+      TrainingShards.oracle
 }
