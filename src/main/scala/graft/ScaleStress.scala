@@ -270,6 +270,9 @@ object ScaleStress {
     var (tSkewPlain, tSkewSalt, tSkewDedupFirst) = (-1.0, -1.0, -1.0)
     var (maxTaskPlain, maxTaskSalt, maxTaskDedupFirst) = (-1L, -1L, -1L)
     var (nSkewPairs, nDedupFirstPairs) = (-1L, -1L)
+    var (tCandPlain, tCandSalt) = (-1.0, -1.0)
+    var (maxTaskCandPlain, maxTaskCandSalt) = (-1L, -1L)
+    var nSkewCand = -1L
     var (tWinnowPlain, tWinnowCap) = (-1.0, -1.0)
     var (maxTaskWinnowPlain, maxTaskWinnowCap) = (-1L, -1L)
     var (nWinnowPlain, nWinnowCap) = (-1L, -1L)
@@ -293,6 +296,8 @@ object ScaleStress {
       def medL(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
       val accPlain = Seq.newBuilder[(Double, Long)]
       val accSalt = Seq.newBuilder[(Double, Long)]
+      val accCandP = Seq.newBuilder[(Double, Long)]
+      val accCandS = Seq.newBuilder[(Double, Long)]
       val accDf = Seq.newBuilder[(Double, Long)]
       val accWp = Seq.newBuilder[(Double, Long)]
       val accWc = Seq.newBuilder[(Double, Long)]
@@ -309,6 +314,23 @@ object ScaleStress {
               graft.llm.Dedup.ExactVocabBound, saltBuckets = 8).count())
           accSalt += ((t2, maxTask.get()))
           require(n1 == n2, s"salting changed the answer: $n1 vs $n2")
+          // r11: the CANDIDATE stage alone — where the salt actually acts.
+          // The full-chain rows above are dominated by the verify join over
+          // the quadratic candidate ANSWER, which salted and unsalted plans
+          // pay identically, so their near-equal walls say nothing about
+          // the mitigation (the flat r10 x10 record). These two arms stop
+          // at the band join + distinct: the hot (band,bval) key's pair
+          // fan-out lands on ONE task unsalted and on 32 salted, and the
+          // max-task contrast is the salt's claim measured at its stage.
+          maxTask.set(0)
+          val (nc1, tc1) = timed(s"lsh candidates plain #$rep")(
+            graft.llm.Dedup.lshCandidates(docsSkew, 1).count())
+          accCandP += ((tc1, maxTask.get())); nSkewCand = nc1
+          maxTask.set(0)
+          val (nc2, tc2) = timed(s"lsh candidates salt32 #$rep")(
+            graft.llm.Dedup.lshCandidates(docsSkew, 32).count())
+          accCandS += ((tc2, maxTask.get()))
+          require(nc1 == nc2, s"salting changed the candidate set: $nc1 vs $nc2")
           // the production order: exact-dedup FIRST (collapse identical texts
           // to one representative), near-dup over representatives. The salt
           // bounds the band-join task, but the C(dups,2) pair ANSWER is
@@ -343,12 +365,18 @@ object ScaleStress {
       val (dT, dM) = accDf.result().unzip
       val (wpT, wpM) = accWp.result().unzip
       val (wcT, wcM) = accWc.result().unzip
+      val (cpT, cpM) = accCandP.result().unzip
+      val (csT, csM) = accCandS.result().unzip
       tSkewPlain = med(pT); maxTaskPlain = medL(pM)
       tSkewSalt = med(sT); maxTaskSalt = medL(sM)
+      tCandPlain = med(cpT); maxTaskCandPlain = medL(cpM)
+      tCandSalt = med(csT); maxTaskCandSalt = medL(csM)
       tSkewDedupFirst = med(dT); maxTaskDedupFirst = medL(dM)
       tWinnowPlain = med(wpT); maxTaskWinnowPlain = medL(wpM)
       tWinnowCap = med(wcT); maxTaskWinnowCap = medL(wcM)
       System.err.println(s"[stress] skew_pairs=$nSkewPairs reps=$skewReps " +
+        s"cand=$nSkewCand cand_max_task_plain=${maxTaskCandPlain}ms " +
+        s"cand_max_task_salt32=${maxTaskCandSalt}ms " +
         s"max_task_plain=${maxTaskPlain}ms max_task_salt8=${maxTaskSalt}ms " +
         s"dedup_first_pairs=$nDedupFirstPairs max_task_dedup_first=${maxTaskDedupFirst}ms " +
         s"winnow_plain=${nWinnowPlain}p/${maxTaskWinnowPlain}ms " +
@@ -466,26 +494,92 @@ object ScaleStress {
     // recompute, so it is NOT 10% of the rebuild; the claim it pins is
     // that the increment path never re-shingles the corpus and its cost
     // is bounded by increment mining + pair-table work.
-    // skippable like simhash: the replicated corpus makes cross-copy band
-    // collisions (copies share all but one shingle) ~quadratic in the
-    // factor — at ×100 the candidate/verify volume OOMs on the ANSWER,
-    // not the algorithm (observed: heap exhaustion in the verify join's
-    // stage at ×100 while ×10 runs in seconds)
+    //
+    // r11: measured on a NOVEL-shingle corpus, not the replicated fixture.
+    // The r10 form mined docsN, whose copies share all but one shingle —
+    // cross-copy band collisions are ~quadratic in the factor, so ×100
+    // OOMed on the ANSWER and the section recorded a skip. Real corpus
+    // growth is novel text: this generator is the wide-alphabet trick that
+    // fixed the deep-k BPE stress in r9 — 40 hash-derived 8-char words per
+    // doc (26^8 word space, cross-doc collisions negligible), except that
+    // every doc_id ≡ 1 (mod 10) shares 39 of its 40 words with doc_id-1
+    // (one word swapped for a doc-unique marker), planting a 10% near-dup
+    // rate whose PAIR answer is linear in N — the shape the artifact
+    // exists for. Increment split is the newest-10%-of-ids suffix (real
+    // growth arrives at the end of the id space; pairs may straddle the
+    // boundary, which the append path handles — spec-pinned in r10).
     val skipArtifact = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("artifact"))
     val artDir = s"/tmp/graft-stress-artifact-x$factor"
-    val (tArtBuild, tArtAppend, tArtRebuild) =
-      if (skipArtifact) (-1.0, -1.0, -1.0)
-      else {
-        val docsOld = docsN.filter(col("doc_id") % 10 =!= 0)
-        val docsInc = docsN.filter(col("doc_id") % 10 === 0)
-        val (_, tb) = timed("artifact build 90% x" + factor)(
-          graft.llm.Dedup.writeDedupArtifactHashed(docsOld, s"$artDir/a", 0.4))
-        val (_, ta) = timed("artifact append 10% x" + factor)(
-          graft.llm.Dedup.appendDedupArtifact(docsInc, s"$artDir/a"))
-        val (_, tr2) = timed("artifact rebuild 100% x" + factor)(
-          graft.llm.Dedup.writeDedupArtifactHashed(docsN, s"$artDir/b", 0.4))
-        (tb, ta, tr2)
-      }
+    val nArtDocs = 2000L * factor
+    var (tArtBuild, tArtAppend, tArtRebuild) = (-1.0, -1.0, -1.0)
+    var nArtPairs = -1L
+    if (!skipArtifact) {
+      val novelDocs = spark.range(nArtDocs).select(
+        col("id").as("doc_id"),
+        expr("""CASE WHEN id % 10 = 1 THEN
+          |  concat(array_join(transform(sequence(1, 39), w ->
+          |    array_join(transform(sequence(1, 8), i ->
+          |      char(97 + pmod(hash(id - 1, w, i), 26))), '')), ' '),
+          |    ' zz', cast(id AS string))
+          |ELSE
+          |  array_join(transform(sequence(1, 40), w ->
+          |    array_join(transform(sequence(1, 8), i ->
+          |      char(97 + pmod(hash(id, w, i), 26))), '')), ' ')
+          |END""".stripMargin).as("text"))
+        .repartition(cpus * 2)
+        .localCheckpoint(true)
+      val cut = (nArtDocs * 9) / 10
+      val docsOld = novelDocs.filter(col("doc_id") < cut)
+      val docsInc = novelDocs.filter(col("doc_id") >= cut)
+      val (_, tb) = timed("artifact build 90% x" + factor)(
+        graft.llm.Dedup.writeDedupArtifactHashed(docsOld, s"$artDir/a", 0.4))
+      val (_, ta) = timed("artifact append 10% x" + factor)(
+        graft.llm.Dedup.appendDedupArtifact(docsInc, s"$artDir/a"))
+      val (_, tr2) = timed("artifact rebuild 100% x" + factor)(
+        graft.llm.Dedup.writeDedupArtifactHashed(novelDocs, s"$artDir/b", 0.4))
+      tArtBuild = tb; tArtAppend = ta; tArtRebuild = tr2
+      // the linear-answer claim, checked in the record itself: the planted
+      // rate is one pair per 10 docs, so the appended artifact's pair
+      // table must carry ≈ nArtDocs/10 rows (novel words add none)
+      nArtPairs = spark.read.parquet(s"$artDir/a/pairs").count()
+      System.err.println(s"[stress] artifact_docs=$nArtDocs artifact_pairs=$nArtPairs")
+    }
+
+    // r11: the appendable ANN index's cost claim, measured — the verdict's
+    // "assign new vectors against STORED centroids, never re-read the
+    // indexed corpus" promise as numbers. Build on the oldest 90% of the
+    // ×N embedding table, fold the newest 10% in, rebuild over everything:
+    // append must track INCREMENT size (one broadcast-centroid assignment
+    // pass + one partition write), rebuild re-pays sampling + Lloyd's +
+    // full-corpus assignment (+ residual PQ for the IVF-PQ twin). The
+    // increment is vec_id % 10 == 9, NOT == 0: sized builds seed centroids
+    // (and the PQ codebook at % 61) from id strides that must survive the
+    // corpus split — 0 is a multiple of every stride, so excluding the
+    // ≡ 0 class could starve the seed; the ≡ 9 class cannot.
+    val skipAnn = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("annindex"))
+    val annDir = s"/tmp/graft-stress-annidx-x$factor"
+    var (tAnnBuild, tAnnAppend, tAnnRebuild) = (-1.0, -1.0, -1.0)
+    var (tPqaBuild, tPqaAppend, tPqaRebuild) = (-1.0, -1.0, -1.0)
+    var nAnnVecs = -1L
+    if (!skipAnn) {
+      nAnnVecs = embN.count()
+      val vOld = embN.filter(pmod(col("vec_id"), lit(10L)) =!= 9)
+      val vInc = embN.filter(pmod(col("vec_id"), lit(10L)) === 9)
+      tAnnBuild = timed("ivf index build 90% x" + factor)(
+        graft.llm.Similarity.writeIvfIndexSized(vOld, s"$annDir/ivf"))._2
+      tAnnAppend = timed("ivf index append 10% x" + factor)(
+        graft.llm.Similarity.appendIvfIndex(vInc, s"$annDir/ivf"))._2
+      tAnnRebuild = timed("ivf index rebuild x" + factor)(
+        graft.llm.Similarity.writeIvfIndexSized(embN, s"$annDir/ivf2"))._2
+      tPqaBuild = timed("ivfpq index build 90% x" + factor)(
+        graft.llm.Similarity.writeIvfPqIndexSized(vOld, s"$annDir/pq"))._2
+      tPqaAppend = timed("ivfpq index append 10% x" + factor)(
+        graft.llm.Similarity.appendIvfPqIndex(vInc, s"$annDir/pq"))._2
+      tPqaRebuild = timed("ivfpq index rebuild x" + factor)(
+        graft.llm.Similarity.writeIvfPqIndexSized(embN, s"$annDir/pq2"))._2
+      System.err.println(s"[stress] ann_vecs=$nAnnVecs ivf=$tAnnBuild/$tAnnAppend/$tAnnRebuild" +
+        s" ivfpq=$tPqaBuild/$tPqaAppend/$tPqaRebuild")
+    }
 
     // r8 continuation: the frame-sampling scale claim, measured — decoding
     // k sampled frames must cost ~k/n̄ of decoding the whole container
@@ -579,13 +673,15 @@ object ScaleStress {
       (skipCont, "containment_naive_contrast",
         "naive-candidate contrast stage is answer-size-bound (~quadratic in factor, 27.7M candidates at x10); prefix-filter path is the measured scale path"),
       (skipArtifact, "artifact_build_append",
-        "hashed-artifact minhash mining of the replicated corpus is answer-size-bound (cross-copy band collisions ~quadratic in factor); the build/append/rebuild contrast is on record at x10"),
+        "artifact build/append/rebuild skipped by explicit env override (the r11 novel-shingle generator removed the old answer-size bound; unskipped is the default at every factor)"),
+      (skipAnn, "ann_index_build_append",
+        "ANN index build/append/rebuild skipped by explicit env override"),
       (skipSkew, "skew_salting_and_winnow",
         "skew + winnow adversary section: pair fan-out is quadratic in replication; the salted-vs-plain and df-cap max-task contrasts are on record at x10 (3-rep medians) — covers the skew_* and winnow_* rows"),
     ).collect { case (true, key, why) => s""""$key":"$why"""" }
       .mkString("{", ",", "}")
 
-    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"artifact_build_sec":$tArtBuild,"artifact_append_sec":$tArtAppend,"artifact_rebuild_sec":$tArtRebuild,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
+    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"skew_cand_pairs":$nSkewCand,"skew_cand_plain_sec":$tCandPlain,"skew_cand_salt32_sec":$tCandSalt,"skew_cand_max_task_plain_ms":$maxTaskCandPlain,"skew_cand_max_task_salt32_ms":$maxTaskCandSalt,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"artifact_docs":$nArtDocs,"artifact_pairs":$nArtPairs,"artifact_build_sec":$tArtBuild,"artifact_append_sec":$tArtAppend,"artifact_rebuild_sec":$tArtRebuild,"ann_vecs":$nAnnVecs,"ann_ivf_build_sec":$tAnnBuild,"ann_ivf_append_sec":$tAnnAppend,"ann_ivf_rebuild_sec":$tAnnRebuild,"ann_ivfpq_build_sec":$tPqaBuild,"ann_ivfpq_append_sec":$tPqaAppend,"ann_ivfpq_rebuild_sec":$tPqaRebuild,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

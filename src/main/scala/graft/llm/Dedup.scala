@@ -264,6 +264,20 @@ object Dedup {
     pairsFromShid(shid, threshold, saltBuckets)
   }
 
+  /** Candidate (doc_a, doc_b) pairs from the banded signatures ALONE — the
+    * stage the grid salt acts on, exposed so the skew stress can measure
+    * the mitigation at the stage it targets. The full [[minhashLsh]] wall
+    * time is dominated by the verify join over the candidate ANSWER (which
+    * both the salted and unsalted plans pay identically), so a whole-chain
+    * contrast understates a salt that is in fact bounding the hot bucket's
+    * band-join task — measured r11, the reconciliation of the flat
+    * salted-vs-plain ×10 rows in STRESS_LOCAL_x10.json. */
+  def lshCandidates(docs: DataFrame, saltBuckets: Int): DataFrame = {
+    val shid = shingleIds(tokenized(docs), ExactVocabBound)
+      .localCheckpoint(eager = true)
+    candidatesOf(signaturesOf(shid), saltBuckets)
+  }
+
   /** Mine → verify over an already-materialized shingle-id table — the
     * [[minhashLsh]] body, shared with the hashed/appendable artifact path
     * so the candidate/verify arithmetic exists once. */
