@@ -312,6 +312,39 @@ object BpeTrainer {
         expr(s"cum_start % $budget").as("pack_offset"))
   }
 
+  /** Per-document BPE token-ID sequences after k merges — the tokenizer
+    * MATERIALIZED, not just counted: one row per token,
+    * (doc_id, source, tidx, token_id), `tidx` the 0-based position in the
+    * document's token stream. This is what a packed-shard writer consumes.
+    *
+    * Vocabulary rule (the deterministic "vocab file" both engines derive
+    * independently): the distinct final symbols sorted lexicographically,
+    * ids 0-based — `row_number` here, `dense_rank` over the oracle's
+    * replayed symbol table in DuckDB. Plan shape: the trainer's final
+    * (word, syms) table explodes to (word, spos, sym) —
+    * DISTINCT-WORD-sized, localCheckpointed once for its two consumers —
+    * the vocab window runs over vocab-sized rows (≤ alphabet + k,
+    * driver-scale by construction), and the corpus-sized work is one
+    * explode + two joins (vocab broadcast) + one per-document window. */
+  def bpeTokenIdSeqs(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordSyms = train(docs, k)._2
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .localCheckpoint(eager = true)
+    val vocab = wordSyms.select(col("sym")).distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("sym"))).cast("long") - 1)
+    docs.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+      .filter(length(col("word")) >= 1)
+      .join(wordSyms, "word")
+      .join(broadcast(vocab), "sym")
+      .withColumn("tidx", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("wi"), col("spos")))
+        .cast("long") - 1)
+      .select(col("doc_id"), col("source"), col("tidx"), col("token_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -383,7 +416,9 @@ object BpeTrainer {
       |)
       |""".stripMargin
 
-  private lazy val unrolled: String =
+  // private[llm]: TrainingShards' packed-token oracle replays the same
+  // chain so the two engines' tokenizations can never drift apart
+  private[llm] lazy val unrolled: String =
     baseCtes + (1 to MergeSteps).map(t => stepCtes(s"s${t - 1}", t)).mkString
 
   def oracle: Map[String, String] =

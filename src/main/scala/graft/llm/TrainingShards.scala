@@ -55,7 +55,8 @@ object TrainingShards {
   val MaxShardPayloadBytes = 3L << 30
 
   def shardFileName(shard: Long): String = f"shard-$shard%05d.zip"
-  private def entryName(pos: Long, docId: Long): String = f"$pos%08d.$docId%d.txt"
+  private def entryName(pos: Long, entryId: Long, ext: String): String =
+    f"$pos%08d.$entryId%d.$ext"
 
   /** Initial build: the full corpus into `nShards` containers + manifest,
     * resetting whatever was at `dir` (static manifest overwrite — the
@@ -93,16 +94,31 @@ object TrainingShards {
   private def writeShardFiles(docs: DataFrame, dir: String, nShards: Int,
                               shardBase: Long, ingestBatch: Long,
                               dynamic: Boolean): Unit = {
-    val spark = docs.sparkSession
     // NOT localCheckpointed: the plan is corpus-sized, and materializing
     // the full corpus to executor-local storage is exactly the kind of
     // hidden full copy that dies at 100 TB. The container write and the
     // manifest stats each run the layout plan (one exchange on shard) —
     // two output-sized passes, no stored copy.
-    def rows = TextAnalysis.shuffleShards(docs, nShards)
+    def entries = TextAnalysis.shuffleShards(docs, nShards)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select((col("shard") + lit(shardBase)).as("shard"),
-        col("pos"), col("doc_id"), col("text"))
+      .select((col("shard") + lit(shardBase)).as("shard"), col("pos"),
+        col("doc_id").as("entry_id"), encode(col("text"), "UTF-8").as("payload"))
+    writeContainerFiles(docs.sparkSession, () => entries, dir, nShards,
+      shardBase, ingestBatch, dynamic, ext = "txt")
+  }
+
+  /** The generic container-write protocol over prepared
+    * (shard, pos, entry_id, payload: binary) rows — shared by the
+    * document-text store and the packed-token store, so the
+    * tmp+rename/manifest-last/exactly-once conventions exist once.
+    * `entries` is a thunk because the plan is evaluated twice (containers,
+    * then manifest stats) and must not be captured materialized. */
+  private def writeContainerFiles(spark: SparkSession,
+                                  entries: () => DataFrame, dir: String,
+                                  nShards: Int, shardBase: Long,
+                                  ingestBatch: Long, dynamic: Boolean,
+                                  ext: String): Unit = {
+    def rows = entries()
     val hconf = spark.sparkContext.hadoopConfiguration
     if (!dynamic) { // build resets the artifact dir like mode=overwrite
       val fs = new Path(dir).getFileSystem(hconf)
@@ -136,12 +152,12 @@ object TrainingShards {
             tmp = new Path(basePath, s"_tmp-${shardFileName(sh)}.$attempt")
             zos = new ZipOutputStream(fs.create(tmp, true))
           }
-          val payload = r.getString(3).getBytes(UTF_8)
+          val payload = r.getAs[Array[Byte]](3)
           entries += 1; payloadBytes += payload.length
           require(entries <= MaxShardEntries && payloadBytes <= MaxShardPayloadBytes,
             s"TrainingShards: shard $cur exceeds the non-ZIP64 reader scope " +
               s"($entries entries / $payloadBytes payload bytes) — raise nShards")
-          val ze = new ZipEntry(entryName(r.getLong(1), r.getLong(2)))
+          val ze = new ZipEntry(entryName(r.getLong(1), r.getLong(2), ext))
           ze.setTime(0L) // fixed timestamp: replays rewrite stable bytes
           zos.putNextEntry(ze)
           zos.write(payload)
@@ -168,7 +184,7 @@ object TrainingShards {
     import spark.implicits._
     val stats = rows.groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
-      sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+      sum(octet_length(col("payload"))).cast("long").as("n_bytes"))
     (0L until nShards.toLong).map(_ + shardBase).toDF("shard")
       .join(stats, Seq("shard"), "left")
       .select(col("shard"),
@@ -221,6 +237,113 @@ object TrainingShards {
     spark.read.parquet(s"$dir/manifest")
       .select(col("shard"), col("n_docs"), col("n_bytes"))
 
+  // ------------------------------------------- packed token-sequence shards
+
+  /** The literal training shape — tokenize → pack → shuffle → write:
+    * fixed-budget sequences of BPE token IDs as binary container entries.
+    *
+    * [[BpeTrainer.bpeTokenIdSeqs]] materializes the per-document token
+    * streams (trained ONCE; its distinct-word symbol table is
+    * checkpointed, so re-evaluating the plan re-runs only corpus-side
+    * work). Packs are `budget`-token windows over each source's
+    * concatenated stream — the `packByBpe` concat-and-cut arithmetic, so
+    * a document may straddle packs and a pack may span documents, exactly
+    * like a real pretraining sequence. Packs get a GLOBAL dense id from
+    * per-source bases (a #sources-row window — never a corpus-wide one),
+    * are shuffled by the same Lehmer layout as the document store, and
+    * land as 4-byte little-endian entries through the shared container
+    * protocol (tmp+rename, manifest-last, non-ZIP64 bound). */
+  def writePackedTokenShards(docs: DataFrame, dir: String, nShards: Int,
+                             k: Int, budget: Int): Unit = {
+    require(nShards >= 1 && budget >= 1,
+      s"writePackedTokenShards: nShards=$nShards budget=$budget")
+    val spark = docs.sparkSession
+    val packRows = packedTokenRows(docs, k, budget)
+    def entries = TextAnalysis.shuffleShards(
+        packRows.select(col("pack_seq").as("doc_id")).distinct(), nShards)
+      .select(col("doc_id").as("pack_seq"), col("shard"), col("pos"))
+      .join(packPayloads(packRows), "pack_seq")
+      .select(col("shard"), col("pos"), col("pack_seq").as("entry_id"),
+        col("payload"))
+    writeContainerFiles(spark, () => entries, dir, nShards, shardBase = 0L,
+      ingestBatch = 0L, dynamic = false, ext = "bin")
+  }
+
+  /** (pack_seq, pack_pos, token_id) — the pack layout over the tokenized
+    * corpus. Exposed for the spec's boundary laws. */
+  private[graft] def packedTokenRows(docs: DataFrame, k: Int,
+                                     budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = BpeTrainer.bpeTokenIdSeqs(docs, k)
+    val counts = toks.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"))
+    val cum = counts.select(col("doc_id"),
+      (sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        - col("n_tokens")).cast("long").as("cum_start"))
+    // per-source pack-id bases: ceil-div pack counts, cumulated over the
+    // (tiny) source list — gives every pack a global dense id without a
+    // corpus-wide single-partition window
+    val bases = counts.groupBy("source").agg(sum(col("n_tokens")).as("total"))
+      .withColumn("n_packs", expr(s"(total + $budget - 1) div $budget"))
+      .select(col("source"),
+        (sum(col("n_packs")).over(Window.orderBy(col("source")))
+          - col("n_packs")).cast("long").as("pack_base"))
+    toks.join(cum, "doc_id")
+      .join(broadcast(bases), "source")
+      .withColumn("gpos", col("cum_start") + col("tidx"))
+      .select((col("pack_base") + expr(s"gpos div $budget")).as("pack_seq"),
+        expr(s"gpos % $budget").as("pack_pos"), col("token_id"))
+  }
+
+  /** Encode each pack's ordered token ids as a 4-byte little-endian
+    * payload — the byte-level codec step (typed map, the Multimodal
+    * boundary); a pack is ≤ budget ids, so the row is bounded. */
+  private def packPayloads(packRows: DataFrame): DataFrame = {
+    val spark = packRows.sparkSession
+    import spark.implicits._
+    packRows.groupBy("pack_seq")
+      .agg(sort_array(collect_list(struct(col("pack_pos"), col("token_id"))))
+        .as("ts"))
+      .select(col("pack_seq"), expr("transform(ts, x -> x.token_id)").as("tok"))
+      .as[(Long, Seq[Long])]
+      .map { case (p, tok) =>
+        val bb = java.nio.ByteBuffer.allocate(4 * tok.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        tok.foreach(t => bb.putInt(t.toInt))
+        (p, bb.array())
+      }.toDF("pack_seq", "payload")
+  }
+
+  /** Decode the packed-token store back to one row per pack:
+    * (shard, pos, pack_seq, n_tokens, token_csv) — the ids rendered as a
+    * comma-joined string so the DuckDB oracle can compare the exact
+    * sequence (its `string_agg` twin), not just a count. */
+  def readPackedTokenShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/shard-*.zip")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val shard = name.stripPrefix("shard-").stripSuffix(".zip").toLong
+        ShardZip.entries(bytes).iterator.map { e =>
+          val d1 = e.name.indexOf('.')
+          val d2 = e.name.indexOf('.', d1 + 1)
+          val in = ShardZip.entryStream(bytes, e)
+          val data = try in.readAllBytes() finally in.close()
+          require(data.length % 4 == 0,
+            s"packed entry ${e.name}: payload not 4-byte aligned")
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val csv = Iterator.continually(bb)
+            .take(data.length / 4).map(_.getInt().toString).mkString(",")
+          (shard, e.name.substring(0, d1).toLong,
+            e.name.substring(d1 + 1, d2).toLong, (data.length / 4).toLong, csv)
+        }
+      }.toDF("shard", "pos", "pack_seq", "n_tokens", "token_csv")
+  }
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = graft.Tables.documents(s, dir)
@@ -269,7 +392,20 @@ object TrainingShards {
       appendTrainingShards(d.filter(col("doc_id") % 3 === 0), out, RoundtripShards)
       Util.orderAll(readTrainingShards(s, out))
     }),
+    // tokenize → pack → shuffle → write → DECODE: the binary token-id
+    // payloads come back as exact comma-joined sequences, hash-compared
+    // against DuckDB replaying the whole chain (merge unroll → vocab
+    // ranks → per-doc streams → concat-and-cut packs → Lehmer layout)
+    "doc_shards_packed_roundtrip" -> ((s, dir) => {
+      val out = tempDir()
+      writePackedTokenShards(docs(s, dir), out, PackedShardCount,
+        BpeTrainer.MergeSteps, PackedBudget)
+      Util.orderAll(readPackedTokenShards(s, out))
+    }),
   )
+
+  val PackedShardCount = 8
+  val PackedBudget = 256
 
   def oracle: Map[String, String] = Map(
     "doc_shards_roundtrip" -> Util.wrap(
@@ -298,5 +434,55 @@ object TrainingShards {
          |SELECT d.doc_id, lay.shard, lay.pos, d.text
          |FROM lay JOIN documents d USING (doc_id)""".stripMargin,
       Seq("shard", "pos", "doc_id")),
+
+    // the packed chain replayed end-to-end in DuckDB: the BPE merge
+    // unroll (BpeTrainer's shared CTE chain — one source of truth for
+    // both engines' tokenizations), vocab ids by lexicographic rank of
+    // the final symbols, per-document token streams in (word, symbol)
+    // order, per-source concat-and-cut pack arithmetic with ceil-div
+    // global pack bases, the Lehmer shard layout over pack ids, and
+    // string_agg reproducing the decoded payload sequences exactly
+    "doc_shards_packed_roundtrip" -> (BpeTrainer.unrolled +
+      s""", vocab AS MATERIALIZED (
+         |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1 AS token_id
+         |  FROM (SELECT DISTINCT s FROM s${BpeTrainer.MergeSteps}) v
+         |), docw AS MATERIALIZED (
+         |  SELECT doc_id, source, wi, words[wi] AS w
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(words) + 1)) AS wi) ii
+         |  WHERE length(words[wi]) >= 1
+         |), tok AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.pos) AS BIGINT) - 1 AS tidx,
+         |    v.token_id
+         |  FROM docw d
+         |  JOIN s${BpeTrainer.MergeSteps} s ON s.w = d.w
+         |  JOIN vocab v ON v.sym = s.s
+         |), cnt AS (
+         |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT doc_id,
+         |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS cum_start
+         |  FROM cnt
+         |), sb AS (
+         |  SELECT source,
+         |    CAST(sum(n_packs) OVER (ORDER BY source) - n_packs AS BIGINT) AS pack_base
+         |  FROM (SELECT source, (sum(n) + $PackedBudget - 1) // $PackedBudget AS n_packs
+         |        FROM cnt GROUP BY 1) sp
+         |), pk AS (
+         |  SELECT sb.pack_base + (cum.cum_start + t.tidx) // $PackedBudget AS pack_seq,
+         |    (cum.cum_start + t.tidx) % $PackedBudget AS pack_pos, t.token_id
+         |  FROM tok t JOIN cum USING (doc_id) JOIN sb ON sb.source = t.source
+         |), pck AS (
+         |  SELECT pack_seq, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pack_pos) AS token_csv
+         |  FROM pk GROUP BY 1
+         |), pks AS (SELECT pack_seq AS doc_id FROM pck)
+         |""".stripMargin + Util.wrap(
+      s"""SELECT p.pack_seq, lay.shard, lay.pos, p.n_tokens, p.token_csv
+         |FROM pck p
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = p.pack_seq""".stripMargin,
+      Seq("shard", "pos", "pack_seq"))),
   )
 }

@@ -139,6 +139,34 @@ class TrainingShardsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("packed token shards: files round-trip the exact global token stream; packs straddle documents") {
+    val d = Tables.documents(spark, sf)
+    val (k, budget, nShards) = (3, 32, 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-pk").toString
+    TrainingShards.writePackedTokenShards(d, out, nShards, k, budget)
+    val decoded = TrainingShards.readPackedTokenShards(spark, out)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // the global-stream law: concatenating decoded packs in pack_seq order
+    // reproduces the corpus token stream in (source, doc_id, tidx) order —
+    // pack ids are per-source-base + window index, so pack order IS stream
+    // order; any mis-split, mis-shuffle, or byte-level encode bug breaks it
+    val streamed = decoded.sortBy(_._3).flatMap(_._5.split(",")).toSeq
+    val toks = graft.llm.BpeTrainer.bpeTokenIdSeqs(d, k)
+      .orderBy($"source", $"doc_id", $"tidx")
+      .select($"token_id").as[Long].collect().map(_.toString).toSeq
+    assert(streamed == toks, "decoded pack stream != corpus token stream")
+    // fixed-budget law: every pack is exactly `budget` tokens except each
+    // source's tail pack
+    val nSources = d.select($"source").distinct().count()
+    assert(decoded.count(_._4 != budget) <= nSources,
+      "more short packs than sources — a pack was cut early")
+    // the straddle is exercised, not vacuous: some document is longer than
+    // the budget, so its tokens MUST span >= 2 packs
+    val maxDocTokens = graft.llm.BpeTrainer.bpeTokenIdSeqs(d, k)
+      .groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(maxDocTokens > budget, "fixture too short to exercise straddling")
+  }
+
   test("non-ZIP64 reader scope is enforced at write time") {
     // 65 536 single-char docs into ONE shard must trip the entries bound
     val wide = spark.range(65536 + 8)
