@@ -456,19 +456,25 @@ object TextAnalysis {
     * file layout, written with `partitionBy("shard")` + sortWithinPartitions
     * and consumed sequentially by the data loader. 16 here keeps the oracle
     * result readable. */
+  /** The two-step Lehmer LCG permutation key over a non-negative-folded
+    * id — ONE source of truth for the layout DataFrame, the container
+    * writers ([[TrainingShards]]), and the oracles, so the shuffle key
+    * can never drift between consumers.
+    * pmod on the first step: a negative id must still land in [0, M) or
+    * the shard assignment goes negative and breaks the documented
+    * shard ∈ [0, nShards) file-layout contract (advisor-caught); the
+    * later steps stay plain % — their left operand is already
+    * non-negative. */
+  private[llm] def lehmerKeySql(idCol: String): String =
+    s"((pmod($idCol, 2147483647) * 48271 % 2147483647) * 48271) % 2147483647"
+
   def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key").asc, col("doc_id").asc)
     docs
       .select(col("doc_id"),
-        // pmod on the first step: a negative doc_id must still land in
-        // [0, M) or the shard assignment goes negative and breaks the
-        // documented shard ∈ [0, nShards) file-layout contract
-        // (advisor-caught); the later steps stay plain % — their left
-        // operand is already non-negative
-        expr("((pmod(doc_id, 2147483647) * 48271 % 2147483647) * 48271) % 2147483647")
-          .as("shuffle_key"))
+        expr(lehmerKeySql("doc_id")).as("shuffle_key"))
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))

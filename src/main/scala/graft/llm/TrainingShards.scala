@@ -97,18 +97,38 @@ object TrainingShards {
     // NOT localCheckpointed: the plan is corpus-sized, and materializing
     // the full corpus to executor-local storage is exactly the kind of
     // hidden full copy that dies at 100 TB. The container write and the
-    // manifest stats each run the layout plan (one exchange on shard) —
-    // two output-sized passes, no stored copy.
-    def entries = TextAnalysis.shuffleShards(docs, nShards)
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select((col("shard") + lit(shardBase)).as("shard"), col("pos"),
-        col("doc_id").as("entry_id"), encode(col("text"), "UTF-8").as("payload"))
+    // manifest stats each run the layout plan — two output-sized passes,
+    // no stored copy.
+    def entries = withLayout(docs.select(col("doc_id").as("entry_id"),
+      encode(col("text"), "UTF-8").as("payload")), nShards, shardBase)
     writeContainerFiles(docs.sparkSession, () => entries, dir, nShards,
       shardBase, ingestBatch, dynamic, ext = "txt")
   }
 
+  /** The Lehmer layout as a PURE PROJECTION: shard and the in-shard sort
+    * key are functions of the entry id alone, so the container pass needs
+    * NO window and NO join-back — `pos` is the writer's per-shard counter
+    * over the (shard, skey, entry_id) sort, which equals
+    * [[TextAnalysis.shuffleShards]]'s row_number by construction (the
+    * round-trip oracles and the layout spec pin the equality). Net plan:
+    * ONE keyed exchange for the whole container pass (plan-audited) —
+    * the windowed+joined form paid four corpus-sized exchanges. */
+  private[graft] def withLayout(idPayload: DataFrame, nShards: Int,
+                                shardBase: Long): DataFrame =
+    idPayload
+      .select(expr(TextAnalysis.lehmerKeySql("entry_id")).as("skey"),
+        col("entry_id"), col("payload"))
+      .select((pmod(col("skey"), lit(nShards.toLong)) + shardBase).as("shard"),
+        col("skey"), col("entry_id"), col("payload"))
+
+  /** The single exchange + in-partition sort the writer consumes —
+    * exposed for the plan audit. */
+  private[graft] def containerWritePlan(entries: DataFrame): DataFrame =
+    entries.repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey", "entry_id")
+
   /** The generic container-write protocol over prepared
-    * (shard, pos, entry_id, payload: binary) rows — shared by the
+    * (shard, skey, entry_id, payload: binary) rows — shared by the
     * document-text store and the packed-token store, so the
     * tmp+rename/manifest-last/exactly-once conventions exist once.
     * `entries` is a thunk because the plan is evaluated twice (containers,
@@ -125,8 +145,7 @@ object TrainingShards {
       fs.delete(new Path(dir), true)
       fs.mkdirs(new Path(dir))
     }
-    rows.repartition(col("shard"))
-      .sortWithinPartitions("shard", "pos")
+    containerWritePlan(rows)
       .foreachPartition { (it: Iterator[Row]) =>
         val basePath = new Path(dir)
         val fs = basePath.getFileSystem(
@@ -157,7 +176,9 @@ object TrainingShards {
           require(entries <= MaxShardEntries && payloadBytes <= MaxShardPayloadBytes,
             s"TrainingShards: shard $cur exceeds the non-ZIP64 reader scope " +
               s"($entries entries / $payloadBytes payload bytes) — raise nShards")
-          val ze = new ZipEntry(entryName(r.getLong(1), r.getLong(2), ext))
+          // pos = the per-shard counter over the (shard, skey, entry_id)
+          // sort — shuffleShards' row_number without its window
+          val ze = new ZipEntry(entryName(entries.toLong, r.getLong(2), ext))
           ze.setTime(0L) // fixed timestamp: replays rewrite stable bytes
           zos.putNextEntry(ze)
           zos.write(payload)
@@ -259,12 +280,9 @@ object TrainingShards {
       s"writePackedTokenShards: nShards=$nShards budget=$budget")
     val spark = docs.sparkSession
     val packRows = packedTokenRows(docs, k, budget)
-    def entries = TextAnalysis.shuffleShards(
-        packRows.select(col("pack_seq").as("doc_id")).distinct(), nShards)
-      .select(col("doc_id").as("pack_seq"), col("shard"), col("pos"))
-      .join(packPayloads(packRows), "pack_seq")
-      .select(col("shard"), col("pos"), col("pack_seq").as("entry_id"),
-        col("payload"))
+    def entries = withLayout(packPayloads(packRows)
+      .select(col("pack_seq").as("entry_id"), col("payload")),
+      nShards, shardBase = 0L)
     writeContainerFiles(spark, () => entries, dir, nShards, shardBase = 0L,
       ingestBatch = 0L, dynamic = false, ext = "bin")
   }

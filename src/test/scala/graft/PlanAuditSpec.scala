@@ -740,4 +740,50 @@ class PlanAuditSpec extends SparkSpec {
     Seq("dedup_stored_keep", "dedup_stored_clusters", "dedup_stored_scoped")
       .foreach { n => assert(!phys(n).contains("bval"), s"$n re-mines:\n${phys(n)}") }
   }
+
+  private def exchangesOf(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def cnt(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => cnt(a.initialPlan)
+      case s: ShuffleExchangeLike
+          if !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => 1
+    }.sum
+    cnt(df.queryExecution.executedPlan)
+  }
+
+  test("training shards: the container pass is ONE keyed exchange — layout is a projection, pos is the writer's counter") {
+    import graft.llm.TrainingShards
+    val docs = Tables.documents(spark, sf)
+    val plan = TrainingShards.containerWritePlan(
+      TrainingShards.withLayout(docs.selectExpr("doc_id AS entry_id",
+        "encode(text, 'UTF-8') AS payload"), 16, 0L))
+    assert(exchangesOf(plan) == 1,
+      s"container pass must shuffle exactly once (on shard):\n${plan.queryExecution.executedPlan}")
+    // and the one exchange hash-partitions on shard — a shard never spans
+    // tasks, which is what lets the writer stream containers
+    assert(plan.queryExecution.executedPlan.toString.contains("hashpartitioning(shard"),
+      "the exchange must key on shard")
+  }
+
+  test("packed token shards: vocab joins broadcast; no cartesian anywhere in the chain") {
+    import graft.llm.TrainingShards
+    val docs = Tables.documents(spark, sf)
+    val plan = TrainingShards.containerWritePlan(
+      TrainingShards.withLayout(
+        // the packed chain below trains k=2 merges once (checkpointed
+        // word-symbol table), so building this plan is cheap
+        TrainingShards.packedTokenRows(docs, 2, 64)
+          .groupBy("pack_seq").agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .selectExpr("pack_seq AS entry_id", "CAST(NULL AS BINARY) AS payload"),
+        8, 0L))
+    val p = plan.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"packed chain grew a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab/base joins must broadcast — they are vocab- and source-sized")
+  }
 }
