@@ -405,21 +405,28 @@ object BpeTrainer {
        |)
        |""".stripMargin
 
-  private lazy val baseCtes: String =
-    """WITH w0 AS MATERIALIZED (
-      |  SELECT word AS w, count(*) AS f
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      |  WHERE length(word) >= 1 GROUP BY 1
-      |), s0 AS MATERIALIZED (
-      |  SELECT w, f, CAST(i AS INT) AS pos, substr(w, CAST(i AS INT), 1) AS s
-      |  FROM w0, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ii
-      |)
-      |""".stripMargin
+  private def baseCtes(src: String, lead: String): String =
+    s"""$lead w0 AS MATERIALIZED (
+       |  SELECT word AS w, count(*) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $src) t
+       |  WHERE length(word) >= 1 GROUP BY 1
+       |), s0 AS MATERIALIZED (
+       |  SELECT w, f, CAST(i AS INT) AS pos, substr(w, CAST(i AS INT), 1) AS s
+       |  FROM w0, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ii
+       |)
+       |""".stripMargin
 
-  // private[llm]: TrainingShards' packed-token oracle replays the same
-  // chain so the two engines' tokenizations can never drift apart
+  // private[llm]: TrainingShards' packed-token oracles replay the same
+  // chain so the two engines' tokenizations can never drift apart —
+  // `src` parameterizes the training relation (the e2e pipeline trains on
+  // curation survivors), `continuation` emits ", w0 AS ..." so the chain
+  // can follow another WITH list
+  private[llm] def unrolledOver(src: String, continuation: Boolean): String =
+    baseCtes(src, if (continuation) "," else "WITH") +
+      (1 to MergeSteps).map(t => stepCtes(s"s${t - 1}", t)).mkString
+
   private[llm] lazy val unrolled: String =
-    baseCtes + (1 to MergeSteps).map(t => stepCtes(s"s${t - 1}", t)).mkString
+    unrolledOver("documents", continuation = false)
 
   def oracle: Map[String, String] =
     // text_bpe_apply's oracle IS text_bpe_tokens': scoring the training

@@ -1980,7 +1980,10 @@ object TextAnalysis {
     * per-doc gate booleans — the single source shared by the `doc_curate`
     * parity oracle and the `doc_curation_funnel` waterfall, so the gate
     * SQL can never drift between the two. */
-  private lazy val curateGatesCte: String =
+  // private[llm]: TrainingShards' end-to-end pipeline oracle composes the
+  // SAME gate chain ahead of the tokenize→pack→shard chain, so the two
+  // engines' curation decisions can never drift apart
+  private[llm] lazy val curateGatesCte: String =
     s"""WITH sig AS (
        |  SELECT doc_id, lang, text, string_split(text, ' ') AS words,
        |    len(string_split(text, ' ')) AS n_tokens,

@@ -420,6 +420,19 @@ object TrainingShards {
         BpeTrainer.MergeSteps, PackedBudget)
       Util.orderAll(readPackedTokenShards(s, out))
     }),
+    // the WHOLE pipeline, files included: curation gates elect the
+    // survivors, the tokenizer trains on exactly those survivors, packs
+    // shuffle into containers, and the decoded payloads are compared —
+    // the one-statement user journey the engine exists for
+    "doc_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = d.join(
+        TextAnalysis.curate(d).filter(col("keep")).select("doc_id"), "doc_id")
+      val out = tempDir()
+      writePackedTokenShards(survivors, out, PackedShardCount,
+        BpeTrainer.MergeSteps, PackedBudget)
+      Util.orderAll(readPackedTokenShards(s, out))
+    }),
   )
 
   val PackedShardCount = 8
@@ -460,47 +473,70 @@ object TrainingShards {
     // order, per-source concat-and-cut pack arithmetic with ceil-div
     // global pack bases, the Lehmer shard layout over pack ids, and
     // string_agg reproducing the decoded payload sequences exactly
-    "doc_shards_packed_roundtrip" -> (BpeTrainer.unrolled +
-      s""", vocab AS MATERIALIZED (
-         |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1 AS token_id
-         |  FROM (SELECT DISTINCT s FROM s${BpeTrainer.MergeSteps}) v
-         |), docw AS MATERIALIZED (
-         |  SELECT doc_id, source, wi, words[wi] AS w
-         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents) t,
-         |       LATERAL (SELECT unnest(range(1, len(words) + 1)) AS wi) ii
-         |  WHERE length(words[wi]) >= 1
-         |), tok AS MATERIALIZED (
-         |  SELECT d.doc_id, d.source,
-         |    CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.pos) AS BIGINT) - 1 AS tidx,
-         |    v.token_id
-         |  FROM docw d
-         |  JOIN s${BpeTrainer.MergeSteps} s ON s.w = d.w
-         |  JOIN vocab v ON v.sym = s.s
-         |), cnt AS (
-         |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
-         |), cum AS (
-         |  SELECT doc_id,
-         |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS cum_start
-         |  FROM cnt
-         |), sb AS (
-         |  SELECT source,
-         |    CAST(sum(n_packs) OVER (ORDER BY source) - n_packs AS BIGINT) AS pack_base
-         |  FROM (SELECT source, (sum(n) + $PackedBudget - 1) // $PackedBudget AS n_packs
-         |        FROM cnt GROUP BY 1) sp
-         |), pk AS (
-         |  SELECT sb.pack_base + (cum.cum_start + t.tidx) // $PackedBudget AS pack_seq,
-         |    (cum.cum_start + t.tidx) % $PackedBudget AS pack_pos, t.token_id
-         |  FROM tok t JOIN cum USING (doc_id) JOIN sb ON sb.source = t.source
-         |), pck AS (
-         |  SELECT pack_seq, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pack_pos) AS token_csv
-         |  FROM pk GROUP BY 1
-         |), pks AS (SELECT pack_seq AS doc_id FROM pck)
-         |""".stripMargin + Util.wrap(
+    "doc_shards_packed_roundtrip" ->
+      (BpeTrainer.unrolled + packedChainSql("documents")),
+
+    // the WHOLE pipeline as one statement: the curation gate chain
+    // (TextAnalysis.curateGatesCte — the identical SQL doc_curate is
+    // checked against) selects the survivors, the tokenizer trains on
+    // exactly those survivors, and the packed chain shards them — every
+    // stage's SQL is the single shared source its standalone oracle uses,
+    // so the composition cannot drift from the parts
+    "doc_pipeline_e2e" -> (TextAnalysis.curateGatesCte +
+      s""", surv AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN cg ON cg.doc_id = d.doc_id AND cg.keep
+         |)
+         |""".stripMargin +
+      BpeTrainer.unrolledOver("surv", continuation = true) +
+      packedChainSql("surv")),
+  )
+
+  /** The tokenize→pack→shuffle chain in DuckDB over a named
+    * (doc_id, source, text) relation — continuation CTEs assuming the
+    * merge-unroll chain (`s<k>`) precedes, plus the final ordered select.
+    * ONE source for the standalone packed round trip and the e2e
+    * pipeline oracle. */
+  private def packedChainSql(src: String): String =
+    s""", vocab AS MATERIALIZED (
+       |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1 AS token_id
+       |  FROM (SELECT DISTINCT s FROM s${BpeTrainer.MergeSteps}) v
+       |), docw AS MATERIALIZED (
+       |  SELECT doc_id, source, wi, words[wi] AS w
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM $src) t,
+       |       LATERAL (SELECT unnest(range(1, len(words) + 1)) AS wi) ii
+       |  WHERE length(words[wi]) >= 1
+       |), ptok AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.pos) AS BIGINT) - 1 AS tidx,
+       |    v.token_id
+       |  FROM docw d
+       |  JOIN s${BpeTrainer.MergeSteps} s ON s.w = d.w
+       |  JOIN vocab v ON v.sym = s.s
+       |), cnt AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n FROM ptok GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS cum_start
+       |  FROM cnt
+       |), sb AS (
+       |  SELECT source,
+       |    CAST(sum(n_packs) OVER (ORDER BY source) - n_packs AS BIGINT) AS pack_base
+       |  FROM (SELECT source, (sum(n) + $PackedBudget - 1) // $PackedBudget AS n_packs
+       |        FROM cnt GROUP BY 1) sp
+       |), pk AS (
+       |  SELECT sb.pack_base + (cum.cum_start + t.tidx) // $PackedBudget AS pack_seq,
+       |    (cum.cum_start + t.tidx) % $PackedBudget AS pack_pos, t.token_id
+       |  FROM ptok t JOIN cum USING (doc_id) JOIN sb ON sb.source = t.source
+       |), pck AS (
+       |  SELECT pack_seq, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pack_pos) AS token_csv
+       |  FROM pk GROUP BY 1
+       |), pks AS (SELECT pack_seq AS doc_id FROM pck)
+       |""".stripMargin + Util.wrap(
       s"""SELECT p.pack_seq, lay.shard, lay.pos, p.n_tokens, p.token_csv
          |FROM pck p
          |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
          |  ON lay.doc_id = p.pack_seq""".stripMargin,
-      Seq("shard", "pos", "pack_seq"))),
-  )
+      Seq("shard", "pos", "pack_seq"))
 }
