@@ -752,8 +752,12 @@ object Similarity {
     val scanPpm = math.min(1000000L,
       math.round(1.15 * math.pow(targetRecall, 4) * 1000000))
     // coverage ≈ scan^(1/4), snapped to ppm before any comparison so JVM
-    // and DuckDB pow ulps can't flip the ceil (the ivfSizedParams rule)
-    val covPpm = math.round(math.pow(scanPpm / 1000000.0, 0.25) * 1000000)
+    // and DuckDB pow ulps can't flip the ceil (the ivfSizedParams rule);
+    // clamped ≥ 1 — at targets below ~0.026 scanPpm rounds to 0 and the
+    // ceil-div below would divide by zero (review-caught; the sibling
+    // ivfSizedParams clamps its degenerate nprobe to 1 the same way)
+    val covPpm = math.max(1L,
+      math.round(math.pow(scanPpm / 1000000.0, 0.25) * 1000000))
     val tgtPpm = math.round(targetRecall * 1000000)
     val fPpm = math.min(1000000L, (tgtPpm * 1000000L + covPpm - 1) / covPpm)
     ((64L * fPpm * fPpm + 999999999999L) / 1000000000000L).toInt
@@ -776,7 +780,11 @@ object Similarity {
                            codeMod: Int = 61): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (nlist, cmod, nprobe) = ivfSizedParams(corpus.count(), targetRecall)
+    // counted ONCE and reused for build_n below — a second count() is a
+    // full corpus job, and on a non-deterministic input plan it could
+    // even disagree with the n the knobs were derived from (review-caught)
+    val n = corpus.count()
+    val (nlist, cmod, nprobe) = ivfSizedParams(n, targetRecall)
     val refine = ivfPqSizedRefine(targetRecall)
     // k-means-refined centroids, same as [[writeIvfIndexSized]]: the sizing
     // rule's measured recall frontier (ivfSizedParams scaladoc) was
@@ -805,7 +813,7 @@ object Similarity {
     writeIndexPart(
       e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
       s"$path/vectors", ingestBatch = 0L, dynamic = false)
-    Seq((nlist, cmod, nprobe, targetRecall, codeMod, refine, corpus.count()))
+    Seq((nlist, cmod, nprobe, targetRecall, codeMod, refine, n))
       .toDF("nlist", "centroid_mod", "nprobe", "target_recall", "code_mod",
         "refine", "build_n")
       .write.mode("overwrite").parquet(s"$path/params")

@@ -468,6 +468,14 @@ object TextAnalysis {
   private[llm] def lehmerKeySql(idCol: String): String =
     s"((pmod($idCol, 2147483647) * 48271 % 2147483647) * 48271) % 2147483647"
 
+  /** The same key in DuckDB dialect (no pmod — the fold is spelled out),
+    * single-sourced for the doc_shuffle_shards oracle and every
+    * [[TrainingShards]] layout oracle (review-caught: the hand-copied
+    * second instance re-created the drift risk the Spark-side
+    * single-sourcing removed). */
+  private[llm] def lehmerKeyDuckSql(idCol: String): String =
+    s"(((($idCol % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647"
+
   def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"shuffleShards: nShards must be >= 1, got $nShards")
     val w = Window.partitionBy(col("shard"))
@@ -2179,13 +2187,13 @@ object TextAnalysis {
       Seq("source", "split", "n_docs")),
 
     "doc_shuffle_shards" -> Util.wrap(
-      """SELECT doc_id, shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
-        |FROM (
-        |  SELECT doc_id,
-        |    ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuffle_key,
-        |    (((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647) % 16 AS shard
-        |  FROM documents) k""".stripMargin,
+      s"""SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+         |FROM (
+         |  SELECT doc_id,
+         |    ${lehmerKeyDuckSql("doc_id")} AS shuffle_key,
+         |    (${lehmerKeyDuckSql("doc_id")}) % 16 AS shard
+         |  FROM documents) k""".stripMargin,
       Seq("doc_id", "shard", "pos")),
 
     "text_trigram_topk" ->

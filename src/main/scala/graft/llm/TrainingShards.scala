@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * shard, entries in shuffled `pos` order, entry name carrying
   * `(pos, doc_id)` so a reader recovers identity without a side table.
   *
-  * Spark-first shape: the layout join and the per-shard stats are
-  * DataFrame plans (one keyed exchange on `shard`); only the byte-level
-  * container encode drops to `foreachPartition`, the same boundary every
-  * codec in [[Multimodal]] draws. `repartition(shard)` hash-partitions by
-  * key, so a shard NEVER spans tasks and each task streams its shards
-  * entry-by-entry — per-task memory is one ZIP buffer, not a shard.
+  * Spark-first shape: the layout is a pure projection and the whole
+  * container pass is ONE keyed exchange on `shard` (plan-audited); only
+  * the byte-level container encode drops to `mapPartitions`, the same
+  * boundary every codec in [[Multimodal]] draws. `repartition(shard)`
+  * hash-partitions by key, so a shard NEVER spans tasks and each task
+  * streams its shards entry-by-entry — per-task memory is one ZIP
+  * buffer, not a shard — returning the per-shard manifest stats from
+  * the same pass.
   *
   * Idempotent-write convention (the corpus-ingest / dedup-artifact rule):
   * every container is written to a task-attempt-unique `_tmp-` name and
@@ -49,10 +51,15 @@ object TrainingShards {
 
   /** ShardZip is a non-ZIP64 reader; the writer is where the bound is
     * enforced (its scaladoc: "bounded well under 4 GiB / 65k entries by
-    * the writer"). Payload-byte cap is conservative vs the 4 GiB
-    * container limit: headers/directory add ~100 B per entry. */
+    * the writer"). The REAL container ceiling is Int.MaxValue (~2 GiB),
+    * not ZIP's 4 GiB: ShardZip stores sizes/offsets as Int, and the
+    * binaryFile read path rejects files over 2 GiB — a cap between the
+    * two would commit shards the repo's own reader cannot open
+    * (review-caught). 64 MiB of headroom covers entry headers + central
+    * directory (≤ 65 535 × ~100 B ≈ 6.5 MiB) and deflate's worst-case
+    * expansion on incompressible payloads (~0.03%). */
   val MaxShardEntries = 65535
-  val MaxShardPayloadBytes = 3L << 30
+  val MaxShardPayloadBytes: Long = Int.MaxValue.toLong - (64L << 20)
 
   def shardFileName(shard: Long): String = f"shard-$shard%05d.zip"
   private def entryName(pos: Long, entryId: Long, ext: String): String =
@@ -96,9 +103,8 @@ object TrainingShards {
                               dynamic: Boolean): Unit = {
     // NOT localCheckpointed: the plan is corpus-sized, and materializing
     // the full corpus to executor-local storage is exactly the kind of
-    // hidden full copy that dies at 100 TB. The container write and the
-    // manifest stats each run the layout plan — two output-sized passes,
-    // no stored copy.
+    // hidden full copy that dies at 100 TB — the write is ONE
+    // output-sized pass that also emits the manifest stats.
     def entries = withLayout(docs.select(col("doc_id").as("entry_id"),
       encode(col("text"), "UTF-8").as("payload")), nShards, shardBase)
     writeContainerFiles(docs.sparkSession, () => entries, dir, nShards,
@@ -131,27 +137,47 @@ object TrainingShards {
     * (shard, skey, entry_id, payload: binary) rows — shared by the
     * document-text store and the packed-token store, so the
     * tmp+rename/manifest-last/exactly-once conventions exist once.
-    * `entries` is a thunk because the plan is evaluated twice (containers,
-    * then manifest stats) and must not be captured materialized. */
+    * One output-sized pass: the writer tasks stream the containers AND
+    * return the per-shard manifest stats. */
   private def writeContainerFiles(spark: SparkSession,
                                   entries: () => DataFrame, dir: String,
                                   nShards: Int, shardBase: Long,
                                   ingestBatch: Long, dynamic: Boolean,
                                   ext: String): Unit = {
-    def rows = entries()
     val hconf = spark.sparkContext.hadoopConfiguration
     if (!dynamic) { // build resets the artifact dir like mode=overwrite
       val fs = new Path(dir).getFileSystem(hconf)
       fs.delete(new Path(dir), true)
       fs.mkdirs(new Path(dir))
     }
-    containerWritePlan(rows)
-      .foreachPartition { (it: Iterator[Row]) =>
+    // Ship the SESSION's Hadoop configuration to the writer tasks — a
+    // fresh Configuration() on the executor loads only classpath defaults
+    // (no spark.hadoop.* credentials/endpoints), which silently targets
+    // the wrong filesystem for any non-default `dir` (review-caught). The
+    // conf is flattened to entries because Configuration itself is not
+    // Serializable.
+    val confEntries: Array[(String, String)] = {
+      val b = Array.newBuilder[(String, String)]
+      val it = hconf.iterator()
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    // ONE output-sized pass: each task writes its containers AND returns
+    // the per-shard (n_docs, n_bytes) stats rows — a shard never spans
+    // tasks, so task-local stats are final. The old form re-ran the whole
+    // entries plan (for packed shards: the full tokenize→pack chain) a
+    // second time just to aggregate the manifest (review-caught). The
+    // collect is nShards-bounded driver state.
+    import spark.implicits._
+    val stats: Array[(Long, Long, Long)] = containerWritePlan(entries())
+      .mapPartitions { (it: Iterator[Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val basePath = new Path(dir)
-        val fs = basePath.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        val fs = basePath.getFileSystem(conf)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         var cur = Long.MinValue
         var zos: ZipOutputStream = null
         var tmp: Path = null
@@ -162,6 +188,7 @@ object TrainingShards {
           val dst = new Path(basePath, shardFileName(cur))
           fs.delete(dst, false) // rename-over-existing: the replay overwrite
           require(fs.rename(tmp, dst), s"TrainingShards: rename $tmp -> $dst failed")
+          out += ((cur, entries.toLong, payloadBytes))
         }
         it.foreach { r =>
           val sh = r.getLong(0)
@@ -185,7 +212,8 @@ object TrainingShards {
           zos.closeEntry()
         }
         finish()
-      }
+        out.iterator
+      }.collect()
     // shards the shuffle left empty still get a (valid, zero-entry)
     // container: the file layout is the contract — a training job maps
     // shard ids to workers before it opens a single file
@@ -202,16 +230,13 @@ object TrainingShards {
     // manifest LAST — the commit marker. Every shard of this batch gets a
     // row (zeros for empty shards) so readers learn the full id range
     // without listing files.
-    import spark.implicits._
-    val stats = rows.groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum(octet_length(col("payload"))).cast("long").as("n_bytes"))
-    (0L until nShards.toLong).map(_ + shardBase).toDF("shard")
-      .join(stats, Seq("shard"), "left")
-      .select(col("shard"),
-        coalesce(col("n_docs"), lit(0L)).cast("long").as("n_docs"),
-        coalesce(col("n_bytes"), lit(0L)).cast("long").as("n_bytes"),
-        lit(ingestBatch).as("ingest_batch"))
+    val byShard = stats.map(s => s._1 -> s).toMap
+    (0L until nShards.toLong).map(_ + shardBase)
+      .map(s => byShard.get(s) match {
+        case Some((_, n, b)) => (s, n, b, ingestBatch)
+        case None => (s, 0L, 0L, ingestBatch)
+      })
+      .toDF("shard", "n_docs", "n_bytes", "ingest_batch")
       .coalesce(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
@@ -379,8 +404,8 @@ object TrainingShards {
        |  shard0 + $shardBase AS shard
        |FROM (
        |  SELECT doc_id,
-       |    ((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuffle_key,
-       |    (((((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647) % $nShards AS shard0
+       |    ${TextAnalysis.lehmerKeyDuckSql("doc_id")} AS shuffle_key,
+       |    (${TextAnalysis.lehmerKeyDuckSql("doc_id")}) % $nShards AS shard0
        |  FROM $src) k""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

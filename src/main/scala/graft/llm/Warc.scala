@@ -164,19 +164,19 @@ object GzipMembers {
       val inf = new java.util.zip.Inflater(/*nowrap=*/ true)
       // Decompression-bomb gate: untrusted crawl input can pack ~1000:1
       // expansion into a tiny member, and an unbounded inflate OOMs the
-      // executor with an Error the quarantine path can't catch. Cap the
-      // inflated size at a generous multiple of the COMPRESSED REMAINDER
-      // OF THE BUFFER (not the current member — member length isn't known
-      // until inflate finishes, so the cap is loose for early members of a
-      // multi-member file and tight only for the last; it still bounds the
-      // worst case at 256× the file) plus a floor for tiny members, and
-      // fail(...) with the IllegalArgumentException the poison gate turns
-      // into a quarantine row instead of a job kill. 256:1 sits ~4× under
-      // deflate's 1032:1 ceiling while clearing legitimate highly-
-      // repetitive crawl members (whitespace/table-heavy HTML routinely
-      // exceeds 64:1 once inflated size passes the floor — silently
-      // quarantining those is data loss, the r10 ADVICE finding).
-      val maxInflated = math.max(1L << 20, (bytes.length - p).toLong * 256L)
+      // executor with an Error the quarantine path can't catch. The cap
+      // is PER-MEMBER and live: during the loop, Inflater.getBytesRead()
+      // is exactly how much of THIS member's compressed stream has been
+      // consumed so far, so `inflated ≤ 256 × consumed` bounds the real
+      // member without knowing its length up front — a remainder-of-buffer
+      // cap (the r10 form) was ~unbounded for the first member of a large
+      // multi-member file (review-caught). 256:1 sits ~4× under deflate's
+      // 1032:1 ceiling while clearing legitimate highly-repetitive crawl
+      // members (whitespace/table-heavy HTML routinely exceeds 64:1 —
+      // silently quarantining those is data loss, the r10 ADVICE
+      // finding); the 1 MiB floor keeps tiny members from tripping on
+      // ratio noise. fail(...) raises the IllegalArgumentException the
+      // poison gate turns into a quarantine row instead of a job kill.
       val body = try {
         inf.setInput(bytes, p, bytes.length - p)
         val bos = new java.io.ByteArrayOutputStream(1024)
@@ -187,6 +187,8 @@ object GzipMembers {
               fail(s"corrupt deflate body (${e.getMessage})")
           }
           if (n > 0) {
+            val maxInflated =
+              math.max(1L << 20, inf.getBytesRead * 256L)
             if (bos.size().toLong + n > maxInflated)
               fail(s"member inflates past $maxInflated bytes (decompression bomb?)")
             bos.write(buf, 0, n)
