@@ -299,14 +299,15 @@ object BpeTrainer {
     * count join, which is the [[bpeTokenCounts]] vocabulary-sized plan. */
   def packByBpe(docs: DataFrame, k: Int, budget: Int): DataFrame = {
     require(budget >= 1, s"packByBpe: budget must be >= 1, got $budget")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"))
+    // running offsets via the two-phase distributed prefix sum (see
+    // packGreedy) — never a per-source running-sum window, which is a
+    // single task per source
+    val perDoc = docs.select(col("doc_id"), col("source"))
       .join(bpeTokenCounts(docs, k)
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), "doc_id")
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+    graft.operators.PrefixSum.cumStart(perDoc, "n_tokens",
+        docs.select(col("doc_id")),
+        graft.operators.PrefixSum.defaultBuckets(docs))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_start div $budget").as("pack_id"),
         expr(s"cum_start % $budget").as("pack_offset"))

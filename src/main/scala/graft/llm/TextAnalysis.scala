@@ -820,14 +820,22 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
 
+  /** Greedy fixed-budget sequence packing: each document starts at its
+    * source's running token offset, pack id/offset by integer division.
+    * The running offset is [[graft.operators.PrefixSum]]'s two-phase
+    * distributed form, NOT a per-source running-sum window — the window
+    * plan funnels every row of a source through ONE task, which is fatal
+    * when one source is the corpus bulk (the r11 verdict's last remaining
+    * scale-killer shape). The trade: the corpus projection is evaluated
+    * twice (subtotal + final pass — two parallel scans) instead of once
+    * through a serial straggler. */
   def packGreedy(docs: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"packGreedy: budget must be >= 1, got $budget")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    graft.operators.PrefixSum.cumStart(perDoc, "n_tokens",
+        docs.select(col("doc_id")),
+        graft.operators.PrefixSum.defaultBuckets(docs))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         // integer division, not double-divide-then-truncate: a double loses
         // exactness past 2^53 cumulative tokens — real at corpus scale

@@ -318,12 +318,22 @@ object TrainingShards {
                                      budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = BpeTrainer.bpeTokenIdSeqs(docs, k)
+    // localCheckpoint: three consumers below (prefix-sum subtotal pass,
+    // prefix-sum final pass, pack bases) would each re-run the tokenize
+    // chain; the checkpoint pins one PER-DOCUMENT narrow row
+    // (doc_id, source, n_tokens) per doc — counts-table-sized, never
+    // corpus-sized
     val counts = toks.groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tokens"))
-    val cum = counts.select(col("doc_id"),
-      (sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id")))
-        - col("n_tokens")).cast("long").as("cum_start"))
+      .localCheckpoint(eager = true)
+    // per-source running token starts via the two-phase distributed
+    // prefix sum — the per-source running-sum window this replaced
+    // funnels every doc of a source through ONE task (r11 verdict's last
+    // scale-killer shape)
+    val cum = graft.operators.PrefixSum.cumStart(counts, "n_tokens",
+        docs.select(col("doc_id")),
+        graft.operators.PrefixSum.defaultBuckets(docs))
+      .select(col("doc_id"), col("cum_start"))
     // per-source pack-id bases: ceil-div pack counts, cumulated over the
     // (tiny) source list — gives every pack a global dense id without a
     // corpus-wide single-partition window

@@ -786,4 +786,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "vocab/base joins must broadcast — they are vocab- and source-sized")
   }
+
+  test("sequence packing: running offsets are the two-phase prefix sum — no per-source corpus window") {
+    // the killer shape: a running sum whose window partitions by source
+    // alone and orders by doc_id shuffles EVERY row of a source into ONE
+    // task; the prefix-sum rewrite partitions its corpus window by
+    // (source, __bkt) instead, so only the tiny offset tables keep
+    // single-key windows. The regex pins the exact windowspec, so the
+    // #sources-row pack-base window (ORDER BY source, no partition) and
+    // the nBuckets-row offset window (partition source ORDER BY __bkt)
+    // stay legal.
+    val bad = """windowspecdefinition\(source#\d+, doc_id#\d+L? ASC""".r
+    for (name <- Seq("doc_pack_greedy", "doc_pack_bpe")) {
+      val p = phys(name)
+      assert(bad.findFirstIn(p).isEmpty,
+        s"$name funnels a whole source through one window task:\n$p")
+      assert(p.contains("__bkt"), s"$name lost the bucketed prefix sum:\n$p")
+    }
+    val pr = graft.llm.TrainingShards.packedTokenRows(
+        Tables.documents(spark, sf), 2, 64)
+      .queryExecution.executedPlan.toString
+    assert(bad.findFirstIn(pr).isEmpty,
+      s"packedTokenRows funnels a whole source through one window task:\n$pr")
+    assert(pr.contains("__bkt"), s"packedTokenRows lost the bucketed prefix sum:\n$pr")
+  }
 }
