@@ -152,7 +152,44 @@ object RecallProbe {
       "ivfpq_sized" -> storedContract,
       "ivfpq_sized_ceiling" -> ceiling) ++ refineLadder
 
-    val json = (rows ++ sizedMeta ++ frontier ++ ivfpqSized)
+    // r12: recall DRIFT of an APPENDED index — the measurement behind
+    // rebuildFactor = 2. Build the sized index on HALF the corpus, fold
+    // the other half in by append (assigned against the stale
+    // half-corpus centroids — exactly what ivf(Pq)IndexNeedsRebuild's
+    // 2× trigger tolerates right up to its firing point), then measure
+    // recall at the stored contract over the SAME full corpus a
+    // rebuilt-at-N index serves. The appended-vs-rebuilt gap at 2× IS
+    // the price the trigger accepts; if appended misses the target, the
+    // factor must shrink.
+    import org.apache.spark.sql.functions.col
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    val rest = corpus.filter(col("vec_id") % 2 =!= 0)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val (ivfApp, ivfReb) = (tmp("graft-recall-ivf-app"), tmp("graft-recall-ivf-reb"))
+    Similarity.writeIvfIndexSized(half, ivfApp)
+    Similarity.appendIvfIndex(rest, ivfApp)
+    Similarity.writeIvfIndexSized(corpus, ivfReb)
+    val rIvfApp = recall(Similarity.ivfTopKAgainstIndexSized(qrs, ivfApp, k))
+    val rIvfReb = recall(Similarity.ivfTopKAgainstIndexSized(qrs, ivfReb, k))
+    require(Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = 1.9)
+      && !Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = 2.1),
+      "drift trigger must fire exactly around 2x build_n at this split")
+    val (pqApp, pqReb) = (tmp("graft-recall-pqa"), tmp("graft-recall-pqr"))
+    Similarity.writeIvfPqIndexSized(half, pqApp)
+    Similarity.appendIvfPqIndex(rest, pqApp)
+    Similarity.writeIvfPqIndexSized(corpus, pqReb)
+    val rPqApp = recall(Similarity.ivfPqRefineAgainstIndex(qrs, pqApp, k))
+    val rPqReb = recall(Similarity.ivfPqRefineAgainstIndex(qrs, pqReb, k))
+    System.err.println(f"[recall] ivf_sized appended@2x=$rIvfApp%.4f rebuilt=$rIvfReb%.4f")
+    System.err.println(f"[recall] ivfpq_sized appended@2x=$rPqApp%.4f rebuilt=$rPqReb%.4f")
+    val appendDrift = Seq(
+      "ivf_sized_appended_2x" -> rIvfApp,
+      "ivf_sized_rebuilt_at_2x" -> rIvfReb,
+      "ivfpq_sized_appended_2x" -> rPqApp,
+      "ivfpq_sized_rebuilt_at_2x" -> rPqReb)
+
+    val json = (rows ++ sizedMeta ++ frontier ++ ivfpqSized ++ appendDrift)
       .map { case (n, r) => "\"" + n + "\":" + r }
       .mkString(s"""{"metric":"recall_at_$k","n_queries":$nQ,"sf":"$sfDir",""", ",", "}")
     println(json)

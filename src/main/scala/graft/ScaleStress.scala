@@ -191,6 +191,66 @@ object ScaleStress {
       graft.llm.TextAnalysis.chunk(docsN, 32, 4).count())
     val (nPack, tPack) = timed("pack greedy x" + factor)(
       graft.llm.TextAnalysis.packGreedy(docsN, 256).count())
+
+    // r12: the pack prefix sum on a ONE-SOURCE corpus — the adversarial
+    // shape for the running-offset computation (the CommonCrawl-shaped
+    // bulk of a real mix). The two-phase distributed form (what packGreedy
+    // now is) is contrasted against the naive per-source running-sum
+    // window it replaced: the naive plan funnels every row of the source
+    // through ONE window task, so its max task tracks corpus size, while
+    // the two-phase form's max task is one (source, bucket) cell. The
+    // max-task contrast is the claim, measured at its stage.
+    val nOneSrc = 200000L * factor
+    val docsOne = spark.range(nOneSrc).select(
+        col("id").as("doc_id"), lit("bulk").as("source"),
+        expr("""array_join(transform(sequence(1, 8), i ->
+          |  char(97 + pmod(hash(id, i), 26))), ' ')""".stripMargin).as("text"))
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val packMaxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val packListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null)
+          packMaxTask.updateAndGet(m => math.max(m, t.taskInfo.duration))
+    }
+    // Each arm is forced through an aggregate over the RESULT VALUES:
+    // a bare count() lets Catalyst PRUNE the unreferenced window/prefix
+    // columns entirely (column pruning removes window expressions nothing
+    // reads — the r12 first cut measured exactly that nothing, review-
+    // caught via a pyspark probe: count() 0.2 s vs forced 4.8 s at 2M).
+    // Untimed warmup first: the session's first window/agg job pays ~1 s
+    // of codegen JIT; the NAIVE arm then runs first, so residual warmth
+    // favors the incumbent, never the rewrite.
+    def forcePack(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), max(col("pack_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    forcePack(graft.llm.TextAnalysis.packGreedy(docsOne.limit(1000), 256))
+    spark.sparkContext.addSparkListener(packListener)
+    var (tPackDist, tPackWin) = (-1.0, -1.0)
+    var (maxTaskPackDist, maxTaskPackWin) = (-1L, -1L)
+    var nPackOne = -1L
+    try {
+      packMaxTask.set(0)
+      val (r2, t2) = timed("pack window naive x" + factor) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        forcePack(docsOne
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("cum_start",
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), expr("cum_start div 256").as("pack_id")))
+      }
+      tPackWin = t2; maxTaskPackWin = packMaxTask.get()
+      packMaxTask.set(0)
+      val (r1, t1) = timed("pack prefix-sum dist x" + factor)(
+        forcePack(graft.llm.TextAnalysis.packGreedy(docsOne, 256)))
+      tPackDist = t1; maxTaskPackDist = packMaxTask.get(); nPackOne = r1._1
+      require(r1 == r2, s"prefix-sum rewrite changed the answer: $r1 vs $r2")
+    } finally spark.sparkContext.removeSparkListener(packListener)
+    System.err.println(s"[stress] pack_one_source_rows=$nPackOne " +
+      s"dist_max_task_ms=$maxTaskPackDist window_max_task_ms=$maxTaskPackWin")
     val (nTfi, tTfi) = timed("tfidf topk x" + factor)(
       graft.llm.TextAnalysis.tfidfTopK(docsN, 3).count())
     // CMS at ×N: the counter table must stay ≤ d·w rows no matter the
@@ -506,8 +566,11 @@ object ScaleStress {
     // (one word swapped for a doc-unique marker), planting a 10% near-dup
     // rate whose PAIR answer is linear in N — the shape the artifact
     // exists for. Increment split is the newest-10%-of-ids suffix (real
-    // growth arrives at the end of the id space; pairs may straddle the
-    // boundary, which the append path handles — spec-pinned in r10).
+    // growth arrives at the end of the id space), shifted by ONE id so
+    // the planted pair (cut-1, cut) genuinely STRADDLES the build/append
+    // boundary — the r11 cut was a multiple of 10, pair-aligned, so the
+    // straddling-pair mining path was never exercised despite the old
+    // comment's claim (review-caught).
     val skipArtifact = sys.env.get("SPARK_GRAFT_STRESS_SKIP").exists(_.contains("artifact"))
     val artDir = s"/tmp/graft-stress-artifact-x$factor"
     val nArtDocs = 2000L * factor
@@ -528,7 +591,7 @@ object ScaleStress {
           |END""".stripMargin).as("text"))
         .repartition(cpus * 2)
         .localCheckpoint(true)
-      val cut = (nArtDocs * 9) / 10
+      val cut = (nArtDocs * 9) / 10 + 1
       val docsOld = novelDocs.filter(col("doc_id") < cut)
       val docsInc = novelDocs.filter(col("doc_id") >= cut)
       val (_, tb) = timed("artifact build 90% x" + factor)(
@@ -681,7 +744,7 @@ object ScaleStress {
     ).collect { case (true, key, why) => s""""$key":"$why"""" }
       .mkString("{", ",", "}")
 
-    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"skew_cand_pairs":$nSkewCand,"skew_cand_plain_sec":$tCandPlain,"skew_cand_salt32_sec":$tCandSalt,"skew_cand_max_task_plain_ms":$maxTaskCandPlain,"skew_cand_max_task_salt32_ms":$maxTaskCandSalt,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"artifact_docs":$nArtDocs,"artifact_pairs":$nArtPairs,"artifact_build_sec":$tArtBuild,"artifact_append_sec":$tArtAppend,"artifact_rebuild_sec":$tArtRebuild,"ann_vecs":$nAnnVecs,"ann_ivf_build_sec":$tAnnBuild,"ann_ivf_append_sec":$tAnnAppend,"ann_ivf_rebuild_sec":$tAnnRebuild,"ann_ivfpq_build_sec":$tPqaBuild,"ann_ivfpq_append_sec":$tPqaAppend,"ann_ivfpq_rebuild_sec":$tPqaRebuild,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
+    val json = s"""{"metric":"stress_x$factor","skipped":$skipReasons,"profile_sec":$tProf,"src_rows":$nSrc,"full_rows":$nFull,"full_sec":$tFull,"dedup_rows":$nDedup,"dedup_sec":$tDedup,"dedup_agg_rows":$nAgg,"dedup_agg_sec":$tAgg,"asof_rows":$nAsof,"asof_sec":$tAsof,"skew_pairs":$nSkewPairs,"skew_plain_sec":$tSkewPlain,"skew_salt8_sec":$tSkewSalt,"skew_max_task_plain_ms":$maxTaskPlain,"skew_max_task_salt8_ms":$maxTaskSalt,"skew_dedup_first_pairs":$nDedupFirstPairs,"skew_dedup_first_sec":$tSkewDedupFirst,"skew_max_task_dedup_first_ms":$maxTaskDedupFirst,"skew_reps":$skewReps,"skew_cand_pairs":$nSkewCand,"skew_cand_plain_sec":$tCandPlain,"skew_cand_salt32_sec":$tCandSalt,"skew_cand_max_task_plain_ms":$maxTaskCandPlain,"skew_cand_max_task_salt32_ms":$maxTaskCandSalt,"winnow_plain_pairs":$nWinnowPlain,"winnow_plain_sec":$tWinnowPlain,"winnow_max_task_plain_ms":$maxTaskWinnowPlain,"winnow_capped_pairs":$nWinnowCap,"winnow_capped_sec":$tWinnowCap,"winnow_max_task_capped_ms":$maxTaskWinnowCap,"bpe512_merges":$nBpe,"bpe512_sec":$tBpe,"bpe64_b1_merges":$nBpeB1,"bpe64_b1_sec":$tBpeB1,"bpe64_b16_merges":$nBpeB16,"bpe64_b16_sec":$tBpeB16,"warc_plain_rows":$nWarc,"warc_plain_sec":$tWarc,"warc_gz_rows":$nWarcGz,"warc_gz_sec":$tWarcGz,"pref_pairs_rows":$nPref,"pref_pairs_sec":$tPref,"template_groups":$nTmpl,"template_dedup_sec":$tTmpl,"artifact_docs":$nArtDocs,"artifact_pairs":$nArtPairs,"artifact_build_sec":$tArtBuild,"artifact_append_sec":$tArtAppend,"artifact_rebuild_sec":$tArtRebuild,"ann_vecs":$nAnnVecs,"ann_ivf_build_sec":$tAnnBuild,"ann_ivf_append_sec":$tAnnAppend,"ann_ivf_rebuild_sec":$tAnnRebuild,"ann_ivfpq_build_sec":$tPqaBuild,"ann_ivfpq_append_sec":$tPqaAppend,"ann_ivfpq_rebuild_sec":$tPqaRebuild,"video_sample_rows":$nVs,"video_sample_sec":$tVs,"video_all_rows":$nVa,"video_all_sec":$tVa,"shard_sample_rows":$nSs,"shard_sample_sec":$tSs,"shard_all_rows":$nSa,"shard_all_sec":$tSa,"scan_sec":$tScan,"interval_pairs":$nPairs,"interval_sec":$tIvl,"cc_components":$nComp,"cc_sec":$tCc,"cc_rounds":$ccRounds,"cc_actions_per_round":1,"repetition_sec":$tRep,"decontaminate_sec":$tDec,"curate_sec":$tCur,"simhash_pairs_sec":$tSim,"simhash_hashed_pairs":$nSimH,"simhash_hashed_sec":$tSimH,"substring_sec":$tSub,"domain_cap_sec":$tCap,"sample_sec":$tSamp,"chunk_sec":$tChk,"pack_sec":$tPack,"pack_one_source_rows":$nPackOne,"pack_dist_sec":$tPackDist,"pack_dist_max_task_ms":$maxTaskPackDist,"pack_window_sec":$tPackWin,"pack_window_max_task_ms":$maxTaskPackWin,"tfidf_sec":$tTfi,"cms_counter_rows":$nCtr,"cms_counters_sec":$tCtr,"cms_topk_sec":$tCms,"cont_idx_build_sec":$tContBuild,"cont_cand_naive":$nCandNaive,"cont_cand_naive_sec":$tCandNaive,"cont_cand_prefix":$nCandPrefix,"cont_cand_prefix_sec":$tCandPrefix,"cont_hits":$nContHits,"cont_gate_sec":$tContGate,"snm_pairs":$nSnm,"snm_sec":$tSnm,"shuffle_rows":$nShuf,"shuffle_sec":$tShuf,"skyline_rows":$nSky,"skyline_sec":$tSky,"phash_pairs":$nPh,"phash_sec":$tPh,"group_split_rows":$nGs,"group_split_sec":$tGs,"decontam_rows":$nDe,"decontam_sec":$tDe,"hard_neg_rows":$nHn,"hard_neg_sec":$tHn,"retrieval_eval_rows":$nRev,"retrieval_eval_sec":$tRev,"label_audit_rows":$nLa,"label_audit_sec":$tLa,"divergence_rows":$nDiv,"divergence_sec":$tDiv,"drift_rows":$nDrift,"drift_sec":$tDrift,"recall_eval_rows":$nRec,"recall_eval_sec":$tRec,"bitext_cand_brute":$nBtBrute,"bitext_cand_lsh":$nBtCand,"bitext_cand_lsh_sec":$tBtCand,"bitext_pairs":$nBt,"bitext_lsh_sec":$tBt}"""
     println(json)
     // persist like Bench's BENCH_LOCAL.json: ×N numbers stay diffable
     // across rounds without log scraping. STRESS_OUT overrides the path.

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Tables, Util}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer TRAINING — the missing first
@@ -225,7 +226,13 @@ object BpeTrainer {
     * (symbols ever seen in this word): extra entries only cost a scan,
     * never change the result. Shared by the batch apply and
     * [[graft.streaming.StreamingBpe]]. */
-  private[graft] def replayWord(ms: Array[(String, String)], w: String): Int = {
+  private[graft] def replayWord(ms: Array[(String, String)], w: String): Int =
+    replayWordSyms(ms, w).length
+
+  /** [[replayWord]]'s sequence form: the word's final SYMBOLS after the
+    * replay, in order — what the packed-shard append path consumes (it
+    * needs token ids per position, not just a count). */
+  private[graft] def replayWordSyms(ms: Array[(String, String)], w: String): Array[String] = {
     var syms: Array[String] = {
       val out = new Array[String](w.codePointCount(0, w.length))
       var ci = 0
@@ -257,7 +264,7 @@ object BpeTrainer {
       }
       i += 1
     }
-    syms.length
+    syms
   }
 
   /** Load a stored merge table in training order — the k-row bounded
@@ -302,11 +309,15 @@ object BpeTrainer {
     // running offsets via the two-phase distributed prefix sum (see
     // packGreedy) — never a per-source running-sum window, which is a
     // single task per source
+    // localCheckpoint: the prefix sum's two passes would each re-run the
+    // token-count join chain; pinned rows are per-doc narrow (the
+    // packRowsFromToks counts-table convention)
     val perDoc = docs.select(col("doc_id"), col("source"))
       .join(bpeTokenCounts(docs, k)
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), "doc_id")
+      .localCheckpoint(eager = true)
     graft.operators.PrefixSum.cumStart(perDoc, "n_tokens",
-        docs.select(col("doc_id")),
+        perDoc.select(col("doc_id")),
         graft.operators.PrefixSum.defaultBuckets(docs))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         expr(s"cum_start div $budget").as("pack_id"),
@@ -328,13 +339,30 @@ object BpeTrainer {
     * driver-scale by construction), and the corpus-sized work is one
     * explode + two joins (vocab broadcast) + one per-document window. */
   def bpeTokenIdSeqs(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wordSyms = train(docs, k)._2
-      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+    val ws = wordSymsOf(train(docs, k)._2)
+    tokenIdSeqsFrom(docs, ws, vocabOf(ws))
+  }
+
+  /** The trainer's (word, f, syms) table exploded to (word, spos, sym) —
+    * DISTINCT-WORD-sized, localCheckpointed once for its consumers. */
+  private[graft] def wordSymsOf(words: DataFrame): DataFrame =
+    words.select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
       .localCheckpoint(eager = true)
-    val vocab = wordSyms.select(col("sym")).distinct()
+
+  /** The deterministic "vocab file": distinct final symbols sorted
+    * lexicographically, ids 0-based. The window runs over vocab-sized
+    * rows (≤ alphabet + k — driver-scale by construction). */
+  private[graft] def vocabOf(wordSyms: DataFrame): DataFrame =
+    wordSyms.select(col("sym")).distinct()
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("sym"))).cast("long") - 1)
+
+  /** [[bpeTokenIdSeqs]]'s corpus-side body over a PROVIDED word-symbol
+    * decomposition and vocab — shared by the train-and-tokenize path and
+    * the packed-shard append path (which decomposes against STORED merges
+    * and extends a STORED vocab instead of training). */
+  private[graft] def tokenIdSeqsFrom(docs: DataFrame, wordSyms: DataFrame,
+                                     vocab: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
         posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
       .filter(length(col("word")) >= 1)
@@ -344,6 +372,45 @@ object BpeTrainer {
           Window.partitionBy(col("doc_id")).orderBy(col("wi"), col("spos")))
         .cast("long") - 1)
       .select(col("doc_id"), col("source"), col("tidx"), col("token_id"))
+
+  /** Symbol DECOMPOSITIONS of every distinct word of `docs` under a
+    * stored merge table — (word, spos, sym), the sequence twin of
+    * [[bpeTokensAgainstMerges]]'s counts, built by the same
+    * [[replayWordSyms]] kernel (bit-identical to the training-side fold —
+    * the text_bpe_apply identity, extended to sequences by the r12 spec).
+    * Same scale shape: a k-row broadcast + ONE mapPartitions pass over
+    * the batch's DISTINCT words; no shuffle beyond the word distinct. */
+  private[graft] def wordSymSeqsAgainstMerges(docs: DataFrame,
+                                              merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1).distinct()
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("spos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("sym",
+          org.apache.spark.sql.types.StringType))))
+    words.mapPartitions { rows =>
+      val ms = bc.value
+      rows.flatMap { r =>
+        val w = r.getString(0)
+        replayWordSyms(ms, w).iterator.zipWithIndex
+          .map { case (s, i) => Row(w, i, s) }
+      }
+    }(enc)
+  }
+
+  /** The learned merges as the stored-tokenizer table — the same schema
+    * [[writeBpeMerges]] persists, built from an ALREADY-TRAINED merge list
+    * so store-the-tokenizer flows never pay a second training run. */
+  private[graft] def mergesToDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.step, m.a, m.b, m.count))
+      .toDF("step", "pair_a", "pair_b", "pair_count")
   }
 
   // ------------------------------------------------------------- registry
@@ -405,6 +472,55 @@ object BpeTrainer {
        |    WHERE c.pos IS NULL) q
        |)
        |""".stripMargin
+
+  /** APPLY-ONLY oracle chain: decompose `src`'s distinct words under the
+    * merges a TRAINING chain already selected — [[stepCtes]] minus the
+    * pair-count/selection CTEs, each step CROSS JOINing the training
+    * chain's `top$t` (which must precede in the same WITH list).
+    * Namespaced `a*` so both chains coexist in one statement; the final
+    * symbol table is `as$MergeSteps`. This is [[replayWordSyms]] in SQL:
+    * the same windowed gaps-and-islands left-to-right rule, applied
+    * unconditionally per step (the Scala presence filter is a fast path,
+    * never a semantic difference). */
+  private[llm] def applyUnrolledOver(src: String): String = {
+    val base =
+      s""", aw0 AS MATERIALIZED (
+         |  SELECT word AS w, count(*) AS f
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $src) t
+         |  WHERE length(word) >= 1 GROUP BY 1
+         |), as0 AS MATERIALIZED (
+         |  SELECT w, f, CAST(i AS INT) AS pos, substr(w, CAST(i AS INT), 1) AS s
+         |  FROM aw0, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ii
+         |)
+         |""".stripMargin
+    base + (1 to MergeSteps).map { t =>
+      val prev = s"as${t - 1}"
+      s""", af$t AS MATERIALIZED (
+         |  SELECT s.w, s.f, s.pos, s.s, t.a, t.b,
+         |    CASE WHEN s.s = t.a
+         |           AND lead(s.s) OVER (PARTITION BY s.w ORDER BY s.pos) = t.b
+         |         THEN 1 ELSE 0 END AS flg
+         |  FROM $prev s CROSS JOIN top$t t
+         |), am$t AS MATERIALIZED (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+         |    FROM (SELECT w, pos,
+         |            pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |          FROM af$t WHERE flg = 1) g) r
+         |  WHERE rk % 2 = 1
+         |), as$t AS MATERIALIZED (
+         |  SELECT w, f, CAST(row_number() OVER (PARTITION BY w ORDER BY opos) AS INT) AS pos, s
+         |  FROM (
+         |    SELECT x.w, x.f, x.pos AS opos,
+         |      CASE WHEN m.pos IS NOT NULL THEN x.a || x.b ELSE x.s END AS s
+         |    FROM af$t x
+         |    LEFT JOIN am$t m ON m.w = x.w AND m.pos = x.pos
+         |    LEFT JOIN am$t c ON c.w = x.w AND c.pos = x.pos - 1
+         |    WHERE c.pos IS NULL) q
+         |)
+         |""".stripMargin
+    }.mkString
+  }
 
   private def baseCtes(src: String, lead: String): String =
     s"""$lead w0 AS MATERIALIZED (

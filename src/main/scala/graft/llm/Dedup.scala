@@ -1048,6 +1048,30 @@ object Dedup {
       .select(col("cluster").as("keeper"), col("n_reps"), col("n_docs"))
   }
 
+  /** [[dedupPipeline]]'s stored-consumer body: the same keeper report
+    * from an ALREADY-LABELED cluster table (the dedup artifact's
+    * `clusters` side) — the corpus contributes only the exact-group
+    * rollup (one text-keyed agg), and nothing re-shingles. Correctness
+    * rests on a structural identity, spec-asserted hash-equal to the
+    * recompute form (Round12OpsSpec): exact copies share their
+    * representative's shingle set, so they band identically, every copy
+    * is connected to its representative by a Jaccard-1 edge, and a
+    * full-corpus component's min doc_id IS a representative — therefore
+    * full-corpus cluster labels restricted to representatives equal the
+    * labels [[dedupPipeline]] computes over representatives alone, and
+    * the (n_reps, n_docs) rollup is the same partition either way. At
+    * 100 TB the fused curation run is gates + this one artifact join —
+    * never a re-mine. */
+  def pipelineFromClusters(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val groups = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    groups.select(col("doc_id"), col("n_copies"))
+      .join(clusters, "doc_id") // representatives pick up their labels
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_reps"), sum(col("n_copies")).as("n_docs"))
+      .select(col("cluster").as("keeper"), col("n_reps"), col("n_docs"))
+  }
+
   /** Keep-decision for the embedding path: representative (min vec_id) +
     * absorbed count per [[embeddingClusters]] cluster — completes the
     * embedding dedup symmetry with [[dedupKeep]]. */
@@ -1764,6 +1788,14 @@ object Dedup {
     }),
     "dedup_stored_scoped" -> ((s, dir) => Util.orderAll(
       scopedEvalFromPairs(storedPairs(s, dir, 0.4), docs(s, dir)))),
+    // the COMPOSITIONS consume the artifact too (r10/r11 carry-over): the
+    // full dedup pipeline and the near-dup-aware curation decision as
+    // gates + one stored-label join — no re-mine inside the fused run
+    "dedup_stored_pipeline" -> ((s, dir) => Util.orderAll(
+      pipelineFromClusters(storedClusters(s, dir, 0.4), docs(s, dir)))),
+    "dedup_stored_curate" -> ((s, dir) => Util.orderAll(
+      TextAnalysis.curateNearDupFromClusters(docs(s, dir),
+        storedClusters(s, dir, 0.4)))),
     "dedup_stored_terms" -> ((s, dir) => Util.orderAll(
       clusterTermsFrom(storedClusters(s, dir, 0.4), docs(s, dir), 3))),
     "dedup_stored_triangles" -> ((s, dir) => Util.orderAll(
@@ -1854,6 +1886,14 @@ object Dedup {
       |JOIN cnt cb ON cb.doc_id = doc_b
       |WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) >= 0.4""".stripMargin
 
+  /** [[clustersCte]] as a COMPLETE statement usable as a derived table —
+    * (node, label) closure rows, multi-labels not yet min-folded. DuckDB
+    * allows WITH RECURSIVE inside a subquery, which is how the curation
+    * oracle composes the cluster chain with `curateGatesCte` without CTE
+    * name collisions (both chains define `sig`/`tok`/`cnt`). */
+  private[llm] lazy val clustersSubquerySql: String =
+    clustersCte + "SELECT node, label FROM comp"
+
   /** MinHash → verified pairs → symmetric edges → recursive transitive
     * closure, shared by the clusters and keep-decision oracles. */
   private lazy val clustersCte =
@@ -1943,10 +1983,14 @@ object Dedup {
     "dedup_stored_scoped"      -> "doc_dedup_scoped",
     "dedup_stored_terms"       -> "doc_cluster_terms",
     "dedup_stored_triangles"   -> "doc_dedup_triangles",
+    "dedup_stored_pipeline"    -> "doc_dedup_pipeline",
   )
 
   def oracle: Map[String, String] =
-    oracleBase ++ storedOracleAlias.map { case (k, v) => k -> oracleBase(v) }
+    oracleBase ++ storedOracleAlias.map { case (k, v) => k -> oracleBase(v) } +
+      // the near-dup curation twin's oracle lives with its recompute form
+      // (TextAnalysis owns the gate SQL); same one-definition rule
+      ("dedup_stored_curate" -> TextAnalysis.oracle("doc_curate_neardup"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     "doc_dedup_pagerank" -> (pagerankCte + Util.wrap(

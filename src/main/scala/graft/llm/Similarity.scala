@@ -688,15 +688,32 @@ object Similarity {
         case r => r.getLong(0) + 1L
       }
 
+  /** Default drift-trigger factors, RE-DERIVED in r12 from MEASURED
+    * appended-index recall instead of the r11 rule-of-thumb 2.0: a sized
+    * index built at N/2 and appended to N (exactly 2× build_n) served
+    * recall@10 0.780 (IVF) / 0.744 (IVF-PQ) at the stored 0.8-target
+    * contract, vs 0.844 / 0.818 rebuilt at N (RECALL_LOCAL
+    * `*_appended_2x` / `*_rebuilt_at_2x`) — i.e. by 2× growth both
+    * indexes have already fallen BELOW the target they were sized for.
+    * Linear interpolation between contract recall at build (g=1) and the
+    * measured recall at g=2 puts the target crossing at g≈1.69 (IVF) and
+    * g≈1.24 (IVF-PQ — residual codes quantize against stale centroids,
+    * so PQ drifts faster); the defaults snap just under those crossings.
+    * The old 2.0 let a maintained index silently serve under-target
+    * recall for the last third of its growth window. */
+  val IvfRebuildFactor = 1.6
+  val IvfPqRebuildFactor = 1.2
+
   /** Centroid-drift rebuild trigger: true once the indexed corpus has
     * outgrown the centroids it was clustered under (`rebuildFactor ×` the
-    * stored build size). Appends keep the index CORRECT at any growth
-    * (assignment is exact against the stored centroids) but cell balance
-    * and probe recall degrade as the data distribution outruns the frozen
-    * cell structure — the standard IVF maintenance rule. The count rides
-    * parquet footer statistics, not a scan. */
+    * stored build size — default [[IvfRebuildFactor]], measured r12).
+    * Appends keep the index CORRECT at any growth (assignment is exact
+    * against the stored centroids) but cell balance and probe recall
+    * degrade as the data distribution outruns the frozen cell structure —
+    * the standard IVF maintenance rule. The count rides parquet footer
+    * statistics, not a scan. */
   def ivfIndexNeedsRebuild(spark: SparkSession, path: String,
-                           rebuildFactor: Double = 2.0): Boolean =
+                           rebuildFactor: Double = IvfRebuildFactor): Boolean =
     indexNeedsRebuild(spark, path, "cells", rebuildFactor)
 
   private def indexNeedsRebuild(spark: SparkSession, path: String,
@@ -878,7 +895,7 @@ object Similarity {
   /** [[ivfIndexNeedsRebuild]] for the IVF-PQ index (the vectors part is
     * its per-vector unit). */
   def ivfPqIndexNeedsRebuild(spark: SparkSession, path: String,
-                             rebuildFactor: Double = 2.0): Boolean =
+                             rebuildFactor: Double = IvfPqRebuildFactor): Boolean =
     indexNeedsRebuild(spark, path, "vectors", rebuildFactor)
 
   /** ANN top-k against a [[writeIvfPqIndexSized]] index at the stored

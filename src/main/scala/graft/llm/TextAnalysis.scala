@@ -826,15 +826,20 @@ object TextAnalysis {
     * distributed form, NOT a per-source running-sum window — the window
     * plan funnels every row of a source through ONE task, which is fatal
     * when one source is the corpus bulk (the r11 verdict's last remaining
-    * scale-killer shape). The trade: the corpus projection is evaluated
-    * twice (subtotal + final pass — two parallel scans) instead of once
-    * through a serial straggler. */
+    * scale-killer shape). The trade: one narrow per-doc checkpointed
+    * projection + two extra small exchanges instead of a serial
+    * straggler. */
   def packGreedy(docs: DataFrame, budget: Int): DataFrame = {
     require(budget >= 1, s"packGreedy: budget must be >= 1, got $budget")
+    // localCheckpoint: the prefix sum's two passes would each re-split
+    // the corpus text; the checkpoint pins one NARROW row per document
+    // (the packRowsFromToks counts-table convention — per-doc rows,
+    // never corpus text)
     val perDoc = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).as("n_tokens"))
+        size(split(col("text"), " ")).as("n_tokens"))
+      .localCheckpoint(eager = true)
     graft.operators.PrefixSum.cumStart(perDoc, "n_tokens",
-        docs.select(col("doc_id")),
+        perDoc.select(col("doc_id")),
         graft.operators.PrefixSum.defaultBuckets(docs))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         // integer division, not double-divide-then-truncate: a double loses
@@ -913,6 +918,46 @@ object TextAnalysis {
         qualityThreshold)
       .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
       .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(keeperWin))
+      .withColumn("keep", col("lang_ok") && col("quality_ok") && col("not_repetitive") &&
+        col("not_contaminated") && col("is_keeper"))
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"), col("not_repetitive"),
+        col("not_contaminated"), col("is_keeper"), col("keep"))
+  }
+
+  /** [[curate]] with the dedup stage upgraded from exact-copy keeper
+    * election to NEAR-DUP cluster keeper election over a provided cluster
+    * labeling — the fused curation decision a real pipeline runs, where
+    * "duplicate" means MinHash-verified near-duplicate, not just byte
+    * equality. `clusters` is (doc_id, cluster): pass the stored dedup
+    * artifact's labels ([[Dedup.storedClusters]] — the production form:
+    * gates + ONE label join, nothing re-shingles inside the curation run)
+    * or [[Dedup.dedupClusters]] recomputed (the oracle-checked twin;
+    * spec-asserted hash-equal). The keeper is the cluster's min doc_id
+    * among NON-eval members, so a benchmark doc can never absorb its
+    * trainable near-duplicates. Exact copies have Jaccard 1, so near-dup
+    * clusters subsume exact groups — this gate is strictly stronger than
+    * [[curate]]'s `is_keeper`.
+    *
+    * Scale shape: the per-row gates stay one collapsed projection;
+    * contamination stays a broadcast left-join; the additions are one
+    * doc_id-keyed equi-join against the label table and one label-keyed
+    * keeper agg + join — all pair/cluster-table-scale or one corpus-keyed
+    * hash join, never a window over corpus text. */
+  def curateNearDupFromClusters(docs: DataFrame, clusters: DataFrame,
+                                qualityThreshold: Double = 0.45,
+                                evalMod: Long = 101L): DataFrame = {
+    val base = docs.filter(col("doc_id") % evalMod =!= 0)
+    val sig = signals(base)
+    val contaminated = decontaminate(docs, evalMod).filter(col("is_contaminated"))
+      .select(col("doc_id"), lit(true).as("contam"))
+    val keepers = clusters.filter(col("doc_id") % evalMod =!= 0)
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("nd_keeper"))
+    withGateColumns(sig.join(broadcast(contaminated), Seq("doc_id"), "left_outer"),
+        qualityThreshold)
+      .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
+      .join(clusters, "doc_id")
+      .join(keepers, "cluster")
+      .withColumn("is_keeper", col("doc_id") === col("nd_keeper"))
       .withColumn("keep", col("lang_ok") && col("quality_ok") && col("not_repetitive") &&
         col("not_contaminated") && col("is_keeper"))
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"), col("not_repetitive"),
@@ -1855,6 +1900,11 @@ object TextAnalysis {
     "text_repetition"   -> ((s, dir) => Util.orderAll(repetition(docs(s, dir)))),
     "doc_decontaminate" -> ((s, dir) => Util.orderAll(decontaminate(docs(s, dir)))),
     "doc_curate"        -> ((s, dir) => Util.orderAll(curate(docs(s, dir)))),
+    // the near-dup-aware fused decision, recompute form (the stored twin
+    // is dedup_stored_curate — gates + one artifact-label join)
+    "doc_curate_neardup" -> ((s, dir) => Util.orderAll(
+      curateNearDupFromClusters(docs(s, dir),
+        Dedup.dedupClusters(docs(s, dir), 0.4)))),
     "doc_domain_cap"    -> ((s, dir) => Util.orderAll(domainCap(docs(s, dir), 5))),
     "doc_sample_weighted" -> ((s, dir) => Util.orderAll(sampleWeighted(docs(s, dir)))),
     "doc_chunk"         -> ((s, dir) => Util.orderAll(chunk(docs(s, dir), 32, 4))),
@@ -2393,6 +2443,30 @@ object TextAnalysis {
     "doc_curate" -> (curateGatesCte + Util.wrap(
       """SELECT doc_id, lang_ok, quality_ok, not_repetitive,
         |  not_contaminated, is_keeper, keep FROM cg""".stripMargin,
+      Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
+        "not_contaminated", "is_keeper", "keep"))),
+
+    // the near-dup-aware decision: cg's per-row gates unchanged, the
+    // keeper gate re-derived from the MinHash cluster closure (Dedup's
+    // own chain, nested as a derived table so the two WITH lists — both
+    // define sig/tok/cnt — cannot collide)
+    "doc_curate_neardup" -> (curateGatesCte +
+      s""", cl AS MATERIALIZED (
+         |  SELECT node AS doc_id, min(label) AS cluster FROM (
+         |    ${Dedup.clustersSubquerySql}
+         |  ) comp0 GROUP BY node
+         |), ndk AS (
+         |  SELECT cluster, min(doc_id) AS nd_keeper FROM cl
+         |  WHERE doc_id % 101 <> 0 GROUP BY cluster
+         |)
+         |""".stripMargin + Util.wrap(
+      """SELECT cg.doc_id, lang_ok, quality_ok, not_repetitive, not_contaminated,
+        |  cg.doc_id = ndk.nd_keeper AS is_keeper,
+        |  lang_ok AND quality_ok AND not_repetitive AND not_contaminated
+        |    AND cg.doc_id = ndk.nd_keeper AS keep
+        |FROM cg
+        |JOIN cl ON cl.doc_id = cg.doc_id
+        |JOIN ndk USING (cluster)""".stripMargin,
       Seq("doc_id", "lang_ok", "quality_ok", "not_repetitive",
         "not_contaminated", "is_keeper", "keep"))),
 

@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
   * per-document parts: a replayed append (same batch id) re-derives the
   * same shard-id base from the manifest rows of EARLIER batches only,
   * overwrites the same container files, and dynamic-partition-overwrites
-  * its own manifest partition — exactly-once, no ledger.
+  * its own manifest partition — exactly-once, no ledger. SAME-JVM
+  * assumption on byte-stable replays: "replays rewrite stable bytes"
+  * additionally relies on Deflater/zlib emitting identical output and on
+  * ZipEntry.setTime(0L)'s pre-1980 handling being identical across JVMs —
+  * true for a Structured Streaming replay (same JVM lineage), but a
+  * replay from a DIFFERENT JDK/zlib may rename a byte-different though
+  * logically-identical container over a shipped file; deployments that
+  * hop JVM versions mid-stream should pin the JDK or accept the re-read.
   *
   * 100 TB shape: shards are the unit of training-time I/O, so the writer
   * enforces [[ShardZip]]'s documented non-ZIP64 scope per shard (< 65 536
@@ -82,6 +89,30 @@ object TrainingShards {
     appendTrainingShards(newDocs, dir, nShards,
       nextIngestBatch(newDocs.sparkSession, dir))
 
+  /** Append with the shard count DERIVED from the increment's size (one
+    * increment-sized agg), so a small daily increment mints one
+    * right-sized container instead of a fixed count of near-empty ones —
+    * the build's `nShards` is a corpus-sizing decision that must not be
+    * replayed verbatim onto every increment. */
+  def appendTrainingShards(newDocs: DataFrame, dir: String): Unit = {
+    val bytes = newDocs.agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
+      .head().getLong(0)
+    appendTrainingShards(newDocs, dir, shardCountFor(bytes),
+      nextIngestBatch(newDocs.sparkSession, dir))
+  }
+
+  /** Containers an increment of `payloadBytes` should mint at the target
+    * container size (default 256 MiB — the usual WebDataset shard scale;
+    * clamped to the non-ZIP64 reader bound). */
+  def shardCountFor(payloadBytes: Long,
+                    targetBytesPerShard: Long = 256L << 20): Int = {
+    require(targetBytesPerShard >= 1 &&
+      targetBytesPerShard <= MaxShardPayloadBytes,
+      s"targetBytesPerShard out of the reader's scope: $targetBytesPerShard")
+    math.max(1L,
+      (payloadBytes + targetBytesPerShard - 1) / targetBytesPerShard).toInt
+  }
+
   /** Explicit-batch append — the streaming maintainer's exactly-once form.
     * The shard-id base is derived from manifest rows of batches STRICTLY
     * BEFORE `ingestBatch`, so a replay of the same batch id lands on the
@@ -108,7 +139,7 @@ object TrainingShards {
     def entries = withLayout(docs.select(col("doc_id").as("entry_id"),
       encode(col("text"), "UTF-8").as("payload")), nShards, shardBase)
     writeContainerFiles(docs.sparkSession, () => entries, dir, nShards,
-      shardBase, ingestBatch, dynamic, ext = "txt")
+      shardBase, ingestBatch, dynamic, ext = "txt", reset = !dynamic)
   }
 
   /** The Lehmer layout as a PURE PROJECTION: shard and the in-shard sort
@@ -143,9 +174,12 @@ object TrainingShards {
                                   entries: () => DataFrame, dir: String,
                                   nShards: Int, shardBase: Long,
                                   ingestBatch: Long, dynamic: Boolean,
-                                  ext: String): Unit = {
+                                  ext: String, reset: Boolean): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    if (!dynamic) { // build resets the artifact dir like mode=overwrite
+    if (reset) { // build resets the artifact dir like mode=overwrite
+      // (the packed store resets EARLIER, before its tokenizer parts land —
+      // tokenizer before containers before manifest, so the commit marker
+      // is always last)
       val fs = new Path(dir).getFileSystem(hconf)
       fs.delete(new Path(dir), true)
       fs.mkdirs(new Path(dir))
@@ -183,6 +217,17 @@ object TrainingShards {
         var tmp: Path = null
         var entries = 0
         var payloadBytes = 0L
+        // failed attempts must not leak their open `_tmp-` container: the
+        // non-ZIP64 `require` below aborts tasks mid-file by design, and
+        // append mode never resets the directory — without this listener
+        // that debris accumulates forever (the driver-side sweep after the
+        // pass catches attempts that died without running listeners)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskFailureListener((_, _) => {
+            if (zos != null) { try zos.close() catch { case _: Throwable => () } }
+            if (tmp != null) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+            ()
+          }))
         def finish(): Unit = if (zos != null) {
           zos.close(); zos = null
           val dst = new Path(basePath, shardFileName(cur))
@@ -214,17 +259,34 @@ object TrainingShards {
         finish()
         out.iterator
       }.collect()
-    // shards the shuffle left empty still get a (valid, zero-entry)
-    // container: the file layout is the contract — a training job maps
-    // shard ids to workers before it opens a single file
+    // ONE listStatus drives both driver-side passes below (at production
+    // shard counts the per-shard exists() probes were nShards serial RPCs
+    // — review-caught): (a) shards the shuffle left empty still get a
+    // (valid, zero-entry) container — the file layout is the contract, a
+    // training job maps shard ids to workers before it opens a single
+    // file; (b) `_tmp-` debris of failed/superseded attempts in THIS
+    // batch's shard range is swept (the task listener catches orderly
+    // failures; this catches attempts that died without running it).
     val fs = new Path(dir).getFileSystem(hconf)
+    val present: Set[String] =
+      fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
     (0L until nShards.toLong).foreach { s =>
-      val dst = new Path(dir, shardFileName(s + shardBase))
-      if (!fs.exists(dst)) {
+      if (!present.contains(shardFileName(s + shardBase))) {
+        val dst = new Path(dir, shardFileName(s + shardBase))
         val tmp = new Path(dir, s"_tmp-${shardFileName(s + shardBase)}.driver")
         val zos = new ZipOutputStream(fs.create(tmp, true))
         zos.finish(); zos.close()
         require(fs.rename(tmp, dst), s"TrainingShards: rename $tmp -> $dst failed")
+      }
+    }
+    present.iterator.filter(_.startsWith("_tmp-shard-")).foreach { n =>
+      val idStr = n.stripPrefix("_tmp-shard-").takeWhile(_.isDigit)
+      val inBatch = idStr.nonEmpty && {
+        val id = idStr.toLong
+        id >= shardBase && id < shardBase + nShards
+      }
+      if (inBatch) { // only THIS batch's range: never race a concurrent writer
+        try fs.delete(new Path(dir, n), false) catch { case _: Throwable => () }
       }
     }
     // manifest LAST — the commit marker. Every shard of this batch gets a
@@ -260,7 +322,7 @@ object TrainingShards {
     * central-directory reader. */
   def readTrainingShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/shard-*.zip")
+    spark.read.format("binaryFile").load(committedShardPaths(spark, dir): _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -283,6 +345,19 @@ object TrainingShards {
     spark.read.parquet(s"$dir/manifest")
       .select(col("shard"), col("n_docs"), col("n_bytes"))
 
+  /** The committed container files, derived from the MANIFEST — never a
+    * directory glob: the manifest (written last) is the commit marker, so
+    * a crash between the container renames and the manifest write leaves
+    * an uncommitted batch whose files a glob reader would happily decode
+    * (review-caught). The collect is manifest-row-bounded driver state —
+    * the same scale as the manifest itself. */
+  private def committedShardPaths(spark: SparkSession, dir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/manifest").select(col("shard"))
+      .as[Long].collect().sorted.toSeq
+      .map(s => s"$dir/${shardFileName(s)}")
+  }
+
   // ------------------------------------------- packed token-sequence shards
 
   /** The literal training shape — tokenize → pack → shuffle → write:
@@ -304,20 +379,112 @@ object TrainingShards {
     require(nShards >= 1 && budget >= 1,
       s"writePackedTokenShards: nShards=$nShards budget=$budget")
     val spark = docs.sparkSession
-    val packRows = packedTokenRows(docs, k, budget)
+    import spark.implicits._
+    // train ONCE, persist the tokenizer WITH the store: a packed store's
+    // token ids must mean the same thing in every batch it will ever hold,
+    // so the append path replays these stored merges instead of
+    // retraining — the writeBpeMerges "train once, tokenize forever"
+    // artifact, made a part of the store itself. Write order: reset →
+    // tokenizer parts → containers → manifest LAST (the commit marker).
+    val (merges, words) = BpeTrainer.train(docs, k)
+    val wordSyms = BpeTrainer.wordSymsOf(words)
+    val vocab = BpeTrainer.vocabOf(wordSyms)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(hconf)
+    fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    BpeTrainer.mergesToDf(spark, merges)
+      .write.mode("overwrite").parquet(s"$dir/tokenizer/merges")
+    // vocab grows by append (new symbols of later increments get ids past
+    // the stored max) — ingest_batch-partitioned like every per-batch part
+    vocab.withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$dir/tokenizer/vocab")
+    Seq((k, budget)).toDF("k", "budget")
+      .write.mode("overwrite").parquet(s"$dir/params")
+    val toks = BpeTrainer.tokenIdSeqsFrom(docs, wordSyms, vocab)
+    val packRows = packRowsFromToks(toks, budget, docs.select(col("doc_id")))
     def entries = withLayout(packPayloads(packRows)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase = 0L)
     writeContainerFiles(spark, () => entries, dir, nShards, shardBase = 0L,
-      ingestBatch = 0L, dynamic = false, ext = "bin")
+      ingestBatch = 0L, dynamic = false, ext = "bin", reset = false)
+  }
+
+  /** Fold a corpus increment into the packed store as NEW containers of
+    * NEW packs — token ids from the STORED tokenizer (merges replayed via
+    * [[BpeTrainer.replayWordSyms]]; symbols the build never produced get
+    * ids past the stored vocab max, in lexicographic order — a
+    * deterministic, append-only vocab extension, the hashed-artifact
+    * growth rule applied to a symbol table). Pack ids continue past every
+    * earlier batch's (base = the manifest's entry total — every entry IS
+    * one pack) and shard ids continue past max(shard), so shipped
+    * containers stay byte-stable. Each increment packs its OWN stream:
+    * the build's final partial pack is never topped up (its container is
+    * shipped and immutable) — one ≤budget-token pack per source per batch
+    * is the price of immutability, amortized to nothing at real batch
+    * sizes. Exactly-once by the document store's convention: bases derive
+    * from manifest rows STRICTLY BEFORE `ingestBatch`, and the vocab/
+    * manifest partitions of a replayed batch are dynamically overwritten
+    * with identical rows. */
+  def appendPackedTokenShards(newDocs: DataFrame, dir: String,
+                              nShards: Int): Unit =
+    appendPackedTokenShards(newDocs, dir, nShards,
+      nextIngestBatch(newDocs.sparkSession, dir))
+
+  def appendPackedTokenShards(newDocs: DataFrame, dir: String, nShards: Int,
+                              ingestBatch: Long): Unit = {
+    require(nShards >= 1, s"appendPackedTokenShards: nShards=$nShards")
+    require(ingestBatch >= 1, "appendPackedTokenShards: batch 0 is the build's")
+    val spark = newDocs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val prm = spark.read.parquet(s"$dir/params").head()
+    val budget = prm.getAs[Int]("budget")
+    val m = spark.read.parquet(s"$dir/manifest")
+      .filter(col("ingest_batch").cast("long") < ingestBatch)
+      .agg(max(col("shard")), sum(col("n_docs"))).head()
+    val shardBase = m.getLong(0) + 1L
+    val packBase = m.getLong(1) // every container entry is one pack
+    val merges = BpeTrainer.loadMerges(spark, s"$dir/tokenizer/merges")
+    val storedVocab = spark.read.parquet(s"$dir/tokenizer/vocab")
+      .filter(col("ingest_batch").cast("long") < ingestBatch)
+      .select(col("sym"), col("token_id"))
+    val maxId = storedVocab.agg(max(col("token_id"))).head().getLong(0)
+    val wordSyms = BpeTrainer.wordSymSeqsAgainstMerges(newDocs, merges)
+      .localCheckpoint(eager = true) // feeds the extension AND the join
+    val newSyms = wordSyms.select(col("sym")).distinct()
+      .join(storedVocab.select(col("sym")), Seq("sym"), "left_anti")
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("sym"))).cast("long") + maxId)
+    newSyms.withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$dir/tokenizer/vocab")
+    val vocab = storedVocab.unionByName(newSyms)
+    val toks = BpeTrainer.tokenIdSeqsFrom(newDocs, wordSyms, vocab)
+    val packRows = packRowsFromToks(toks, budget,
+        newDocs.select(col("doc_id")))
+      .withColumn("pack_seq", col("pack_seq") + packBase)
+    def entries = withLayout(packPayloads(packRows)
+      .select(col("pack_seq").as("entry_id"), col("payload")),
+      nShards, shardBase)
+    writeContainerFiles(spark, () => entries, dir, nShards, shardBase,
+      ingestBatch, dynamic = true, ext = "bin", reset = false)
   }
 
   /** (pack_seq, pack_pos, token_id) — the pack layout over the tokenized
     * corpus. Exposed for the spec's boundary laws. */
   private[graft] def packedTokenRows(docs: DataFrame, k: Int,
-                                     budget: Int): DataFrame = {
+                                     budget: Int): DataFrame =
+    packRowsFromToks(BpeTrainer.bpeTokenIdSeqs(docs, k), budget,
+      docs.select(col("doc_id")))
+
+  /** The pack layout over an already-tokenized stream — shared by the
+    * build (freshly trained tokenizer) and the append (stored tokenizer),
+    * so the arithmetic exists once. `idsForBounds` steers the prefix
+    * sum's bucket boundaries (a cheap doc_id-only frame). */
+  private[graft] def packRowsFromToks(toks: DataFrame, budget: Int,
+                                      idsForBounds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = BpeTrainer.bpeTokenIdSeqs(docs, k)
     // localCheckpoint: three consumers below (prefix-sum subtotal pass,
     // prefix-sum final pass, pack bases) would each re-run the tokenize
     // chain; the checkpoint pins one PER-DOCUMENT narrow row
@@ -331,8 +498,8 @@ object TrainingShards {
     // funnels every doc of a source through ONE task (r11 verdict's last
     // scale-killer shape)
     val cum = graft.operators.PrefixSum.cumStart(counts, "n_tokens",
-        docs.select(col("doc_id")),
-        graft.operators.PrefixSum.defaultBuckets(docs))
+        idsForBounds,
+        graft.operators.PrefixSum.defaultBuckets(toks))
       .select(col("doc_id"), col("cum_start"))
     // per-source pack-id bases: ceil-div pack counts, cumulated over the
     // (tiny) source list — gives every pack a global dense id without a
@@ -363,7 +530,14 @@ object TrainingShards {
       .map { case (p, tok) =>
         val bb = java.nio.ByteBuffer.allocate(4 * tok.length)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        tok.foreach(t => bb.putInt(t.toInt))
+        tok.foreach { t =>
+          // fail loudly, never truncate: unreachable under the current
+          // vocab rule (ids ≤ alphabet + k symbols) but a silent-corruption
+          // path if the id scheme ever goes hashed (review-caught)
+          require(t >= 0L && t <= Int.MaxValue,
+            s"packed token id $t out of 4-byte range in pack $p")
+          bb.putInt(t.toInt)
+        }
         (p, bb.array())
       }.toDF("pack_seq", "payload")
   }
@@ -374,7 +548,7 @@ object TrainingShards {
     * sequence (its `string_agg` twin), not just a count. */
   def readPackedTokenShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/shard-*.zip")
+    spark.read.format("binaryFile").load(committedShardPaths(spark, dir): _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -445,6 +619,21 @@ object TrainingShards {
       appendTrainingShards(d.filter(col("doc_id") % 3 === 0), out, RoundtripShards)
       Util.orderAll(readTrainingShards(s, out))
     }),
+    // build on two-thirds, fold the rest in with the STORED tokenizer
+    // (merges replayed, vocab extended past the stored max), decode ALL
+    // containers — the packed store's files-on-disk append check: pack
+    // ids and shard ids continue, shipped containers untouched, and the
+    // increment's token ids agree with DuckDB replaying train-on-oldd +
+    // apply-to-incd as one statement
+    "doc_shards_packed_append_roundtrip" -> ((s, dir) => {
+      val out = tempDir()
+      val d = docs(s, dir)
+      writePackedTokenShards(d.filter(col("doc_id") % 3 =!= 0), out,
+        PackedShardCount, BpeTrainer.MergeSteps, PackedBudget)
+      appendPackedTokenShards(d.filter(col("doc_id") % 3 === 0), out,
+        PackedShardCount)
+      Util.orderAll(readPackedTokenShards(s, out))
+    }),
     // tokenize → pack → shuffle → write → DECODE: the binary token-id
     // payloads come back as exact comma-joined sequences, hash-compared
     // against DuckDB replaying the whole chain (merge unroll → vocab
@@ -511,6 +700,11 @@ object TrainingShards {
     "doc_shards_packed_roundtrip" ->
       (BpeTrainer.unrolled + packedChainSql("documents")),
 
+    // build + STORED-tokenizer append, replayed end-to-end (train chain
+    // over oldd, apply chain over incd, vocab extension, offset packs,
+    // two shard ranges)
+    "doc_shards_packed_append_roundtrip" -> packedAppendSql,
+
     // the WHOLE pipeline as one statement: the curation gate chain
     // (TextAnalysis.curateGatesCte — the identical SQL doc_curate is
     // checked against) selects the survivors, the tokenizer trains on
@@ -527,51 +721,120 @@ object TrainingShards {
       packedChainSql("surv")),
   )
 
+  /** The vocab-file CTE: distinct final symbols of a symbol table, ids by
+    * lexicographic rank — [[BpeTrainer.vocabOf]]'s SQL twin. */
+  private def vocabCte(name: String, symTable: String): String =
+    s""", $name AS MATERIALIZED (
+       |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1 AS token_id
+       |  FROM (SELECT DISTINCT s FROM $symTable) v
+       |)
+       |""".stripMargin
+
+  /** Per-document token streams of `src` under a (symbol-table, vocab)
+    * pair — [[BpeTrainer.tokenIdSeqsFrom]]'s SQL twin, suffix-named so a
+    * build chain and an apply chain coexist in one statement. */
+  private def tokStreamCtes(src: String, symTable: String,
+                            vocabName: String, sfx: String): String =
+    s""", docw$sfx AS MATERIALIZED (
+       |  SELECT doc_id, source, wi, words[wi] AS w
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM $src) t,
+       |       LATERAL (SELECT unnest(range(1, len(words) + 1)) AS wi) ii
+       |  WHERE length(words[wi]) >= 1
+       |), ptok$sfx AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.pos) AS BIGINT) - 1 AS tidx,
+       |    v.token_id
+       |  FROM docw$sfx d
+       |  JOIN $symTable s ON s.w = d.w
+       |  JOIN $vocabName v ON v.sym = s.s
+       |)
+       |""".stripMargin
+
+  /** The concat-and-cut pack arithmetic over `ptok$sfx` —
+    * [[packRowsFromToks]]'s SQL twin; `packBaseExpr` offsets pack ids so
+    * an append batch's packs continue past every earlier batch's. */
+  private def packCtes(sfx: String, packBaseExpr: String): String =
+    s""", cnt$sfx AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n FROM ptok$sfx GROUP BY 1, 2
+       |), cum$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS cum_start
+       |  FROM cnt$sfx
+       |), sb$sfx AS (
+       |  SELECT source,
+       |    CAST(sum(n_packs) OVER (ORDER BY source) - n_packs AS BIGINT) AS pack_base
+       |  FROM (SELECT source, (sum(n) + $PackedBudget - 1) // $PackedBudget AS n_packs
+       |        FROM cnt$sfx GROUP BY 1) sp
+       |), pk$sfx AS (
+       |  SELECT ($packBaseExpr) + sb.pack_base + (cum.cum_start + t.tidx) // $PackedBudget AS pack_seq,
+       |    (cum.cum_start + t.tidx) % $PackedBudget AS pack_pos, t.token_id
+       |  FROM ptok$sfx t JOIN cum$sfx cum USING (doc_id) JOIN sb$sfx sb ON sb.source = t.source
+       |), pck$sfx AS (
+       |  SELECT pack_seq, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pack_pos) AS token_csv
+       |  FROM pk$sfx GROUP BY 1
+       |)
+       |""".stripMargin
+
   /** The tokenize→pack→shuffle chain in DuckDB over a named
     * (doc_id, source, text) relation — continuation CTEs assuming the
     * merge-unroll chain (`s<k>`) precedes, plus the final ordered select.
     * ONE source for the standalone packed round trip and the e2e
     * pipeline oracle. */
   private def packedChainSql(src: String): String =
-    s""", vocab AS MATERIALIZED (
-       |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) AS BIGINT) - 1 AS token_id
-       |  FROM (SELECT DISTINCT s FROM s${BpeTrainer.MergeSteps}) v
-       |), docw AS MATERIALIZED (
-       |  SELECT doc_id, source, wi, words[wi] AS w
-       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM $src) t,
-       |       LATERAL (SELECT unnest(range(1, len(words) + 1)) AS wi) ii
-       |  WHERE length(words[wi]) >= 1
-       |), ptok AS MATERIALIZED (
-       |  SELECT d.doc_id, d.source,
-       |    CAST(row_number() OVER (PARTITION BY d.doc_id ORDER BY d.wi, s.pos) AS BIGINT) - 1 AS tidx,
-       |    v.token_id
-       |  FROM docw d
-       |  JOIN s${BpeTrainer.MergeSteps} s ON s.w = d.w
-       |  JOIN vocab v ON v.sym = s.s
-       |), cnt AS (
-       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n FROM ptok GROUP BY 1, 2
-       |), cum AS (
-       |  SELECT doc_id,
-       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS BIGINT) AS cum_start
-       |  FROM cnt
-       |), sb AS (
-       |  SELECT source,
-       |    CAST(sum(n_packs) OVER (ORDER BY source) - n_packs AS BIGINT) AS pack_base
-       |  FROM (SELECT source, (sum(n) + $PackedBudget - 1) // $PackedBudget AS n_packs
-       |        FROM cnt GROUP BY 1) sp
-       |), pk AS (
-       |  SELECT sb.pack_base + (cum.cum_start + t.tidx) // $PackedBudget AS pack_seq,
-       |    (cum.cum_start + t.tidx) % $PackedBudget AS pack_pos, t.token_id
-       |  FROM ptok t JOIN cum USING (doc_id) JOIN sb ON sb.source = t.source
-       |), pck AS (
-       |  SELECT pack_seq, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pack_pos) AS token_csv
-       |  FROM pk GROUP BY 1
-       |), pks AS (SELECT pack_seq AS doc_id FROM pck)
-       |""".stripMargin + Util.wrap(
+    vocabCte("vocab", s"s${BpeTrainer.MergeSteps}") +
+      tokStreamCtes(src, s"s${BpeTrainer.MergeSteps}", "vocab", "") +
+      packCtes("", "0") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
       s"""SELECT p.pack_seq, lay.shard, lay.pos, p.n_tokens, p.token_csv
          |FROM pck p
          |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
          |  ON lay.doc_id = p.pack_seq""".stripMargin,
+      Seq("shard", "pos", "pack_seq"))
+
+  /** Build-on-oldd + append-incd as ONE DuckDB statement: train the merge
+    * chain on `oldd` ([[BpeTrainer.unrolledOver]]), decompose `incd`'s
+    * words under those SAME merges ([[BpeTrainer.applyUnrolledOver]] —
+    * the apply chain), extend the stored vocab with the increment's new
+    * symbols past the stored max, pack each batch's own stream with the
+    * increment's pack ids offset by the build's pack total, and lay each
+    * batch out over its own shard range. Every piece is the single shared
+    * SQL its standalone oracle uses. */
+  private def packedAppendSql: String =
+    s"""WITH oldd AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+       |  incd AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 3 = 0)
+       |""".stripMargin +
+      BpeTrainer.unrolledOver("oldd", continuation = true) +
+      BpeTrainer.applyUnrolledOver("incd") +
+      vocabCte("vocab", s"s${BpeTrainer.MergeSteps}") +
+      s""", vocab2 AS MATERIALIZED (
+         |  SELECT sym, token_id FROM vocab
+         |  UNION ALL
+         |  SELECT sym,
+         |    (SELECT max(token_id) + 1 FROM vocab)
+         |      + CAST(row_number() OVER (ORDER BY sym) AS BIGINT) - 1 AS token_id
+         |  FROM (SELECT DISTINCT s AS sym FROM as${BpeTrainer.MergeSteps}
+         |        WHERE s NOT IN (SELECT sym FROM vocab)) n
+         |)
+         |""".stripMargin +
+      tokStreamCtes("oldd", s"s${BpeTrainer.MergeSteps}", "vocab", "_b") +
+      packCtes("_b", "0") +
+      tokStreamCtes("incd", s"as${BpeTrainer.MergeSteps}", "vocab2", "_i") +
+      packCtes("_i", "(SELECT CAST(count(*) AS BIGINT) FROM pck_b)") +
+      """, pks_b AS (SELECT pack_seq AS doc_id FROM pck_b)
+        |, pks_i AS (SELECT pack_seq AS doc_id FROM pck_i)
+        |""".stripMargin + Util.wrap(
+      s"""SELECT pack_seq, shard, pos, n_tokens, token_csv
+         |FROM (
+         |  SELECT b.pack_seq, lb.shard, lb.pos, b.n_tokens, b.token_csv
+         |  FROM pck_b b
+         |  JOIN (${layoutSql("pks_b", PackedShardCount, 0L)}) lb
+         |    ON lb.doc_id = b.pack_seq
+         |  UNION ALL
+         |  SELECT i.pack_seq, li.shard, li.pos, i.n_tokens, i.token_csv
+         |  FROM pck_i i
+         |  JOIN (${layoutSql("pks_i", PackedShardCount, PackedShardCount.toLong)}) li
+         |    ON li.doc_id = i.pack_seq
+         |) u""".stripMargin,
       Seq("shard", "pos", "pack_seq"))
 }

@@ -263,25 +263,54 @@ object CorpusIngest {
           dsirRatios: Option[String] = None,
           dsirMinScoreMicro: Long = 0L,
           nbWeights: Option[String] = None,
-          nbThresholdMicro: Long = 500000L): StreamingQuery = {
+          nbThresholdMicro: Long = 500000L,
+          shardDir: Option[String] = None): StreamingQuery = {
     validateGateParams(nearDupIndex, containmentThreshold, dsirRatios, dsirMinScoreMicro)
+    // shardDir turns the ingest into the FULL maintained pipeline — the
+    // streaming twin of doc_pipeline_e2e's curate→shard composition:
+    // every batch's survivors ALSO fold into a training-shard container
+    // store (graft.llm.TrainingShards, auto-sized per increment). The
+    // store is seeded empty here so batch N can always derive its bases
+    // from manifest rows < N+1; shard appends share the ingest's
+    // exactly-once convention (replays rewrite the same containers and
+    // manifest partition), so curated parquet and shard store can never
+    // drift apart across a crash.
+    shardDir.foreach { sd =>
+      import spark.implicits._
+      val seeded = try {
+        spark.read.parquet(s"$sd/manifest"); true
+      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!seeded)
+        graft.llm.TrainingShards.writeTrainingShards(
+          spark.range(0).select(col("id").as("doc_id"), lit("").as("text")),
+          sd, nShards = 1)
+    }
     jsonlStream(spark, inDir).writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          writeBatchPartition(
-            gate(JsonlDocs.good(batch), qualityThreshold, evalMod, evalShingles,
-              minOverlap, nearDupIndex, nearDupThreshold, containmentThreshold,
-              dsirRatios, dsirMinScoreMicro, nbWeights, nbThresholdMicro)
-              .filter(col("keep"))
-              .drop("lang_ok", "quality_ok", "not_repetitive",
-                "not_contaminated", "not_near_dup", "not_contained",
-                "target_like", "classifier_ok", "is_keeper", "keep"),
-            batchId, Seq("lang"), outDir, "parquet")
+          val kept = gate(JsonlDocs.good(batch), qualityThreshold, evalMod,
+            evalShingles, minOverlap, nearDupIndex, nearDupThreshold,
+            containmentThreshold, dsirRatios, dsirMinScoreMicro, nbWeights,
+            nbThresholdMicro)
+            .filter(col("keep"))
+            .drop("lang_ok", "quality_ok", "not_repetitive",
+              "not_contaminated", "not_near_dup", "not_contained",
+              "target_like", "classifier_ok", "is_keeper", "keep")
+          writeBatchPartition(kept, batchId, Seq("lang"), outDir, "parquet")
           writeBatchPartition(
             JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),
             batchId, Nil, quarantineDir, "text")
+          shardDir.foreach { sd =>
+            val docs = kept.select(col("doc_id"), col("text"))
+            val st = docs.agg(count(lit(1)),
+              coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+            if (st.getLong(0) > 0L)
+              graft.llm.TrainingShards.appendTrainingShards(docs, sd,
+                graft.llm.TrainingShards.shardCountFor(st.getLong(1)),
+                batchId + 1L)
+          }
           onBatchComplete(batchId)
         } finally batch.unpersist()
         ()

@@ -26,15 +26,47 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * initial build's. */
 object StreamingShards {
 
-  /** `docs` must carry (doc_id, text). */
+  /** `docs` must carry (doc_id, text). `nShards <= 0` sizes each batch's
+    * shard count from its own payload bytes
+    * ([[graft.llm.TrainingShards.shardCountFor]]) — the one-row stats agg
+    * below replaces the old `batch.isEmpty` probe (same single action per
+    * micro-batch) AND stops a small increment from minting a fixed count
+    * of near-empty containers. */
   def run(docs: DataFrame, dir: String, nShards: Int, checkpoint: String,
           triggerMs: Long = 100L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        import org.apache.spark.sql.functions._
+        val st = batch.agg(count(lit(1)),
+          coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+        if (st.getLong(0) > 0L) {
+          val shards =
+            if (nShards > 0) nShards
+            else graft.llm.TrainingShards.shardCountFor(st.getLong(1))
           graft.llm.TrainingShards.appendTrainingShards(
+            batch, dir, shards, batchId + 1L)
+        }
+        ()
+      }.start()
+
+  /** The packed-token store's maintainer — every micro-batch folds in as
+    * new packs/containers tokenized by the STORE's OWN tokenizer
+    * ([[graft.llm.TrainingShards.appendPackedTokenShards]]: stored merges
+    * replayed, vocab extended deterministically), so a training job can
+    * consume byte-stable token-id shards while the corpus grows. Same
+    * exactly-once convention: batch N's pack/shard bases derive from
+    * manifest rows < N+1, replays rewrite identical files. */
+  def runPacked(docs: DataFrame, dir: String, nShards: Int,
+                checkpoint: String, triggerMs: Long = 100L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        if (batch.agg(count(lit(1))).head().getLong(0) > 0L)
+          graft.llm.TrainingShards.appendPackedTokenShards(
             batch, dir, nShards, batchId + 1L)
         ()
       }.start()

@@ -64,7 +64,9 @@ class Round11OpsSpec extends SparkSpec {
     def rows(df: DataFrame) = df.as[(Long, Long, Double, Int)].collect().toSet
     assert(rows(Similarity.ivfTopKAgainstIndex(queries, idx, 10, nprobe = nCells)) ==
       rows(Similarity.bruteForceTopK(emb, 5, 10)))
-    // centroid-drift trigger: A alone (build_n) is under 2x, A∪B+A again is over
+    // centroid-drift trigger: one append (growth 495/335 ≈ 1.48) sits
+    // under the r12-measured IVF factor (1.6); a second increment pushes
+    // growth past it
     assert(!Similarity.ivfIndexNeedsRebuild(spark, idx),
       "trigger tripped below the rebuild factor")
     val b2 = b.withColumn("vec_id", $"vec_id" + 100000L)
@@ -75,7 +77,8 @@ class Round11OpsSpec extends SparkSpec {
     assert(Similarity.ivfIndexNeedsRebuild(spark, idx, rebuildFactor = 0.5),
       "trigger must trip at a factor the growth exceeds")
     assert(Similarity.ivfIndexNeedsRebuild(spark, idx) ==
-      (total > 2.0 * buildN), "default trigger != the documented rule")
+      (total > Similarity.IvfRebuildFactor * buildN),
+      "default trigger != the documented rule")
   }
 
   test("appendable IVF-PQ index: append == encode-against-stored-tables rebuild on codes AND vectors; replay no-op; probe-all+refine-all anchors to brute") {
@@ -103,7 +106,13 @@ class Round11OpsSpec extends SparkSpec {
     assert(rows(Similarity.ivfPqRefineAgainstIndex(queries, idx, 10,
         nprobeOverride = Some(n), refineOverride = Some(n))) ==
       rows(Similarity.bruteForceTopK(emb, 5, 10)))
-    assert(!Similarity.ivfPqIndexNeedsRebuild(spark, idx))
+    // r12: the PQ trigger's measured factor is 1.2 (residual codes
+    // quantize against stale centroids, so PQ recall drifts fastest) —
+    // this test's single 1.48× append must already trip it, while the
+    // ratio itself stays under the old rule-of-thumb 2.0
+    assert(Similarity.ivfPqIndexNeedsRebuild(spark, idx),
+      "1.48x growth must trip the measured 1.2 PQ factor")
+    assert(!Similarity.ivfPqIndexNeedsRebuild(spark, idx, rebuildFactor = 2.0))
     assert(Similarity.ivfPqIndexNeedsRebuild(spark, idx, rebuildFactor = 0.5))
   }
 
