@@ -167,13 +167,8 @@ object BpeTrainer {
   }
 
   /** The learned merge table — (step, pair_a, pair_b, pair_count). */
-  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val (merges, _) = train(docs, k)
-    merges.map(m => (m.step, m.a, m.b, m.count))
-      .toDF("step", "pair_a", "pair_b", "pair_count")
-  }
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame =
+    mergesToDf(docs.sparkSession, train(docs, k)._1)
 
   /** APPLY the trained tokenizer: per-document token count after k merges —
     * the compression diagnostic every tokenizer build reports (chars never
@@ -275,21 +270,11 @@ object BpeTrainer {
       .map(r => (r.getString(0), r.getString(1)))
 
   def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
-    val spark = docs.sparkSession
-    val merges = loadMerges(spark, path)
-    val bc = spark.sparkContext.broadcast(merges)
-    val words = docs.select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1).distinct()
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("word",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_syms",
-          org.apache.spark.sql.types.IntegerType))))
-    val wordLens = words.mapPartitions { rows =>
-      val ms = bc.value
-      rows.map(r => Row(r.getString(0), replayWord(ms, r.getString(0))))
-    }(enc)
+    // one replay kernel: the per-word count is the SEQUENCE form's length
+    // (a vocabulary-sized rollup), so the inference rule exists once and
+    // the count/sequence twins cannot drift (review-caught duplication)
+    val wordLens = wordSymSeqsAgainstMerges(docs, loadMerges(docs.sparkSession, path))
+      .groupBy("word").agg(count(lit(1)).as("n_syms"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(wordLens, "word")

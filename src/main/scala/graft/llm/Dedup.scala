@@ -1066,7 +1066,14 @@ object Dedup {
     val groups = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
     groups.select(col("doc_id"), col("n_copies"))
-      .join(clusters, "doc_id") // representatives pick up their labels
+      // LEFT join + singleton coalesce: a representative ingested after
+      // the artifact's build snapshot has no label row, and an inner join
+      // would silently drop its whole exact group from the keeper report
+      // (review-caught). Label-less reps keep their own id
+      // (clustersFromPairs' singleton convention) until the next artifact
+      // append; for a fresh artifact the coalesce is a no-op.
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_reps"), sum(col("n_copies")).as("n_docs"))
       .select(col("cluster").as("keeper"), col("n_reps"), col("n_docs"))

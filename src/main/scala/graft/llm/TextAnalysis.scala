@@ -950,12 +950,23 @@ object TextAnalysis {
     val sig = signals(base)
     val contaminated = decontaminate(docs, evalMod).filter(col("is_contaminated"))
       .select(col("doc_id"), lit(true).as("contam"))
-    val keepers = clusters.filter(col("doc_id") % evalMod =!= 0)
+    // LEFT join + singleton coalesce, never an inner join on the label
+    // table: a stored artifact is a snapshot, so documents ingested after
+    // its build have no label row — an inner join would silently ERASE
+    // every fresh document from the curation report (review-caught). A
+    // label-less doc keeps its own id as its cluster (clustersFromPairs'
+    // singleton convention), i.e. it is its own keeper until the next
+    // artifact append labels it; for a fresh artifact the coalesce is a
+    // no-op and the oracle is unchanged.
+    val labels = docs.select(col("doc_id")).filter(col("doc_id") % evalMod =!= 0)
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val keepers = labels
       .groupBy(col("cluster")).agg(min(col("doc_id")).as("nd_keeper"))
     withGateColumns(sig.join(broadcast(contaminated), Seq("doc_id"), "left_outer"),
         qualityThreshold)
       .withColumn("not_contaminated", coalesce(!col("contam"), lit(true)))
-      .join(clusters, "doc_id")
+      .join(labels, "doc_id")
       .join(keepers, "cluster")
       .withColumn("is_keeper", col("doc_id") === col("nd_keeper"))
       .withColumn("keep", col("lang_ok") && col("quality_ok") && col("not_repetitive") &&

@@ -95,22 +95,30 @@ object TrainingShards {
     * the build's `nShards` is a corpus-sizing decision that must not be
     * replayed verbatim onto every increment. */
   def appendTrainingShards(newDocs: DataFrame, dir: String): Unit = {
-    val bytes = newDocs.agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
-      .head().getLong(0)
-    appendTrainingShards(newDocs, dir, shardCountFor(bytes),
+    val st = newDocs.agg(count(lit(1)),
+      coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+    appendTrainingShards(newDocs, dir, shardCountFor(st.getLong(1), st.getLong(0)),
       nextIngestBatch(newDocs.sparkSession, dir))
   }
 
-  /** Containers an increment of `payloadBytes` should mint at the target
-    * container size (default 256 MiB — the usual WebDataset shard scale;
-    * clamped to the non-ZIP64 reader bound). */
-  def shardCountFor(payloadBytes: Long,
+  /** Containers an increment of `payloadBytes` / `nDocs` entries should
+    * mint: sized to the target container bytes (default 256 MiB — the
+    * usual WebDataset shard scale, clamped to the non-ZIP64 reader
+    * bound), AND to the 65 535-entries-per-shard reader bound the writer
+    * hard-enforces — bytes alone would crash a batch of many small
+    * documents (70k × 2 KB ≈ 140 MB → 1 shard → the entries require
+    * aborts deterministically on every replay; review-caught). Entry
+    * target is HALF the cap: shard assignment is a hash of the Lehmer
+    * key, so per-shard counts fluctuate around the mean and the headroom
+    * absorbs the skew. */
+  def shardCountFor(payloadBytes: Long, nDocs: Long,
                     targetBytesPerShard: Long = 256L << 20): Int = {
     require(targetBytesPerShard >= 1 &&
       targetBytesPerShard <= MaxShardPayloadBytes,
       s"targetBytesPerShard out of the reader's scope: $targetBytesPerShard")
-    math.max(1L,
-      (payloadBytes + targetBytesPerShard - 1) / targetBytesPerShard).toInt
+    val byBytes = (payloadBytes + targetBytesPerShard - 1) / targetBytesPerShard
+    val byEntries = (nDocs + MaxShardEntries / 2 - 1) / (MaxShardEntries / 2)
+    math.max(1L, math.max(byBytes, byEntries)).toInt
   }
 
   /** Explicit-batch append — the streaming maintainer's exactly-once form.
@@ -446,10 +454,25 @@ object TrainingShards {
     val shardBase = m.getLong(0) + 1L
     val packBase = m.getLong(1) // every container entry is one pack
     val merges = BpeTrainer.loadMerges(spark, s"$dir/tokenizer/merges")
-    val storedVocab = spark.read.parquet(s"$dir/tokenizer/vocab")
+    // empty-seed bootstrap (the Dedup.readPartOr convention): a store
+    // built from zero/wordless docs writes a ZERO-ROW vocab, which leaves
+    // no partition dirs to infer a schema from, and its max(token_id) is
+    // NULL — the first real increment must start the id space at 0, not
+    // crash (review-caught)
+    val storedVocab = (
+      try spark.read.parquet(s"$dir/tokenizer/vocab")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          spark.range(0).select(col("id").cast("string").as("sym"),
+            col("id").as("token_id"), col("id").as("ingest_batch"))
+      })
       .filter(col("ingest_batch").cast("long") < ingestBatch)
       .select(col("sym"), col("token_id"))
-    val maxId = storedVocab.agg(max(col("token_id"))).head().getLong(0)
+    val maxId = storedVocab.agg(max(col("token_id"))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
     val wordSyms = BpeTrainer.wordSymSeqsAgainstMerges(newDocs, merges)
       .localCheckpoint(eager = true) // feeds the extension AND the join
     val newSyms = wordSyms.select(col("sym")).distinct()

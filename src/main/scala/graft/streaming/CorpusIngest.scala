@@ -298,19 +298,29 @@ object CorpusIngest {
             .drop("lang_ok", "quality_ok", "not_repetitive",
               "not_contaminated", "not_near_dup", "not_contained",
               "target_like", "classifier_ok", "is_keeper", "keep")
-          writeBatchPartition(kept, batchId, Seq("lang"), outDir, "parquet")
-          writeBatchPartition(
-            JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),
-            batchId, Nil, quarantineDir, "text")
-          shardDir.foreach { sd =>
-            val docs = kept.select(col("doc_id"), col("text"))
-            val st = docs.agg(count(lit(1)),
-              coalesce(sum(octet_length(col("text"))), lit(0L))).head()
-            if (st.getLong(0) > 0L)
-              graft.llm.TrainingShards.appendTrainingShards(docs, sd,
-                graft.llm.TrainingShards.shardCountFor(st.getLong(1)),
-                batchId + 1L)
-          }
+          // persist the GATED frame, not just the raw batch: the parquet
+          // write, the shard-sizing agg, and the container write would
+          // each re-run the full gate chain otherwise — and a gate that
+          // joins a stored index rewritten between those actions would
+          // let the two sinks of one batch DISAGREE, the drift the
+          // shard-store composition exists to rule out (review-caught)
+          if (shardDir.isDefined) kept.persist()
+          try {
+            writeBatchPartition(kept, batchId, Seq("lang"), outDir, "parquet")
+            writeBatchPartition(
+              JsonlDocs.quarantine(batch).select(col("_corrupt_record").as("value")),
+              batchId, Nil, quarantineDir, "text")
+            shardDir.foreach { sd =>
+              val docs = kept.select(col("doc_id"), col("text"))
+              val st = docs.agg(count(lit(1)),
+                coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+              if (st.getLong(0) > 0L)
+                graft.llm.TrainingShards.appendTrainingShards(docs, sd,
+                  graft.llm.TrainingShards.shardCountFor(
+                    st.getLong(1), st.getLong(0)),
+                  batchId + 1L)
+            }
+          } finally if (shardDir.isDefined) kept.unpersist()
           onBatchComplete(batchId)
         } finally batch.unpersist()
         ()

@@ -39,15 +39,25 @@ object StreamingShards {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
-        val st = batch.agg(count(lit(1)),
-          coalesce(sum(octet_length(col("text"))), lit(0L))).head()
-        if (st.getLong(0) > 0L) {
-          val shards =
-            if (nShards > 0) nShards
-            else graft.llm.TrainingShards.shardCountFor(st.getLong(1))
-          graft.llm.TrainingShards.appendTrainingShards(
-            batch, dir, shards, batchId + 1L)
-        }
+        // persist: the stats probe and the container write would each
+        // re-evaluate the micro-batch source otherwise (the CorpusIngest
+        // convention); with a FIXED nShards the byte sum is unused, so
+        // the probe degrades to the count alone
+        batch.persist()
+        try {
+          val st =
+            if (nShards > 0) batch.agg(count(lit(1)), lit(0L)).head()
+            else batch.agg(count(lit(1)),
+              coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+          if (st.getLong(0) > 0L) {
+            val shards =
+              if (nShards > 0) nShards
+              else graft.llm.TrainingShards.shardCountFor(
+                st.getLong(1), st.getLong(0))
+            graft.llm.TrainingShards.appendTrainingShards(
+              batch, dir, shards, batchId + 1L)
+          }
+        } finally batch.unpersist()
         ()
       }.start()
 
@@ -65,9 +75,15 @@ object StreamingShards {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
-        if (batch.agg(count(lit(1))).head().getLong(0) > 0L)
-          graft.llm.TrainingShards.appendPackedTokenShards(
-            batch, dir, nShards, batchId + 1L)
+        // persist: the packed append evaluates the batch several times
+        // (word distinct, tokenize explode, prefix-sum bounds, container
+        // write) — never re-read the micro-batch source for each
+        batch.persist()
+        try {
+          if (batch.agg(count(lit(1))).head().getLong(0) > 0L)
+            graft.llm.TrainingShards.appendPackedTokenShards(
+              batch, dir, nShards, batchId + 1L)
+        } finally batch.unpersist()
         ()
       }.start()
 }

@@ -196,6 +196,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(ndKeep.count(_._2) < ndKeep.length, "gate vacuous: nothing dropped")
   }
 
+  test("stale stored labels never erase documents: left-join singleton coalesce in both curation twins") {
+    // a stored artifact is a snapshot — documents ingested after its
+    // build have no label row; the consumers must default them to
+    // singleton clusters (their own keeper), never silently drop them
+    val d = Tables.documents(spark, sf)
+    val full = graft.llm.Dedup.dedupClusters(d.select($"doc_id", $"text"), 0.4)
+    val stale = full.filter($"doc_id" < 250) // artifact built before half the corpus
+    val nd = graft.llm.TextAnalysis.curateNearDupFromClusters(d, stale)
+    val expectedRows = d.filter($"doc_id" % 101 =!= 0).count()
+    assert(nd.count() == expectedRows,
+      "stale labels erased documents from the curation report")
+    // an unlabeled doc is its own keeper (singleton) unless another gate drops it
+    val freshKeeper = nd.filter($"doc_id" >= 250)
+      .select($"doc_id", $"is_keeper").as[(Long, Boolean)].collect()
+    assert(freshKeeper.nonEmpty && freshKeeper.forall(_._2),
+      "label-less docs must be their own keepers")
+    val pipe = graft.llm.Dedup.pipelineFromClusters(
+      stale, d.select($"doc_id", $"text"))
+    val nGroups = d.select($"text").distinct().count()
+    assert(pipe.agg(sum($"n_reps")).head().getLong(0) == nGroups,
+      "stale labels dropped exact groups from the keeper report")
+  }
+
   test("readers are manifest-gated: an uncommitted container is invisible") {
     val out = java.nio.file.Files.createTempDirectory("graft-mf-gate").toString
     TrainingShards.writeTrainingShards(docs3.limit(50), out, 4)
@@ -266,11 +289,16 @@ class Round12OpsSpec extends SparkSpec {
   }
 
   test("auto-sized appends: a small increment mints one right-sized container, not nShards near-empty ones") {
-    assert(TrainingShards.shardCountFor(0L) == 1)
-    assert(TrainingShards.shardCountFor(1L) == 1)
-    assert(TrainingShards.shardCountFor(256L << 20) == 1)
-    assert(TrainingShards.shardCountFor((256L << 20) + 1) == 2)
-    assert(TrainingShards.shardCountFor(10L * (256L << 20)) == 10)
+    assert(TrainingShards.shardCountFor(0L, 0L) == 1)
+    assert(TrainingShards.shardCountFor(1L, 1L) == 1)
+    assert(TrainingShards.shardCountFor(256L << 20, 1000L) == 1)
+    assert(TrainingShards.shardCountFor((256L << 20) + 1, 1000L) == 2)
+    assert(TrainingShards.shardCountFor(10L * (256L << 20), 1000L) == 10)
+    // the entries bound: 70k small docs in ~140 MB must NOT land in one
+    // shard — bytes alone would hit the writer's 65 535-entry require
+    // (entry target = half the cap, headroom for hash skew)
+    assert(TrainingShards.shardCountFor(140L << 20, 70000L) == 3)
+    assert(TrainingShards.shardCountFor(1L << 20, 65536L) == 3)
     val out = java.nio.file.Files.createTempDirectory("graft-auto").toString
     TrainingShards.writeTrainingShards(docs3.limit(40), out, 4)
     TrainingShards.appendTrainingShards(docs3.filter($"doc_id" >= 40).limit(10), out)
