@@ -172,9 +172,14 @@ object RecallProbe {
     Similarity.writeIvfIndexSized(corpus, ivfReb)
     val rIvfApp = recall(Similarity.ivfTopKAgainstIndexSized(qrs, ivfApp, k))
     val rIvfReb = recall(Similarity.ivfTopKAgainstIndexSized(qrs, ivfReb, k))
-    require(Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = 1.9)
-      && !Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = 2.1),
-      "drift trigger must fire exactly around 2x build_n at this split")
+    // assert the trigger against the ACTUAL growth ratio of this split —
+    // an even/odd split of a small or odd-sized corpus is not exactly 2×,
+    // and a probe must report, not abort, on such corpora (review-caught)
+    val buildN = half.count().toDouble
+    val ratio = (buildN + rest.count()) / buildN
+    require(Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = ratio - 0.05)
+      && !Similarity.ivfIndexNeedsRebuild(spark, ivfApp, rebuildFactor = ratio + 0.05),
+      f"drift trigger must fire exactly around ${ratio}%.3fx build_n at this split")
     val (pqApp, pqReb) = (tmp("graft-recall-pqa"), tmp("graft-recall-pqr"))
     Similarity.writeIvfPqIndexSized(half, pqApp)
     Similarity.appendIvfPqIndex(rest, pqApp)
@@ -188,6 +193,12 @@ object RecallProbe {
       "ivf_sized_rebuilt_at_2x" -> rIvfReb,
       "ivfpq_sized_appended_2x" -> rPqApp,
       "ivfpq_sized_rebuilt_at_2x" -> rPqReb)
+    // the probe's temp indexes are measurement scratch, not artifacts —
+    // delete them (review-caught leak)
+    Seq(idxDir, ivfApp, ivfReb, pqApp, pqReb).foreach { d =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      catch { case _: Throwable => () }
+    }
 
     val json = (rows ++ sizedMeta ++ frontier ++ ivfpqSized ++ appendDrift)
       .map { case (n, r) => "\"" + n + "\":" + r }

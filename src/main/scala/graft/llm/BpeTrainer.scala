@@ -270,11 +270,12 @@ object BpeTrainer {
       .map(r => (r.getString(0), r.getString(1)))
 
   def bpeTokensAgainstMerges(docs: DataFrame, path: String): DataFrame = {
-    // one replay kernel: the per-word count is the SEQUENCE form's length
-    // (a vocabulary-sized rollup), so the inference rule exists once and
-    // the count/sequence twins cannot drift (review-caught duplication)
-    val wordLens = wordSymSeqsAgainstMerges(docs, loadMerges(docs.sparkSession, path))
-      .groupBy("word").agg(count(lit(1)).as("n_syms"))
+    // one replay kernel, counts shape: emit (word, |replayWordSyms|)
+    // directly from the same mapPartitions pass the sequence twin runs —
+    // the r12 cut derived counts by exploding every word to per-symbol
+    // rows and re-aggregating, which added a symbol-table-sized shuffle
+    // to the hot apply path for nothing (review-caught)
+    val wordLens = wordLensAgainstMerges(docs, loadMerges(docs.sparkSession, path))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .join(wordLens, "word")
@@ -357,6 +358,32 @@ object BpeTrainer {
           Window.partitionBy(col("doc_id")).orderBy(col("wi"), col("spos")))
         .cast("long") - 1)
       .select(col("doc_id"), col("source"), col("tidx"), col("token_id"))
+
+  /** [[wordSymSeqsAgainstMerges]]'s COUNTS shape — (word, n_syms) in one
+    * mapPartitions pass over the batch's distinct words, no per-symbol
+    * explode and no re-aggregation shuffle. Both twins share
+    * [[replayWordSyms]], so the inference rule still exists exactly once;
+    * only the emitted row shape differs. */
+  private[graft] def wordLensAgainstMerges(docs: DataFrame,
+                                           merges: Array[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1).distinct()
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_syms",
+          org.apache.spark.sql.types.LongType))))
+    words.mapPartitions { rows =>
+      val ms = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        Row(w, replayWordSyms(ms, w).length.toLong)
+      }
+    }(enc)
+  }
 
   /** Symbol DECOMPOSITIONS of every distinct word of `docs` under a
     * stored merge table — (word, spos, sym), the sequence twin of

@@ -95,10 +95,18 @@ object TrainingShards {
     * the build's `nShards` is a corpus-sizing decision that must not be
     * replayed verbatim onto every increment. */
   def appendTrainingShards(newDocs: DataFrame, dir: String): Unit = {
-    val st = newDocs.agg(count(lit(1)),
-      coalesce(sum(octet_length(col("text"))), lit(0L))).head()
-    appendTrainingShards(newDocs, dir, shardCountFor(st.getLong(1), st.getLong(0)),
-      nextIngestBatch(newDocs.sparkSession, dir))
+    // persist: the sizing agg and the container write are two actions —
+    // a nondeterministic input (sampled/shuffled upstream) could be sized
+    // against a different materialization than the one written, tripping
+    // the entries bound or misshaping shards (review-caught; CorpusIngest
+    // persists its gated frame for the same reason)
+    newDocs.persist()
+    try {
+      val st = newDocs.agg(count(lit(1)),
+        coalesce(sum(octet_length(col("text"))), lit(0L))).head()
+      appendTrainingShards(newDocs, dir, shardCountFor(st.getLong(1), st.getLong(0)),
+        nextIngestBatch(newDocs.sparkSession, dir))
+    } finally newDocs.unpersist()
   }
 
   /** Containers an increment of `payloadBytes` / `nDocs` entries should
@@ -267,26 +275,33 @@ object TrainingShards {
         finish()
         out.iterator
       }.collect()
-    // ONE listStatus drives both driver-side passes below (at production
-    // shard counts the per-shard exists() probes were nShards serial RPCs
-    // — review-caught): (a) shards the shuffle left empty still get a
-    // (valid, zero-entry) container — the file layout is the contract, a
-    // training job maps shard ids to workers before it opens a single
-    // file; (b) `_tmp-` debris of failed/superseded attempts in THIS
-    // batch's shard range is swept (the task listener catches orderly
-    // failures; this catches attempts that died without running it).
+    // Driver-side passes: (a) every shard of THIS batch's range with no
+    // stats row gets a (valid, zero-entry) container UNCONDITIONALLY
+    // renamed over whatever is there — the file layout is the contract (a
+    // training job maps shard ids to workers before it opens a file), and
+    // keying on THIS RUN's stats rows rather than file presence means a
+    // diverged replay (a gate chain joining a mutable stored index can
+    // keep fewer docs, leaving empty a shard a superseded attempt filled)
+    // cannot retain the stale attempt's entries as committed phantom docs
+    // under an n_docs=0 manifest row (review-caught); (b) `_tmp-` debris
+    // of failed/superseded attempts in this batch's range is swept via ONE
+    // listStatus (the task listener catches orderly failures; this catches
+    // attempts that died without running it).
     val fs = new Path(dir).getFileSystem(hconf)
-    val present: Set[String] =
-      fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    val writtenNow: Set[Long] = stats.map(_._1).toSet
     (0L until nShards.toLong).foreach { s =>
-      if (!present.contains(shardFileName(s + shardBase))) {
-        val dst = new Path(dir, shardFileName(s + shardBase))
-        val tmp = new Path(dir, s"_tmp-${shardFileName(s + shardBase)}.driver")
+      val sid = s + shardBase
+      if (!writtenNow.contains(sid)) {
+        val dst = new Path(dir, shardFileName(sid))
+        val tmp = new Path(dir, s"_tmp-${shardFileName(sid)}.driver")
         val zos = new ZipOutputStream(fs.create(tmp, true))
         zos.finish(); zos.close()
+        fs.delete(dst, false) // rename-over-existing: mirror finish()
         require(fs.rename(tmp, dst), s"TrainingShards: rename $tmp -> $dst failed")
       }
     }
+    val present: Set[String] =
+      fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
     present.iterator.filter(_.startsWith("_tmp-shard-")).foreach { n =>
       val idStr = n.stripPrefix("_tmp-shard-").takeWhile(_.isDigit)
       val inBatch = idStr.nonEmpty && {

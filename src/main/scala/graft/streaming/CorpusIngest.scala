@@ -277,9 +277,19 @@ object CorpusIngest {
     // drift apart across a crash.
     shardDir.foreach { sd =>
       import spark.implicits._
+      // scope the catch to "manifest genuinely absent": any OTHER
+      // AnalysisException (schema inference over a partially-cleaned dir,
+      // a footer problem surfaced at read planning) must propagate, not
+      // trigger writeTrainingShards' recursive reset of committed
+      // containers (review-caught)
       val seeded = try {
         spark.read.parquet(s"$sd/manifest"); true
-      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) => false
+      }
       if (!seeded)
         graft.llm.TrainingShards.writeTrainingShards(
           spark.range(0).select(col("id").as("doc_id"), lit("").as("text")),
