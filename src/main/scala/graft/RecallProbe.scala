@@ -193,6 +193,20 @@ object RecallProbe {
       "ivf_sized_rebuilt_at_2x" -> rIvfReb,
       "ivfpq_sized_appended_2x" -> rPqApp,
       "ivfpq_sized_rebuilt_at_2x" -> rPqReb)
+    // persist the MEASURED recall with the appended indexes (the r12
+    // verdict's "record measured recall in the params" item): after this,
+    // the rebuild trigger gates on the measurement itself rather than the
+    // growth-ratio extrapolation — asserted right here
+    val ivfN = spark.read.parquet(s"$ivfApp/cells").count()
+    Similarity.recordMeasuredRecall(spark, ivfApp, rIvfApp, ivfN)
+    val pqN = spark.read.parquet(s"$pqApp/vectors").count()
+    Similarity.recordMeasuredRecall(spark, pqApp, rPqApp, pqN)
+    require(Similarity.ivfIndexNeedsRebuild(spark, ivfApp) == (rIvfApp < 0.8),
+      "IVF rebuild gate must follow the recorded measurement")
+    require(Similarity.ivfPqIndexNeedsRebuild(spark, pqApp) == (rPqApp < 0.8),
+      "IVF-PQ rebuild gate must follow the recorded measurement")
+    System.err.println(f"[recall] measured-gate ivf=${rIvfApp < 0.8} ivfpq=${rPqApp < 0.8} (recorded at n=$ivfN/$pqN)")
+
     // the probe's temp indexes are measurement scratch, not artifacts —
     // delete them (review-caught leak)
     Seq(idxDir, ivfApp, ivfReb, pqApp, pqReb).foreach { d =>

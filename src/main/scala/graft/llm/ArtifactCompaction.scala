@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Compaction of `ingest_batch=`-partitioned artifact parts — the
+  * small-files maintenance every appendable store needs: a streaming
+  * maintainer folds one partition per micro-batch into the dedup
+  * artifact's per-document parts ([[Dedup.appendDedupArtifact]]) and the
+  * ANN indexes' per-vector parts ([[Similarity.appendIvfIndex]],
+  * [[Similarity.appendIvfPqIndex]]), which under daily maintenance is
+  * 365 small parquet partitions per year per part — read amplification
+  * that grows without bound while the DATA stays the same size.
+  *
+  * `compactPart` rewrites every partition with `ingest_batch <= upTo`
+  * into ONE partition dir (`ingest_batch=upTo`), file count sized to the
+  * compacted bytes — batches after `upTo` are untouched, so the append /
+  * replay convention keeps working verbatim for them (bases and next-id
+  * derivations read `max(ingest_batch)`, which compaction never changes).
+  *
+  * Contract (the LSM-compaction contract, stated honestly): compaction is
+  * an OFFLINE maintenance operation over batches that are durably
+  * committed — a replay of a batch `<= upTo` after compaction would
+  * dynamic-overwrite the merged partition and lose every other compacted
+  * batch, exactly like replaying into any LSM level that was merged away.
+  * Run it when the maintainer's checkpoint is past `upTo` (for streaming
+  * stores: between restarts, or on batch ids the checkpoint has
+  * committed), with no concurrent writer. Not crash-atomic: the rewrite
+  * is tmp-write → delete-old → rename, and a crash between the last two
+  * steps leaves the part missing its compacted rows with the complete
+  * replacement sitting in `_tmp-compact` (underscore-invisible to
+  * readers) for manual recovery; a leftover tmp dir makes the next run
+  * fail fast instead of compounding.
+  *
+  * Reads are unaffected by construction: every consumer of these parts
+  * either projects its columns explicitly (ingest_batch never reaches an
+  * output) or filters `ingest_batch` only against FUTURE batch ids —
+  * spec-pinned bit-identical reports/queries before and after, including
+  * an append landing after the compaction. */
+object ArtifactCompaction {
+
+  /** Rewrite partitions `ingest_batch <= upTo` of one part into the
+    * single partition `ingest_batch=upTo`. Returns the number of
+    * partition dirs merged (0 = nothing to do). */
+  private[llm] def compactPart(spark: SparkSession, partPath: String,
+                               upTo: Long): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(partPath)
+    val fs = base.getFileSystem(hconf)
+    val tmp = new Path(base, "_tmp-compact")
+    require(!fs.exists(tmp),
+      s"$partPath: leftover _tmp-compact from a crashed compaction — " +
+        "recover or delete it before compacting again")
+    val parts = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+    val old = parts.filter(
+      _.getPath.getName.stripPrefix("ingest_batch=").toLong <= upTo)
+    if (old.length <= 1) return 0
+    // file count from the bytes being merged — one ~128 MiB file per, the
+    // parquet-scan-friendly size; never coalesce(1) (a 100 TB-scale part's
+    // compaction must stay distributed)
+    val bytes = old.iterator.map(s =>
+      fs.getContentSummary(s.getPath).getLength).sum
+    val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    spark.read.parquet(partPath)
+      .filter(col("ingest_batch").cast("long") <= upTo)
+      .drop("ingest_batch")
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    old.foreach(s => fs.delete(s.getPath, true))
+    require(fs.rename(tmp, new Path(base, s"ingest_batch=$upTo")),
+      s"$partPath: rename of the compacted partition failed")
+    old.length
+  }
+
+  /** max(ingest_batch) over a part's partition dirs — the "compact
+    * everything committed so far" default. */
+  private[llm] def maxBatch(spark: SparkSession, partPath: String): Long = {
+    val base = new Path(partPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
+    require(ids.nonEmpty, s"$partPath: no ingest_batch partitions to compact")
+    ids.max
+  }
+}

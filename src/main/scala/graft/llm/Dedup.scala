@@ -915,6 +915,23 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/clusters")
   }
 
+  /** Compact the hashed artifact's per-document parts: merge every
+    * `ingest_batch <= upTo` partition of shingles/bands/counts/nodes into
+    * one right-sized partition — the small-files maintenance a daily
+    * streaming maintainer needs (365 tiny partitions/year per part
+    * otherwise). Batches `> upTo` keep their replay semantics verbatim;
+    * see [[ArtifactCompaction]] for the offline/committed-batches
+    * contract. Spec-pinned: reports, stored-label curation, and a
+    * post-compaction append are bit-identical to the uncompacted twin. */
+  def compactDedupArtifact(spark: SparkSession, path: String): Unit =
+    compactDedupArtifact(spark,
+      path, ArtifactCompaction.maxBatch(spark, s"$path/nodes"))
+
+  def compactDedupArtifact(spark: SparkSession, path: String,
+                           upTo: Long): Unit =
+    Seq("shingles", "bands", "counts", "nodes").foreach(p =>
+      ArtifactCompaction.compactPart(spark, s"$path/$p", upTo))
+
   /** Which documents of `newDocs` near-duplicate the indexed corpus —
     * [[incrementalMinhash]] semantics (per new doc: match count, best
     * Jaccard, the partner achieving it) at per-increment cost: the corpus

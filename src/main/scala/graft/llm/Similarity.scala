@@ -665,6 +665,21 @@ object Similarity {
       ingestBatch, dynamic = true)
   }
 
+  /** Compact the appendable IVF index's cells part — merge every
+    * `ingest_batch <= upTo` partition into one right-sized partition (the
+    * [[ArtifactCompaction]] offline contract; batches > upTo keep replay
+    * semantics). Queries are bit-identical before/after by construction:
+    * every read path projects its columns, ingest_batch never reaches an
+    * output (spec-pinned, including an append landing after). */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    compactIvfIndex(spark, path,
+      ArtifactCompaction.maxBatch(spark, s"$path/cells"))
+
+  def compactIvfIndex(spark: SparkSession, path: String, upTo: Long): Unit = {
+    ArtifactCompaction.compactPart(spark, s"$path/cells", upTo)
+    ()
+  }
+
   /** Cell assignment of raw (vec_id, embedding) rows against a fixed
     * centroid table — the per-vector operation [[appendIvfIndex]] appends
     * and the append≡rebuild spec recomputes over the union. */
@@ -718,10 +733,48 @@ object Similarity {
 
   private def indexNeedsRebuild(spark: SparkSession, path: String,
                                 part: String, rebuildFactor: Double): Boolean = {
-    val buildN = spark.read.parquet(s"$path/params")
-      .select(col("build_n").cast("long")).head().getLong(0)
-    spark.read.parquet(s"$path/$part").count() > rebuildFactor * buildN
+    val prm = spark.read.parquet(s"$path/params")
+      .select(col("build_n").cast("long"), col("target_recall")).head()
+    val (buildN, target) = (prm.getLong(0), prm.getDouble(1))
+    val n = spark.read.parquet(s"$path/$part").count()
+    // measured gate first: a recall row recorded AT the current size is
+    // direct evidence — an index measured under target needs a rebuild no
+    // matter what the growth ratio says, and one measured AT target holds
+    // off the ratio heuristic (the ratio is an extrapolation; the
+    // measurement is the thing it extrapolates). A stale measurement
+    // (recorded at a smaller size) falls back to the growth gate.
+    measuredRecall(spark, path) match {
+      case Some((r, atN)) if atN == n => r < target
+      case _ => n > rebuildFactor * buildN
+    }
   }
+
+  /** Persist a MEASURED recall-at-stored-contract row with the index —
+    * what [[graft.RecallProbe]] writes after measuring a stored index, so
+    * [[ivfIndexNeedsRebuild]]/[[ivfPqIndexNeedsRebuild]] can gate on
+    * measured drift instead of only the growth-ratio extrapolation.
+    * `measuredAtN` is the per-vector part's row count at measurement time
+    * (the probe's own count); the gate treats the row as evidence only
+    * while the index is still that size. */
+  def recordMeasuredRecall(spark: SparkSession, path: String,
+                           recall: Double, measuredAtN: Long): Unit = {
+    import spark.implicits._
+    Seq((recall, measuredAtN)).toDF("measured_recall", "measured_at_n")
+      .write.mode("overwrite").parquet(s"$path/recall")
+  }
+
+  /** The stored measured-recall row, if any probe ever wrote one. */
+  def measuredRecall(spark: SparkSession,
+                     path: String): Option[(Double, Long)] =
+    try {
+      val r = spark.read.parquet(s"$path/recall").head()
+      Some((r.getDouble(0), r.getLong(1)))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).exists(c =>
+          c.startsWith("PATH_NOT_FOUND") ||
+            c.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
+    }
 
   /** ANN top-k against a [[writeIvfIndexSized]] index at the stored
     * nprobe — the stored-index twin of [[ivfSizedTopK]]. */
@@ -891,6 +944,17 @@ object Similarity {
       e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb")),
       s"$path/vectors", ingestBatch, dynamic = true)
   }
+
+  /** [[compactIvfIndex]] for the IVF-PQ index: codes AND vectors (its two
+    * per-vector parts) merge in the same pass. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    compactIvfPqIndex(spark, path,
+      ArtifactCompaction.maxBatch(spark, s"$path/vectors"))
+
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+                        upTo: Long): Unit =
+    Seq("codes", "vectors").foreach(p =>
+      ArtifactCompaction.compactPart(spark, s"$path/$p", upTo))
 
   /** [[ivfIndexNeedsRebuild]] for the IVF-PQ index (the vectors part is
     * its per-vector unit). */

@@ -423,11 +423,24 @@ object TrainingShards {
     vocab.withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$dir/tokenizer/vocab")
-    Seq((k, budget)).toDF("k", "budget")
+    // the prefix sum's bucket boundaries are sampled ONCE here and stored
+    // with the params — every append/maintained batch reuses them instead
+    // of re-running the quantile job over a mostly-stable id distribution
+    // (answers are bucket-invariant by construction, so staleness costs
+    // only balance; spec-pinned byte-identical under different bounds)
+    val bounds = graft.operators.PrefixSum.sampleBoundaries(
+      docs.select(col("doc_id")),
+      graft.operators.PrefixSum.defaultBuckets(docs))
+    Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
       .write.mode("overwrite").parquet(s"$dir/params")
     val toks = BpeTrainer.tokenIdSeqsFrom(docs, wordSyms, vocab)
-    val packRows = packRowsFromToks(toks, budget, docs.select(col("doc_id")))
-    def entries = withLayout(packPayloads(packRows)
+    val layout = packLayoutFromToks(toks, budget, bounds)
+    // spans before containers before manifest: the manifest stays the
+    // commit marker, and readers gate the spans part on committed batches
+    layout.spans.withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$dir/spans")
+    def entries = withLayout(packPayloads(layout.packRows)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase = 0L)
     writeContainerFiles(spark, () => entries, dir, nShards, shardBase = 0L,
@@ -499,9 +512,16 @@ object TrainingShards {
       .partitionBy("ingest_batch").parquet(s"$dir/tokenizer/vocab")
     val vocab = storedVocab.unionByName(newSyms)
     val toks = BpeTrainer.tokenIdSeqsFrom(newDocs, wordSyms, vocab)
-    val packRows = packRowsFromToks(toks, budget,
-        newDocs.select(col("doc_id")))
+    // stored bucket boundaries: the build's one quantile job, reused —
+    // one fewer job per maintained batch, same answer (bucket-invariant)
+    val bounds: Array[Long] = prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
+    val layout = packLayoutFromToks(toks, budget, bounds)
+    val packRows = layout.packRows
       .withColumn("pack_seq", col("pack_seq") + packBase)
+    layout.spans.withColumn("pack_seq", col("pack_seq") + packBase)
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$dir/spans")
     def entries = withLayout(packPayloads(packRows)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase)
@@ -513,19 +533,38 @@ object TrainingShards {
     * corpus. Exposed for the spec's boundary laws. */
   private[graft] def packedTokenRows(docs: DataFrame, k: Int,
                                      budget: Int): DataFrame =
-    packRowsFromToks(BpeTrainer.bpeTokenIdSeqs(docs, k), budget,
-      docs.select(col("doc_id")))
+    packLayoutFromToks(BpeTrainer.bpeTokenIdSeqs(docs, k), budget,
+      graft.operators.PrefixSum.sampleBoundaries(
+        docs.select(col("doc_id")),
+        graft.operators.PrefixSum.defaultBuckets(docs))).packRows
+
+  /** Both frames the packed-container write consumes: the per-token pack
+    * layout and the pack→document SPAN table. */
+  private[graft] final case class PackLayout(packRows: DataFrame,
+                                             spans: DataFrame)
 
   /** The pack layout over an already-tokenized stream — shared by the
     * build (freshly trained tokenizer) and the append (stored tokenizer),
-    * so the arithmetic exists once. `idsForBounds` steers the prefix
-    * sum's bucket boundaries (a cheap doc_id-only frame). */
-  private[graft] def packRowsFromToks(toks: DataFrame, budget: Int,
-                                      idsForBounds: DataFrame): DataFrame = {
+    * so the arithmetic exists once. `boundaries` are the prefix sum's
+    * pre-sampled bucket bounds (the build samples once and persists them
+    * in the params part; appends reuse — answers are bucket-invariant, so
+    * staleness costs only balance).
+    *
+    * Besides the per-token `packRows`, the layout emits `spans` —
+    * `(pack_seq, doc_id, start_pos, n_tokens)`, which `[start, start+n)`
+    * of which pack each document's tokens occupy. This is the metadata a
+    * pretraining consumer needs on day one (attention-segment resets /
+    * loss masking at document boundaries; provenance and takedowns on
+    * already-packed data), and it falls out of the SAME cum_start /
+    * pack_base arithmetic as the packs: a pure projection over the
+    * counts table (per-document rows, never per-token), exploded only to
+    * one row per (doc, pack) span. */
+  private[graft] def packLayoutFromToks(toks: DataFrame, budget: Int,
+                                        boundaries: Array[Long]): PackLayout = {
     import org.apache.spark.sql.expressions.Window
-    // localCheckpoint: three consumers below (prefix-sum subtotal pass,
-    // prefix-sum final pass, pack bases) would each re-run the tokenize
-    // chain; the checkpoint pins one PER-DOCUMENT narrow row
+    // localCheckpoint: the consumers below (prefix-sum subtotal pass,
+    // prefix-sum final pass, pack bases, spans) would each re-run the
+    // tokenize chain; the checkpoint pins one PER-DOCUMENT narrow row
     // (doc_id, source, n_tokens) per doc — counts-table-sized, never
     // corpus-sized
     val counts = toks.groupBy("doc_id", "source")
@@ -535,9 +574,8 @@ object TrainingShards {
     // prefix sum — the per-source running-sum window this replaced
     // funnels every doc of a source through ONE task (r11 verdict's last
     // scale-killer shape)
-    val cum = graft.operators.PrefixSum.cumStart(counts, "n_tokens",
-        idsForBounds,
-        graft.operators.PrefixSum.defaultBuckets(toks))
+    val cum = graft.operators.PrefixSum
+      .cumStartWithBounds(counts, "n_tokens", boundaries)
       .select(col("doc_id"), col("cum_start"))
     // per-source pack-id bases: ceil-div pack counts, cumulated over the
     // (tiny) source list — gives every pack a global dense id without a
@@ -547,11 +585,29 @@ object TrainingShards {
       .select(col("source"),
         (sum(col("n_packs")).over(Window.orderBy(col("source")))
           - col("n_packs")).cast("long").as("pack_base"))
-    toks.join(cum, "doc_id")
+    val packRows = toks.join(cum, "doc_id")
       .join(broadcast(bases), "source")
       .withColumn("gpos", col("cum_start") + col("tidx"))
       .select((col("pack_base") + expr(s"gpos div $budget")).as("pack_seq"),
         expr(s"gpos % $budget").as("pack_pos"), col("token_id"))
+    // spans: per document, the packs [first..last] its token run touches;
+    // within pack pk the run occupies [max(0, cum_start - pk*budget),
+    // min(budget, cum_start + n - pk*budget)). Counts-table-sized work —
+    // the explode emits one row per straddle, and a document of n tokens
+    // straddles at most n/budget + 1 packs.
+    val spans = counts.join(cum, "doc_id").join(broadcast(bases), "source")
+      .withColumn("pk0", expr(s"cum_start div $budget"))
+      .withColumn("pk1", expr(s"(cum_start + n_tokens - 1) div $budget"))
+      .select(col("doc_id"), col("cum_start"), col("n_tokens"),
+        col("pack_base"), col("pk0"),
+        explode(sequence(col("pk0"), col("pk1"))).as("pk"))
+      .select((col("pack_base") + col("pk")).as("pack_seq"), col("doc_id"),
+        when(col("pk") === col("pk0"), col("cum_start") % budget)
+          .otherwise(lit(0L)).cast("long").as("start_pos"),
+        (least((col("pk") + 1) * budget, col("cum_start") + col("n_tokens"))
+          - greatest(col("pk") * budget, col("cum_start")))
+          .cast("long").as("n_tokens"))
+    PackLayout(packRows, spans)
   }
 
   /** Encode each pack's ordered token ids as a 4-byte little-endian
@@ -609,12 +665,119 @@ object TrainingShards {
       }.toDF("shard", "pos", "pack_seq", "n_tokens", "token_csv")
   }
 
+  /** The stored pack→document SPAN table, committed batches only:
+    * (pack_seq, doc_id, start_pos, n_tokens) — which `[start_pos,
+    * start_pos + n_tokens)` of which pack each document occupies. The
+    * loss-masking / attention-reset / provenance metadata of the packed
+    * store; gated on the manifest (the commit marker) exactly like the
+    * container reader, so a crash between the spans write and the
+    * manifest commit leaves the uncommitted batch's spans invisible. */
+  def readPackedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val committed = spark.read.parquet(s"$dir/manifest")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .as[Long].collect().toSet // batch-count-bounded driver state
+    spark.read.parquet(s"$dir/spans")
+      .filter(col("ingest_batch").cast("long")
+        .isin(committed.toSeq.map(java.lang.Long.valueOf): _*))
+      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
+        col("n_tokens"))
+  }
+
+  /** (pack_seq, shard, pos) of every committed pack, derived from the
+    * MANIFEST ALONE — zero container bytes read. Possible because pack
+    * ids are dense per batch ([packBase, packBase + Σn_docs)) and the
+    * shard/pos layout is a pure function of the pack id (the Lehmer
+    * projection [[withLayout]] bakes into the files): per batch, replay
+    * the same key/shard/counter arithmetic over a `range()` frame.
+    * Spec-pinned equal to the decoded containers' (shard, pos, pack_seq).
+    * Driver state is one row per batch; the heavy frame is a range scan
+    * partitioned by shard. */
+  def packLocations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mRows = spark.read.parquet(s"$dir/manifest")
+      .groupBy(col("ingest_batch").cast("long").as("b"))
+      .agg(sum(col("n_docs")).as("n"), min(col("shard")).as("shard_base"),
+        count(lit(1)).as("n_shards"))
+      .orderBy(col("b")).collect()
+    var base = 0L
+    val batches = mRows.map { r =>
+      val row = (base, r.getLong(1), r.getLong(2), r.getLong(3))
+      base += r.getLong(1)
+      row
+    }
+    import spark.implicits._
+    val bdf = batches.toSeq.toDF("pack_base", "n", "shard_base", "n_shards")
+    // a shard never spans batches, so one window partitioned by shard
+    // reproduces every batch's per-shard writer counter at once
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey").asc, col("pack_seq").asc)
+    spark.range(base).select(col("id").as("pack_seq"))
+      .join(broadcast(bdf), col("pack_seq") >= col("pack_base") &&
+        col("pack_seq") < col("pack_base") + col("n"))
+      .withColumn("skey", expr(TextAnalysis.lehmerKeySql("pack_seq")))
+      .withColumn("shard",
+        pmod(col("skey"), col("n_shards")) + col("shard_base"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("pack_seq"), col("shard"), col("pos"))
+  }
+
+  /** Per-epoch read-order manifest: every stored pack exactly once, in an
+    * EPOCH-SEEDED Lehmer permutation — training reads the store in a
+    * different order each epoch WITHOUT a byte of container rewrite.
+    * Output (epoch, ord_key, shard, pos, pack_seq): the consumer reads
+    * packs in ascending `ord_key` (writing the manifest sorted by it IS
+    * the order — a distributed sort, never a global row_number). The key
+    * is the same two-step Lehmer permutation as the storage layout,
+    * seeded by shifting the pack id `epoch · 999983` through the prime
+    * field — injective per epoch for any pack count below 2³¹−1, so the
+    * order is a true permutation (spec-pinned bijective + epoch-distinct
+    * + deterministic). */
+  def epochReadOrder(spark: SparkSession, dir: String,
+                     epoch: Long): DataFrame =
+    packLocations(spark, dir)
+      .withColumn("epoch", lit(epoch))
+      .withColumn("ord_key",
+        expr(TextAnalysis.lehmerKeySql(s"(pack_seq + $epoch * 999983)")))
+      .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
+        col("pack_seq"))
+
+  /** Takedown / provenance consumer: every (pack, shard, pos, span) that
+    * carries any of `docIds` — "which shipped files contain document X",
+    * answered from the spans part + the manifest-derived layout, with no
+    * container decode. The post-hoc decontamination query the packed
+    * store could not answer before spans existed. */
+  def packsContaining(spark: SparkSession, dir: String,
+                      docIds: DataFrame): DataFrame =
+    readPackedSpans(spark, dir)
+      .join(docIds.select(col("doc_id")).distinct(), "doc_id")
+      .join(packLocations(spark, dir), "pack_seq")
+      .select(col("doc_id"), col("pack_seq"), col("shard"), col("pos"),
+        col("start_pos"), col("n_tokens"))
+
   // ------------------------------------------------------------- registry
 
   private def docs(s: SparkSession, dir: String) = graft.Tables.documents(s, dir)
 
   private def tempDir(): String =
     java.nio.file.Files.createTempDirectory("graft-shards").toString
+
+  /** Build-once memo for the packed store the METADATA consumers (spans /
+    * takedown / epoch manifests) read — the [[Dedup.dedupArtifact]] "mine
+    * once / report many" convention: one store, many oracle-checked
+    * readers, so the registry doesn't pay one tokenizer train per reader.
+    * Same accepted staleness hazard (fixtures immutable per session). */
+  private val packedStores =
+    scala.collection.mutable.HashMap.empty[String, String]
+  private def packedStoreFor(s: SparkSession, dir: String): String =
+    packedStores.synchronized {
+      packedStores.getOrElseUpdate(dir, {
+        val out = tempDir()
+        writePackedTokenShards(docs(s, dir), out, PackedShardCount,
+          BpeTrainer.MergeSteps, PackedBudget)
+        out
+      })
+    }
 
   val RoundtripShards = 16
 
@@ -682,6 +845,26 @@ object TrainingShards {
         BpeTrainer.MergeSteps, PackedBudget)
       Util.orderAll(readPackedTokenShards(s, out))
     }),
+    // the pack→document SPAN table of the stored packed corpus: which
+    // [start, start+n) of which pack each document occupies — the
+    // loss-masking / provenance metadata, hash-compared against DuckDB
+    // replaying the same cum_start/pack_base arithmetic the packs use
+    "doc_shards_packed_spans" -> ((s, dir) =>
+      Util.orderAll(readPackedSpans(s, packedStoreFor(s, dir)))),
+    // the takedown consumer: every (pack, shard, pos, span) carrying any
+    // of the target documents, answered from spans + the manifest-derived
+    // layout with ZERO container decode
+    "doc_shards_takedown" -> ((s, dir) =>
+      Util.orderAll(packsContaining(s, packedStoreFor(s, dir),
+        docs(s, dir).filter(col("doc_id") % 11 === 0).select("doc_id")))),
+    // two epochs' read-order manifests over the same stored containers:
+    // every pack exactly once per epoch, epoch-seeded Lehmer order,
+    // derived from the manifest alone (zero container bytes)
+    "doc_shards_epochs" -> ((s, dir) => {
+      val store = packedStoreFor(s, dir)
+      Util.orderAll(epochReadOrder(s, store, 1L)
+        .unionByName(epochReadOrder(s, store, 2L)))
+    }),
     // the WHOLE pipeline, files included: curation gates elect the
     // survivors, the tokenizer trains on exactly those survivors, packs
     // shuffle into containers, and the decoded payloads are compared —
@@ -742,6 +925,43 @@ object TrainingShards {
     // over oldd, apply chain over incd, vocab extension, offset packs,
     // two shard ranges)
     "doc_shards_packed_append_roundtrip" -> packedAppendSql,
+
+    // the span table replayed from the SAME shared cnt/cum/sb chain the
+    // packed round trip uses — one source of truth for the arithmetic,
+    // so spans and packs cannot drift apart
+    "doc_shards_packed_spans" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") + Util.wrap(
+      "SELECT pack_seq, doc_id, start_pos, n_tokens FROM spn",
+      Seq("pack_seq", "doc_id", "start_pos", "n_tokens"))),
+
+    // takedown: spans filtered to the target docs, joined to the Lehmer
+    // layout over pack ids — the shard/pos come from the same layoutSql
+    // every container oracle uses
+    "doc_shards_takedown" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT s.doc_id, s.pack_seq, lay.shard, lay.pos,
+         |  s.start_pos, s.n_tokens
+         |FROM spn s
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = s.pack_seq
+         |WHERE s.doc_id % 11 = 0""".stripMargin,
+      Seq("doc_id", "pack_seq", "shard", "pos", "start_pos", "n_tokens"))),
+
+    // two epochs' permutations over the stored pack ids: the same Lehmer
+    // key, seeded per epoch by a prime shift — DuckDB replays key, layout,
+    // and the cross join over the epoch list
+    "doc_shards_epochs" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT e.epoch,
+         |  CAST(${TextAnalysis.lehmerKeyDuckSql("(p.pack_seq + e.epoch * 999983)")} AS BIGINT) AS ord_key,
+         |  lay.shard, lay.pos, p.pack_seq
+         |FROM (SELECT pack_seq FROM pck) p
+         |CROSS JOIN (SELECT CAST(unnest([1, 2]) AS BIGINT) AS epoch) e
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = p.pack_seq""".stripMargin,
+      Seq("epoch", "ord_key", "shard", "pos", "pack_seq"))),
 
     // the WHOLE pipeline as one statement: the curation gate chain
     // (TextAnalysis.curateGatesCte — the identical SQL doc_curate is
@@ -814,15 +1034,38 @@ object TrainingShards {
        |)
        |""".stripMargin
 
+  /** The vocab + token-stream + pack CTE prefix over a named relation —
+    * the shared chain body [[packedChainSql]], the spans oracle, and the
+    * takedown/epoch oracles all continue from. */
+  private def packedCorpusCtes(src: String): String =
+    vocabCte("vocab", s"s${BpeTrainer.MergeSteps}") +
+      tokStreamCtes(src, s"s${BpeTrainer.MergeSteps}", "vocab", "") +
+      packCtes("", "0")
+
+  /** The span arithmetic over the `cnt`/`cum`/`sb` CTEs [[packCtes]]
+    * defines — [[packLayoutFromToks]]'s spans projection in DuckDB. */
+  private def spanCtes(sfx: String, packBaseExpr: String): String =
+    s""", spn$sfx AS (
+       |  SELECT ($packBaseExpr) + sb.pack_base + pp.pk AS pack_seq, c.doc_id,
+       |    CAST(CASE WHEN pp.pk = c.cum_start // $PackedBudget
+       |         THEN c.cum_start % $PackedBudget ELSE 0 END AS BIGINT) AS start_pos,
+       |    CAST(least((pp.pk + 1) * $PackedBudget, c.cum_start + c.n)
+       |      - greatest(pp.pk * $PackedBudget, c.cum_start) AS BIGINT) AS n_tokens
+       |  FROM (SELECT t.doc_id, t.source, t.n, u.cum_start
+       |        FROM cnt$sfx t JOIN cum$sfx u USING (doc_id)) c
+       |  JOIN sb$sfx sb ON sb.source = c.source,
+       |  LATERAL (SELECT unnest(range(c.cum_start // $PackedBudget,
+       |    (c.cum_start + c.n - 1) // $PackedBudget + 1)) AS pk) pp
+       |)
+       |""".stripMargin
+
   /** The tokenize→pack→shuffle chain in DuckDB over a named
     * (doc_id, source, text) relation — continuation CTEs assuming the
     * merge-unroll chain (`s<k>`) precedes, plus the final ordered select.
     * ONE source for the standalone packed round trip and the e2e
     * pipeline oracle. */
   private def packedChainSql(src: String): String =
-    vocabCte("vocab", s"s${BpeTrainer.MergeSteps}") +
-      tokStreamCtes(src, s"s${BpeTrainer.MergeSteps}", "vocab", "") +
-      packCtes("", "0") +
+    packedCorpusCtes(src) +
       ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
       s"""SELECT p.pack_seq, lay.shard, lay.pos, p.n_tokens, p.token_csv
          |FROM pck p

@@ -64,7 +64,15 @@ object UnigramLm {
 
   /** Viterbi over one word: min (cost, path) segmentation, path space-joined.
     * Backward DP so path construction is a prepend of the candidate piece. */
-  private[graft] def segmentWord(word: String): (String, Long) = {
+  private[graft] def segmentWord(word: String): (String, Long) =
+    segmentWordWith(pieceMap, maxPieceLen, word)
+
+  /** [[segmentWord]] against an ARBITRARY piece table — what the EM
+    * trainer's per-round E-step runs (the pinned [[pieceTable]] is just
+    * one instance). Same determinism contract: (cost, path) minimum,
+    * lexicographic path tie-break. */
+  private[graft] def segmentWordWith(pieces: Map[String, Long], maxLen: Int,
+                                     word: String): (String, Long) = {
     val n = word.length
     val bestCost = new Array[Long](n + 1)
     val bestPath = new Array[String](n + 1)
@@ -74,10 +82,10 @@ object UnigramLm {
       var bc = Long.MaxValue
       var bp: String = null
       var l = 1
-      while (l <= maxPieceLen && i + l <= n) {
+      while (l <= maxLen && i + l <= n) {
         val rest = bestPath(i + l)
         if (rest != null) {
-          pieceMap.get(word.substring(i, i + l)) match {
+          pieces.get(word.substring(i, i + l)) match {
             case Some(c) =>
               val cand = c + bestCost(i + l)
               val candPath =
@@ -127,11 +135,92 @@ object UnigramLm {
       .withColumn("fertility_micro",
         expr("n_pieces * 1000000 div n_words"))
 
+  // --------------------------------------------------- EM piece training
+
+  /** Fixed unrolled-round knobs — shared by the trainer and its oracle. */
+  val TrainPieceLen = 4
+  val TrainMinSeed = 3L
+  val TrainRounds = 2
+
+  private def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Unigram-LM piece-table TRAINING — the other half of the SentencePiece
+    * pair next to [[segments]]' apply: seed a candidate vocabulary from
+    * corpus substring statistics, then run [[TrainRounds]] Viterbi-EM
+    * rounds (E-step: min-cost segmentation of every DISTINCT word under
+    * the current costs; M-step: re-cost every piece from its
+    * corpus-weighted usage; prune: multi-char pieces the E-step never
+    * used are dropped, single chars are floored at usage 1 so
+    * segmentation stays total). Returns (piece, usage, cost_micro).
+    *
+    * Costs are integer OCTAVES — `(bitlen(total) − bitlen(count)) · 10⁶`,
+    * a quantized −log₂ p in micros computed with `length(bin(n)) − 1` on
+    * both engines — the repo's deliberately log-free discipline
+    * ([[TextAnalysis.bigramLm]]'s argument: libm `ln` is not
+    * IEEE-exact across engines, bit length is). Octave granularity costs
+    * resolution, never determinism; ties fall to the DP's lexicographic
+    * path rule. The DuckDB oracle replays the unrolled rounds and does
+    * NOT trust the DP: each round's E-step is the enumerate-every-
+    * segmentation recursive CTE (the [[segments]] oracle's discipline).
+    *
+    * Scale shape (100 TB): every per-word step runs over DISTINCT words
+    * (the Zipf collapse all of [[BpeTrainer]] rides); the seed substring
+    * explode is ≤ len·[[TrainPieceLen]] rows per distinct word with a
+    * map-side-combining count; per round, ONE mapPartitions E-step over
+    * the word table + one usage aggregation. Driver state is the piece
+    * table itself once per round (the bounded-collect convention —
+    * SentencePiece holds exactly this table in memory; `minSeedCount`
+    * caps it, and real deployments raise it with the corpus). */
+  def trainPieceTable(docs: DataFrame, maxPieceLen: Int = TrainPieceLen,
+                      minSeedCount: Long = TrainMinSeed,
+                      rounds: Int = TrainRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = true) // one consumer per round + the seed
+    // seed candidates: every substring of length 1..maxPieceLen of every
+    // distinct word, occurrence-counted (overlapping), corpus-weighted
+    val sub = wf.select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(word))), j ->
+           |    substring(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("f")).as("cnt"))
+    val seed: Array[(String, Long)] = sub
+      .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
+      .as[(String, Long)].collect()
+    val singles: Set[String] = seed.iterator.map(_._1).filter(_.length == 1).toSet
+    def costsOf(counts: Map[String, Long]): Map[String, Long] = {
+      val tb = bitlen(counts.valuesIterator.sum)
+      counts.map { case (p, c) => p -> (tb - bitlen(c)).toLong * 1000000L }
+    }
+    var counts: Map[String, Long] = seed.toMap
+    var table: Map[String, Long] = costsOf(counts)
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(table)
+      val usage: Map[String, Long] = wf.as[(String, Long)]
+        .flatMap { case (w, f) =>
+          segmentWordWith(bc.value, maxPieceLen, w)._1
+            .split(' ').iterator.map(p => (p, f))
+        }
+        .groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("u"))
+        .as[(String, Long)].collect().toMap
+      // prune: unused multis vanish; singles floor at 1 (totality)
+      counts = usage ++ singles.filterNot(usage.contains).map(_ -> 1L)
+      table = costsOf(counts)
+    }
+    counts.toSeq.map { case (p, u) => (p, u, table(p)) }
+      .toDF("piece", "usage", "cost_micro")
+  }
+
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_segment" -> ((s, dir) => Util.orderAll(segments(docs(s, dir)))),
-    "text_unigram_tokens" -> ((s, dir) => Util.orderAll(docFertility(docs(s, dir)))))
+    "text_unigram_tokens" -> ((s, dir) => Util.orderAll(docFertility(docs(s, dir)))),
+    "text_unigram_train" -> ((s, dir) =>
+      Util.orderAll(trainPieceTable(docs(s, dir)))))
 
   /** VALUES splice of [[pieceTable]] — generated from the same Seq the DP
     * reads, so the two sides cannot drift. */
@@ -164,7 +253,78 @@ object UnigramLm {
        |)
        |""".stripMargin
 
+  /** One EM round in DuckDB: enumerate-every-segmentation E-step against
+    * the previous round's piece table `$prev` (the [[segCte]] discipline —
+    * never trust the DP), usage aggregation, floor/prune, octave re-cost.
+    * Namespaced by round so the unrolled chain composes. */
+  private def trainRoundCtes(r: Int, prev: String): String =
+    s""", seg$r AS (
+       |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS path, CAST(0 AS BIGINT) AS cost
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT s.word, s.pos + CAST(len(p.piece) AS INTEGER),
+       |    CASE WHEN s.path = '' THEN p.piece ELSE s.path || ' ' || p.piece END,
+       |    s.cost + p.cost_micro
+       |  FROM seg$r s JOIN $prev p ON substr(s.word, s.pos, len(p.piece)) = p.piece
+       |  WHERE s.pos <= len(s.word)
+       |), best$r AS MATERIALIZED (
+       |  SELECT word, path FROM (
+       |    SELECT word, path,
+       |      row_number() OVER (PARTITION BY word ORDER BY cost ASC, path ASC) AS rk
+       |    FROM seg$r WHERE pos = len(word) + 1) q
+       |  WHERE rk = 1
+       |), use$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS u FROM (
+       |    SELECT b.word, unnest(string_split(b.path, ' ')) AS piece
+       |    FROM best$r b) s
+       |  JOIN wf USING (word) GROUP BY 1
+       |), pu$r AS MATERIALIZED (
+       |  SELECT piece, u FROM use$r WHERE len(piece) > 1
+       |  UNION ALL
+       |  SELECT s.piece, coalesce(u.u, CAST(1 AS BIGINT)) AS u
+       |  FROM (SELECT piece FROM p0 WHERE len(piece) = 1) s
+       |  LEFT JOIN use$r u USING (piece)
+       |), c$r AS MATERIALIZED (
+       |  SELECT piece, u AS usage,
+       |    CAST((len(bin(CAST((SELECT sum(u) FROM pu$r) AS BIGINT)))
+       |          - len(bin(u))) * 1000000 AS BIGINT) AS cost_micro
+       |  FROM pu$r
+       |)
+       |""".stripMargin
+
+  /** The trainer replayed: substring seed, octave seed costs, then
+    * [[TrainRounds]] unrolled rounds. */
+  private def trainSql: String =
+    s"""WITH RECURSIVE wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE length(word) >= 1 GROUP BY 1
+       |), sub AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM wf,
+       |    LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) ii,
+       |    LATERAL (SELECT unnest(range(1, $TrainPieceLen + 1)) AS l) ll
+       |  WHERE i + l <= len(word) + 1
+       |  GROUP BY 1
+       |), p0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub
+       |  WHERE len(piece) = 1 OR cnt >= $TrainMinSeed
+       |), c0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST((len(bin(CAST((SELECT sum(cnt) FROM p0) AS BIGINT)))
+       |          - len(bin(cnt))) * 1000000 AS BIGINT) AS cost_micro
+       |  FROM p0
+       |)
+       |""".stripMargin +
+      (1 to TrainRounds).map(r => trainRoundCtes(r, s"c${r - 1}")).mkString +
+      Util.wrap(
+        s"SELECT piece, usage, cost_micro FROM c$TrainRounds",
+        Seq("piece", "usage", "cost_micro"))
+
   def oracle: Map[String, String] = Map(
+    "text_unigram_train" -> trainSql,
+
     "text_unigram_segment" -> (segCte + Util.wrap(
       """SELECT word, path AS pieces,
         |  CAST(len(path) - len(replace(path, ' ', '')) + 1 AS BIGINT) AS n_pieces,

@@ -54,16 +54,32 @@ object PrefixSum {
     * scan pruned to doc_id); it only steers balance.
     */
   def cumStart(perRow: DataFrame, nCol: String, idsForBounds: DataFrame,
-               nBuckets: Int): DataFrame = {
-    require(nBuckets >= 1, s"PrefixSum.cumStart: nBuckets must be >= 1, got $nBuckets")
-    val boundaries: Array[Long] =
-      if (nBuckets == 1) Array.empty
-      else idsForBounds
-        .select(col("doc_id").cast("double").as("__id"))
-        .stat.approxQuantile("__id",
-          (1 until nBuckets).map(_.toDouble / nBuckets).toArray,
-          1.0 / math.max(100, 4 * nBuckets))
-        .map(d => math.floor(d).toLong).distinct.sorted
+               nBuckets: Int): DataFrame =
+    cumStartWithBounds(perRow, nCol, sampleBoundaries(idsForBounds, nBuckets))
+
+  /** The one `approxQuantile` job that bakes bucket boundaries into the
+    * plan — exposed so a STORED artifact can sample once at build and
+    * reuse the boundaries on every append/maintained batch (answers are
+    * bucket-invariant by construction, so staleness costs only balance;
+    * the [[graft.llm.TrainingShards]] packed store persists these in its
+    * params part). */
+  def sampleBoundaries(idsForBounds: DataFrame, nBuckets: Int): Array[Long] = {
+    require(nBuckets >= 1, s"PrefixSum: nBuckets must be >= 1, got $nBuckets")
+    if (nBuckets == 1) Array.empty
+    else idsForBounds
+      .select(col("doc_id").cast("double").as("__id"))
+      .stat.approxQuantile("__id",
+        (1 until nBuckets).map(_.toDouble / nBuckets).toArray,
+        1.0 / math.max(100, 4 * nBuckets))
+      .map(d => math.floor(d).toLong).distinct.sorted
+  }
+
+  /** [[cumStart]] against PRE-SAMPLED boundaries — no quantile job. The
+    * boundaries need only be sorted/distinct longs; ANY monotone bucketing
+    * yields the same answer (spec-pinned), so stale or even empty
+    * boundaries are a balance knob, never a correctness one. */
+  def cumStartWithBounds(perRow: DataFrame, nCol: String,
+                         boundaries: Array[Long]): DataFrame = {
     // bucket = #boundaries <= doc_id: monotone in doc_id, pure, codegen'd
     // (a <=nBuckets-element in-row scan — no join, no shuffle)
     val bucket: Column =
