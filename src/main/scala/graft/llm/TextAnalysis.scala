@@ -2118,6 +2118,28 @@ object TextAnalysis {
        |)
        |""".stripMargin
 
+  /** The doc_decontaminate CTE chain (tok/sh/ev → `cont`: per-doc eval
+    * shingle-overlap counts) — ONE source shared with the packed-store
+    * consumer oracle (`doc_shards_decontaminate` in
+    * [[TrainingShards]]), so "what counts as contaminated" can never
+    * drift between the report and the shard-level consequence. */
+  private[llm] def decontaminateCtes(continuation: Boolean): String =
+    s"""${if (continuation) "," else "WITH"} tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
+       |  WHERE len(words) >= 3
+       |), ev AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+       |), cont AS (
+       |  SELECT doc_id, count(*) AS n_overlap
+       |  FROM sh JOIN ev USING (shingle)
+       |  WHERE doc_id % 101 <> 0
+       |  GROUP BY doc_id
+       |)
+       |""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "text_lang_id" -> (
       s"""WITH sc AS (
@@ -2297,21 +2319,10 @@ object TextAnalysis {
         Seq("doc_id", "n_tokens", "n_distinct_tokens", "n_distinct_bigrams",
           "top_token_count", "is_repetitive"))),
 
-    "doc_decontaminate" -> (
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |  FROM tok, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) ii
-        |  WHERE len(words) >= 3
-        |), ev AS (
-        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
-        |)
-        |""".stripMargin + Util.wrap(
-        """SELECT doc_id, count(*) AS n_overlap, count(*) >= 2 AS is_contaminated
-          |FROM sh JOIN ev USING (shingle)
-          |WHERE doc_id % 101 <> 0
-          |GROUP BY doc_id""".stripMargin,
+    "doc_decontaminate" -> (decontaminateCtes(continuation = false) +
+      Util.wrap(
+        """SELECT doc_id, n_overlap, n_overlap >= 2 AS is_contaminated
+          |FROM cont""".stripMargin,
         Seq("doc_id", "n_overlap", "is_contaminated"))),
 
     // ONE definition of the rounded quality-score SQL ([[qsSql]]) feeds

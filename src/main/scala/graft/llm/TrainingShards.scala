@@ -857,6 +857,15 @@ object TrainingShards {
     "doc_shards_takedown" -> ((s, dir) =>
       Util.orderAll(packsContaining(s, packedStoreFor(s, dir),
         docs(s, dir).filter(col("doc_id") % 11 === 0).select("doc_id")))),
+    // decontamination applied to ALREADY-PACKED data — the r12 verdict's
+    // named gap ("doc_decontaminate can't be applied to packed data"):
+    // the contamination report's doc ids flow through the span table to
+    // the shipped (pack, shard, pos) units a training job must mask or
+    // skip, zero container decode
+    "doc_shards_decontaminate" -> ((s, dir) =>
+      Util.orderAll(packsContaining(s, packedStoreFor(s, dir),
+        TextAnalysis.decontaminate(docs(s, dir))
+          .filter(col("is_contaminated")).select("doc_id")))),
     // two epochs' read-order manifests over the same stored containers:
     // every pack exactly once per epoch, epoch-seeded Lehmer order,
     // derived from the manifest alone (zero container bytes)
@@ -946,6 +955,22 @@ object TrainingShards {
          |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
          |  ON lay.doc_id = s.pack_seq
          |WHERE s.doc_id % 11 = 0""".stripMargin,
+      Seq("doc_id", "pack_seq", "shard", "pos", "start_pos", "n_tokens"))),
+
+    // packed decontamination: the SHARED doc_decontaminate chain elects
+    // the contaminated ids; spans + layout map them to shipped units —
+    // one statement, both the gate and the consequence single-sourced
+    "doc_shards_decontaminate" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") +
+      TextAnalysis.decontaminateCtes(continuation = true) +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT s.doc_id, s.pack_seq, lay.shard, lay.pos,
+         |  s.start_pos, s.n_tokens
+         |FROM spn s
+         |JOIN (SELECT doc_id FROM cont WHERE n_overlap >= 2) c
+         |  ON c.doc_id = s.doc_id
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = s.pack_seq""".stripMargin,
       Seq("doc_id", "pack_seq", "shard", "pos", "start_pos", "n_tokens"))),
 
     // two epochs' permutations over the stored pack ids: the same Lehmer
