@@ -67,7 +67,10 @@ object CompactStress {
     val ivfFilesBefore = filesUnder(s"$idx/cells")
     val ivfBefore = medianMs(3)(topkRows())
     val ivfAnswer = topkRows()
-    Similarity.compactIvfIndex(spark, idx)
+    // explicit watermark: this harness ran every append synchronously, so
+    // batch nBatches IS durably committed (the no-arg default excludes
+    // the newest batch because a streaming maintainer's newest may be torn)
+    Similarity.compactIvfIndex(spark, idx, upTo = nBatches.toLong)
     val ivfFilesAfter = filesUnder(s"$idx/cells")
     val ivfAfter = medianMs(3)(topkRows())
     require(topkRows() == ivfAnswer, "IVF answers changed across compaction")
@@ -81,9 +84,14 @@ object CompactStress {
     val art = tmp("graft-cstress-dedup")
     Dedup.writeDedupArtifactHashed(d.filter(col("doc_id") % 2 === 0), art, 0.4)
     (1 to nBatches).foreach { b =>
+      // residue over doc_id div 2: the odd ids' halves cover every
+      // residue class, so EVERY batch carries rows — a residue over the
+      // raw id contradicts the %2 parity filter for half the batches and
+      // would make the "100 maintenance batches" measurement actually
+      // ~50 (review-caught)
       Dedup.appendDedupArtifact(
         d.filter(col("doc_id") % 2 === 1)
-          .filter(col("doc_id") % nBatches === b % nBatches)
+          .filter(pmod(expr("doc_id div 2"), lit(nBatches.toLong)) === b % nBatches)
           .select((col("doc_id") + 1000000L * b).as("doc_id"),
             col("source"), col("text")),
         art, ingestBatch = b.toLong)
@@ -96,7 +104,7 @@ object CompactStress {
       .map(p => filesUnder(s"$art/$p")).sum
     val dedupRowsBefore = scanRows()
     val dedupBefore = medianMs(3)(scanRows())
-    Dedup.compactDedupArtifact(spark, art)
+    Dedup.compactDedupArtifact(spark, art, upTo = nBatches.toLong)
     val dedupFilesAfter = Seq("shingles", "bands", "counts", "nodes")
       .map(p => filesUnder(s"$art/$p")).sum
     val dedupAfter = medianMs(3)(scanRows())

@@ -68,21 +68,37 @@ object ArtifactCompaction {
       .drop("ingest_batch")
       .coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    old.foreach(s => fs.delete(s.getPath, true))
+    // require-checked deletes: FileSystem.delete returns false (rather
+    // than throwing) for several failure modes, and proceeding past one
+    // would leave the original partition ALONGSIDE its merged copy —
+    // every read double-counts, and if the survivor is ingest_batch=upTo
+    // itself the rename below would nest the tmp dir INSIDE it
+    // (review-caught)
+    old.foreach(s => require(fs.delete(s.getPath, true),
+      s"$partPath: delete of ${s.getPath.getName} failed — aborting " +
+        "before the compacted rename (data still complete in _tmp-compact)"))
     require(fs.rename(tmp, new Path(base, s"ingest_batch=$upTo")),
       s"$partPath: rename of the compacted partition failed")
     old.length
   }
 
-  /** max(ingest_batch) over a part's partition dirs — the "compact
-    * everything committed so far" default. */
-  private[llm] def maxBatch(spark: SparkSession, partPath: String): Long = {
+  /** Default compaction watermark: max(ingest_batch) present MINUS ONE.
+    * The newest on-disk batch is excluded because "present on disk" is
+    * not "committed" — a maintainer that crashed after its part writes
+    * but before its checkpoint commit leaves a torn newest batch whose
+    * crash-REPLAY dynamic-overwrites its own partition; if compaction had
+    * merged history into that partition, the replay would silently
+    * replace the entire compacted corpus with one increment
+    * (review-caught). Callers who know their newest batch is durably
+    * committed pass `upTo` explicitly. */
+  private[llm] def defaultWatermark(spark: SparkSession,
+                                    partPath: String): Long = {
     val base = new Path(partPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(base)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
       .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
     require(ids.nonEmpty, s"$partPath: no ingest_batch partitions to compact")
-    ids.max
+    ids.max - 1
   }
 }

@@ -297,7 +297,7 @@ object BpeTrainer {
     // single task per source
     // localCheckpoint: the prefix sum's two passes would each re-run the
     // token-count join chain; pinned rows are per-doc narrow (the
-    // packRowsFromToks counts-table convention)
+    // packLayoutFromToks counts-table convention)
     val perDoc = docs.select(col("doc_id"), col("source"))
       .join(bpeTokenCounts(docs, k)
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), "doc_id")
@@ -359,62 +359,55 @@ object BpeTrainer {
         .cast("long") - 1)
       .select(col("doc_id"), col("source"), col("tidx"), col("token_id"))
 
-  /** [[wordSymSeqsAgainstMerges]]'s COUNTS shape — (word, n_syms) in one
-    * mapPartitions pass over the batch's distinct words, no per-symbol
-    * explode and no re-aggregation shuffle. Both twins share
-    * [[replayWordSyms]], so the inference rule still exists exactly once;
-    * only the emitted row shape differs. */
-  private[graft] def wordLensAgainstMerges(docs: DataFrame,
-                                           merges: Array[(String, String)]): DataFrame = {
+  /** The ONE stored-merge replay harness both apply shapes share: a k-row
+    * broadcast + ONE mapPartitions pass over the batch's DISTINCT words
+    * (no shuffle beyond the word distinct), each word's final symbols
+    * computed by [[replayWordSyms]] and shaped by `emit`. Factoring the
+    * harness (not just the kernel) keeps the distinct/filter/broadcast
+    * scaffolding from drifting between the twins (review-caught). */
+  private def replayDistinctWords(docs: DataFrame,
+                                  merges: Array[(String, String)],
+                                  fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+                                 (emit: (String, Array[String]) => Iterator[Row]): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(merges)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1).distinct()
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("word",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_syms",
-          org.apache.spark.sql.types.LongType))))
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
     words.mapPartitions { rows =>
       val ms = bc.value
-      rows.map { r =>
+      rows.flatMap { r =>
         val w = r.getString(0)
-        Row(w, replayWordSyms(ms, w).length.toLong)
+        emit(w, replayWordSyms(ms, w))
       }
     }(enc)
   }
+
+  /** [[wordSymSeqsAgainstMerges]]'s COUNTS shape — (word, n_syms), no
+    * per-symbol explode and no re-aggregation shuffle. */
+  private[graft] def wordLensAgainstMerges(docs: DataFrame,
+                                           merges: Array[(String, String)]): DataFrame =
+    replayDistinctWords(docs, merges, Seq(
+      "word" -> org.apache.spark.sql.types.StringType,
+      "n_syms" -> org.apache.spark.sql.types.LongType)) { (w, syms) =>
+      Iterator.single(Row(w, syms.length.toLong))
+    }
 
   /** Symbol DECOMPOSITIONS of every distinct word of `docs` under a
     * stored merge table — (word, spos, sym), the sequence twin of
     * [[bpeTokensAgainstMerges]]'s counts, built by the same
     * [[replayWordSyms]] kernel (bit-identical to the training-side fold —
-    * the text_bpe_apply identity, extended to sequences by the r12 spec).
-    * Same scale shape: a k-row broadcast + ONE mapPartitions pass over
-    * the batch's DISTINCT words; no shuffle beyond the word distinct. */
+    * the text_bpe_apply identity, extended to sequences by the r12 spec). */
   private[graft] def wordSymSeqsAgainstMerges(docs: DataFrame,
-                                              merges: Array[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(merges)
-    val words = docs.select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1).distinct()
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("word",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("spos",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("sym",
-          org.apache.spark.sql.types.StringType))))
-    words.mapPartitions { rows =>
-      val ms = bc.value
-      rows.flatMap { r =>
-        val w = r.getString(0)
-        replayWordSyms(ms, w).iterator.zipWithIndex
-          .map { case (s, i) => Row(w, i, s) }
-      }
-    }(enc)
-  }
+                                              merges: Array[(String, String)]): DataFrame =
+    replayDistinctWords(docs, merges, Seq(
+      "word" -> org.apache.spark.sql.types.StringType,
+      "spos" -> org.apache.spark.sql.types.IntegerType,
+      "sym" -> org.apache.spark.sql.types.StringType)) { (w, syms) =>
+      syms.iterator.zipWithIndex.map { case (s, i) => Row(w, i, s) }
+    }
 
   /** The learned merges as the stored-tokenizer table — the same schema
     * [[writeBpeMerges]] persists, built from an ALREADY-TRAINED merge list

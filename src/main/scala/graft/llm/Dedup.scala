@@ -925,7 +925,7 @@ object Dedup {
     * post-compaction append are bit-identical to the uncompacted twin. */
   def compactDedupArtifact(spark: SparkSession, path: String): Unit =
     compactDedupArtifact(spark,
-      path, ArtifactCompaction.maxBatch(spark, s"$path/nodes"))
+      path, ArtifactCompaction.defaultWatermark(spark, s"$path/nodes"))
 
   def compactDedupArtifact(spark: SparkSession, path: String,
                            upTo: Long): Unit =

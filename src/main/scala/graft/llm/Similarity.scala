@@ -592,6 +592,11 @@ object Similarity {
     * corpus that queries arrive against continuously. */
   def writeIvfIndex(corpus: DataFrame, path: String,
                     centroidMod: Int = 37, iters: Int = 2): Unit = {
+    // a (re)build invalidates any stored measured-recall row: the row was
+    // measured against the OLD centroids/cells, and an in-place rebuild
+    // back to the same row count would otherwise keep satisfying the
+    // gate's at-size check forever (review-caught)
+    dropRecallRow(corpus.sparkSession, path)
     val e = normed(corpus).localCheckpoint(true)
     val cent = kmeansCentroids(e, centroidMod, iters)
     // fail the BUILD, not the first query: a corpus whose vec_ids never
@@ -673,7 +678,7 @@ object Similarity {
     * output (spec-pinned, including an append landing after). */
   def compactIvfIndex(spark: SparkSession, path: String): Unit =
     compactIvfIndex(spark, path,
-      ArtifactCompaction.maxBatch(spark, s"$path/cells"))
+      ArtifactCompaction.defaultWatermark(spark, s"$path/cells"))
 
   def compactIvfIndex(spark: SparkSession, path: String, upTo: Long): Unit = {
     ArtifactCompaction.compactPart(spark, s"$path/cells", upTo)
@@ -763,18 +768,29 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/recall")
   }
 
-  /** The stored measured-recall row, if any probe ever wrote one. */
+  /** The stored measured-recall row, if any probe ever wrote one. A
+    * missing part AND a present-but-rowless part (a torn overwrite) both
+    * degrade to None — the gate must fall back to the growth heuristic,
+    * never crash a maintainer's poll loop (review-caught). */
   def measuredRecall(spark: SparkSession,
                      path: String): Option[(Double, Long)] =
     try {
-      val r = spark.read.parquet(s"$path/recall").head()
-      Some((r.getDouble(0), r.getLong(1)))
+      spark.read.parquet(s"$path/recall").limit(1).collect()
+        .headOption.map(r => (r.getDouble(0), r.getLong(1)))
     } catch {
       case e: org.apache.spark.sql.AnalysisException
         if Option(e.getCondition).exists(c =>
           c.startsWith("PATH_NOT_FOUND") ||
             c.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
     }
+
+  /** Delete a stored recall row — every index (re)build starts here. */
+  private def dropRecallRow(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/recall")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) require(fs.delete(p, true),
+      s"stale recall row at $p could not be deleted")
+  }
 
   /** ANN top-k against a [[writeIvfIndexSized]] index at the stored
     * nprobe — the stored-index twin of [[ivfSizedTopK]]. */
@@ -850,6 +866,9 @@ object Similarity {
                            codeMod: Int = 61): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a (re)build invalidates any stored measured-recall row (the
+    // writeIvfIndex rule)
+    dropRecallRow(spark, path)
     // counted ONCE and reused for build_n below — a second count() is a
     // full corpus job, and on a non-deterministic input plan it could
     // even disagree with the n the knobs were derived from (review-caught)
@@ -949,7 +968,7 @@ object Similarity {
     * per-vector parts) merge in the same pass. */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
     compactIvfPqIndex(spark, path,
-      ArtifactCompaction.maxBatch(spark, s"$path/vectors"))
+      ArtifactCompaction.defaultWatermark(spark, s"$path/vectors"))
 
   def compactIvfPqIndex(spark: SparkSession, path: String,
                         upTo: Long): Unit =

@@ -833,7 +833,7 @@ object TextAnalysis {
     require(budget >= 1, s"packGreedy: budget must be >= 1, got $budget")
     // localCheckpoint: the prefix sum's two passes would each re-split
     // the corpus text; the checkpoint pins one NARROW row per document
-    // (the packRowsFromToks counts-table convention — per-doc rows,
+    // (the packLayoutFromToks counts-table convention — per-doc rows,
     // never corpus text)
     val perDoc = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("n_tokens"))

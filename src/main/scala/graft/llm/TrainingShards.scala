@@ -513,8 +513,17 @@ object TrainingShards {
     val vocab = storedVocab.unionByName(newSyms)
     val toks = BpeTrainer.tokenIdSeqsFrom(newDocs, wordSyms, vocab)
     // stored bucket boundaries: the build's one quantile job, reused —
-    // one fewer job per maintained batch, same answer (bucket-invariant)
-    val bounds: Array[Long] = prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
+    // one fewer job per maintained batch, same answer (bucket-invariant).
+    // Stores written before the bounds column existed fall back to
+    // re-sampling (answers are bucket-invariant, so the fallback is a
+    // balance difference, never a compatibility break — review-caught:
+    // a hard fieldIndex would make every pre-upgrade store unappendable)
+    val bounds: Array[Long] =
+      if (prm.schema.fieldNames.contains("bounds"))
+        prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
+      else graft.operators.PrefixSum.sampleBoundaries(
+        newDocs.select(col("doc_id")),
+        graft.operators.PrefixSum.defaultBuckets(newDocs))
     val layout = packLayoutFromToks(toks, budget, bounds)
     val packRows = layout.packRows
       .withColumn("pack_seq", col("pack_seq") + packBase)
@@ -672,17 +681,28 @@ object TrainingShards {
     * store; gated on the manifest (the commit marker) exactly like the
     * container reader, so a crash between the spans write and the
     * manifest commit leaves the uncommitted batch's spans invisible. */
-  def readPackedSpans(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val committed = spark.read.parquet(s"$dir/manifest")
-      .select(col("ingest_batch").cast("long")).distinct()
-      .as[Long].collect().toSet // batch-count-bounded driver state
+  def readPackedSpans(spark: SparkSession, dir: String): DataFrame =
+    spansFrom(spark, dir, manifestBatches(spark, dir).map(_._1))
+
+  private def spansFrom(spark: SparkSession, dir: String,
+                        committed: Array[Long]): DataFrame =
     spark.read.parquet(s"$dir/spans")
       .filter(col("ingest_batch").cast("long")
-        .isin(committed.toSeq.map(java.lang.Long.valueOf): _*))
+        .isin(committed.map(java.lang.Long.valueOf).toSeq: _*))
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
         col("n_tokens"))
-  }
+
+  /** ONE manifest read shared by every metadata derivation: per committed
+    * batch, (batch, Σn_docs, min shard, #shards) in batch order —
+    * batch-count-bounded driver state. */
+  private def manifestBatches(spark: SparkSession,
+                              dir: String): Array[(Long, Long, Long, Long)] =
+    spark.read.parquet(s"$dir/manifest")
+      .groupBy(col("ingest_batch").cast("long").as("b"))
+      .agg(sum(col("n_docs")).as("n"), min(col("shard")).as("shard_base"),
+        count(lit(1)).as("n_shards"))
+      .orderBy(col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
   /** (pack_seq, shard, pos) of every committed pack, derived from the
     * MANIFEST ALONE — zero container bytes read. Possible because pack
@@ -693,17 +713,16 @@ object TrainingShards {
     * Spec-pinned equal to the decoded containers' (shard, pos, pack_seq).
     * Driver state is one row per batch; the heavy frame is a range scan
     * partitioned by shard. */
-  def packLocations(spark: SparkSession, dir: String): DataFrame = {
+  def packLocations(spark: SparkSession, dir: String): DataFrame =
+    locationsFrom(spark, manifestBatches(spark, dir))
+
+  private def locationsFrom(spark: SparkSession,
+                            mRows: Array[(Long, Long, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mRows = spark.read.parquet(s"$dir/manifest")
-      .groupBy(col("ingest_batch").cast("long").as("b"))
-      .agg(sum(col("n_docs")).as("n"), min(col("shard")).as("shard_base"),
-        count(lit(1)).as("n_shards"))
-      .orderBy(col("b")).collect()
     var base = 0L
-    val batches = mRows.map { r =>
-      val row = (base, r.getLong(1), r.getLong(2), r.getLong(3))
-      base += r.getLong(1)
+    val batches = mRows.map { case (_, n, shardBase, nShards) =>
+      val row = (base, n, shardBase, nShards)
+      base += n
       row
     }
     import spark.implicits._
@@ -742,18 +761,44 @@ object TrainingShards {
       .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
         col("pack_seq"))
 
+  /** Compact the packed store's per-batch METADATA parts — spans and the
+    * tokenizer vocab — merging `ingest_batch <= upTo` partitions into one
+    * ([[ArtifactCompaction]]'s offline/committed contract; readers filter
+    * ingest_batch only against future batch ids, so merged rows stay
+    * visible). The MANIFEST is deliberately NOT compactable: it is one
+    * coalesced file per batch (no small-files pressure), and
+    * [[packLocations]]/[[epochReadOrder]] derive each batch's pack-id
+    * range and shard range from its OWN manifest rows — merging batches
+    * would destroy exactly the per-batch granularity the zero-decode
+    * layout replay depends on. Container files are immutable shipped
+    * artifacts and are never rewritten by design. */
+  def compactPackedMetadata(spark: SparkSession, dir: String): Unit =
+    compactPackedMetadata(spark, dir,
+      ArtifactCompaction.defaultWatermark(spark, s"$dir/spans"))
+
+  def compactPackedMetadata(spark: SparkSession, dir: String,
+                            upTo: Long): Unit = {
+    ArtifactCompaction.compactPart(spark, s"$dir/spans", upTo)
+    ArtifactCompaction.compactPart(spark, s"$dir/tokenizer/vocab", upTo)
+    ()
+  }
+
   /** Takedown / provenance consumer: every (pack, shard, pos, span) that
     * carries any of `docIds` — "which shipped files contain document X",
     * answered from the spans part + the manifest-derived layout, with no
     * container decode. The post-hoc decontamination query the packed
     * store could not answer before spans existed. */
   def packsContaining(spark: SparkSession, dir: String,
-                      docIds: DataFrame): DataFrame =
-    readPackedSpans(spark, dir)
+                      docIds: DataFrame): DataFrame = {
+    // ONE manifest read feeds both the committed-batch gate and the
+    // layout derivation (review-caught double collect)
+    val mb = manifestBatches(spark, dir)
+    spansFrom(spark, dir, mb.map(_._1))
       .join(docIds.select(col("doc_id")).distinct(), "doc_id")
-      .join(packLocations(spark, dir), "pack_seq")
+      .join(locationsFrom(spark, mb), "pack_seq")
       .select(col("doc_id"), col("pack_seq"), col("shard"), col("pos"),
         col("start_pos"), col("n_tokens"))
+  }
 
   // ------------------------------------------------------------- registry
 
@@ -1034,7 +1079,7 @@ object TrainingShards {
        |""".stripMargin
 
   /** The concat-and-cut pack arithmetic over `ptok$sfx` —
-    * [[packRowsFromToks]]'s SQL twin; `packBaseExpr` offsets pack ids so
+    * [[packLayoutFromToks]]'s SQL twin; `packBaseExpr` offsets pack ids so
     * an append batch's packs continue past every earlier batch's. */
   private def packCtes(sfx: String, packBaseExpr: String): String =
     s""", cnt$sfx AS (

@@ -155,6 +155,47 @@ class Round13OpsSpec extends SparkSpec {
     assert(sp1 == sp2, "spans differ under different prefix-sum boundaries")
   }
 
+  test("packed-store metadata compaction: spans + vocab merge, readers and a post-compaction append bit-identical; manifest untouched") {
+    val d = docs3
+    val (sA, sB) = (
+      java.nio.file.Files.createTempDirectory("graft-pkc-a").toString,
+      java.nio.file.Files.createTempDirectory("graft-pkc-b").toString)
+    for (p <- Seq(sA, sB)) {
+      TrainingShards.writePackedTokenShards(d.filter($"doc_id" % 3 === 0), p, 4, 3, 64)
+      TrainingShards.appendPackedTokenShards(d.filter($"doc_id" % 3 === 1), p, 4)
+      TrainingShards.appendPackedTokenShards(d.filter($"doc_id" % 3 === 2), p, 4)
+    }
+    def spansOf(p: String) = TrainingShards.readPackedSpans(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    def vocabOf(p: String) = spark.read.parquet(s"$p/tokenizer/vocab")
+      .select($"sym", $"token_id").collect().map(_.toString).sorted.toSeq
+    val (spBefore, vBefore) = (spansOf(sB), vocabOf(sB))
+    TrainingShards.compactPackedMetadata(spark, sB, upTo = 2L)
+    assert(partitionDirs(sB, "spans") == Seq("ingest_batch=2"))
+    assert(spansOf(sB) == spBefore, "compaction changed the span table")
+    assert(vocabOf(sB) == vBefore, "compaction changed the vocab")
+    // the manifest keeps ALL its per-batch partitions (packLocations needs
+    // the per-batch granularity), and the layout replay still matches the
+    // files after metadata compaction
+    assert(partitionDirs(sB, "manifest").size == 3)
+    assert(TrainingShards.packLocations(spark, sB)
+      .collect().map(_.toString).sorted.toSeq ==
+      TrainingShards.readPackedTokenShards(spark, sB)
+        .select($"pack_seq", $"shard", $"pos")
+        .collect().map(_.toString).sorted.toSeq)
+    // a FUTURE append (stored tokenizer: the merged vocab must still
+    // resolve and extend correctly) lands identically on both twins
+    val inc = Seq((2000000L, "znew", "zq zq qz")).toDF("doc_id", "source", "text")
+    for (p <- Seq(sA, sB)) TrainingShards.appendPackedTokenShards(inc, p, 2)
+    assert(spansOf(sA) == spansOf(sB), "post-compaction append diverged on spans")
+    assert(vocabOf(sA) == vocabOf(sB), "post-compaction append diverged on vocab")
+    assert(TrainingShards.readPackedTokenShards(spark, sA)
+      .collect().map(_.toString).sorted.toSeq ==
+      TrainingShards.readPackedTokenShards(spark, sB)
+        .collect().map(_.toString).sorted.toSeq,
+      "post-compaction append diverged on decoded containers")
+  }
+
   // -------------------------------------------------- artifact compaction
 
   import graft.llm.{Dedup, Similarity}
@@ -181,7 +222,10 @@ class Round13OpsSpec extends SparkSpec {
     val parts = Seq("shingles", "bands", "counts", "nodes")
     val before = parts.map(partRows(pB, _))
     assert(partitionDirs(pB, "nodes").size == 3)
-    Dedup.compactDedupArtifact(spark, pB) // upTo = max = 2
+    // explicit watermark (this test ran every append synchronously, so
+    // batch 2 is committed); the no-arg default's newest-batch exclusion
+    // is asserted separately below
+    Dedup.compactDedupArtifact(spark, pB, upTo = 2L)
     assert(partitionDirs(pB, "nodes") == Seq("ingest_batch=2"),
       "compaction must leave exactly one partition dir")
     // every per-document part bit-identical (modulo the partition column)
@@ -195,10 +239,20 @@ class Round13OpsSpec extends SparkSpec {
     assert(partRows(pA, "pairs") == partRows(pB, "pairs"))
     assert(partRows(pA, "clusters") == partRows(pB, "clusters"))
     assert(spark.read.parquet(s"$pB/pairs").count() > 0, "law vacuous")
+    // the no-arg default excludes the NEWEST on-disk batch (present is
+    // not committed — a torn batch's replay would overwrite the merged
+    // partition): on pA (dirs 0..3 after the thirds(3) append) it merges
+    // only 0..2, leaving batch 3's partition untouched, content intact
+    val beforeDefault = parts.map(partRows(pA, _))
+    Dedup.compactDedupArtifact(spark, pA)
+    assert(partitionDirs(pA, "nodes") == Seq("ingest_batch=2", "ingest_batch=3"),
+      "default compaction must stop before the newest batch")
+    parts.zip(beforeDefault).foreach { case (p, b) =>
+      assert(partRows(pA, p) == b, s"default compaction changed part $p") }
     // leftover-tmp fail-fast: a crashed compaction must not compound
     new java.io.File(s"$pB/nodes/_tmp-compact").mkdirs()
     intercept[IllegalArgumentException] {
-      Dedup.compactDedupArtifact(spark, pB)
+      Dedup.compactDedupArtifact(spark, pB, upTo = 3L)
     }
   }
 
@@ -224,7 +278,7 @@ class Round13OpsSpec extends SparkSpec {
     val beforeCells = partRows(iB, "cells")
     val beforeTopk = topk(iB)
     assert(partitionDirs(iB, "cells").size == 3)
-    Similarity.compactIvfIndex(spark, iB)
+    Similarity.compactIvfIndex(spark, iB, upTo = 2L)
     assert(partitionDirs(iB, "cells") == Seq("ingest_batch=2"))
     assert(partRows(iB, "cells") == beforeCells)
     assert(topk(iB) == beforeTopk, "IVF query changed across compaction")
@@ -241,7 +295,7 @@ class Round13OpsSpec extends SparkSpec {
       Similarity.appendIvfPqIndex(slice(2), p)
     }
     val beforePq = topkPq(qB)
-    Similarity.compactIvfPqIndex(spark, qB)
+    Similarity.compactIvfPqIndex(spark, qB, upTo = 2L)
     assert(partitionDirs(qB, "codes") == Seq("ingest_batch=2"))
     assert(partitionDirs(qB, "vectors") == Seq("ingest_batch=2"))
     assert(topkPq(qB) == beforePq, "IVF-PQ query changed across compaction")
@@ -315,5 +369,12 @@ class Round13OpsSpec extends SparkSpec {
     Similarity.recordMeasuredRecall(spark, idx, 0.5, n - 1)
     assert(!Similarity.ivfIndexNeedsRebuild(spark, idx, rebuildFactor = 99.0),
       "a stale measurement must fall back to the growth gate")
+    // an in-place REBUILD invalidates the stored measurement: without
+    // this, a rebuild back to the same row count would keep satisfying
+    // the at-size check with a row measured against the OLD centroids
+    Similarity.recordMeasuredRecall(spark, idx, 0.5, n)
+    Similarity.writeIvfIndexSized(corpus, idx)
+    assert(Similarity.measuredRecall(spark, idx).isEmpty,
+      "rebuild must clear the stored recall row")
   }
 }
