@@ -109,14 +109,25 @@ object UnigramLm {
 
   /** Per-DISTINCT-word segmentation table: (word, pieces, n_pieces,
     * cost_micro). Corpus-independent work: |vocab| rows. */
-  def segments(docs: DataFrame): DataFrame = {
+  def segments(docs: DataFrame): DataFrame =
+    segmentsWith(docs, pieceMap)
+
+  /** [[segments]] under an ARBITRARY piece table — the apply half of the
+    * EM trainer ([[trainPieceTable]]'s output consumed the way the
+    * pinned table is), ONE DP harness for both. The table is a broadcast
+    * (the SentencePiece-sized bounded state every apply path here
+    * carries); the work stays |distinct words|. */
+  def segmentsWith(docs: DataFrame, pieces: Map[String, Long]): DataFrame = {
+    require(pieces.nonEmpty, "segmentsWith: empty piece table")
     val spark = docs.sparkSession
     import spark.implicits._
+    val maxL = pieces.keysIterator.map(_.length).max
+    val bc = spark.sparkContext.broadcast(pieces)
     docs.select(explode(split(col("text"), " ")).as("word")).distinct()
       .as[String]
       .mapPartitions { it =>
         it.map { w =>
-          val (path, cost) = segmentWord(w)
+          val (path, cost) = segmentWordWith(bc.value, maxL, w)
           (w, path, path.count(_ == ' ').toLong + 1L, cost)
         }
       }
@@ -220,7 +231,20 @@ object UnigramLm {
     "text_unigram_segment" -> ((s, dir) => Util.orderAll(segments(docs(s, dir)))),
     "text_unigram_tokens" -> ((s, dir) => Util.orderAll(docFertility(docs(s, dir)))),
     "text_unigram_train" -> ((s, dir) =>
-      Util.orderAll(trainPieceTable(docs(s, dir)))))
+      Util.orderAll(trainPieceTable(docs(s, dir)))),
+    // the trained table APPLIED — train → collect the piece table (the
+    // SentencePiece-sized bounded state) → segment every distinct word
+    // under it; the oracle replays the train chain and enumerates a
+    // THIRD round's segmentations against the final costs
+    "text_unigram_train_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val spark = s
+      import spark.implicits._
+      val tbl = trainPieceTable(d)
+        .select(col("piece"), col("cost_micro"))
+        .as[(String, Long)].collect().toMap
+      Util.orderAll(segmentsWith(d, tbl))
+    }))
 
   /** VALUES splice of [[pieceTable]] — generated from the same Seq the DP
     * reads, so the two sides cannot drift. */
@@ -257,7 +281,10 @@ object UnigramLm {
     * the previous round's piece table `$prev` (the [[segCte]] discipline —
     * never trust the DP), usage aggregation, floor/prune, octave re-cost.
     * Namespaced by round so the unrolled chain composes. */
-  private def trainRoundCtes(r: Int, prev: String): String =
+  /** Enumeration-only E-step CTEs (seg$r → best$r, cost retained) — the
+    * never-trust-the-DP discipline, shared by the training rounds and
+    * the trained-table apply oracle. */
+  private def enumCtes(r: Int, prev: String): String =
     s""", seg$r AS (
        |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS path, CAST(0 AS BIGINT) AS cost
        |  FROM wf
@@ -268,12 +295,17 @@ object UnigramLm {
        |  FROM seg$r s JOIN $prev p ON substr(s.word, s.pos, len(p.piece)) = p.piece
        |  WHERE s.pos <= len(s.word)
        |), best$r AS MATERIALIZED (
-       |  SELECT word, path FROM (
-       |    SELECT word, path,
+       |  SELECT word, path, cost FROM (
+       |    SELECT word, path, cost,
        |      row_number() OVER (PARTITION BY word ORDER BY cost ASC, path ASC) AS rk
        |    FROM seg$r WHERE pos = len(word) + 1) q
        |  WHERE rk = 1
-       |), use$r AS MATERIALIZED (
+       |)
+       |""".stripMargin
+
+  private def trainRoundCtes(r: Int, prev: String): String =
+    enumCtes(r, prev) +
+    s""", use$r AS MATERIALIZED (
        |  SELECT piece, CAST(sum(f) AS BIGINT) AS u FROM (
        |    SELECT b.word, unnest(string_split(b.path, ' ')) AS piece
        |    FROM best$r b) s
@@ -295,6 +327,12 @@ object UnigramLm {
   /** The trainer replayed: substring seed, octave seed costs, then
     * [[TrainRounds]] unrolled rounds. */
   private def trainSql: String =
+    trainSqlPrefix + Util.wrap(
+      s"SELECT piece, usage, cost_micro FROM c$TrainRounds",
+      Seq("piece", "usage", "cost_micro"))
+
+  /** The shared CTE chain through the final piece table `c$TrainRounds`. */
+  private def trainSqlPrefix: String =
     s"""WITH RECURSIVE wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS f
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
@@ -317,13 +355,24 @@ object UnigramLm {
        |  FROM p0
        |)
        |""".stripMargin +
-      (1 to TrainRounds).map(r => trainRoundCtes(r, s"c${r - 1}")).mkString +
-      Util.wrap(
-        s"SELECT piece, usage, cost_micro FROM c$TrainRounds",
-        Seq("piece", "usage", "cost_micro"))
+      (1 to TrainRounds).map(r => trainRoundCtes(r, s"c${r - 1}")).mkString
+
+  /** The train chain + one more enumeration round against the FINAL
+    * costs — [[segmentsWith]] over the trained table, never trusting
+    * either DP. */
+  private def trainSegmentSql: String = {
+    val r = TrainRounds + 1
+    trainSqlPrefix + enumCtes(r, s"c$TrainRounds") + Util.wrap(
+      s"""SELECT word, path AS pieces,
+         |  CAST(len(path) - len(replace(path, ' ', '')) + 1 AS BIGINT) AS n_pieces,
+         |  cost AS cost_micro
+         |FROM best$r""".stripMargin,
+      Seq("word"))
+  }
 
   def oracle: Map[String, String] = Map(
     "text_unigram_train" -> trainSql,
+    "text_unigram_train_segment" -> trainSegmentSql,
 
     "text_unigram_segment" -> (segCte + Util.wrap(
       """SELECT word, path AS pieces,
