@@ -761,6 +761,75 @@ object TrainingShards {
       .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
         col("pack_seq"))
 
+  /** TAKEDOWN EXECUTION over immutable shipped containers: a tombstone
+    * part. Containers are never rewritten by design (a training job may
+    * have already consumed them), so removal is a record, not a rewrite —
+    * the tombstoned documents' spans stop appearing in [[activeSpans]],
+    * which is the loss-mask feed a training job reads; the tokens remain
+    * in the files but carry zero loss weight, the standard posture for
+    * post-hoc takedowns on shipped pretraining data (re-shipping clean
+    * containers is a REBUILD, a corpus-sized decision this record makes
+    * auditable and deferrable). The part is `ingest_batch`-partitioned
+    * like every appendable part — idempotent under replay (dynamic
+    * overwrite of its own batch), grown per takedown batch, compactable
+    * via [[ArtifactCompaction]]. */
+  def addTombstones(spark: SparkSession, dir: String, docIds: DataFrame,
+                    ingestBatch: Long): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(s"$dir/tombstones")
+
+  /** Every tombstoned doc id, across all takedown batches (empty frame if
+    * no takedown ever happened). */
+  def readTombstones(spark: SparkSession, dir: String): DataFrame =
+    (try spark.read.parquet(s"$dir/tombstones")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).exists(c =>
+          c.startsWith("PATH_NOT_FOUND") ||
+            c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("ingest_batch"))
+    }).select(col("doc_id")).distinct()
+
+  /** The span table minus tombstoned documents — what a loss-masking
+    * training job actually reads: pack positions NOT covered by an
+    * active span carry zero loss weight (padding tail and tombstoned
+    * spans alike). One anti-join against the (tiny) tombstone set. */
+  def activeSpans(spark: SparkSession, dir: String): DataFrame =
+    readPackedSpans(spark, dir)
+      .join(readTombstones(spark, dir), Seq("doc_id"), "left_anti")
+      // USING-join moves the key first; keep the span table's schema
+      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
+        col("n_tokens"))
+
+  /** Persist epoch read-order manifests as FILES next to the store —
+    * `$dir/epochs/epoch=E/`, one epoch per partition, rows RANGE-SORTED
+    * on `ord_key`: Spark's sort is a range repartition + per-partition
+    * sort, so the part files' lexicographic name order IS the global
+    * read order and a training job consumes `part-00000, part-00001, …`
+    * sequentially without any client-side sort. Dynamic partition
+    * overwrite per epoch (regenerating an epoch is idempotent; other
+    * epochs untouched). Derived from the manifest alone — writing a new
+    * epoch's manifest touches zero container bytes. */
+  def writeEpochManifests(spark: SparkSession, dir: String,
+                          epochs: Seq[Long]): Unit =
+    epochs.foreach { e =>
+      epochReadOrder(spark, dir, e)
+        .sort(col("ord_key"), col("pack_seq"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(s"$dir/epochs")
+    }
+
+  /** One stored epoch manifest, read back. */
+  def readEpochManifest(spark: SparkSession, dir: String,
+                        epoch: Long): DataFrame =
+    spark.read.parquet(s"$dir/epochs")
+      .filter(col("epoch").cast("long") === epoch)
+      .select(col("ord_key"), col("shard"), col("pos"), col("pack_seq"))
+
   /** Compact the packed store's per-batch METADATA parts — spans and the
     * tokenizer vocab — merging `ingest_batch <= upTo` partitions into one
     * ([[ArtifactCompaction]]'s offline/committed contract; readers filter
@@ -780,6 +849,10 @@ object TrainingShards {
                             upTo: Long): Unit = {
     ArtifactCompaction.compactPart(spark, s"$dir/spans", upTo)
     ArtifactCompaction.compactPart(spark, s"$dir/tokenizer/vocab", upTo)
+    // tombstones exist only once a takedown happened
+    val t = new Path(s"$dir/tombstones")
+    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
+      ArtifactCompaction.compactPart(spark, s"$dir/tombstones", upTo)
     ()
   }
 
@@ -902,6 +975,18 @@ object TrainingShards {
     "doc_shards_takedown" -> ((s, dir) =>
       Util.orderAll(packsContaining(s, packedStoreFor(s, dir),
         docs(s, dir).filter(col("doc_id") % 11 === 0).select("doc_id")))),
+    // takedown EXECUTED: tombstone a doc set, read back the ACTIVE spans
+    // (the loss-mask feed) — shipped containers untouched, the removal is
+    // a record the reader honors. Safe on the shared memo store: no other
+    // consumer reads the tombstones part, and the write is replay-
+    // idempotent (dynamic overwrite of its own batch)
+    "doc_shards_tombstoned" -> ((s, dir) => {
+      val store = packedStoreFor(s, dir)
+      addTombstones(s, store,
+        docs(s, dir).filter(col("doc_id") % 13 === 0).select("doc_id"),
+        ingestBatch = 1L)
+      Util.orderAll(activeSpans(s, store))
+    }),
     // decontamination applied to ALREADY-PACKED data — the r12 verdict's
     // named gap ("doc_decontaminate can't be applied to packed data"):
     // the contamination report's doc ids flow through the span table to
@@ -1001,6 +1086,14 @@ object TrainingShards {
          |  ON lay.doc_id = s.pack_seq
          |WHERE s.doc_id % 11 = 0""".stripMargin,
       Seq("doc_id", "pack_seq", "shard", "pos", "start_pos", "n_tokens"))),
+
+    // active spans after a takedown = the span chain minus the
+    // tombstoned ids — the reader-side law as one statement
+    "doc_shards_tombstoned" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") + Util.wrap(
+      """SELECT pack_seq, doc_id, start_pos, n_tokens FROM spn
+        |WHERE doc_id % 13 <> 0""".stripMargin,
+      Seq("pack_seq", "doc_id", "start_pos", "n_tokens"))),
 
     // packed decontamination: the SHARED doc_decontaminate chain elects
     // the contaminated ids; spans + layout map them to shipped units —

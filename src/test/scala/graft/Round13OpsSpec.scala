@@ -27,6 +27,34 @@ class Round13OpsSpec extends SparkSpec {
     out
   }
 
+  test("cumStartWithBounds is bucket-invariant for ARBITRARY boundary arrays — unsorted, duplicated, negative, out-of-range") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 1500).map { i =>
+      val src = if (i % 7 == 0) "small" else "bulk"
+      // unique by construction: the +i low bits break any modular collision
+      ((i.toLong * 2654435761L) % 1000000007L * 64 + i, src, (i % 13) + 1L)
+    }
+    val df = rows.toDF("doc_id", "source", "n")
+    val naive = df.withColumn("cum_start",
+      (sum($"n").over(Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - $"n")
+        .cast("long"))
+      .collect().map(_.toString).sorted.toSeq
+    // bucket = #boundaries <= id is monotone in the id for ANY multiset
+    // of longs — sortedness, duplicates, sign, and range are all balance
+    // knobs, never correctness ones (what makes STALE stored bounds safe)
+    val cases = Seq(
+      Array.empty[Long],
+      Array(500000L, 100L, 500000L, -77L, Long.MaxValue, 999999999L),
+      Array(-1L, -2L, -3L),
+      Array.tabulate(64)(i => (i.toLong * 7919L) % 1000003L))
+    cases.zipWithIndex.foreach { case (bounds, i) =>
+      val got = graft.operators.PrefixSum.cumStartWithBounds(df, "n", bounds)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == naive, s"prefix sum diverged for boundary case $i")
+    }
+  }
+
   test("spans tile every pack exactly: contiguous from 0, sums equal the decoded token counts, build AND append batches") {
     val spans = TrainingShards.readPackedSpans(spark, store)
       .as[(Long, Long, Long, Long)].collect()
@@ -100,6 +128,79 @@ class Round13OpsSpec extends SparkSpec {
     val ord2 = e2.sortBy(_._2).map(_._5).toSeq
     assert(ord1 != ord2, "epoch 1 and 2 produced the same read order")
     assert(ord1.toSet == ord2.toSet, "epochs must cover the same pack set")
+  }
+
+  test("tombstones: active spans shrink cumulatively, replays are no-ops, containers untouched, the part compacts") {
+    val d = docs3
+    val out = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+    TrainingShards.writePackedTokenShards(d, out, 4, 3, 64)
+    def zipBytes(): Map[String, Long] =
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".zip"))
+        .map(f => f.getName -> f.length()).toMap
+    val shipped = zipBytes()
+    def active() = TrainingShards.activeSpans(spark, out)
+      .collect().map(_.toString).sorted.toSeq
+    val all = TrainingShards.readPackedSpans(spark, out)
+    assert(active() == all.collect().map(_.toString).sorted.toSeq,
+      "no tombstones: active == all spans")
+    TrainingShards.addTombstones(spark, out,
+      d.filter($"doc_id" % 5 === 0).select("doc_id"), ingestBatch = 1L)
+    val after1 = active()
+    assert(after1 == all.filter($"doc_id" % 5 =!= 0)
+      .collect().map(_.toString).sorted.toSeq, "batch-1 takedown wrong")
+    // replay: same batch id, identical outcome
+    TrainingShards.addTombstones(spark, out,
+      d.filter($"doc_id" % 5 === 0).select("doc_id"), ingestBatch = 1L)
+    assert(active() == after1, "replayed takedown changed the result")
+    // second takedown batch composes cumulatively
+    TrainingShards.addTombstones(spark, out,
+      d.filter($"doc_id" % 7 === 0).select("doc_id"), ingestBatch = 2L)
+    val after2 = active()
+    assert(after2 == all.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 7 =!= 0)
+      .collect().map(_.toString).sorted.toSeq, "cumulative takedown wrong")
+    // the removal is a record: not one shipped container byte changed
+    assert(zipBytes() == shipped, "takedown must not rewrite containers")
+    // the tombstone part is an ingest_batch part like any other: compacts
+    TrainingShards.addTombstones(spark, out,
+      d.filter($"doc_id" % 11 === 0).select("doc_id"), ingestBatch = 3L)
+    TrainingShards.compactPackedMetadata(spark, out, upTo = 3L)
+    assert(partitionDirs(out, "tombstones") == Seq("ingest_batch=3"))
+    assert(active() == all.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 7 =!= 0
+        && $"doc_id" % 11 =!= 0)
+      .collect().map(_.toString).sorted.toSeq, "compacted takedown wrong")
+  }
+
+  test("stored epoch manifests: content == the derived order, part-file name order IS the global ord_key order, per-epoch overwrite idempotent") {
+    import org.apache.spark.sql.functions.input_file_name
+    TrainingShards.writeEpochManifests(spark, store, Seq(1L, 2L))
+    for (e <- Seq(1L, 2L)) {
+      val stored = TrainingShards.readEpochManifest(spark, store, e)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val derived = TrainingShards.epochReadOrder(spark, store, e)
+        .select($"ord_key", $"shard", $"pos", $"pack_seq")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(stored == derived, s"epoch $e manifest content diverged")
+      // the files ARE the order: per-file ord_key ranges, sorted by file
+      // name, must be ascending and non-overlapping (range partitioning)
+      val ranges = spark.read.parquet(s"$store/epochs")
+        .filter($"epoch" === e)
+        .select(input_file_name().as("f"), $"ord_key")
+        .groupBy($"f").agg(min($"ord_key").as("lo"), max($"ord_key").as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2,
+          s"epoch $e: file ranges overlap out of name order ($a vs $b)")
+        case _ => ()
+      }
+    }
+    // regenerating one epoch rewrites only its partition, bit-identically
+    val e2Before = TrainingShards.readEpochManifest(spark, store, 2L)
+      .collect().map(_.toString).sorted.toSeq
+    TrainingShards.writeEpochManifests(spark, store, Seq(1L))
+    assert(TrainingShards.readEpochManifest(spark, store, 2L)
+      .collect().map(_.toString).sorted.toSeq == e2Before,
+      "regenerating epoch 1 must not touch epoch 2")
   }
 
   test("takedown consumer: packsContaining finds exactly the spans' packs for the target docs") {
