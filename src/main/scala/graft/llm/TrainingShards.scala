@@ -799,7 +799,9 @@ object TrainingShards {
     * spans alike). One anti-join against the (tiny) tombstone set. */
   def activeSpans(spark: SparkSession, dir: String): DataFrame =
     readPackedSpans(spark, dir)
-      .join(readTombstones(spark, dir), Seq("doc_id"), "left_anti")
+      // broadcast: the tombstone set is takedown-request-sized by nature;
+      // the spans side is corpus-sized and must not shuffle for it
+      .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
       // USING-join moves the key first; keep the span table's schema
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
         col("n_tokens"))
@@ -867,7 +869,9 @@ object TrainingShards {
     // layout derivation (review-caught double collect)
     val mb = manifestBatches(spark, dir)
     spansFrom(spark, dir, mb.map(_._1))
-      .join(docIds.select(col("doc_id")).distinct(), "doc_id")
+      // broadcast: a takedown/provenance target set is small by nature;
+      // the span table is corpus-sized and must not shuffle for it
+      .join(broadcast(docIds.select(col("doc_id")).distinct()), "doc_id")
       .join(locationsFrom(spark, mb), "pack_seq")
       .select(col("doc_id"), col("pack_seq"), col("shard"), col("pos"),
         col("start_pos"), col("n_tokens"))

@@ -810,4 +810,38 @@ class PlanAuditSpec extends SparkSpec {
       s"packedTokenRows funnels a whole source through one window task:\n$pr")
     assert(pr.contains("__bkt"), s"packedTokenRows lost the bucketed prefix sum:\n$pr")
   }
+
+  test("packed-store metadata consumers: no unpartitioned window, tiny sides broadcast, spans never shuffle for the tombstone/target set") {
+    import graft.llm.TrainingShards
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-pk").toString
+    TrainingShards.writePackedTokenShards(
+      Tables.documents(spark, sf).limit(40), out, 4, 2, 64)
+    TrainingShards.addTombstones(spark, out,
+      spark.range(3).select(org.apache.spark.sql.functions.col("id").as("doc_id")),
+      ingestBatch = 1L)
+    // packLocations' one window partitions by shard — a shard is bounded
+    // by the writer's own non-ZIP64 cap, so no unpartitioned window may
+    // appear anywhere in the consumer plans
+    val unpart = """windowspecdefinition\((?!\w+#)""".r // window with no partition cols
+    for ((name, df) <- Seq(
+      "packLocations" -> TrainingShards.packLocations(spark, out),
+      "epochReadOrder" -> TrainingShards.epochReadOrder(spark, out, 1L),
+      "activeSpans" -> TrainingShards.activeSpans(spark, out),
+      "packsContaining" -> TrainingShards.packsContaining(spark, out,
+        spark.range(3).select(org.apache.spark.sql.functions.col("id").as("doc_id"))))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(unpart.findFirstIn(p).isEmpty,
+        s"$name grew an unpartitioned window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name grew a cartesian:\n$p")
+    }
+    // the corpus-sized span table must not exchange for the tiny sides
+    for ((name, df) <- Seq(
+      "activeSpans" -> TrainingShards.activeSpans(spark, out),
+      "packsContaining" -> TrainingShards.packsContaining(spark, out,
+        spark.range(3).select(org.apache.spark.sql.functions.col("id").as("doc_id"))))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$name must broadcast its takedown-sized side:\n$p")
+    }
+  }
 }
