@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   * batch, exactly like replaying into any LSM level that was merged away.
   * Run it when the maintainer's checkpoint is past `upTo` (for streaming
   * stores: between restarts, or on batch ids the checkpoint has
-  * committed), with no concurrent writer. Not crash-atomic: the rewrite
-  * is tmp-write → delete-old → rename, and a crash between the last two
-  * steps leaves the part missing its compacted rows with the complete
-  * replacement sitting in `_tmp-compact` (underscore-invisible to
-  * readers) for manual recovery; a leftover tmp dir makes the next run
-  * fail fast instead of compounding.
+  * committed), with no concurrent writer.
+  *
+  * Crash-RECOVERABLE (not atomic): the rewrite is tmp-write → plan-marker
+  * → delete-old → rename → plan-delete, and the next `compactPart` call
+  * rolls the protocol forward or back from any crash point. The plan
+  * marker (`_compact-plan`, holding upTo) is written only after the tmp
+  * copy is COMPLETE, so: tmp without plan = incomplete copy → discarded
+  * and redone; tmp with plan = complete copy mid-swap → remaining deletes
+  * re-run (idempotent) and the rename finished; plan without tmp = crash
+  * after the rename → nothing left to do but drop the marker. Readers
+  * never see the underscore-prefixed tmp/plan names, and every visible
+  * intermediate state is either the old partitions or the merged one.
   *
   * Reads are unaffected by construction: every consumer of these parts
   * either projects its columns explicitly (ingest_batch never reaches an
@@ -49,9 +55,8 @@ object ArtifactCompaction {
     val base = new Path(partPath)
     val fs = base.getFileSystem(hconf)
     val tmp = new Path(base, "_tmp-compact")
-    require(!fs.exists(tmp),
-      s"$partPath: leftover _tmp-compact from a crashed compaction — " +
-        "recover or delete it before compacting again")
+    val plan = new Path(base, "_compact-plan")
+    recover(fs, base, tmp, plan)
     val parts = fs.listStatus(base)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
     val old = parts.filter(
@@ -68,18 +73,56 @@ object ArtifactCompaction {
       .drop("ingest_batch")
       .coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    // the plan marker commits the protocol: from here a crash rolls
+    // FORWARD (the tmp copy is complete); before it, a crash discards tmp
+    writePlan(fs, plan, upTo)
+    swap(fs, base, tmp, plan, upTo)
+    old.length
+  }
+
+  /** delete-old → rename → plan-delete, every step idempotent under
+    * re-execution (the roll-forward body). */
+  private def swap(fs: org.apache.hadoop.fs.FileSystem, base: Path,
+                   tmp: Path, plan: Path, upTo: Long): Unit = {
     // require-checked deletes: FileSystem.delete returns false (rather
     // than throwing) for several failure modes, and proceeding past one
     // would leave the original partition ALONGSIDE its merged copy —
     // every read double-counts, and if the survivor is ingest_batch=upTo
     // itself the rename below would nest the tmp dir INSIDE it
     // (review-caught)
-    old.foreach(s => require(fs.delete(s.getPath, true),
-      s"$partPath: delete of ${s.getPath.getName} failed — aborting " +
-        "before the compacted rename (data still complete in _tmp-compact)"))
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch="))
+      .filter(_.getPath.getName.stripPrefix("ingest_batch=").toLong <= upTo)
+      .foreach(s => require(fs.delete(s.getPath, true),
+        s"$base: delete of ${s.getPath.getName} failed — aborting before " +
+          "the compacted rename (data still complete in _tmp-compact)"))
     require(fs.rename(tmp, new Path(base, s"ingest_batch=$upTo")),
-      s"$partPath: rename of the compacted partition failed")
-    old.length
+      s"$base: rename of the compacted partition failed")
+    require(fs.delete(plan, false), s"$base: plan-marker delete failed")
+  }
+
+  private def writePlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path,
+                        upTo: Long): Unit = {
+    val out = fs.create(plan, true)
+    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readPlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path): Long = {
+    val in = fs.open(plan)
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  /** Roll a crashed compaction forward or back — called at the top of
+    * every [[compactPart]], so the operation is restartable from any
+    * crash point. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, base: Path,
+                      tmp: Path, plan: Path): Unit = {
+    val (t, p) = (fs.exists(tmp), fs.exists(plan))
+    if (t && p) swap(fs, base, tmp, plan, readPlan(fs, plan)) // complete copy mid-swap: forward
+    else if (t) require(fs.delete(tmp, true), // incomplete copy: discard
+      s"$base: discard of an incomplete _tmp-compact failed")
+    else if (p) require(fs.delete(plan, false), // crash after rename: done
+      s"$base: stale plan-marker delete failed")
   }
 
   /** Default compaction watermark: max(ingest_batch) present MINUS ONE.

@@ -154,6 +154,13 @@ class Round12OpsSpec extends SparkSpec {
       batched, 4, ingestBatch = 2L)
     assert(packedDecoded(streamed) == packedDecoded(batched),
       "streamed packed store != batch-append packed store")
+    // r13: the span metadata is part of the store contract — the
+    // maintainer's spans must equal the batch appends' spans too
+    def spansOf(p: String) = TrainingShards.readPackedSpans(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spansOf(streamed) == spansOf(batched),
+      "streamed spans != batch-append spans")
+    assert(spansOf(streamed).nonEmpty)
   }
 
   // ------------------------------------- stored-artifact curation twins

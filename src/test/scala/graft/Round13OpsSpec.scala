@@ -350,11 +350,38 @@ class Round13OpsSpec extends SparkSpec {
       "default compaction must stop before the newest batch")
     parts.zip(beforeDefault).foreach { case (p, b) =>
       assert(partRows(pA, p) == b, s"default compaction changed part $p") }
-    // leftover-tmp fail-fast: a crashed compaction must not compound
+    // crash recovery, all three protocol states:
+    // (a) tmp WITHOUT plan marker = incomplete copy — discarded, the
+    // compaction redone cleanly from the live partitions
     new java.io.File(s"$pB/nodes/_tmp-compact").mkdirs()
-    intercept[IllegalArgumentException] {
-      Dedup.compactDedupArtifact(spark, pB, upTo = 3L)
-    }
+    val pbNodes = partRows(pB, "nodes")
+    Dedup.compactDedupArtifact(spark, pB, upTo = 3L)
+    assert(!new java.io.File(s"$pB/nodes/_tmp-compact").exists())
+    assert(partitionDirs(pB, "nodes") == Seq("ingest_batch=3"))
+    assert(partRows(pB, "nodes") == pbNodes, "recovery (a) changed rows")
+    // (b) plan marker WITHOUT tmp = crash after the rename — the marker
+    // is dropped and the part is already in its final state
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$pB/nodes/_compact-plan"), "3".getBytes)
+    Dedup.compactDedupArtifact(spark, pB, upTo = 3L)
+    assert(!new java.io.File(s"$pB/nodes/_compact-plan").exists())
+    assert(partRows(pB, "nodes") == pbNodes, "recovery (b) changed rows")
+    // (c) tmp WITH plan marker = complete copy crashed mid-swap (one old
+    // partition already deleted) — rolled FORWARD to the merged state
+    val paNodes = partRows(pA, "nodes")
+    spark.read.parquet(s"$pA/nodes")
+      .filter($"ingest_batch".cast("long") <= 3L).drop("ingest_batch")
+      .coalesce(1).write.parquet(s"$pA/nodes/_tmp-compact")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$pA/nodes/_compact-plan"), "3".getBytes)
+    val fsl = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fsl.delete(
+      new org.apache.hadoop.fs.Path(s"$pA/nodes/ingest_batch=2"), true))
+    Dedup.compactDedupArtifact(spark, pA, upTo = 3L)
+    assert(partitionDirs(pA, "nodes") == Seq("ingest_batch=3"))
+    assert(partRows(pA, "nodes") == paNodes,
+      "mid-swap roll-forward lost or duplicated rows")
   }
 
   test("IVF / IVF-PQ index compaction: queries bit-identical, partitions merged, post-compaction append identical") {
