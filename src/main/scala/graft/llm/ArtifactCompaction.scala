@@ -101,10 +101,18 @@ object ArtifactCompaction {
     require(fs.delete(plan, false), s"$base: plan-marker delete failed")
   }
 
+  /** The marker must appear ATOMICALLY with its payload: fs.create makes
+    * the name visible before a byte lands, so a crash mid-write would
+    * leave an empty/truncated plan that either wedges recovery (parse
+    * failure) or rolls forward with the WRONG upTo (review-caught) —
+    * write under a staging name and rename into place (the atomic step). */
   private def writePlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path,
                         upTo: Long): Unit = {
-    val out = fs.create(plan, true)
+    val staging = plan.suffix(".staging")
+    val out = fs.create(staging, true)
     try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staging, plan),
+      s"$plan: atomic plan-marker rename failed")
   }
 
   private def readPlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path): Long = {
@@ -117,6 +125,10 @@ object ArtifactCompaction {
     * crash point. */
   private def recover(fs: org.apache.hadoop.fs.FileSystem, base: Path,
                       tmp: Path, plan: Path): Unit = {
+    // a crashed writePlan leaves only the staging name — scrap, never read
+    val staging = plan.suffix(".staging")
+    if (fs.exists(staging)) require(fs.delete(staging, false),
+      s"$base: discard of a stale plan-staging file failed")
     val (t, p) = (fs.exists(tmp), fs.exists(plan))
     if (t && p) swap(fs, base, tmp, plan, readPlan(fs, plan)) // complete copy mid-swap: forward
     else if (t) require(fs.delete(tmp, true), // incomplete copy: discard

@@ -838,7 +838,7 @@ object Dedup {
     try spark.read.parquet(s"$path/$p")
     catch {
       case e: org.apache.spark.sql.AnalysisException
-        if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        if graft.Util.missingParquet(e) =>
         like.limit(0).withColumn("ingest_batch", lit(0L))
     }
 
@@ -868,7 +868,7 @@ object Dedup {
       try spark.read.parquet(s"$path/pairs")
       catch {
         case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          if graft.Util.missingParquet(e) =>
           spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
             col("id").cast("double").as("jaccard"))
       }).localCheckpoint(eager = true)

@@ -779,9 +779,7 @@ object Similarity {
         .headOption.map(r => (r.getDouble(0), r.getLong(1)))
     } catch {
       case e: org.apache.spark.sql.AnalysisException
-        if Option(e.getCondition).exists(c =>
-          c.startsWith("PATH_NOT_FOUND") ||
-            c.startsWith("UNABLE_TO_INFER_SCHEMA")) => None
+        if graft.Util.missingParquet(e) => None
     }
 
   /** Delete a stored recall row — every index (re)build starts here. */

@@ -491,7 +491,7 @@ object TrainingShards {
       try spark.read.parquet(s"$dir/tokenizer/vocab")
       catch {
         case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+          if graft.Util.missingParquet(e) =>
           spark.range(0).select(col("id").cast("string").as("sym"),
             col("id").as("token_id"), col("id").as("ingest_batch"))
       })
@@ -786,9 +786,7 @@ object TrainingShards {
     (try spark.read.parquet(s"$dir/tombstones")
     catch {
       case e: org.apache.spark.sql.AnalysisException
-        if Option(e.getCondition).exists(c =>
-          c.startsWith("PATH_NOT_FOUND") ||
-            c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        if graft.Util.missingParquet(e) =>
         spark.range(0).select(col("id").as("doc_id"),
           col("id").as("ingest_batch"))
     }).select(col("doc_id")).distinct()
@@ -816,14 +814,26 @@ object TrainingShards {
     * epochs untouched). Derived from the manifest alone — writing a new
     * epoch's manifest touches zero container bytes. */
   def writeEpochManifests(spark: SparkSession, dir: String,
-                          epochs: Seq[Long]): Unit =
-    epochs.foreach { e =>
-      epochReadOrder(spark, dir, e)
-        .sort(col("ord_key"), col("pack_seq"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch").parquet(s"$dir/epochs")
-    }
+                          epochs: Seq[Long]): Unit = {
+    import spark.implicits._
+    // ONE job for all requested epochs: the layout is derived once and
+    // cross-joined with the (tiny, broadcast) epoch list; sorting by
+    // (epoch, ord_key) range-partitions with epoch leading, so within
+    // each epoch's partition dir the part-file name order is still the
+    // ord_key order (review-caught: the per-epoch loop re-derived the
+    // layout and ran a full sorted write per epoch)
+    val eDf = epochs.distinct.toDF("epoch")
+    locationsFrom(spark, manifestBatches(spark, dir))
+      .crossJoin(broadcast(eDf))
+      .withColumn("ord_key",
+        expr(TextAnalysis.lehmerKeySql("(pack_seq + epoch * 999983)")))
+      .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
+        col("pack_seq"))
+      .sort(col("epoch"), col("ord_key"), col("pack_seq"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$dir/epochs")
+  }
 
   /** One stored epoch manifest, read back. */
   def readEpochManifest(spark: SparkSession, dir: String,
@@ -843,18 +853,48 @@ object TrainingShards {
     * would destroy exactly the per-batch granularity the zero-decode
     * layout replay depends on. Container files are immutable shipped
     * artifacts and are never rewritten by design. */
-  def compactPackedMetadata(spark: SparkSession, dir: String): Unit =
-    compactPackedMetadata(spark, dir,
-      ArtifactCompaction.defaultWatermark(spark, s"$dir/spans"))
+  def compactPackedMetadata(spark: SparkSession, dir: String): Unit = {
+    val ids = manifestBatches(spark, dir).map(_._1)
+    require(ids.length >= 2,
+      "compactPackedMetadata: nothing safely compactable — need at least " +
+        "two committed batches (the newest is excluded: present ≠ committed " +
+        "for the stream checkpoint, and its replay must stay idempotent)")
+    compactPackedMetadata(spark, dir, ids.init.max)
+  }
 
   def compactPackedMetadata(spark: SparkSession, dir: String,
                             upTo: Long): Unit = {
-    ArtifactCompaction.compactPart(spark, s"$dir/spans", upTo)
-    ArtifactCompaction.compactPart(spark, s"$dir/tokenizer/vocab", upTo)
-    // tombstones exist only once a takedown happened
-    val t = new Path(s"$dir/tombstones")
-    if (t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t))
-      ArtifactCompaction.compactPart(spark, s"$dir/tombstones", upTo)
+    // SNAP the merge target to a COMMITTED manifest batch id ≤ upTo:
+    // spans are read through an isin(manifest batches) gate, so merging
+    // into a non-committed id would make the whole compacted span history
+    // invisible, and a vocab partition at an id ≥ the next append's batch
+    // would fail its `ingest_batch < ingestBatch` filter and restart the
+    // token-id space over shipped containers (review-caught). Batch ids
+    // below the max committed are committed themselves (the maintainer
+    // replays a batch id until it commits before moving on).
+    val committed = manifestBatches(spark, dir).map(_._1).filter(_ <= upTo)
+    require(committed.nonEmpty,
+      s"compactPackedMetadata: no committed batch <= $upTo")
+    val target = committed.max
+    ArtifactCompaction.compactPart(spark, s"$dir/spans", target)
+    ArtifactCompaction.compactPart(spark, s"$dir/tokenizer/vocab", target)
+    ()
+  }
+
+  /** Tombstone-part compaction — SEPARATE from the store metadata because
+    * takedown batch ids live in their own sequence (a takedown is not a
+    * corpus ingest): the committed watermark must come from the tombstone
+    * part itself, or the newest (possibly torn) takedown batch would be
+    * merged and its replay would dynamic-overwrite the merged partition —
+    * silently resurrecting earlier takedowns (review-caught). The no-arg
+    * form excludes the newest on-disk takedown batch; pass `upTo`
+    * explicitly when the newest is known durably applied. */
+  def compactTombstones(spark: SparkSession, dir: String): Unit =
+    compactTombstones(spark, dir,
+      ArtifactCompaction.defaultWatermark(spark, s"$dir/tombstones"))
+
+  def compactTombstones(spark: SparkSession, dir: String, upTo: Long): Unit = {
+    ArtifactCompaction.compactPart(spark, s"$dir/tombstones", upTo)
     ()
   }
 

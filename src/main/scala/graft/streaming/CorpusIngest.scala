@@ -286,9 +286,7 @@ object CorpusIngest {
         spark.read.parquet(s"$sd/manifest"); true
       } catch {
         case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).exists(c =>
-            c.startsWith("PATH_NOT_FOUND") ||
-              c.startsWith("UNABLE_TO_INFER_SCHEMA")) => false
+          if graft.Util.missingParquet(e) => false
       }
       if (!seeded)
         graft.llm.TrainingShards.writeTrainingShards(

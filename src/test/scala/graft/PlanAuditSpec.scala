@@ -821,8 +821,12 @@ class PlanAuditSpec extends SparkSpec {
       ingestBatch = 1L)
     // packLocations' one window partitions by shard — a shard is bounded
     // by the writer's own non-ZIP64 cap, so no unpartitioned window may
-    // appear anywhere in the consumer plans
-    val unpart = """windowspecdefinition\((?!\w+#)""".r // window with no partition cols
+    // appear anywhere in the consumer plans. Match the partition-less
+    // shape POSITIVELY (first argument is an ORDER column, i.e. followed
+    // by ASC/DESC) — the line-799 idiom; a negative lookahead on \w+#
+    // can never fire because every window's first arg is a column ref
+    // (review-caught vacuous assertion).
+    val unpart = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
     for ((name, df) <- Seq(
       "packLocations" -> TrainingShards.packLocations(spark, out),
       "epochReadOrder" -> TrainingShards.epochReadOrder(spark, out, 1L),

@@ -163,7 +163,7 @@ class Round13OpsSpec extends SparkSpec {
     // the tombstone part is an ingest_batch part like any other: compacts
     TrainingShards.addTombstones(spark, out,
       d.filter($"doc_id" % 11 === 0).select("doc_id"), ingestBatch = 3L)
-    TrainingShards.compactPackedMetadata(spark, out, upTo = 3L)
+    TrainingShards.compactTombstones(spark, out, upTo = 3L)
     assert(partitionDirs(out, "tombstones") == Seq("ingest_batch=3"))
     assert(active() == all.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 7 =!= 0
         && $"doc_id" % 11 =!= 0)
