@@ -170,6 +170,37 @@ class Round13OpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq, "compacted takedown wrong")
   }
 
+  test("streaming tombstone maintainer: stream of takedown requests == explicit tombstone batches, forced replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val d = docs3
+    val out = java.nio.file.Files.createTempDirectory("graft-st-tomb").toString
+    val twin = java.nio.file.Files.createTempDirectory("graft-bt-tomb").toString
+    TrainingShards.writePackedTokenShards(d, out, 4, 3, 64)
+    TrainingShards.writePackedTokenShards(d, twin, 4, 3, 64)
+    val r1 = d.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect().toSeq
+    val r2 = d.filter($"doc_id" % 7 === 0).select($"doc_id").as[Long].collect().toSeq
+    val mem = MemoryStream[Long](spark)
+    val q = streaming.StreamingTombstones.run(
+      mem.toDF().toDF("doc_id"), out,
+      java.nio.file.Files.createTempDirectory("graft-st-tomb-ck").toString)
+    try {
+      mem.addData(r1: _*); q.processAllAvailable()
+      mem.addData(r2: _*); q.processAllAvailable()
+    } finally q.stop()
+    TrainingShards.addTombstones(spark, twin, r1.toDF("doc_id"), ingestBatch = 1L)
+    TrainingShards.addTombstones(spark, twin, r2.toDF("doc_id"), ingestBatch = 2L)
+    def active(p: String) = TrainingShards.activeSpans(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(active(out) == active(twin),
+      "streamed takedowns != explicit tombstone batches")
+    assert(active(out).size < TrainingShards.readPackedSpans(spark, out).count(),
+      "vacuous: takedowns removed nothing")
+    // forced same-batch replay rewrites bit-identically
+    val before = active(out)
+    TrainingShards.addTombstones(spark, out, r2.toDF("doc_id"), ingestBatch = 2L)
+    assert(active(out) == before, "replayed takedown batch mutated the record")
+  }
+
   test("stored epoch manifests: content == the derived order, part-file name order IS the global ord_key order, per-epoch overwrite idempotent") {
     import org.apache.spark.sql.functions.input_file_name
     TrainingShards.writeEpochManifests(spark, store, Seq(1L, 2L))
