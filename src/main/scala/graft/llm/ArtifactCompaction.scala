@@ -46,9 +46,17 @@ import org.apache.spark.sql.functions._
   * an append landing after the compaction. */
 object ArtifactCompaction {
 
-  /** Rewrite partitions `ingest_batch <= upTo` of one part into the
-    * single partition `ingest_batch=upTo`. Returns the number of
-    * partition dirs merged (0 = nothing to do). */
+  /** Rewrite partitions `ingest_batch <= upTo` of one part into ONE
+    * partition. The merge target is SNAPPED to the largest EXISTING
+    * partition id <= upTo (mirroring
+    * [[TrainingShards.compactPackedMetadata]]'s snap-to-committed):
+    * batch-id sequences can have gaps (a maintainer that crashed before
+    * its first write, an ad-hoc caller that skipped ids), and merging
+    * into a never-committed id would relabel compacted history under a
+    * batch that never existed — harmless to column-projecting readers,
+    * but it breaks the "merged id is a real committed batch" property
+    * callers may rely on (advisor r13). Returns the number of partition
+    * dirs merged (0 = nothing to do). */
   private[llm] def compactPart(spark: SparkSession, partPath: String,
                                upTo: Long): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -62,6 +70,9 @@ object ArtifactCompaction {
     val old = parts.filter(
       _.getPath.getName.stripPrefix("ingest_batch=").toLong <= upTo)
     if (old.length <= 1) return 0
+    // snap: the merged partition always reuses a REAL existing batch id
+    val target = old.map(
+      _.getPath.getName.stripPrefix("ingest_batch=").toLong).max
     // file count from the bytes being merged — one ~128 MiB file per, the
     // parquet-scan-friendly size; never coalesce(1) (a 100 TB-scale part's
     // compaction must stay distributed)
@@ -69,14 +80,15 @@ object ArtifactCompaction {
       fs.getContentSummary(s.getPath).getLength).sum
     val nFiles = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     spark.read.parquet(partPath)
-      .filter(col("ingest_batch").cast("long") <= upTo)
+      .filter(col("ingest_batch").cast("long") <= target)
       .drop("ingest_batch")
       .coalesce(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // the plan marker commits the protocol: from here a crash rolls
-    // FORWARD (the tmp copy is complete); before it, a crash discards tmp
-    writePlan(fs, plan, upTo)
-    swap(fs, base, tmp, plan, upTo)
+    // FORWARD (the tmp copy is complete); before it, a crash discards tmp.
+    // It records the SNAPPED target — recovery must finish the same swap.
+    writePlan(fs, plan, target)
+    swap(fs, base, tmp, plan, target)
     old.length
   }
 
@@ -118,6 +130,22 @@ object ArtifactCompaction {
   private def readPlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path): Long = {
     val in = fs.open(plan)
     try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  /** Recovery alone, as an entry point: roll a crashed compaction of one
+    * part forward or back WITHOUT starting a new rewrite. The streaming
+    * maintainers run this on every micro-batch (two exists() probes when
+    * clean) — recovery must not wait for the next thresholded compaction,
+    * because a mid-swap crash leaves rows that exist ONLY in the
+    * `_tmp-compact` copy (their partitions already deleted), and every
+    * read between the crash and the roll-forward would silently miss
+    * them. A no-op when the part dir doesn't exist yet. */
+  private[graft] def recoverPart(spark: SparkSession, partPath: String): Unit = {
+    val base = new Path(partPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      recover(fs, base, new Path(base, "_tmp-compact"),
+        new Path(base, "_compact-plan"))
   }
 
   /** Roll a crashed compaction forward or back — called at the top of

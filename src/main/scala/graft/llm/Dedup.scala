@@ -767,7 +767,73 @@ object Dedup {
     pairs.write.mode("overwrite").parquet(s"$path/pairs")
     clustersFromPairs(nodes, pairs)
       .write.mode("overwrite").parquet(s"$path/clusters")
+    writeCoverage(docs.sparkSession, path, builtN = nodes.count(),
+      appendedN = 0L, staleFrac = 0.0, measuredAtBatch = 0L)
   }
+
+  /** MEASURED-COVERAGE record for the stored artifact — the ANN
+    * measured-recall convention applied to the other stored index: one
+    * row `(built_n, appended_n, stale_frac, measured_at_batch)` in its
+    * own `coverage` part (next to `params`, like the ANN `recall` part).
+    * `built_n` is the corpus size at mine time, `appended_n` the docs
+    * folded in since, and `stale_frac` the LABEL-CHURN fraction measured
+    * at the last maintenance: of the documents that carried a cluster
+    * label before the append, what fraction's label changed (straddle
+    * edges merge components, so previously-exported labels go stale even
+    * though the stored artifact itself is append≡rebuild exact). A
+    * `dedup_stored_*` consumer that cached labels gates on this the way
+    * an ANN consumer gates on measured recall. The row is a MEASUREMENT,
+    * not exactly-once state: a crash-replayed batch re-measures against
+    * the already-updated labels and records 0 churn — the growth
+    * component of the gate is unaffected. */
+  def dedupCoverage(spark: SparkSession,
+                    path: String): Option[(Long, Long, Double, Long)] =
+    try {
+      // named selects: the measuredRecall column-order discipline
+      spark.read.parquet(s"$path/coverage")
+        .select(col("built_n").cast("long"), col("appended_n").cast("long"),
+          col("stale_frac").cast("double"),
+          col("measured_at_batch").cast("long"))
+        .limit(1).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if graft.Util.missingParquet(e) => None
+    }
+
+  private def writeCoverage(spark: SparkSession, path: String, builtN: Long,
+                            appendedN: Long, staleFrac: Double,
+                            measuredAtBatch: Long): Unit = {
+    import spark.implicits._
+    Seq((builtN, appendedN, staleFrac, measuredAtBatch))
+      .toDF("built_n", "appended_n", "stale_frac", "measured_at_batch")
+      .write.mode("overwrite").parquet(s"$path/coverage")
+  }
+
+  /** Rebuild thresholds, documented: `growthFactor` 4.0 — per-append cost
+    * is O(increment × stored-band probe) and stays increment-shaped at any
+    * growth, but the pair/cluster swap and the straddle-join's stored side
+    * scale with the corpus, so once the artifact holds 4× its mine-time
+    * corpus a re-mine re-baselines those costs (and re-levels band-table
+    * skew). `maxStaleFrac` 0.2 — when a fifth of previously-exported
+    * labels churn in ONE maintenance, downstream caches (curation keeps,
+    * attribution tables) are badly served; a rebuild re-baselines
+    * `built_n` so the growth gate tracks the new corpus. Measured
+    * evidence (stale_frac) fires regardless of growth; with no coverage
+    * row (pre-upgrade store) only a missing-row `false` — the caller
+    * falls back to its own cadence. */
+  val DedupRebuildGrowth = 4.0
+  val DedupRebuildStaleFrac = 0.2
+
+  def dedupArtifactNeedsRebuild(spark: SparkSession, path: String,
+                                growthFactor: Double = DedupRebuildGrowth,
+                                maxStaleFrac: Double = DedupRebuildStaleFrac): Boolean =
+    dedupCoverage(spark, path) match {
+      case Some((builtN, appendedN, staleFrac, _)) =>
+        staleFrac > maxStaleFrac ||
+          (builtN + appendedN) > growthFactor * math.max(1L, builtN)
+      case None => false
+    }
 
   /** The per-document parts of the hashed artifact, written as ONE
     * `ingest_batch=` partition — the idempotency unit: a replayed
@@ -909,10 +975,35 @@ object Dedup {
     // (dynamic overwrite of ingest_batch=N — replay-idempotent)
     writeIncrementParts(newShid, newDocs.select(col("doc_id")), path,
       ingestBatch, dynamic = true)
+    val nodesNow = spark.read.parquet(s"$path/nodes").select("doc_id")
+    // ConnectedComponents returns an already-materialized (checkpointed)
+    // frame, so reusing it for the churn measurement below is free
+    val newClusters = clustersFromPairs(nodesNow, pairs)
+    // maintenance-time STALENESS measurement, taken BEFORE the cluster
+    // swap (the old labels are still on disk): of the docs labeled before
+    // this append, what fraction's label changed. One narrow corpus-sized
+    // join — within the cluster swap's own cost envelope.
+    val oldClusters = (
+      try spark.read.parquet(s"$path/clusters")
+        .select(col("doc_id"), col("cluster").as("old_cluster"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if graft.Util.missingParquet(e) =>
+          spark.range(0).select(col("id").as("doc_id"),
+            col("id").as("old_cluster"))
+      })
+    val m = newClusters.join(oldClusters, "doc_id")
+      .agg(count(lit(1)),
+        count(when(col("cluster") =!= col("old_cluster"), lit(1)))).head()
+    val staleFrac =
+      if (m.getLong(0) == 0L) 0.0 else m.getLong(1).toDouble / m.getLong(0)
     // swap the pair-table-sized derived parts
     pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    clustersFromPairs(spark.read.parquet(s"$path/nodes").select("doc_id"), pairs)
-      .write.mode("overwrite").parquet(s"$path/clusters")
+    newClusters.write.mode("overwrite").parquet(s"$path/clusters")
+    val builtN = dedupCoverage(spark, path).map(_._1).getOrElse(0L)
+    writeCoverage(spark, path, builtN,
+      appendedN = nodesNow.count() - builtN, staleFrac = staleFrac,
+      measuredAtBatch = ingestBatch)
   }
 
   /** Compact the hashed artifact's per-document parts: merge every

@@ -775,7 +775,15 @@ object Similarity {
   def measuredRecall(spark: SparkSession,
                      path: String): Option[(Double, Long)] =
     try {
-      spark.read.parquet(s"$path/recall").limit(1).collect()
+      // columns selected BY NAME: reading by ordinal would silently
+      // depend on the parquet file's column order, and a writer-side
+      // reorder of recordMeasuredRecall's toDF would swap recall and
+      // size — corrupting the rebuild gate with no error (advisor r13);
+      // indexNeedsRebuild's params read follows the same discipline
+      spark.read.parquet(s"$path/recall")
+        .select(col("measured_recall").cast("double"),
+          col("measured_at_n").cast("long"))
+        .limit(1).collect()
         .headOption.map(r => (r.getDouble(0), r.getLong(1)))
     } catch {
       case e: org.apache.spark.sql.AnalysisException

@@ -604,18 +604,23 @@ object TrainingShards {
     // min(budget, cum_start + n - pk*budget)). Counts-table-sized work —
     // the explode emits one row per straddle, and a document of n tokens
     // straddles at most n/budget + 1 packs.
+    // `source` rides along (stored in the spans part, projected away by
+    // readPackedSpans): the hard-delete REBUILD re-packs surviving token
+    // runs per source, and the spans row is the only store-resident record
+    // of which source a document's tokens were concatenated under
     val spans = counts.join(cum, "doc_id").join(broadcast(bases), "source")
       .withColumn("pk0", expr(s"cum_start div $budget"))
       .withColumn("pk1", expr(s"(cum_start + n_tokens - 1) div $budget"))
-      .select(col("doc_id"), col("cum_start"), col("n_tokens"),
-        col("pack_base"), col("pk0"),
+      .select(col("doc_id"), col("source"), col("cum_start"),
+        col("n_tokens"), col("pack_base"), col("pk0"),
         explode(sequence(col("pk0"), col("pk1"))).as("pk"))
       .select((col("pack_base") + col("pk")).as("pack_seq"), col("doc_id"),
         when(col("pk") === col("pk0"), col("cum_start") % budget)
           .otherwise(lit(0L)).cast("long").as("start_pos"),
         (least((col("pk") + 1) * budget, col("cum_start") + col("n_tokens"))
           - greatest(col("pk") * budget, col("cum_start")))
-          .cast("long").as("n_tokens"))
+          .cast("long").as("n_tokens"),
+        col("source"))
     PackLayout(packRows, spans)
   }
 
@@ -767,9 +772,11 @@ object TrainingShards {
     * the tombstoned documents' spans stop appearing in [[activeSpans]],
     * which is the loss-mask feed a training job reads; the tokens remain
     * in the files but carry zero loss weight, the standard posture for
-    * post-hoc takedowns on shipped pretraining data (re-shipping clean
+    * post-hoc takedowns on shipped pretraining data. Re-shipping clean
     * containers is a REBUILD, a corpus-sized decision this record makes
-    * auditable and deferrable). The part is `ingest_batch`-partitioned
+    * auditable and deferrable — and [[rebuildPackedStore]] executes it
+    * when a takedown legally requires the bytes gone, preserving this
+    * record as the audit part. The part is `ingest_batch`-partitioned
     * like every appendable part — idempotent under replay (dynamic
     * overwrite of its own batch), grown per takedown batch, compactable
     * via [[ArtifactCompaction]]. */
@@ -803,6 +810,56 @@ object TrainingShards {
       // USING-join moves the key first; keep the span table's schema
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
         col("n_tokens"))
+
+  /** PER-EPOCH TRAINING FEED — the artifact a loss-masking training
+    * loader actually reads: the epoch's read order joined with the ACTIVE
+    * (non-tombstoned) spans, one row per (pack, doc span) of epoch
+    * `epoch`, consumed in ascending `ord_key`. Output (epoch, ord_key,
+    * shard, pos, pack_seq, doc_id, start_pos, n_tokens): the loader walks
+    * packs in ord_key order, reads entry `pos` of container `shard`, and
+    * masks loss to the listed `[start_pos, start_pos + n_tokens)` spans —
+    * tombstoned documents' spans never appear, padding tails never
+    * appear, every active span appears exactly once per epoch
+    * (spec-pinned, plus equality with `readEpochManifest(epoch) ⋈
+    * activeSpans`).
+    *
+    * Plan shape (audited): ord_key and shard are PURE functions of
+    * pack_seq (the same Lehmer arithmetic the files were laid out under),
+    * so the corpus-sized span frame never shuffles for a manifest join —
+    * the batch table it needs is #batches rows, broadcast. The one
+    * exchange is the shard-partitioned window that replays the writer's
+    * per-shard pack counter — computed over the FULL committed span set
+    * BEFORE the tombstone anti-join (dense_rank over span rows: every
+    * pack carries ≥ 1 span, rows of one pack tie), because `pos` is a
+    * property of the shipped file layout and must not shift when a
+    * pack's only documents are tombstoned. */
+  def epochFeed(spark: SparkSession, dir: String, epoch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val mb = manifestBatches(spark, dir)
+    var base = 0L
+    val batches = mb.map { case (_, n, shardBase, nShards) =>
+      val row = (base, n, shardBase, nShards)
+      base += n
+      row
+    }
+    val bdf = batches.toSeq.toDF("pack_base", "n", "shard_base", "n_shards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey").asc, col("pack_seq").asc)
+    spansFrom(spark, dir, mb.map(_._1))
+      .join(broadcast(bdf), col("pack_seq") >= col("pack_base") &&
+        col("pack_seq") < col("pack_base") + col("n"))
+      .withColumn("skey", expr(TextAnalysis.lehmerKeySql("pack_seq")))
+      .withColumn("shard",
+        pmod(col("skey"), col("n_shards")) + col("shard_base"))
+      .withColumn("pos", dense_rank().over(w).cast("long"))
+      .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+      .select(lit(epoch).as("epoch"),
+        expr(TextAnalysis.lehmerKeySql(s"(pack_seq + $epoch * 999983)"))
+          .as("ord_key"),
+        col("shard"), col("pos"), col("pack_seq"), col("doc_id"),
+        col("start_pos"), col("n_tokens"))
+  }
 
   /** Persist epoch read-order manifests as FILES next to the store —
     * `$dir/epochs/epoch=E/`, one epoch per partition, rows RANGE-SORTED
@@ -915,6 +972,281 @@ object TrainingShards {
       .join(locationsFrom(spark, mb), "pack_seq")
       .select(col("doc_id"), col("pack_seq"), col("shard"), col("pos"),
         col("start_pos"), col("n_tokens"))
+  }
+
+  // ------------------------------------------------- hard-delete rebuild
+
+  /** Decoded packs as (pack_seq, tok) int arrays — the rebuild's byte
+    * source (committed containers only, the manifest gate). */
+  private def packedTokenArrays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(committedShardPaths(spark, dir): _*)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        ShardZip.entries(bytes).iterator.map { e =>
+          val d1 = e.name.indexOf('.')
+          val d2 = e.name.indexOf('.', d1 + 1)
+          val in = ShardZip.entryStream(bytes, e)
+          val data = try in.readAllBytes() finally in.close()
+          require(data.length % 4 == 0,
+            s"packed entry ${e.name}: payload not 4-byte aligned")
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val arr = Array.ofDim[Int](data.length / 4)
+          var i = 0
+          while (i < arr.length) { arr(i) = bb.getInt(); i += 1 }
+          (e.name.substring(d1 + 1, d2).toLong, arr)
+        }
+      }.toDF("pack_seq", "tok")
+  }
+
+  /** HARD-DELETE REBUILD of the packed store — the corpus-sized decision
+    * the tombstone record makes auditable and deferrable, now executable:
+    * rewrite every container from the SURVIVING (non-tombstoned)
+    * documents' token runs, producing a store whose bytes no longer
+    * contain the removed documents. [[addTombstones]]+[[activeSpans]]
+    * stay the day-to-day takedown path (zero-weighted, zero rewrite);
+    * this is the escalation for takedowns that legally require the bytes
+    * gone.
+    *
+    * What it does NOT need: the original text corpus, or a tokenizer
+    * retrain. Each surviving document's token stream is reconstructed by
+    * slicing its span ranges out of the decoded old packs (spans carry
+    * `source`, so the re-pack concatenates per source in the same
+    * doc_id order as a fresh build), and the STORED tokenizer — merges,
+    * vocab ids, prefix-sum bounds — is carried over verbatim. Carrying
+    * ids is deliberate: a training run consuming pre- and post-rebuild
+    * stores needs token ids that mean the same thing, and the store's
+    * append path keeps working against the carried vocab. (A fresh
+    * `writePackedTokenShards` over the survivors would RETRAIN on the
+    * survivor distribution and renumber the vocab by survivor-only lex
+    * rank — semantically a different tokenizer, exactly what a rebuild
+    * must not do. The spec's equivalence law is therefore: rebuilt
+    * containers ≡ a fresh pack of the survivors' text under the STORED
+    * tokenizer, and a zero-tombstone rebuild is container-byte-identical
+    * to the original build.)
+    *
+    * Output: fresh dense pack ids from 0 (per-source bases, the build's
+    * arithmetic), fresh spans/manifest/params as batch 0, the vocab
+    * re-written as one batch-0 partition with ids PRESERVED (a rebuilt
+    * store's first append derives `ingest_batch < 1`, which must see the
+    * whole carried vocab), stored epoch manifests regenerated over the
+    * new layout (same epoch ids), and the old store's manifest + spans +
+    * tombstones moved under `audit/rebuild-N/` — the takedown audit
+    * trail survives the deletion it executed.
+    *
+    * Offline + crash-recoverable, the [[ArtifactCompaction]] posture: no
+    * concurrent writer/reader, committed batches only (a torn newest
+    * batch's data is dropped, like every manifest-gated read). Protocol:
+    * the ENTIRE new store is built under `_rebuild/` first, then a plan
+    * marker (`_rebuild-plan`: audit id, shard count, epoch ids) commits
+    * the swap — tmp without plan = incomplete build, discarded; plan
+    * present = roll the swap FORWARD (every step is idempotent:
+    * audit moves skip when the audit copy exists, container moves
+    * rename-over by name from the plan's shard range, metadata moves are
+    * guarded by their tmp copy's presence). [[recoverPackedRebuild]] (also
+    * run at the top of every rebuild) restarts from any crash point.
+    *
+    * 100 TB shape: one container-decode pass + one doc-partitioned window
+    * over span rows + the build's own pack/write exchanges — the same
+    * order of work as the initial build, which is the honest floor for a
+    * rebuild that must touch every surviving byte. */
+  def rebuildPackedStore(spark: SparkSession, dir: String,
+                         nShards: Int): Unit = {
+    require(nShards >= 1, s"rebuildPackedStore: nShards=$nShards")
+    recoverPackedRebuild(spark, dir)
+    val (auditId, epochs) = prepareRebuild(spark, dir, nShards)
+    swapRebuild(spark, dir, auditId, nShards, epochs)
+  }
+
+  /** The tmp-build phase: the ENTIRE new store under `_rebuild/`, then
+    * the plan marker. No visible mutation of the store — a crash anywhere
+    * in here is rolled BACK (tmp without plan is discarded). Split from
+    * the swap so the crash spec can kill between the two. */
+  private[graft] def prepareRebuild(spark: SparkSession, dir: String,
+                                    nShards: Int): (Long, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(dir)
+    val fs = base.getFileSystem(hconf)
+    val tmp = new Path(base, "_rebuild")
+    // ---- read everything from the OLD store (no mutation yet)
+    val committed = manifestBatches(spark, dir).map(_._1)
+    val committedVals = committed.map(java.lang.Long.valueOf).toSeq
+    val prm = spark.read.parquet(s"$dir/params").head()
+    val k = prm.getAs[Int]("k")
+    val budget = prm.getAs[Int]("budget")
+    val surviving = spark.read.parquet(s"$dir/spans")
+      .filter(col("ingest_batch").cast("long").isin(committedVals: _*))
+      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
+        col("n_tokens"), col("source"))
+      .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+    val bounds: Array[Long] =
+      if (prm.schema.fieldNames.contains("bounds"))
+        prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
+      else graft.operators.PrefixSum.sampleBoundaries(
+        surviving.select(col("doc_id")).distinct(),
+        graft.operators.PrefixSum.defaultBuckets(
+          surviving.select(col("doc_id")).distinct()))
+    // reconstruct the surviving token streams from the old containers:
+    // per doc, spans slice consecutive packs, so the doc-partitioned
+    // running sum of span lengths is each slice's offset in the stream
+    // (bounded per doc — a doc has n/budget + 1 spans)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pack_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = surviving
+      .join(packedTokenArrays(spark, dir), "pack_seq")
+      .withColumn("span_base",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .select(col("doc_id"), col("source"), col("span_base"),
+        posexplode(expr(
+          "slice(tok, cast(start_pos as int) + 1, cast(n_tokens as int))")))
+      .select(col("doc_id"), col("source"),
+        (col("span_base") + col("pos")).as("tidx"),
+        col("col").cast("long").as("token_id"))
+    val vocabCarried = spark.read.parquet(s"$dir/tokenizer/vocab")
+      .filter(col("ingest_batch").cast("long").isin(committedVals: _*))
+      .select(col("sym"), col("token_id"))
+    // ---- build the ENTIRE new store under _rebuild/ (tmp build phase)
+    fs.mkdirs(tmp)
+    vocabCarried.withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$dir/_rebuild/vocab")
+    locally {
+      import spark.implicits._
+      Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
+        .write.mode("overwrite").parquet(s"$dir/_rebuild/params")
+    }
+    val layout = packLayoutFromToks(toks, budget, bounds)
+    layout.spans.withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$dir/_rebuild/spans")
+    def entries = withLayout(packPayloads(layout.packRows)
+      .select(col("pack_seq").as("entry_id"), col("payload")),
+      nShards, shardBase = 0L)
+    writeContainerFiles(spark, () => entries, s"$dir/_rebuild", nShards,
+      shardBase = 0L, ingestBatch = 0L, dynamic = false, ext = "bin",
+      reset = false)
+    // ---- commit: plan marker, then the idempotent swap
+    val auditId: Long = {
+      val a = new Path(base, "audit")
+      if (!fs.exists(a)) 1L
+      else fs.listStatus(a).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("rebuild-"))
+        .map(_.getPath.getName.stripPrefix("rebuild-").toLong)
+        .foldLeft(0L)(math.max) + 1L
+    }
+    val epochs: Seq[Long] = {
+      val e = new Path(base, "epochs")
+      if (!fs.exists(e)) Seq.empty
+      else fs.listStatus(e).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+        .toSeq.sorted
+    }
+    writeRebuildPlan(fs, new Path(base, "_rebuild-plan"), auditId, nShards,
+      epochs)
+    (auditId, epochs)
+  }
+
+  /** Roll a crashed rebuild forward (plan present) or discard an
+    * incomplete tmp build (tmp without plan). Safe to call on a healthy
+    * store (two exists() probes). Run at the top of every
+    * [[rebuildPackedStore]]; exposed so an operator can repair a crashed
+    * store without starting a NEW rebuild. */
+  def recoverPackedRebuild(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    val tmp = new Path(base, "_rebuild")
+    val plan = new Path(base, "_rebuild-plan")
+    val staging = plan.suffix(".staging")
+    if (fs.exists(staging)) require(fs.delete(staging, false),
+      s"$dir: discard of a stale rebuild-plan staging file failed")
+    if (fs.exists(plan)) {
+      val in = fs.open(plan)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      val parts = txt.split(";")
+      val auditId = parts(0).toLong
+      val nShards = parts(1).toInt
+      val epochs =
+        if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Long]
+        else parts(2).split(",").map(_.toLong).toSeq
+      swapRebuild(spark, dir, auditId, nShards, epochs)
+    } else if (fs.exists(tmp)) require(fs.delete(tmp, true),
+      s"$dir: discard of an incomplete _rebuild failed")
+  }
+
+  private def writeRebuildPlan(fs: org.apache.hadoop.fs.FileSystem,
+                               plan: Path, auditId: Long, nShards: Int,
+                               epochs: Seq[Long]): Unit = {
+    val staging = plan.suffix(".staging")
+    val out = fs.create(staging, true)
+    try out.write(s"$auditId;$nShards;${epochs.mkString(",")}"
+      .getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staging, plan), s"$plan: atomic plan rename failed")
+  }
+
+  /** The swap body — every step idempotent under re-execution from any
+    * crash point (the roll-forward [[recoverPackedRebuild]] replays). */
+  private def swapRebuild(spark: SparkSession, dir: String, auditId: Long,
+                          nShards: Int, epochs: Seq[Long]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    val tmp = new Path(base, "_rebuild")
+    val plan = new Path(base, "_rebuild-plan")
+    val audit = new Path(base, s"audit/rebuild-$auditId")
+    fs.mkdirs(audit)
+    // (a) old takedown/provenance history to the audit part — the
+    // audit-side copy's existence is the per-part progress marker, so a
+    // re-run after step (c) repopulated $dir/manifest cannot move the NEW
+    // part out
+    for (p <- Seq("manifest", "spans", "tombstones")) {
+      val src = new Path(base, p)
+      val dst = new Path(audit, p)
+      if (!fs.exists(dst) && fs.exists(src))
+        require(fs.rename(src, dst), s"$dir: audit move of $p failed")
+    }
+    // (b) delete containers OUTSIDE the new store's name range (the new
+    // range is rename-covered by (c)), the old epoch manifests (stale
+    // layout), nothing else — idempotent: new-range names never deleted
+    val newNames = (0L until nShards.toLong).map(shardFileName).toSet
+    fs.listStatus(base).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("shard-") && n.endsWith(".zip") && !newNames.contains(n))
+        require(fs.delete(s.getPath, false),
+          s"$dir: stale container delete failed: $n")
+    }
+    val epochsDir = new Path(base, "epochs")
+    if (fs.exists(epochsDir)) require(fs.delete(epochsDir, true),
+      s"$dir: stale epoch-manifest delete failed")
+    // (c) move the new store's parts into place — each move guarded by
+    // its tmp copy's presence (gone = already moved by a prior attempt)
+    for ((t, d) <- Seq("manifest" -> "manifest", "spans" -> "spans",
+      "vocab" -> "tokenizer/vocab", "params" -> "params")) {
+      val src = new Path(tmp, t)
+      val dst = new Path(base, d)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) require(fs.delete(dst, true),
+          s"$dir: stale $d delete before rebuild move failed")
+        require(fs.rename(src, dst), s"$dir: rebuild move of $t failed")
+      }
+    }
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("shard-") && n.endsWith(".zip")) {
+          fs.delete(new Path(base, n), false) // rename-over: replay-safe
+          require(fs.rename(s.getPath, new Path(base, n)),
+            s"$dir: rebuild container move failed: $n")
+        }
+      }
+      require(fs.delete(tmp, true), s"$dir: _rebuild cleanup failed")
+    }
+    // (d) regenerate the epoch manifests over the NEW layout (same epoch
+    // ids — dynamic per-epoch overwrite, idempotent), then drop the plan:
+    // the swap is complete
+    if (epochs.nonEmpty) writeEpochManifests(spark, dir, epochs)
+    require(fs.delete(plan, false), s"$dir: rebuild plan delete failed")
   }
 
   // ------------------------------------------------------------- registry
@@ -1048,6 +1380,44 @@ object TrainingShards {
       Util.orderAll(epochReadOrder(s, store, 1L)
         .unionByName(epochReadOrder(s, store, 2L)))
     }),
+    // the per-epoch LOSS-MASK FEED: epoch-1 read order joined with the
+    // active (non-tombstoned) spans — what a training loader consumes.
+    // The tombstone state is ensured here (same %13 set and batch id as
+    // doc_shards_tombstoned — idempotent dynamic overwrite), so the row
+    // is deterministic under any registry execution order
+    "doc_shards_epoch_feed" -> ((s, dir) => {
+      val store = packedStoreFor(s, dir)
+      addTombstones(s, store,
+        docs(s, dir).filter(col("doc_id") % 13 === 0).select("doc_id"),
+        ingestBatch = 1L)
+      Util.orderAll(epochFeed(s, store, 1L))
+    }),
+    // HARD-DELETE rebuild: tombstone the %13 docs, then rewrite the store
+    // from the surviving spans — fresh dense pack ids, stored tokenizer
+    // carried — and decode the rebuilt containers. The oracle replays the
+    // tombstoned chain's hard twin: train on ALL documents, pack only the
+    // survivors (fresh ids). Own store (never the shared memo: the
+    // rebuild is destructive by design)
+    "doc_shards_rebuilt" -> ((s, dir) => {
+      val out = tempDir()
+      val d = docs(s, dir)
+      writePackedTokenShards(d, out, PackedShardCount,
+        BpeTrainer.MergeSteps, PackedBudget)
+      addTombstones(s, out,
+        d.filter(col("doc_id") % 13 === 0).select("doc_id"), ingestBatch = 1L)
+      rebuildPackedStore(s, out, PackedShardCount)
+      Util.orderAll(readPackedTokenShards(s, out))
+    }),
+    // the packed store's BUILD priced as its own row (the shared memo
+    // fixture's cost, split out of the metadata consumers' floors), and
+    // a new oracle: the stored packed MANIFEST vs the arithmetic it
+    // promises — per-shard pack counts and 4-byte payload totals
+    "doc_shards_store_build" -> ((s, dir) => {
+      val out = tempDir()
+      writePackedTokenShards(docs(s, dir), out, PackedShardCount,
+        BpeTrainer.MergeSteps, PackedBudget)
+      Util.orderAll(readManifest(s, out))
+    }),
     // the WHOLE pipeline, files included: curation gates elect the
     // survivors, the tokenizer trains on exactly those survivors, packs
     // shuffle into containers, and the decoded payloads are compared —
@@ -1169,6 +1539,48 @@ object TrainingShards {
          |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
          |  ON lay.doc_id = p.pack_seq""".stripMargin,
       Seq("epoch", "ord_key", "shard", "pos", "pack_seq"))),
+
+    // the epoch feed: the epoch-1 permutation chain × the active-span
+    // chain as ONE statement — read order and loss mask single-sourced
+    // from the same shared CTEs their standalone oracles use
+    "doc_shards_epoch_feed" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT CAST(1 AS BIGINT) AS epoch,
+         |  CAST(${TextAnalysis.lehmerKeyDuckSql("(s.pack_seq + 1 * 999983)")} AS BIGINT) AS ord_key,
+         |  lay.shard, lay.pos, s.pack_seq, s.doc_id, s.start_pos, s.n_tokens
+         |FROM spn s
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = s.pack_seq
+         |WHERE s.doc_id % 13 <> 0""".stripMargin,
+      Seq("ord_key", "pack_seq", "doc_id", "start_pos"))),
+
+    // the rebuild: the doc_shards_tombstoned chain's HARD twin — the
+    // tokenizer chain over ALL documents (the stored tokenizer the
+    // rebuild carries), the pack arithmetic over only the SURVIVING
+    // documents (fresh dense pack ids), the Lehmer layout over the new
+    // pack set
+    "doc_shards_rebuilt" -> (BpeTrainer.unrolled +
+      ", survd AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 13 <> 0)\n" +
+      packedChainSql("survd")),
+
+    // the packed manifest: per-shard pack counts and payload bytes
+    // (4 bytes per token id), zeros for empty shards — the packed twin
+    // of doc_shards_manifest's arithmetic check
+    "doc_shards_store_build" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT r.shard, coalesce(st.n_docs, 0) AS n_docs,
+         |  coalesce(st.n_bytes, 0) AS n_bytes
+         |FROM (SELECT CAST(unnest(range(0, $PackedShardCount)) AS BIGINT) AS shard) r
+         |LEFT JOIN (
+         |  SELECT lay.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(4 * p.n_tokens) AS BIGINT) AS n_bytes
+         |  FROM pck p
+         |  JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |    ON lay.doc_id = p.pack_seq
+         |  GROUP BY 1) st USING (shard)""".stripMargin,
+      Seq("shard"))),
 
     // the WHOLE pipeline as one statement: the curation gate chain
     // (TextAnalysis.curateGatesCte — the identical SQL doc_curate is

@@ -184,7 +184,8 @@ object UnigramLm {
     * caps it, and real deployments raise it with the corpus). */
   def trainPieceTable(docs: DataFrame, maxPieceLen: Int = TrainPieceLen,
                       minSeedCount: Long = TrainMinSeed,
-                      rounds: Int = TrainRounds): DataFrame = {
+                      rounds: Int = TrainRounds,
+                      maxSeedPieces: Long = 1L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = docs.select(explode(split(col("text"), " ")).as("word"))
@@ -198,9 +199,22 @@ object UnigramLm {
            |  transform(sequence(i, least(i + ${maxPieceLen - 1}, length(word))), j ->
            |    substring(word, i, j - i + 1))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum(col("f")).as("cnt"))
-    val seed: Array[(String, Long)] = sub
+    val seedDf = sub
       .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
-      .as[(String, Long)].collect()
+    // bounded-collect GUARD: the docstring's "minSeedCount caps it" is a
+    // knob, not a bound — at real corpus scale the substrings occurring
+    // >= 3 times vastly outnumber the final piece table, and the collect
+    // below would OOM the driver before any require could fire (advisor
+    // r13). Count first (one word-table-sized agg) and fail LOUDLY with
+    // the remedy in the message; real deployments raise minSeedCount with
+    // the corpus (SentencePiece's own seed_sentencepiece_size discipline —
+    // maxSeedPieces defaults to its 1M scale).
+    val nSeed = seedDf.count()
+    require(nSeed <= maxSeedPieces,
+      s"trainPieceTable: seed candidate table has $nSeed pieces > " +
+        s"maxSeedPieces=$maxSeedPieces — raise minSeedCount (now " +
+        s"$minSeedCount) so the driver-held piece table stays bounded")
+    val seed: Array[(String, Long)] = seedDf.as[(String, Long)].collect()
     val singles: Set[String] = seed.iterator.map(_._1).filter(_.length == 1).toSet
     def costsOf(counts: Map[String, Long]): Map[String, Long] = {
       val tb = bitlen(counts.valuesIterator.sum)

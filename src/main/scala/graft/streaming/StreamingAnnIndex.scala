@@ -26,13 +26,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `batchId + 1` so partition 0 stays the initial build's. */
 object StreamingAnnIndex {
 
-  /** `vecs` must carry (vec_id, embedding). */
+  /** `vecs` must carry (vec_id, embedding). `autoCompactEvery > 0` folds
+    * the index's committed per-vector partitions into one
+    * ([[graft.llm.Similarity.compactIvfIndex]] / `compactIvfPqIndex`)
+    * whenever more than that many partition dirs have accumulated — see
+    * [[Maintenance]] for why the top of a micro-batch satisfies the
+    * offline/committed compaction contract. */
   def run(vecs: DataFrame, path: String, checkpoint: String,
-          pq: Boolean = false, triggerMs: Long = 100L): StreamingQuery =
+          pq: Boolean = false, triggerMs: Long = 100L,
+          autoCompactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (autoCompactEvery > 0)
+          Maintenance.autoCompact(batch.sparkSession,
+            if (pq) Seq(s"$path/codes", s"$path/vectors")
+            else Seq(s"$path/cells"),
+            autoCompactEvery, upTo = batchId)(u =>
+            if (pq) graft.llm.Similarity.compactIvfPqIndex(
+              batch.sparkSession, path, u)
+            else graft.llm.Similarity.compactIvfIndex(
+              batch.sparkSession, path, u))
         if (!batch.isEmpty) {
           if (pq) graft.llm.Similarity.appendIvfPqIndex(batch, path, batchId + 1L)
           else graft.llm.Similarity.appendIvfIndex(batch, path, batchId + 1L)

@@ -28,13 +28,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * initial build's. */
 object StreamingArtifact {
 
-  /** `docs` must carry (doc_id, text). */
+  /** `docs` must carry (doc_id, text). `autoCompactEvery > 0` folds the
+    * artifact's committed per-document partitions into one
+    * ([[graft.llm.Dedup.compactDedupArtifact]]) whenever more than that
+    * many partition dirs have accumulated — the unattended form of the
+    * small-files maintenance ([[Maintenance]] documents why the top of a
+    * micro-batch satisfies the offline/committed compaction contract:
+    * batches ≤ N−1 are checkpoint-committed, this stream is the only
+    * writer, and the watermark `batchId` excludes the in-flight batch's
+    * partition `batchId + 1`). */
   def run(docs: DataFrame, path: String, checkpoint: String,
-          triggerMs: Long = 100L): StreamingQuery =
+          triggerMs: Long = 100L, autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (autoCompactEvery > 0)
+          Maintenance.autoCompact(batch.sparkSession,
+            Seq("nodes", "shingles", "bands", "counts").map(p => s"$path/$p"),
+            autoCompactEvery, upTo = batchId)(
+            graft.llm.Dedup.compactDedupArtifact(batch.sparkSession, path, _))
         if (!batch.isEmpty)
           graft.llm.Dedup.appendDedupArtifact(batch, path, batchId + 1L)
         ()

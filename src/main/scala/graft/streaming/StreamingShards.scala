@@ -69,12 +69,24 @@ object StreamingShards {
     * exactly-once convention: batch N's pack/shard bases derive from
     * manifest rows < N+1, replays rewrite identical files. */
   def runPacked(docs: DataFrame, dir: String, nShards: Int,
-                checkpoint: String, triggerMs: Long = 100L): StreamingQuery =
+                checkpoint: String, triggerMs: Long = 100L,
+                autoCompactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
+        // auto-compaction of the per-batch METADATA parts (spans + vocab;
+        // the manifest is one coalesced file per batch and deliberately
+        // not compactable — compactPackedMetadata's scaladoc): batches
+        // ≤ batchId are checkpoint-committed, the in-flight partition is
+        // batchId + 1 (see Maintenance for the contract)
+        if (autoCompactEvery > 0)
+          Maintenance.autoCompact(batch.sparkSession,
+            Seq(s"$dir/spans", s"$dir/tokenizer/vocab"),
+            autoCompactEvery, upTo = batchId)(
+            graft.llm.TrainingShards.compactPackedMetadata(
+              batch.sparkSession, dir, _))
         // persist: the packed append evaluates the batch several times
         // (word distinct, tokenize explode, prefix-sum bounds, container
         // write) — never re-read the micro-batch source for each

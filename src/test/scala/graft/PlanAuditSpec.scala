@@ -831,12 +831,33 @@ class PlanAuditSpec extends SparkSpec {
       "packLocations" -> TrainingShards.packLocations(spark, out),
       "epochReadOrder" -> TrainingShards.epochReadOrder(spark, out, 1L),
       "activeSpans" -> TrainingShards.activeSpans(spark, out),
+      "epochFeed" -> TrainingShards.epochFeed(spark, out, 1L),
       "packsContaining" -> TrainingShards.packsContaining(spark, out,
         spark.range(3).select(org.apache.spark.sql.functions.col("id").as("doc_id"))))) {
       val p = df.queryExecution.executedPlan.toString
       assert(unpart.findFirstIn(p).isEmpty,
         s"$name grew an unpartitioned window:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name grew a cartesian:\n$p")
+    }
+    // the epoch FEED's one shuffle is the shard-partitioned window that
+    // replays the writer counter: the corpus-sized span frame must never
+    // hash-exchange for a manifest/batch join (ord_key and shard are pure
+    // projections; the batch table and the tombstone set broadcast)
+    locally {
+      val p = TrainingShards.epochFeed(spark, out, 1L)
+        .queryExecution.executedPlan.toString
+      // the SPAN frame's one exchange is the shard window; the only other
+      // hash exchange allowed is the takedown-sized tombstone set's own
+      // distinct, which feeds a BroadcastExchange (never the span frame)
+      val exCols = """Exchange hashpartitioning\((\w+)#""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exCols.count(_ == "shard") == 1 &&
+        exCols.forall(c => c == "shard" || c == "doc_id"),
+        s"epochFeed span frame must shuffle once, on shard (got $exCols):\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"epochFeed grew a global sort:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"epochFeed must broadcast its batch/tombstone sides:\n$p")
     }
     // the corpus-sized span table must not exchange for the tiny sides
     for ((name, df) <- Seq(
