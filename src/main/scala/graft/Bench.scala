@@ -118,8 +118,11 @@ object Bench {
       // what their floors should regression-detect — the build itself is
       // its own row (doc_shards_store_build). Cost: one extra pass over
       // the suite, ~5 min at sf0.1.
+      // rep 2 runs even if rep 1 FAILED: a transient rep-1 failure is
+      // exactly the suite-context pressure this protocol absorbs, and the
+      // errors contract is "no successful rep" (review-caught asymmetry)
       val first = timeOnce(name, fn)
-      val second = if (first >= 0) timeOnce(name, fn) else -1.0
+      val second = timeOnce(name, fn)
       val best = Seq(first, second).filter(_ >= 0) match {
         case Nil => -1.0
         case ok => ok.min

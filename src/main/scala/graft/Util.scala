@@ -45,6 +45,25 @@ object Util {
     }
   }
 
+  /** Atomic small-marker write: stage under `<path>.staging`, then rename
+    * into place — the name must appear ATOMICALLY with its payload
+    * (fs.create makes a name visible before a byte lands, so a crash
+    * mid-write would leave an empty/truncated marker that either wedges
+    * recovery or rolls forward with the wrong value). ONE implementation
+    * for every protocol marker — the compaction plan, the rebuild plan,
+    * the tombstone-stream batch offset — so a future change to the
+    * atomicity discipline (fsync, overwrite semantics) lands once
+    * (review-caught: the pattern had grown three hand-rolled copies).
+    * Callers' recover paths discard a stale `<path>.staging` first. */
+  def atomicMarkerWrite(fs: org.apache.hadoop.fs.FileSystem,
+                        path: org.apache.hadoop.fs.Path,
+                        payload: String): Unit = {
+    val staging = path.suffix(".staging")
+    val out = fs.create(staging, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staging, path), s"$path: atomic marker rename failed")
+  }
+
   /** Deterministic total order over every output column (sorted by name,
     * ASC NULLS FIRST) — mirrored by [[ob]] on the oracle side so the driver's
     * hash compare can never be broken by row order.

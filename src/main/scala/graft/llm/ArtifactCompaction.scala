@@ -113,19 +113,13 @@ object ArtifactCompaction {
     require(fs.delete(plan, false), s"$base: plan-marker delete failed")
   }
 
-  /** The marker must appear ATOMICALLY with its payload: fs.create makes
-    * the name visible before a byte lands, so a crash mid-write would
-    * leave an empty/truncated plan that either wedges recovery (parse
-    * failure) or rolls forward with the WRONG upTo (review-caught) —
-    * write under a staging name and rename into place (the atomic step). */
+  /** Plan marker via the shared atomic staging+rename discipline
+    * ([[graft.Util.atomicMarkerWrite]]): a crash mid-write must never
+    * leave an empty/truncated plan that wedges recovery or rolls forward
+    * with the WRONG upTo (review-caught). */
   private def writePlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path,
-                        upTo: Long): Unit = {
-    val staging = plan.suffix(".staging")
-    val out = fs.create(staging, true)
-    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(staging, plan),
-      s"$plan: atomic plan-marker rename failed")
-  }
+                        upTo: Long): Unit =
+    graft.Util.atomicMarkerWrite(fs, plan, upTo.toString)
 
   private def readPlan(fs: org.apache.hadoop.fs.FileSystem, plan: Path): Long = {
     val in = fs.open(plan)

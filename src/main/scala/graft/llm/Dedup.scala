@@ -1000,7 +1000,13 @@ object Dedup {
     // swap the pair-table-sized derived parts
     pairs.write.mode("overwrite").parquet(s"$path/pairs")
     newClusters.write.mode("overwrite").parquet(s"$path/clusters")
-    val builtN = dedupCoverage(spark, path).map(_._1).getOrElse(0L)
+    // pre-upgrade artifact (no coverage row yet): seed the baseline from
+    // the PRE-append corpus size, never 0 — a zero baseline makes the
+    // growth gate fire forever after the first maintenance, defeating
+    // the documented graceful fallback (review-caught)
+    val builtN = dedupCoverage(spark, path).map(_._1).getOrElse(
+      spark.read.parquet(s"$path/nodes")
+        .filter(col("ingest_batch").cast("long") =!= ingestBatch).count())
     writeCoverage(spark, path, builtN,
       appendedN = nodesNow.count() - builtN, staleFrac = staleFrac,
       measuredAtBatch = ingestBatch)

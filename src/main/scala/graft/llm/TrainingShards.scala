@@ -721,9 +721,20 @@ object TrainingShards {
   def packLocations(spark: SparkSession, dir: String): DataFrame =
     locationsFrom(spark, manifestBatches(spark, dir))
 
-  private def locationsFrom(spark: SparkSession,
-                            mRows: Array[(Long, Long, Long, Long)]): DataFrame = {
+  /** The store's layout invariant, ONCE, over any frame carrying
+    * `pack_seq`: join the (broadcast, #batches-row) per-batch ranges,
+    * derive skey/shard as pure Lehmer projections, and replay the
+    * writer's per-shard pack counter as `pos` — a dense_rank over the
+    * ONE shard-partitioned window (a shard never spans batches).
+    * dense_rank, not row_number, so the SAME implementation serves both
+    * the dense pack range (unique keys — dense_rank ≡ row_number) and
+    * span rows (multiple rows per pack tie on the key) — review-caught:
+    * locationsFrom and epochFeed had grown two hand-kept copies of this
+    * arithmetic. */
+  private def withLayoutPositions(frame: DataFrame,
+                                  mRows: Array[(Long, Long, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = frame.sparkSession
     var base = 0L
     val batches = mRows.map { case (_, n, shardBase, nShards) =>
       val row = (base, n, shardBase, nShards)
@@ -732,19 +743,22 @@ object TrainingShards {
     }
     import spark.implicits._
     val bdf = batches.toSeq.toDF("pack_base", "n", "shard_base", "n_shards")
-    // a shard never spans batches, so one window partitioned by shard
-    // reproduces every batch's per-shard writer counter at once
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey").asc, col("pack_seq").asc)
-    spark.range(base).select(col("id").as("pack_seq"))
+    frame
       .join(broadcast(bdf), col("pack_seq") >= col("pack_base") &&
         col("pack_seq") < col("pack_base") + col("n"))
       .withColumn("skey", expr(TextAnalysis.lehmerKeySql("pack_seq")))
       .withColumn("shard",
         pmod(col("skey"), col("n_shards")) + col("shard_base"))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("pack_seq"), col("shard"), col("pos"))
+      .withColumn("pos", dense_rank().over(w).cast("long"))
   }
+
+  private def locationsFrom(spark: SparkSession,
+                            mRows: Array[(Long, Long, Long, Long)]): DataFrame =
+    withLayoutPositions(
+      spark.range(mRows.map(_._2).sum).select(col("id").as("pack_seq")), mRows)
+      .select(col("pack_seq"), col("shard"), col("pos"))
 
   /** Per-epoch read-order manifest: every stored pack exactly once, in an
     * EPOCH-SEEDED Lehmer permutation — training reads the store in a
@@ -834,25 +848,8 @@ object TrainingShards {
     * property of the shipped file layout and must not shift when a
     * pack's only documents are tombstoned. */
   def epochFeed(spark: SparkSession, dir: String, epoch: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val mb = manifestBatches(spark, dir)
-    var base = 0L
-    val batches = mb.map { case (_, n, shardBase, nShards) =>
-      val row = (base, n, shardBase, nShards)
-      base += n
-      row
-    }
-    val bdf = batches.toSeq.toDF("pack_base", "n", "shard_base", "n_shards")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("skey").asc, col("pack_seq").asc)
-    spansFrom(spark, dir, mb.map(_._1))
-      .join(broadcast(bdf), col("pack_seq") >= col("pack_base") &&
-        col("pack_seq") < col("pack_base") + col("n"))
-      .withColumn("skey", expr(TextAnalysis.lehmerKeySql("pack_seq")))
-      .withColumn("shard",
-        pmod(col("skey"), col("n_shards")) + col("shard_base"))
-      .withColumn("pos", dense_rank().over(w).cast("long"))
+    withLayoutPositions(spansFrom(spark, dir, mb.map(_._1)), mb)
       .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
       .select(lit(epoch).as("epoch"),
         expr(TextAnalysis.lehmerKeySql(s"(pack_seq + $epoch * 999983)"))
@@ -860,6 +857,75 @@ object TrainingShards {
         col("shard"), col("pos"), col("pack_seq"), col("doc_id"),
         col("start_pos"), col("n_tokens"))
   }
+
+  /** TOMBSTONE-DEBT measurement: the fraction of the store's token mass
+    * carried by tombstoned documents' spans — the dead bytes every
+    * training epoch still reads (shipped, masked to zero loss) and every
+    * replica still stores. Metadata-sized: one aggregate over the span
+    * table against the broadcast tombstone set, zero container bytes. */
+  def packedStoreDeadFraction(spark: SparkSession, dir: String): Double = {
+    val m = readPackedSpans(spark, dir)
+      .join(broadcast(readTombstones(spark, dir)
+        .withColumn("dead", lit(1))), Seq("doc_id"), "left")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(when(col("dead") === 1, col("n_tokens"))), lit(0L)))
+      .head()
+    if (m.getLong(0) == 0L) 0.0 else m.getLong(1).toDouble / m.getLong(0)
+  }
+
+  /** Rebuild threshold, documented ([[packedStoreNeedsRebuild]]): the
+    * rebuild costs about one build (every surviving byte rewritten —
+    * SCALE.md r14), while dead tokens cost read I/O on EVERY future
+    * epoch plus their share of storage; at a typical O(10)-epoch
+    * remaining schedule, 5% dead mass wastes ~half a build's worth of
+    * container reads, the crossover where executing the deferred rebuild
+    * beats carrying the debt. Compliance deadlines override the
+    * economics — this gate is the cost-based floor, not the legal one. */
+  val PackedRebuildDeadFrac = 0.05
+
+  /** The measured rebuild gate for the packed store — the third stored
+    * artifact to gain one (ANN: measured recall; dedup artifact: measured
+    * label churn; here: measured tombstone debt). */
+  def packedStoreNeedsRebuild(spark: SparkSession, dir: String,
+                              maxDeadFrac: Double = PackedRebuildDeadFrac): Boolean =
+    packedStoreDeadFraction(spark, dir) > maxDeadFrac
+
+  /** Persist per-epoch FEEDS as files next to the store —
+    * `$dir/epoch_feeds/epoch=E/`, the [[writeEpochManifests]] convention
+    * applied to [[epochFeed]]'s output: rows range-sorted on `ord_key`,
+    * so the part-file NAME order is the global read order and a training
+    * loader mounts the partition dir and consumes part files
+    * sequentially — read order AND loss-mask spans in one artifact, no
+    * join at load time. Dynamic per-epoch overwrite (regeneration
+    * idempotent; other epochs untouched). ONE job for all epochs. The
+    * feed snapshots the tombstone state at write time — after a takedown
+    * lands, regenerate the affected epochs (or rebuild; the gate above
+    * prices that). */
+  def writeEpochFeeds(spark: SparkSession, dir: String,
+                      epochs: Seq[Long]): Unit = {
+    import spark.implicits._
+    val mb = manifestBatches(spark, dir)
+    val eDf = epochs.distinct.toDF("epoch")
+    withLayoutPositions(spansFrom(spark, dir, mb.map(_._1)), mb)
+      .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+      .crossJoin(broadcast(eDf))
+      .withColumn("ord_key",
+        expr(TextAnalysis.lehmerKeySql("(pack_seq + epoch * 999983)")))
+      .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
+        col("pack_seq"), col("doc_id"), col("start_pos"), col("n_tokens"))
+      .sort(col("epoch"), col("ord_key"), col("pack_seq"), col("start_pos"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$dir/epoch_feeds")
+  }
+
+  /** One stored epoch feed, read back. */
+  def readEpochFeed(spark: SparkSession, dir: String,
+                    epoch: Long): DataFrame =
+    spark.read.parquet(s"$dir/epoch_feeds")
+      .filter(col("epoch").cast("long") === epoch)
+      .select(col("ord_key"), col("shard"), col("pos"), col("pack_seq"),
+        col("doc_id"), col("start_pos"), col("n_tokens"))
 
   /** Persist epoch read-order manifests as FILES next to the store —
     * `$dir/epochs/epoch=E/`, one epoch per partition, rows RANGE-SORTED
@@ -1055,8 +1121,8 @@ object TrainingShards {
                          nShards: Int): Unit = {
     require(nShards >= 1, s"rebuildPackedStore: nShards=$nShards")
     recoverPackedRebuild(spark, dir)
-    val (auditId, epochs) = prepareRebuild(spark, dir, nShards)
-    swapRebuild(spark, dir, auditId, nShards, epochs)
+    val (auditId, epochs, feedEpochs) = prepareRebuild(spark, dir, nShards)
+    swapRebuild(spark, dir, auditId, nShards, epochs, feedEpochs)
   }
 
   /** The tmp-build phase: the ENTIRE new store under `_rebuild/`, then
@@ -1064,7 +1130,7 @@ object TrainingShards {
     * in here is rolled BACK (tmp without plan is discarded). Split from
     * the swap so the crash spec can kill between the two. */
   private[graft] def prepareRebuild(spark: SparkSession, dir: String,
-                                    nShards: Int): (Long, Seq[Long]) = {
+                                    nShards: Int): (Long, Seq[Long], Seq[Long]) = {
     import org.apache.spark.sql.expressions.Window
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new Path(dir)
@@ -1076,11 +1142,28 @@ object TrainingShards {
     val prm = spark.read.parquet(s"$dir/params").head()
     val k = prm.getAs[Int]("k")
     val budget = prm.getAs[Int]("budget")
-    val surviving = spark.read.parquet(s"$dir/spans")
+    // mergeSchema + loud guards: the `source` column joined on below came
+    // to the spans part in r14 — a store whose spans predate it (or a
+    // mixed store: pre-upgrade build + post-upgrade appends, where old
+    // rows surface as NULL under the merged schema) must FAIL the
+    // rebuild, never silently drop every pre-upgrade document through
+    // the inner source join (review-caught)
+    val spansRaw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/spans")
+    require(spansRaw.schema.fieldNames.contains("source"),
+      s"$dir: spans carry no `source` column — the store predates the " +
+        "span-source convention; a rebuild cannot re-pack per source. " +
+        "Rebuild the store from text (writePackedTokenShards) instead.")
+    val surviving = spansRaw
       .filter(col("ingest_batch").cast("long").isin(committedVals: _*))
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
         col("n_tokens"), col("source"))
       .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
+    val nullSource = surviving.filter(col("source").isNull).count()
+    require(nullSource == 0L,
+      s"$dir: $nullSource surviving span rows have NULL source (batches " +
+        "written before the span-source convention) — refusing a rebuild " +
+        "that would silently drop those documents")
     val bounds: Array[Long] =
       if (prm.schema.fieldNames.contains("bounds"))
         prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
@@ -1136,17 +1219,19 @@ object TrainingShards {
         .map(_.getPath.getName.stripPrefix("rebuild-").toLong)
         .foldLeft(0L)(math.max) + 1L
     }
-    val epochs: Seq[Long] = {
-      val e = new Path(base, "epochs")
+    def epochDirsOf(part: String): Seq[Long] = {
+      val e = new Path(base, part)
       if (!fs.exists(e)) Seq.empty
       else fs.listStatus(e).iterator
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
         .map(_.getPath.getName.stripPrefix("epoch=").toLong)
         .toSeq.sorted
     }
+    val epochs = epochDirsOf("epochs")
+    val feedEpochs = epochDirsOf("epoch_feeds")
     writeRebuildPlan(fs, new Path(base, "_rebuild-plan"), auditId, nShards,
-      epochs)
-    (auditId, epochs)
+      epochs, feedEpochs)
+    (auditId, epochs, feedEpochs)
   }
 
   /** Roll a crashed rebuild forward (plan present) or discard an
@@ -1165,31 +1250,29 @@ object TrainingShards {
     if (fs.exists(plan)) {
       val in = fs.open(plan)
       val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      val parts = txt.split(";")
+      val parts = txt.split(";", -1)
       val auditId = parts(0).toLong
       val nShards = parts(1).toInt
-      val epochs =
-        if (parts.length < 3 || parts(2).isEmpty) Seq.empty[Long]
-        else parts(2).split(",").map(_.toLong).toSeq
-      swapRebuild(spark, dir, auditId, nShards, epochs)
+      def epochList(i: Int): Seq[Long] =
+        if (parts.length <= i || parts(i).isEmpty) Seq.empty[Long]
+        else parts(i).split(",").map(_.toLong).toSeq
+      swapRebuild(spark, dir, auditId, nShards, epochList(2), epochList(3))
     } else if (fs.exists(tmp)) require(fs.delete(tmp, true),
       s"$dir: discard of an incomplete _rebuild failed")
   }
 
   private def writeRebuildPlan(fs: org.apache.hadoop.fs.FileSystem,
                                plan: Path, auditId: Long, nShards: Int,
-                               epochs: Seq[Long]): Unit = {
-    val staging = plan.suffix(".staging")
-    val out = fs.create(staging, true)
-    try out.write(s"$auditId;$nShards;${epochs.mkString(",")}"
-      .getBytes("UTF-8")) finally out.close()
-    require(fs.rename(staging, plan), s"$plan: atomic plan rename failed")
-  }
+                               epochs: Seq[Long],
+                               feedEpochs: Seq[Long]): Unit =
+    graft.Util.atomicMarkerWrite(fs, plan,
+      s"$auditId;$nShards;${epochs.mkString(",")};${feedEpochs.mkString(",")}")
 
   /** The swap body — every step idempotent under re-execution from any
     * crash point (the roll-forward [[recoverPackedRebuild]] replays). */
   private def swapRebuild(spark: SparkSession, dir: String, auditId: Long,
-                          nShards: Int, epochs: Seq[Long]): Unit = {
+                          nShards: Int, epochs: Seq[Long],
+                          feedEpochs: Seq[Long]): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(dir)
     val tmp = new Path(base, "_rebuild")
@@ -1216,9 +1299,11 @@ object TrainingShards {
         require(fs.delete(s.getPath, false),
           s"$dir: stale container delete failed: $n")
     }
-    val epochsDir = new Path(base, "epochs")
-    if (fs.exists(epochsDir)) require(fs.delete(epochsDir, true),
-      s"$dir: stale epoch-manifest delete failed")
+    for (p <- Seq("epochs", "epoch_feeds")) {
+      val d = new Path(base, p)
+      if (fs.exists(d)) require(fs.delete(d, true),
+        s"$dir: stale $p delete failed")
+    }
     // (c) move the new store's parts into place — each move guarded by
     // its tmp copy's presence (gone = already moved by a prior attempt)
     for ((t, d) <- Seq("manifest" -> "manifest", "spans" -> "spans",
@@ -1242,10 +1327,12 @@ object TrainingShards {
       }
       require(fs.delete(tmp, true), s"$dir: _rebuild cleanup failed")
     }
-    // (d) regenerate the epoch manifests over the NEW layout (same epoch
-    // ids — dynamic per-epoch overwrite, idempotent), then drop the plan:
-    // the swap is complete
+    // (d) regenerate the epoch manifests AND stored feeds over the NEW
+    // layout (same epoch ids — dynamic per-epoch overwrite, idempotent;
+    // post-rebuild tombstones are gone, so the regenerated feeds carry
+    // every span), then drop the plan: the swap is complete
     if (epochs.nonEmpty) writeEpochManifests(spark, dir, epochs)
+    if (feedEpochs.nonEmpty) writeEpochFeeds(spark, dir, feedEpochs)
     require(fs.delete(plan, false), s"$dir: rebuild plan delete failed")
   }
 
@@ -1391,6 +1478,18 @@ object TrainingShards {
         docs(s, dir).filter(col("doc_id") % 13 === 0).select("doc_id"),
         ingestBatch = 1L)
       Util.orderAll(epochFeed(s, store, 1L))
+    }),
+    // the STORED form of the feed: writeEpochFeeds persists what a loader
+    // mounts (read order + loss-mask spans, part-file name order = read
+    // order); reading it back must equal the derived feed — same oracle
+    "doc_shards_epoch_feed_stored" -> ((s, dir) => {
+      val store = packedStoreFor(s, dir)
+      addTombstones(s, store,
+        docs(s, dir).filter(col("doc_id") % 13 === 0).select("doc_id"),
+        ingestBatch = 1L)
+      writeEpochFeeds(s, store, Seq(1L))
+      Util.orderAll(readEpochFeed(s, store, 1L)
+        .withColumn("epoch", lit(1L)))
     }),
     // HARD-DELETE rebuild: tombstone the %13 docs, then rewrite the store
     // from the surviving spans — fresh dense pack ids, stored tokenizer
@@ -1544,6 +1643,21 @@ object TrainingShards {
     // chain as ONE statement — read order and loss mask single-sourced
     // from the same shared CTEs their standalone oracles use
     "doc_shards_epoch_feed" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + spanCtes("", "0") +
+      ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
+      s"""SELECT CAST(1 AS BIGINT) AS epoch,
+         |  CAST(${TextAnalysis.lehmerKeyDuckSql("(s.pack_seq + 1 * 999983)")} AS BIGINT) AS ord_key,
+         |  lay.shard, lay.pos, s.pack_seq, s.doc_id, s.start_pos, s.n_tokens
+         |FROM spn s
+         |JOIN (${layoutSql("pks", PackedShardCount, 0L)}) lay
+         |  ON lay.doc_id = s.pack_seq
+         |WHERE s.doc_id % 13 <> 0""".stripMargin,
+      Seq("ord_key", "pack_seq", "doc_id", "start_pos"))),
+
+    // the stored feed reads back exactly the derived feed's rows — ONE
+    // oracle for both forms (the write path is what differs, and the
+    // name-order law is spec-pinned where SQL can't see file names)
+    "doc_shards_epoch_feed_stored" -> (BpeTrainer.unrolled +
       packedCorpusCtes("documents") + spanCtes("", "0") +
       ", pks AS (SELECT pack_seq AS doc_id FROM pck)\n" + Util.wrap(
       s"""SELECT CAST(1 AS BIGINT) AS epoch,

@@ -203,18 +203,22 @@ object UnigramLm {
       .filter(length(col("piece")) === 1 || col("cnt") >= minSeedCount)
     // bounded-collect GUARD: the docstring's "minSeedCount caps it" is a
     // knob, not a bound — at real corpus scale the substrings occurring
-    // >= 3 times vastly outnumber the final piece table, and the collect
-    // below would OOM the driver before any require could fire (advisor
-    // r13). Count first (one word-table-sized agg) and fail LOUDLY with
-    // the remedy in the message; real deployments raise minSeedCount with
-    // the corpus (SentencePiece's own seed_sentencepiece_size discipline —
-    // maxSeedPieces defaults to its 1M scale).
-    val nSeed = seedDf.count()
-    require(nSeed <= maxSeedPieces,
-      s"trainPieceTable: seed candidate table has $nSeed pieces > " +
+    // >= 3 times vastly outnumber the final piece table, and an unbounded
+    // collect would OOM the driver before any require could fire (advisor
+    // r13). ONE job: limit(cap+1) bounds the transfer (a separate count()
+    // would re-run the substring-explode shuffle — review-caught), and an
+    // over-cap table fails LOUDLY with the remedy in the message; real
+    // deployments raise minSeedCount with the corpus (SentencePiece's own
+    // seed_sentencepiece_size discipline — maxSeedPieces defaults to its
+    // 1M scale). Under the cap, limit(cap+1) returns the COMPLETE set, so
+    // training is unchanged.
+    val seed: Array[(String, Long)] = seedDf
+      .limit(math.min(maxSeedPieces + 1L, Int.MaxValue.toLong).toInt)
+      .as[(String, Long)].collect()
+    require(seed.length <= maxSeedPieces,
+      s"trainPieceTable: seed candidate table exceeds " +
         s"maxSeedPieces=$maxSeedPieces — raise minSeedCount (now " +
         s"$minSeedCount) so the driver-held piece table stays bounded")
-    val seed: Array[(String, Long)] = seedDf.as[(String, Long)].collect()
     val singles: Set[String] = seed.iterator.map(_._1).filter(_.length == 1).toSet
     def costsOf(counts: Map[String, Long]): Map[String, Long] = {
       val tb = bitlen(counts.valuesIterator.sum)

@@ -48,26 +48,34 @@ object StreamingTombstones {
       val in = fs.open(off)
       try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
     } else {
-      val tomb = new Path(dir, "tombstones")
-      val tfs = tomb.getFileSystem(hconf)
-      val maxExisting =
-        if (!tfs.exists(tomb)) -1L
-        else tfs.listStatus(tomb).iterator
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith("ingest_batch="))
-          .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
-          .foldLeft(-1L)(math.max)
-      // min 1: partition 0 stays reserved for ad-hoc pre-stream takedowns
-      // even on a store with no tombstones yet
-      val derived = math.max(1L, maxExisting + 1L)
+      // a checkpoint that already COMMITTED batches but has no offset file
+      // predates the offset convention: its batches landed under the
+      // legacy `batchId + 1` mapping, and deriving a fresh offset now
+      // would shift every replayed batch id onto a different partition —
+      // the exact hazard this file exists to prevent (review-caught).
+      // Pin the legacy offset 1 so replays keep overwriting their own
+      // partitions.
+      val committed = new Path(checkpoint, "commits")
+      val legacy = fs.exists(committed) &&
+        fs.listStatus(committed).exists(_.getPath.getName.forall(_.isDigit))
+      val derived = if (legacy) 1L else {
+        val tomb = new Path(dir, "tombstones")
+        val tfs = tomb.getFileSystem(hconf)
+        val maxExisting =
+          if (!tfs.exists(tomb)) -1L
+          else tfs.listStatus(tomb).iterator
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("ingest_batch="))
+            .map(_.getPath.getName.stripPrefix("ingest_batch=").toLong)
+            .foldLeft(-1L)(math.max)
+        // min 1: partition 0 stays reserved for ad-hoc pre-stream
+        // takedowns even on a store with no tombstones yet
+        math.max(1L, maxExisting + 1L)
+      }
       fs.mkdirs(new Path(checkpoint))
-      // staging + rename: the offset must appear atomically with its
-      // payload (the ArtifactCompaction plan-marker discipline)
-      val staging = off.suffix(".staging")
-      val out = fs.create(staging, true)
-      try out.write(derived.toString.getBytes("UTF-8")) finally out.close()
-      require(fs.rename(staging, off),
-        s"$off: atomic batch-offset rename failed")
+      // the offset must appear atomically with its payload (the shared
+      // marker discipline)
+      graft.Util.atomicMarkerWrite(fs, off, derived.toString)
       derived
     }
   }

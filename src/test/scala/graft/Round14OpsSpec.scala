@@ -81,6 +81,17 @@ class Round14OpsSpec extends SparkSpec {
     val ck2 = java.nio.file.Files.createTempDirectory("graft-off-ck2").toString
     assert(streaming.StreamingTombstones.offsetFor(spark, out, ck2) == 3L,
       "a fresh checkpoint must mint an offset past every on-disk batch")
+    // a PRE-UPGRADE checkpoint (committed batches, no offset file) pins
+    // the legacy offset 1 — deriving past the on-disk batches would shift
+    // every replayed batch id onto a different partition (review-caught)
+    val ck3 = java.nio.file.Files.createTempDirectory("graft-off-ck3").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(ck3, "commits"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(ck3, "commits", "0"),
+      "v1".getBytes)
+    assert(streaming.StreamingTombstones.offsetFor(spark, out, ck3) == 1L,
+      "a checkpoint with committed batches but no offset file must pin " +
+        "the legacy batchId+1 mapping")
   }
 
   test("measured-recall row is read by column NAME: a writer-side column reorder cannot swap recall and size") {
@@ -351,6 +362,7 @@ class Round14OpsSpec extends SparkSpec {
       TrainingShards.addTombstones(spark, p,
         d.filter($"doc_id" % 13 === 0).select("doc_id"), ingestBatch = 1L)
       TrainingShards.writeEpochManifests(spark, p, Seq(1L))
+      TrainingShards.writeEpochFeeds(spark, p, Seq(1L))
     }
     TrainingShards.rebuildPackedStore(spark, cl, 4) // the clean reference
     // on cr: build tmp + plan, then crash mid-swap — the audit move of
@@ -369,6 +381,8 @@ class Round14OpsSpec extends SparkSpec {
       TrainingShards.readPackedSpans(spark, p)
         .collect().map(_.toString).sorted.toSeq ++
       TrainingShards.readEpochManifest(spark, p, 1L)
+        .collect().map(_.toString).sorted.toSeq ++
+      TrainingShards.readEpochFeed(spark, p, 1L)
         .collect().map(_.toString).sorted.toSeq ++
       spark.read.parquet(s"$p/tokenizer/vocab")
         .select($"sym", $"token_id").collect().map(_.toString).sorted.toSeq
@@ -427,6 +441,72 @@ class Round14OpsSpec extends SparkSpec {
         assert(locs(pk) == (sh, pos),
           s"pack $pk: feed position ($sh, $pos) != file layout ${locs(pk)}")
       }
+  }
+
+  test("stored epoch feeds: == the derived feed, part-file name order IS the read order, per-epoch regeneration; tombstone-debt gate measures and clears") {
+    import org.apache.spark.sql.functions.input_file_name
+    val d = docs3
+    val out = java.nio.file.Files.createTempDirectory("graft-feedstore").toString
+    TrainingShards.writePackedTokenShards(d, out, 4, 3, 64)
+    // no tombstones: zero debt, gate quiet
+    assert(TrainingShards.packedStoreDeadFraction(spark, out) == 0.0)
+    assert(!TrainingShards.packedStoreNeedsRebuild(spark, out))
+    val spans = TrainingShards.readPackedSpans(spark, out)
+    val longest = spans.groupBy($"doc_id").agg(sum($"n_tokens").as("n"))
+      .orderBy($"n".desc, $"doc_id").limit(1).select($"doc_id").as[Long].head()
+    TrainingShards.addTombstones(spark, out,
+      Seq(longest).toDF("doc_id"), ingestBatch = 1L)
+    // measured debt == the tombstoned doc's token mass over the total
+    val tot = spans.agg(sum($"n_tokens")).head().getLong(0)
+    val dead = spans.filter($"doc_id" === longest)
+      .agg(sum($"n_tokens")).head().getLong(0)
+    val frac = TrainingShards.packedStoreDeadFraction(spark, out)
+    assert(math.abs(frac - dead.toDouble / tot) < 1e-12,
+      s"dead fraction $frac != $dead/$tot")
+    assert(frac > 0.0 && frac < 1.0, "fixture must have partial debt")
+    assert(TrainingShards.packedStoreNeedsRebuild(spark, out,
+      maxDeadFrac = frac / 2), "gate must fire past its threshold")
+    assert(!TrainingShards.packedStoreNeedsRebuild(spark, out,
+      maxDeadFrac = frac * 2), "gate must stay quiet under its threshold")
+    // stored feeds == the derived feed, for two epochs in one job
+    TrainingShards.writeEpochFeeds(spark, out, Seq(1L, 2L))
+    for (e <- Seq(1L, 2L)) {
+      assert(TrainingShards.readEpochFeed(spark, out, e)
+        .collect().map(_.toString).sorted.toSeq ==
+        TrainingShards.epochFeed(spark, out, e).drop("epoch")
+          .collect().map(_.toString).sorted.toSeq,
+        s"stored feed $e != derived feed")
+      // the files ARE the order (the epoch-manifest law, on the feed)
+      val ranges = spark.read.parquet(s"$out/epoch_feeds")
+        .filter($"epoch" === e)
+        .select(input_file_name().as("f"), $"ord_key")
+        .groupBy($"f").agg(min($"ord_key").as("lo"), max($"ord_key").as("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2,
+          s"feed $e: file ranges overlap out of name order ($a vs $b)")
+        case _ => ()
+      }
+    }
+    // regenerating epoch 1 leaves epoch 2 untouched
+    val e2 = TrainingShards.readEpochFeed(spark, out, 2L)
+      .collect().map(_.toString).sorted.toSeq
+    TrainingShards.writeEpochFeeds(spark, out, Seq(1L))
+    assert(TrainingShards.readEpochFeed(spark, out, 2L)
+      .collect().map(_.toString).sorted.toSeq == e2)
+    // the rebuild clears the debt and regenerates the feeds over the NEW
+    // layout (tombstones executed, so the feeds carry every span)
+    TrainingShards.rebuildPackedStore(spark, out, 4)
+    assert(TrainingShards.packedStoreDeadFraction(spark, out) == 0.0)
+    assert(!TrainingShards.packedStoreNeedsRebuild(spark, out))
+    for (e <- Seq(1L, 2L)) {
+      assert(TrainingShards.readEpochFeed(spark, out, e)
+        .collect().map(_.toString).sorted.toSeq ==
+        TrainingShards.epochFeed(spark, out, e).drop("epoch")
+          .collect().map(_.toString).sorted.toSeq,
+        s"rebuild did not regenerate stored feed $e over the new layout")
+    }
   }
 
   test("auto-compaction crash recovery: a kill between plan-marker and rename is rolled forward by the next maintainer trigger") {
