@@ -80,7 +80,6 @@ object Bench {
           "BENCH_LOCAL.json", "/root/repo/BENCH_LOCAL.json"))
         .iterator.flatMap(readFile).find(sfMatches)
         .map(parseTimes).getOrElse(Map.empty)
-    var failures = List.empty[String]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // per-query hygiene: drop any storage blocks a previous query left
       // (localCheckpoint etc.) and compact the heap, so measurements are
@@ -96,7 +95,6 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failures ::= name
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -847,15 +847,25 @@ object TrainingShards {
     * pack carries ≥ 1 span, rows of one pack tie), because `pos` is a
     * property of the shipped file layout and must not shift when a
     * pack's only documents are tombstoned. */
-  def epochFeed(spark: SparkSession, dir: String, epoch: Long): DataFrame = {
+  def epochFeed(spark: SparkSession, dir: String, epoch: Long): DataFrame =
+    epochFeedAll(spark, dir, Seq(epoch))
+
+  /** The ONE feed definition (active spans × layout positions × epoch
+    * list × epoch-seeded ord_key) both the derived reader and the stored
+    * writer consume — review-caught: the two had grown parallel copies
+    * of the anti-join/ord_key/column list. The epoch list is a 1-row (or
+    * #epochs-row) broadcast cross join, never a corpus-side expansion. */
+  private def epochFeedAll(spark: SparkSession, dir: String,
+                           epochs: Seq[Long]): DataFrame = {
+    import spark.implicits._
     val mb = manifestBatches(spark, dir)
     withLayoutPositions(spansFrom(spark, dir, mb.map(_._1)), mb)
       .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
-      .select(lit(epoch).as("epoch"),
-        expr(TextAnalysis.lehmerKeySql(s"(pack_seq + $epoch * 999983)"))
-          .as("ord_key"),
-        col("shard"), col("pos"), col("pack_seq"), col("doc_id"),
-        col("start_pos"), col("n_tokens"))
+      .crossJoin(broadcast(epochs.distinct.toDF("epoch")))
+      .withColumn("ord_key",
+        expr(TextAnalysis.lehmerKeySql("(pack_seq + epoch * 999983)")))
+      .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
+        col("pack_seq"), col("doc_id"), col("start_pos"), col("n_tokens"))
   }
 
   /** TOMBSTONE-DEBT measurement: the fraction of the store's token mass
@@ -902,30 +912,35 @@ object TrainingShards {
     * lands, regenerate the affected epochs (or rebuild; the gate above
     * prices that). */
   def writeEpochFeeds(spark: SparkSession, dir: String,
-                      epochs: Seq[Long]): Unit = {
-    import spark.implicits._
-    val mb = manifestBatches(spark, dir)
-    val eDf = epochs.distinct.toDF("epoch")
-    withLayoutPositions(spansFrom(spark, dir, mb.map(_._1)), mb)
-      .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
-      .crossJoin(broadcast(eDf))
-      .withColumn("ord_key",
-        expr(TextAnalysis.lehmerKeySql("(pack_seq + epoch * 999983)")))
-      .select(col("epoch"), col("ord_key"), col("shard"), col("pos"),
-        col("pack_seq"), col("doc_id"), col("start_pos"), col("n_tokens"))
+                      epochs: Seq[Long]): Unit =
+    epochFeedAll(spark, dir, epochs)
       .sort(col("epoch"), col("ord_key"), col("pack_seq"), col("start_pos"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$dir/epoch_feeds")
-  }
 
-  /** One stored epoch feed, read back. */
+  /** One stored epoch feed, read back. A NEVER-WRITTEN epoch fails
+    * loudly instead of returning an empty frame — a training loader
+    * consuming a silently-empty feed is a zero-data epoch (review-caught;
+    * same guard on the manifest reader). */
   def readEpochFeed(spark: SparkSession, dir: String,
-                    epoch: Long): DataFrame =
+                    epoch: Long): DataFrame = {
+    requireEpochDir(spark, dir, "epoch_feeds", epoch)
     spark.read.parquet(s"$dir/epoch_feeds")
       .filter(col("epoch").cast("long") === epoch)
       .select(col("ord_key"), col("shard"), col("pos"), col("pack_seq"),
         col("doc_id"), col("start_pos"), col("n_tokens"))
+  }
+
+  private def requireEpochDir(spark: SparkSession, dir: String,
+                              part: String, epoch: Long): Unit = {
+    val p = new Path(s"$dir/$part/epoch=$epoch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$dir/$part: epoch $epoch was never written — run " +
+        s"write${if (part == "epochs") "EpochManifests" else "EpochFeeds"} " +
+        "for it first (refusing to serve an empty feed as a zero-data epoch)")
+  }
 
   /** Persist epoch read-order manifests as FILES next to the store —
     * `$dir/epochs/epoch=E/`, one epoch per partition, rows RANGE-SORTED
@@ -958,12 +973,15 @@ object TrainingShards {
       .partitionBy("epoch").parquet(s"$dir/epochs")
   }
 
-  /** One stored epoch manifest, read back. */
+  /** One stored epoch manifest, read back ([[readEpochFeed]]'s
+    * missing-epoch guard applies here too). */
   def readEpochManifest(spark: SparkSession, dir: String,
-                        epoch: Long): DataFrame =
+                        epoch: Long): DataFrame = {
+    requireEpochDir(spark, dir, "epochs", epoch)
     spark.read.parquet(s"$dir/epochs")
       .filter(col("epoch").cast("long") === epoch)
       .select(col("ord_key"), col("shard"), col("pos"), col("pack_seq"))
+  }
 
   /** Compact the packed store's per-batch METADATA parts — spans and the
     * tokenizer vocab — merging `ingest_batch <= upTo` partitions into one
