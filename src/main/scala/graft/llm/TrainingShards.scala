@@ -883,6 +883,51 @@ object TrainingShards {
     if (m.getLong(0) == 0L) 0.0 else m.getLong(1).toDouble / m.getLong(0)
   }
 
+  /** PACK-EFFICIENCY stats per source — the ops metric that prices
+    * training throughput: every pack ships `budget` token slots, and the
+    * final partial pack of each source's stream pads the tail, so
+    * `fill_ppm = tokens · 10⁶ div (n_packs · budget)` is the fraction of
+    * shipped slots carrying real tokens (integer micros — the repo's
+    * no-FP-across-the-oracle discipline). Metadata-sized: one aggregate
+    * over the span table, zero container bytes. */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val budget = spark.read.parquet(s"$dir/params")
+      .select(col("budget")).head().getInt(0).toLong
+    spansWithSource(spark, dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("pack_seq")).as("n_packs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_packs"), col("n_tokens"),
+        (col("n_packs") * budget - col("n_tokens")).as("padding_tokens"),
+        expr(s"n_tokens * 1000000 div (n_packs * $budget)").as("fill_ppm"))
+  }
+
+  /** TOMBSTONE-DEBT per source — [[packedStoreDeadFraction]]'s
+    * arithmetic as an oracle-checkable relation: per source, the total
+    * token mass, the mass carried by tombstoned documents, and
+    * `dead_ppm` in integer micros. The global gate is the weighted
+    * aggregate of these rows. */
+  def packDebtStats(spark: SparkSession, dir: String): DataFrame =
+    spansWithSource(spark, dir)
+      .join(broadcast(readTombstones(spark, dir)
+        .withColumn("dead", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        coalesce(sum(when(col("dead") === 1, col("n_tokens"))), lit(0L))
+          .as("dead_tokens"))
+      .select(col("source"), col("n_tokens"), col("dead_tokens"),
+        expr("dead_tokens * 1000000 div n_tokens").as("dead_ppm"))
+
+  /** Committed spans WITH the source column (readPackedSpans projects it
+    * away; the per-source stats need it). */
+  private def spansWithSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/spans")
+      .filter(col("ingest_batch").cast("long")
+        .isin(manifestBatches(spark, dir).map(_._1)
+          .map(java.lang.Long.valueOf).toSeq: _*))
+      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
+        col("n_tokens"), col("source"))
+
   /** Rebuild threshold, documented ([[packedStoreNeedsRebuild]]): the
     * rebuild costs about one build (every surviving byte rewritten —
     * SCALE.md r14), while dead tokens cost read I/O on EVERY future
@@ -1497,6 +1542,20 @@ object TrainingShards {
         ingestBatch = 1L)
       Util.orderAll(epochFeed(s, store, 1L))
     }),
+    // pack efficiency per source: shipped slots vs real tokens — the
+    // padding-waste metric a training-throughput dashboard watches
+    "doc_shards_pack_stats" -> ((s, dir) =>
+      Util.orderAll(packStats(s, packedStoreFor(s, dir)))),
+    // tombstone debt per source: the rebuild gate's arithmetic as an
+    // oracle-checked relation (tombstone state ensured, same %13/batch-1
+    // convention as every tombstone consumer — idempotent)
+    "doc_shards_debt" -> ((s, dir) => {
+      val store = packedStoreFor(s, dir)
+      addTombstones(s, store,
+        docs(s, dir).filter(col("doc_id") % 13 === 0).select("doc_id"),
+        ingestBatch = 1L)
+      Util.orderAll(packDebtStats(s, store))
+    }),
     // the STORED form of the feed: writeEpochFeeds persists what a loader
     // mounts (read order + loss-mask spans, part-file name order = read
     // order); reading it back must equal the derived feed — same oracle
@@ -1671,6 +1730,29 @@ object TrainingShards {
          |  ON lay.doc_id = s.pack_seq
          |WHERE s.doc_id % 13 <> 0""".stripMargin,
       Seq("ord_key", "pack_seq", "doc_id", "start_pos"))),
+
+    // pack efficiency from the SAME cnt chain the packs are cut from:
+    // ceil-div pack counts, padding = slots minus tokens, integer-micro
+    // fill — every pack carries >= 1 span, so the Spark side's
+    // countDistinct(pack_seq) equals the ceil-div here
+    "doc_shards_pack_stats" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + Util.wrap(
+      s"""SELECT source, CAST((total + $PackedBudget - 1) // $PackedBudget AS BIGINT) AS n_packs,
+         |  CAST(total AS BIGINT) AS n_tokens,
+         |  CAST(((total + $PackedBudget - 1) // $PackedBudget) * $PackedBudget - total AS BIGINT) AS padding_tokens,
+         |  CAST(total * 1000000 // (((total + $PackedBudget - 1) // $PackedBudget) * $PackedBudget) AS BIGINT) AS fill_ppm
+         |FROM (SELECT source, sum(n) AS total FROM cnt GROUP BY 1) t""".stripMargin,
+      Seq("source"))),
+
+    // the debt gate's arithmetic: per source, total vs tombstoned token
+    // mass in integer micros
+    "doc_shards_debt" -> (BpeTrainer.unrolled +
+      packedCorpusCtes("documents") + Util.wrap(
+      s"""SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 13 = 0 THEN n END), 0) AS BIGINT) AS dead_tokens,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 13 = 0 THEN n END), 0) * 1000000 // sum(n) AS BIGINT) AS dead_ppm
+         |FROM cnt GROUP BY 1""".stripMargin,
+      Seq("source"))),
 
     // the stored feed reads back exactly the derived feed's rows — ONE
     // oracle for both forms (the write path is what differs, and the
