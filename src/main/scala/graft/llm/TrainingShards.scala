@@ -688,14 +688,32 @@ object TrainingShards {
     * manifest commit leaves the uncommitted batch's spans invisible. */
   def readPackedSpans(spark: SparkSession, dir: String): DataFrame =
     spansFrom(spark, dir, manifestBatches(spark, dir).map(_._1))
+      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
+        col("n_tokens"))
 
+  /** Integer-micros ratio `num · 10⁶ div den` that FAILS LOUDLY instead
+    * of wrapping when `num` exceeds Long.MaxValue/10⁶ (~9.2e12 — inside
+    * the corpus scale this store targets): a silent negative ppm is the
+    * one place the engine would diverge from its DuckDB twin, which
+    * raises on BIGINT overflow (review-caught; the fail-loudly posture
+    * of the token-id range require). Stays codegen (a CASE around the
+    * same integral arithmetic). */
+  private def ppmExpr(num: String, den: String) = expr(
+    s"""CASE WHEN $num > ${Long.MaxValue / 1000000L}L
+       |THEN CAST(raise_error('ppm arithmetic overflow: $num beyond
+       | Long.MaxValue/1e6 — widen the stats arithmetic') AS BIGINT)
+       |ELSE $num * 1000000 div ($den) END""".stripMargin.replace("\n", " "))
+
+  /** Committed spans, `source` included (the public reader projects it
+    * away; the per-source stats keep it) — ONE copy of the
+    * commit-marker gating (review-caught duplicate). */
   private def spansFrom(spark: SparkSession, dir: String,
                         committed: Array[Long]): DataFrame =
     spark.read.parquet(s"$dir/spans")
       .filter(col("ingest_batch").cast("long")
         .isin(committed.map(java.lang.Long.valueOf).toSeq: _*))
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
-        col("n_tokens"))
+        col("n_tokens"), col("source"))
 
   /** ONE manifest read shared by every metadata derivation: per committed
     * batch, (batch, Σn_docs, min shard, #shards) in batch order —
@@ -899,7 +917,7 @@ object TrainingShards {
         sum(col("n_tokens")).as("n_tokens"))
       .select(col("source"), col("n_packs"), col("n_tokens"),
         (col("n_packs") * budget - col("n_tokens")).as("padding_tokens"),
-        expr(s"n_tokens * 1000000 div (n_packs * $budget)").as("fill_ppm"))
+        ppmExpr("n_tokens", s"n_packs * $budget").as("fill_ppm"))
   }
 
   /** TOMBSTONE-DEBT per source — [[packedStoreDeadFraction]]'s
@@ -916,17 +934,10 @@ object TrainingShards {
         coalesce(sum(when(col("dead") === 1, col("n_tokens"))), lit(0L))
           .as("dead_tokens"))
       .select(col("source"), col("n_tokens"), col("dead_tokens"),
-        expr("dead_tokens * 1000000 div n_tokens").as("dead_ppm"))
+        ppmExpr("dead_tokens", "n_tokens").as("dead_ppm"))
 
-  /** Committed spans WITH the source column (readPackedSpans projects it
-    * away; the per-source stats need it). */
   private def spansWithSource(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/spans")
-      .filter(col("ingest_batch").cast("long")
-        .isin(manifestBatches(spark, dir).map(_._1)
-          .map(java.lang.Long.valueOf).toSeq: _*))
-      .select(col("pack_seq"), col("doc_id"), col("start_pos"),
-        col("n_tokens"), col("source"))
+    spansFrom(spark, dir, manifestBatches(spark, dir).map(_._1))
 
   /** Rebuild threshold, documented ([[packedStoreNeedsRebuild]]): the
     * rebuild costs about one build (every surviving byte rewritten —
@@ -1503,9 +1514,14 @@ object TrainingShards {
         docs(s, dir).filter(col("doc_id") % 11 === 0).select("doc_id")))),
     // takedown EXECUTED: tombstone a doc set, read back the ACTIVE spans
     // (the loss-mask feed) — shipped containers untouched, the removal is
-    // a record the reader honors. Safe on the shared memo store: no other
-    // consumer reads the tombstones part, and the write is replay-
-    // idempotent (dynamic overwrite of its own batch)
+    // a record the reader honors. SHARED-STATE CONTRACT on the memo
+    // store: every registry row that touches the tombstones part
+    // (this one, doc_shards_epoch_feed{,_stored}, doc_shards_debt) must
+    // write the IDENTICAL %13 set at the SAME batch id 1 — the dynamic
+    // overwrite is then idempotent under any execution order; a row
+    // writing a different set or id would make the family
+    // order-dependent (review-caught: an older comment claimed no other
+    // consumer reads this part)
     "doc_shards_tombstoned" -> ((s, dir) => {
       val store = packedStoreFor(s, dir)
       addTombstones(s, store,
