@@ -118,12 +118,30 @@ object BpeTrainer {
     * this (quality indistinguishable at real k), and `batch = 1` (the
     * default, and what every oracle query uses) reproduces the exact
     * sequential algorithm including recorded counts. */
+  /** Steps between word-table materializations in [[train]]. Between
+    * checkpoints each pair-statistics job replays the pending (not yet
+    * materialized) merges as ONE in-task [[applyMerges]] loop over the
+    * checkpointed base — a narrow map fused into the same stage, so the
+    * replay costs |pending| in-row scans and NO extra Spark job, vs. the
+    * previous one-eager-localCheckpoint-per-step shape that paid a full
+    * materialization job per merge (2 jobs/step → 1). The cadence bounds
+    * the replay at CheckpointEvery scans per word — at production k
+    * (tens of thousands of merges, batch > 1) the checkpoint amortizes
+    * across a batch anyway, and results are bit-identical at any cadence
+    * (same merges, same counts — the materialization points are invisible
+    * to the arithmetic). */
+  private val CheckpointEvery = 16
+
   def train(docs: DataFrame, k: Int, batch: Int = 1): (Seq[Merge], DataFrame) = {
     require(batch >= 1, s"train: batch must be >= 1, got $batch")
-    var words = wordFreq(docs)
+    var base = wordFreq(docs)
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint(true)
+    // merges selected but not yet folded into `base` — applied lazily as
+    // one in-task loop by `words` below
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def words: DataFrame = applyMerges(base, pending.toSeq)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
@@ -159,8 +177,11 @@ object BpeTrainer {
           merges += Merge(step, a, b, cnt)
           step += 1
         }
-        words = applyMerges(words, chosen.map(c => (c._1, c._2)).toSeq)
-          .localCheckpoint(true)
+        pending ++= chosen.map(c => (c._1, c._2))
+        if (pending.size >= CheckpointEvery) {
+          base = words.localCheckpoint(true)
+          pending.clear()
+        }
       }
     }
     (merges.toSeq, words)
@@ -342,6 +363,29 @@ object BpeTrainer {
     wordSyms.select(col("sym")).distinct()
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("sym"))).cast("long") - 1)
+
+  /** Per-document BPE token counts from an already-decomposed word-symbol
+    * table — the counts side of the pack layout WITHOUT materializing the
+    * per-token id chain: n_tokens(doc) = Σ over the doc's words of
+    * |syms(word)|, so the pass is word-level (one explode + one
+    * vocabulary-sized join + one per-doc aggregation) and the per-token
+    * explode, vocab join and per-doc row_number window never run
+    * (optimization guide §2.3: aggregate before you shuffle / shuffle
+    * fewer bytes). Bit-identical to
+    * `tokenIdSeqsFrom(docs, wordSyms, vocab).groupBy(doc_id, source)
+    * .count()`: every sym of every word is in the vocab by construction,
+    * so the token rows are exactly the word rows expanded |syms| ways. */
+  private[graft] def docTokenCountsFrom(docs: DataFrame,
+                                        wordSyms: DataFrame): DataFrame = {
+    val wordLens = wordSyms.groupBy("word")
+      .agg(count(lit(1)).as("n_syms"))
+    docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordLens, "word")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("n_syms")).as("n_tokens"))
+  }
 
   /** [[bpeTokenIdSeqs]]'s corpus-side body over a PROVIDED word-symbol
     * decomposition and vocab — shared by the train-and-tokenize path and

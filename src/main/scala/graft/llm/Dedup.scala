@@ -106,17 +106,40 @@ object Dedup {
 
   def shingleIds(tok: DataFrame, exactVocabBound: Long): DataFrame = {
     if (vocabOverBound(tok, exactVocabBound)) return shingleIdsHashed(tok)
-    val v = vocab(tok)
-    // exact count on the checkpointed vocab picks the encoding for real:
+    // The exact path's vocabulary is ≤ exactVocabBound (~2.1M) rows BY THE
+    // BRANCH GUARD above, i.e. bounded driver state by construction — the
+    // LSH-plane bounded-collect convention. So the id table is built with
+    // ONE distinct+collect job and a driver-side UTF8String sort, replacing
+    // the distributed vocab()'s sortBy sample job + zipWithIndex count job
+    // + localCheckpoint materialization + exact count() (4 jobs → 1; the
+    // broadcast the consumer join ships is the same table either way, and
+    // at 2.1M×~10B the array is tens of MB — far inside the driver the
+    // broadcast relation already had to hold). Ids identical to vocab():
+    // dense 1-based ranks over the same UTF8 binary collation (exact count
+    // check preserved: an HLL under-estimate past the bound still falls
+    // back to hashed ids before any driver array is sized — the collect
+    // itself is capped by the guard's 0.9×bound acceptance).
     // base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but sid < v^3
     // must fit a Long, so v must stay under 2^21 (~2.1M distinct tokens).
     // Beyond that — tens of millions of distinct tokens is exactly the
     // 100 TB regime — switch to opaque hashed ids: consumers only need id
     // equality (Jaccard over ids == Jaccard over shingles for any
     // injective-up-to-collisions map).
-    val vBase = v.count() + 1
+    val session = tok.sparkSession
+    val tokens: Array[String] = tok
+      .select(explode(col("words")).as("token")).distinct()
+      .collect().map(_.getString(0))
+    val vBase = tokens.length.toLong + 1
     if (vBase > exactVocabBound) shingleIdsHashed(tok)
     else {
+      import org.apache.spark.unsafe.types.UTF8String
+      // binary/code-point order — the vocab() sortBy collation, and what
+      // Spark SQL's and DuckDB's string comparisons use for such tokens
+      java.util.Arrays.sort(tokens, (x: String, y: String) =>
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      import session.implicits._
+      val v = tokens.toSeq.zipWithIndex
+        .map { case (t, i) => (t, i.toLong + 1) }.toDF("token", "tid")
       val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
         .join(broadcast(v), "token")
       pos.groupBy("doc_id")
@@ -275,7 +298,7 @@ object Dedup {
   def lshCandidates(docs: DataFrame, saltBuckets: Int): DataFrame = {
     val shid = shingleIds(tokenized(docs), ExactVocabBound)
       .localCheckpoint(eager = true)
-    candidatesOf(signaturesOf(shid), saltBuckets)
+    candidatesOf(shid, saltBuckets)
   }
 
   /** Mine → verify over an already-materialized shingle-id table — the
@@ -283,7 +306,7 @@ object Dedup {
     * so the candidate/verify arithmetic exists once. */
   private def pairsFromShid(shid: DataFrame, threshold: Double,
                             saltBuckets: Int): DataFrame = {
-    val cand = candidatesOf(signaturesOf(shid), saltBuckets)
+    val cand = candidatesOf(shid, saltBuckets)
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
     val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
@@ -303,42 +326,64 @@ object Dedup {
     * == (a·(b mod m)) mod m), but hashed sids span the full signed 64-bit
     * range — (2h+3)·sid would overflow under ANSI arithmetic, and pmod also
     * pins the negatives into [0, m) so both encodings share one expression. */
-  private def signaturesOf(shid: DataFrame): DataFrame = {
-    // ONE aggregation with 16 primitive min buffers — not a ×16 crossJoin
-    // fan-out into a (doc_id, h) hash-aggregate. The fan-out's shuffle was
-    // already partial-combined, so the win is CPU-side only (no 16×
-    // materialized rows, no aggregate probing per (doc, h)): measured a
-    // modest ~8% on the sf0.1 minhash family (2.8→2.6 s) — the shingle
-    // build and the band join dominate, not the signature pass — kept
-    // because the plan is also structurally simpler (one HashAggregate in
-    // whole-stage codegen). The per-doc explode back to (doc_id, h, mh)
-    // preserves the narrow interface and costs #docs, not #shingles. Same
-    // hash family bit-for-bit: (2h+3)·(sid mod p) + 7919h + 13 mod p.
-    val wide = shid.withColumn("smod", pmod(col("sid"), lit(1000003L)))
+  private def signaturesOf(shid: DataFrame): DataFrame =
+    wideMinhash(shid).select(col("doc_id"),
+        posexplode(array((0 until 16).map(h => col(s"mh$h")): _*)).as(Seq("h", "mh")))
+      .select(col("doc_id"), col("h").cast("long").as("h"), col("mh"))
+
+  /** The ONE aggregation with 16 primitive min buffers behind both the
+    * signature and band tables — not a ×16 crossJoin fan-out into a
+    * (doc_id, h) hash-aggregate. The fan-out's shuffle was already
+    * partial-combined, so the win is CPU-side only (no 16× materialized
+    * rows, no aggregate probing per (doc, h)): measured a modest ~8% on
+    * the sf0.1 minhash family (2.8→2.6 s) — the shingle build and the
+    * band join dominate, not the signature pass — kept because the plan
+    * is also structurally simpler (one HashAggregate in whole-stage
+    * codegen). Same hash family bit-for-bit:
+    * (2h+3)·(sid mod p) + 7919h + 13 mod p. */
+  private def wideMinhash(shid: DataFrame): DataFrame =
+    shid.withColumn("smod", pmod(col("sid"), lit(1000003L)))
       .groupBy(col("doc_id"))
       .agg(min(expr("(3 * smod + 13) % 1000003")).as("mh0"),
         (1 until 16).map(h =>
           min(expr(s"(${2 * h + 3} * smod + ${7919 * h + 13}) % 1000003")).as(s"mh$h")): _*)
-    wide.select(col("doc_id"),
-        posexplode(array((0 until 16).map(h => col(s"mh$h")): _*)).as(Seq("h", "mh")))
-      .select(col("doc_id"), col("h").cast("long").as("h"), col("mh"))
-  }
 
   /** 8 bands × 2 rows: (doc_id, band, bval) — the joinable LSH key table. */
   private def bandsOf(sig: DataFrame): DataFrame =
     sig.groupBy(col("doc_id"), expr("h div 2").as("band"))
       .agg(sum(expr("mh * (CASE WHEN h % 2 = 0 THEN 1000003 ELSE 1 END)")).as("bval"))
 
+  /** The band table computed straight from [[wideMinhash]]'s per-doc row —
+    * `bandsOf(signaturesOf(shid))` minus the per-(doc, h) explode and the
+    * second (doc_id, band) hash aggregation: ONE keyed exchange builds the
+    * band table instead of two (optimization guide §2.4 — two operations
+    * keyed the same way share one exchange; here the second aggregation
+    * folds into the first as in-row arithmetic). Bit-identical rows:
+    * bandsOf's sum-with-case over h ∈ {2b, 2b+1} is exactly
+    * mh(2b)·1000003 + mh(2b+1). */
+  private def bandValsOf(shid: DataFrame): DataFrame =
+    wideMinhash(shid).select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          expr(s"mh${2 * b} * 1000003 + mh${2 * b + 1}")): _*))
+          .as(Seq("band", "bval")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bval"))
+
   /** LSH banding → distinct candidate pairs; see the [[minhashLsh]]
     * saltBuckets scaladoc for the skew grid. */
-  private def candidatesOf(sig: DataFrame, saltBuckets: Int): DataFrame = {
-    val bands = bandsOf(sig)
+  private def candidatesOf(shid: DataFrame, saltBuckets: Int): DataFrame =
+    candidatesFromBands(bandValsOf(shid), saltBuckets)
+
+  /** [[candidatesOf]] body over an already-built band table — kept
+    * separate because the sketch-estimate path mines candidates from its
+    * CHECKPOINTED signature table (bands via [[bandsOf]]) rather than
+    * re-touching the shingle-id table. */
+  private def candidatesFromBands(bands: DataFrame, saltBuckets: Int): DataFrame = {
     val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
     (if (saltBuckets <= 1) {
       ba.join(bb, Seq("band", "bval"))
     } else {
-      val grid = sig.sparkSession.range(saltBuckets)
+      val grid = bands.sparkSession.range(saltBuckets)
         .select(col("id").as("salt_b"))
       ba.crossJoin(broadcast(grid))
         .join(bb.withColumn("salt_b", pmod(xxhash64(col("doc_b")), lit(saltBuckets.toLong))),
@@ -504,7 +549,7 @@ object Dedup {
     val sig = signaturesOf(shid).localCheckpoint(eager = true)
     val sa = sig.select(col("doc_id").as("doc_a"), col("h"), col("mh").as("mh_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("h"), col("mh").as("mh_b"))
-    candidatesOf(sig, 1)
+    candidatesFromBands(bandsOf(sig), 1)
       .join(sa, "doc_a").join(sb, Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("n_agree"))
@@ -679,7 +724,7 @@ object Dedup {
   def writeNearDupIndex(docs: DataFrame, path: String): Unit = {
     val shid = shingleIdsHashed(tokenized(docs)).localCheckpoint(eager = true)
     shid.write.mode("overwrite").parquet(s"$path/shingles")
-    bandsOf(signaturesOf(shid)).write.mode("overwrite").parquet(s"$path/bands")
+    bandValsOf(shid).write.mode("overwrite").parquet(s"$path/bands")
     // per-doc shingle-set sizes, materialized AT BUILD TIME: the Jaccard
     // denominator needs |B| for every matched corpus doc, and recomputing
     // it per increment would be a corpus-wide aggregation on every
@@ -853,7 +898,7 @@ object Dedup {
         .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
         .partitionBy("ingest_batch").parquet(s"$path/$p")
     part(shid, "shingles")
-    part(bandsOf(signaturesOf(shid)), "bands")
+    part(bandValsOf(shid), "bands")
     part(shid.groupBy("doc_id").agg(count(lit(1)).as("c")), "counts")
     part(nodes, "nodes")
   }
@@ -920,7 +965,7 @@ object Dedup {
     // denominator (Structured Streaming replays a batch id with identical
     // content, which is what makes the rewrite a true no-op)
     val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
-    val newBands = bandsOf(signaturesOf(newShid)).localCheckpoint(eager = true)
+    val newBands = bandValsOf(newShid).localCheckpoint(eager = true)
     val newCnt = newShid.groupBy("doc_id").agg(count(lit(1)).as("c"))
     // empty-seed bootstrap: each stored part falls back to an empty frame
     // shaped like ITS increment twin (readPartOr) — no hardcoded schemas
@@ -1042,7 +1087,7 @@ object Dedup {
     val corpusShid = spark.read.parquet(s"$path/shingles")
     val corpusBands = spark.read.parquet(s"$path/bands")
     val newShid = shingleIdsHashed(tokenized(newDocs)).localCheckpoint(eager = true)
-    val cand = bandsOf(signaturesOf(newShid))
+    val cand = bandValsOf(newShid)
       .select(col("doc_id").as("new_doc"), col("band"), col("bval"))
       .join(corpusBands.select(col("doc_id").as("existing_doc"), col("band"), col("bval")),
         Seq("band", "bval"))
@@ -1525,8 +1570,24 @@ object Dedup {
     require(sampleMod >= 1, s"dedupEval: sampleMod must be >= 1, got $sampleMod")
     val d = if (sampleMod == 1L) docs
       else docs.filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0)
-    ngramJaccard(d, threshold).select("doc_a", "doc_b")
-      .join(minhashLsh(d, threshold).select("doc_a", "doc_b")
+    // ONE shingle-id table feeds BOTH arms (mine once): the exact truth
+    // arm is the ngramJaccard inverted-index join run over shingle IDS
+    // instead of shingle strings — base-(V+1) encoding is injective, so
+    // intersections, set sizes, Jaccard values and the pair set are
+    // bit-identical to the string form (the ngramJaccard oracle), and the
+    // second tokenize → vocab → per-doc collect chain the string arm paid
+    // never runs (guide §1.2: don't compute things twice).
+    val shid = shingleIds(tokenized(d), ExactVocabBound)
+      .localCheckpoint(eager = true)
+    val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
+    val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
+    val inter = xa.join(xb, Seq("sid")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val truth = jaccardVerified(inter, cnt, threshold)
+    truth.select("doc_a", "doc_b")
+      .join(pairsFromShid(shid, threshold, saltBuckets = 1)
+        .select("doc_a", "doc_b")
         .withColumn("f", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         coalesce(sum(col("f")), lit(0L)).as("n_found"))
@@ -1675,7 +1736,7 @@ object Dedup {
     */
   def fuzzyPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     val shid = shingleIds(tokenized(docs)).localCheckpoint(eager = true)
-    val cand = candidatesOf(signaturesOf(shid), saltBuckets = 1)
+    val cand = candidatesOf(shid, saltBuckets = 1)
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")

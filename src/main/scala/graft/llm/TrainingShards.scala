@@ -434,7 +434,8 @@ object TrainingShards {
     Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
       .write.mode("overwrite").parquet(s"$dir/params")
     val toks = BpeTrainer.tokenIdSeqsFrom(docs, wordSyms, vocab)
-    val layout = packLayoutFromToks(toks, budget, bounds)
+    val layout = packLayoutFromToks(toks, budget, bounds,
+      BpeTrainer.docTokenCountsFrom(docs, wordSyms))
     // spans before containers before manifest: the manifest stays the
     // commit marker, and readers gate the spans part on committed batches
     layout.spans.withColumn("ingest_batch", lit(0L))
@@ -524,7 +525,8 @@ object TrainingShards {
       else graft.operators.PrefixSum.sampleBoundaries(
         newDocs.select(col("doc_id")),
         graft.operators.PrefixSum.defaultBuckets(newDocs))
-    val layout = packLayoutFromToks(toks, budget, bounds)
+    val layout = packLayoutFromToks(toks, budget, bounds,
+      BpeTrainer.docTokenCountsFrom(newDocs, wordSyms))
     val packRows = layout.packRows
       .withColumn("pack_seq", col("pack_seq") + packBase)
     layout.spans.withColumn("pack_seq", col("pack_seq") + packBase)
@@ -569,16 +571,26 @@ object TrainingShards {
     * counts table (per-document rows, never per-token), exploded only to
     * one row per (doc, pack) span. */
   private[graft] def packLayoutFromToks(toks: DataFrame, budget: Int,
-                                        boundaries: Array[Long]): PackLayout = {
+                                        boundaries: Array[Long]): PackLayout =
+    packLayoutFromToks(toks, budget, boundaries,
+      toks.groupBy("doc_id", "source").agg(count(lit(1)).as("n_tokens")))
+
+  /** [[packLayoutFromToks]] with the per-doc token counts PROVIDED — the
+    * build/append paths pass [[BpeTrainer.docTokenCountsFrom]]'s word-level
+    * aggregation (bit-identical counts by construction) so materializing
+    * the counts here never pays the per-token explode + vocab join +
+    * per-doc window chain; `toks` is then evaluated exactly once, inside
+    * the container-write pass (guide §1.2: remove unnecessary passes). */
+  private[graft] def packLayoutFromToks(toks: DataFrame, budget: Int,
+                                        boundaries: Array[Long],
+                                        countsIn: DataFrame): PackLayout = {
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: the consumers below (prefix-sum subtotal pass,
     // prefix-sum final pass, pack bases, spans) would each re-run the
-    // tokenize chain; the checkpoint pins one PER-DOCUMENT narrow row
+    // counts chain; the checkpoint pins one PER-DOCUMENT narrow row
     // (doc_id, source, n_tokens) per doc — counts-table-sized, never
     // corpus-sized
-    val counts = toks.groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_tokens"))
-      .localCheckpoint(eager = true)
+    val counts = countsIn.localCheckpoint(eager = true)
     // per-source running token starts via the two-phase distributed
     // prefix sum — the per-source running-sum window this replaced
     // funnels every doc of a source through ONE task (r11 verdict's last
@@ -1274,7 +1286,13 @@ object TrainingShards {
       Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
         .write.mode("overwrite").parquet(s"$dir/_rebuild/params")
     }
-    val layout = packLayoutFromToks(toks, budget, bounds)
+    // counts from the surviving SPAN rows alone (a doc's spans partition
+    // its token run, so Σ span n_tokens = the doc's token count) — the
+    // counts checkpoint then never pays the container-decode + slice
+    // chain; `toks` is evaluated exactly once, in the container write
+    val layout = packLayoutFromToks(toks, budget, bounds,
+      surviving.groupBy("doc_id", "source")
+        .agg(sum(col("n_tokens")).as("n_tokens")))
     layout.spans.withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$dir/_rebuild/spans")

@@ -41,7 +41,9 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Per-run diagnostics (rounds are Spark-action counts for the fused loop). */
+  /** Per-run diagnostics. `hashMinRounds` counts LOGICAL hash-min rounds;
+    * the fused loop materializes one Spark action per round PAIR, so the
+    * job count is (hashMinRounds + 1) / 2 + 2 setup checkpoints. */
   final case class CcStats(
       hashMinRounds: Int,
       hashMinConverged: Boolean,
@@ -85,13 +87,31 @@ object ConnectedComponents {
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var converged = false
     var iter = 0
+    // TWO hash-min rounds per materialization (optimization guide §2.4 —
+    // pay the per-round checkpoint/observe job half as often): round 2 of
+    // a pair chains lazily on round 1 inside the SAME action, so a
+    // diameter-2 quasi-clique (the LSH near-dup shape) converges in ONE
+    // job instead of three. Convergence detection observes the LAST round
+    // of the pair, which is exact: labels only decrease, so "the final
+    // round changed nothing" IS the fixpoint — an earlier round's changes
+    // cannot hide it. Labels are bit-identical to the one-round loop
+    // (extra rounds past the fixpoint are idempotent); `iter` keeps
+    // counting LOGICAL rounds so maxIter means what it always meant.
     while (!converged && iter < maxIter) {
-      val neighborMin = hashMinRound(sym, labels)
+      val take = math.min(2, maxIter - iter)
+      var cur = labels
+      for (_ <- 1 until take) { // lazy intermediate round(s), no action
+        val nm = hashMinRound(sym, cur)
+        cur = cur.join(nm, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      }
+      val neighborMin = hashMinRound(sym, cur)
       val obs = Observation(s"cc_hashmin_$iter")
       // The observe metric rides the checkpoint job: CollectMetricsExec's
       // accumulator is populated while the rows stream into the checkpoint
       // partitions, so obs.get returns without any extra scan.
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      val next = cur.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next_label"))
         .observe(obs, coalesce(
@@ -101,7 +121,7 @@ object ConnectedComponents {
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next
-      iter += 1
+      iter += take
     }
     var altRounds = 0
     if (!converged) {

@@ -150,11 +150,12 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Map(4L -> 3L, 5L -> 3L, 7L -> 6L, 8L -> 6L, 9L -> 6L), s"got $m")
   }
 
-  test("connected components: convergence check is fused — one job per hash-min round") {
+  test("connected components: convergence check is fused — one job per hash-min round PAIR") {
     // With AQE off, one Spark action == one job. The fused loop runs exactly
-    // one action per round (the observed localCheckpoint) plus two setup
-    // checkpoints (sym, initial labels). The old loop added a second
-    // isEmpty job per round.
+    // one action per TWO logical rounds (round 2 of each pair chains lazily
+    // on round 1 inside the same observed localCheckpoint) plus two setup
+    // checkpoints (sym, initial labels). The r13 loop paid one action per
+    // round; the pre-r8 loop additionally paid an isEmpty job per round.
     // AQE off: one action == one job; broadcast off: no per-join broadcast
     // collect jobs muddying the count
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -175,8 +176,8 @@ class OperatorsSpec extends SparkSpec {
       var prev = -1
       while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(200) }
       assert(stats.hashMinConverged)
-      assert(jobs.get() == stats.hashMinRounds + 2,
-        s"expected ${stats.hashMinRounds} round jobs + 2 setup, saw ${jobs.get()}")
+      assert(jobs.get() == (stats.hashMinRounds + 1) / 2 + 2,
+        s"expected ${(stats.hashMinRounds + 1) / 2} pair jobs + 2 setup, saw ${jobs.get()}")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
