@@ -387,6 +387,37 @@ object BpeTrainer {
       .agg(sum(col("n_syms")).as("n_tokens"))
   }
 
+  /** Per-document ordered token-id ARRAYS — [[tokenIdSeqsFrom]]'s content
+    * carried as one compact long-array row per document instead of one
+    * row per token. This is the optimization guide §8 shape ("decide with
+    * small rows, move big rows once"): the container writer only needs
+    * each document's token run IN ORDER, so the per-token explode, the
+    * per-doc row_number window (a full token-level exchange + sort) and
+    * the per-token pack groupBy never exist — tokens cross each exchange
+    * as 8-byte array elements, not 30+-byte rows. Order is identical to
+    * tidx by construction: words sort by `wi` inside the per-doc
+    * aggregation, symbols by `spos` inside the per-word aggregation.
+    * `source` is functionally determined by doc_id (one corpus row per
+    * document), so max() just carries the value through the aggregate.
+    * Per-row size is one document's tokens — the same per-doc-array bound
+    * [[graft.llm.Dedup.shingleIds]]'s positional collect already set. */
+  private[graft] def docTokenArrays(docs: DataFrame, wordSyms: DataFrame,
+                                    vocab: DataFrame): DataFrame = {
+    val wordIds = wordSyms.join(broadcast(vocab), "sym")
+      .groupBy("word")
+      .agg(sort_array(collect_list(struct(col("spos"), col("token_id")))).as("st"))
+      .select(col("word"), expr("transform(st, x -> x.token_id)").as("ids"))
+    docs.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("wi", "word")))
+      .filter(length(col("word")) >= 1)
+      .join(wordIds, "word")
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"),
+        sort_array(collect_list(struct(col("wi"), col("ids")))).as("wt"))
+      .select(col("doc_id"), col("source"),
+        flatten(expr("transform(wt, x -> x.ids)")).as("tok"))
+  }
+
   /** [[bpeTokenIdSeqs]]'s corpus-side body over a PROVIDED word-symbol
     * decomposition and vocab — shared by the train-and-tokenize path and
     * the packed-shard append path (which decomposes against STORED merges

@@ -1751,28 +1751,39 @@ object Similarity {
     // ALREADY-selected set, so each round folds in only the NEWEST center
     // — k·N distance evaluations total, not k²·N/2 (the textbook
     // farthest-first bookkeeping, here as a checkpointed running column).
-    // Seed = vec_id 0 (fixed, so the whole trajectory is deterministic).
-    var latest = m.filter(col("vec_id") === 0L).select(col("mv").as("cv"))
-    var state = m.withColumn("dmin", lit(Long.MaxValue))
-    var selected = Seq((1, 0L, 0L)).toDF("rank", "sel_id", "dist_micro2")
-    for (r <- 2 to k) {
-      state = state.crossJoin(broadcast(latest))
-        .select(col("vec_id"), col("mv"), least(col("dmin"),
-          expr("aggregate(zip_with(mv, cv, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-          .as("dmin"))
-        .localCheckpoint(true)
-      // farthest-first argmax, ties to the smaller vec_id (an all-
-      // duplicates corpus would re-pick the seed at dmin 0 — degenerate
-      // input, exact-dedup first); one map-side-partial global agg
-      val next = state
-        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"), col("mv"))).as("w"))
-        .select(lit(r).as("rank"), (-col("w.nid")).as("sel_id"),
-          col("w.mv").as("sv"), col("w.dmin").as("dist_micro2"))
-        .localCheckpoint(true)
-      latest = next.select(col("sv").as("cv"))
-      selected = selected.unionByName(next.select(col("rank"), col("sel_id"), col("dist_micro2")))
+    // Seed = vec_id 0 (fixed, so the whole trajectory is deterministic);
+    // one bounded head() — the centers are embedding-dim driver rows by
+    // the algorithm's own definition, so the newest center enters the
+    // next round as a LITERAL array instead of a broadcast crossJoin, and
+    // the farthest-first argmax rides the dmin checkpoint job as an
+    // Observation (the ConnectedComponents convergence-fuse pattern):
+    // ONE action per round instead of three (crossJoin'd state
+    // checkpoint + argmax checkpoint + final union scan), same
+    // (dmin, -vec_id, mv) struct-max argmax bit for bit.
+    var center: scala.collection.Seq[Long] = {
+      val seed = m.filter(col("vec_id") === 0L).head()
+      seed.getSeq[Long](seed.fieldIndex("mv"))
     }
-    selected
+    var state = m.withColumn("dmin", lit(Long.MaxValue))
+    val selected = Seq.newBuilder[(Int, Long, Long)]
+    selected += ((1, 0L, 0L))
+    for (r <- 2 to k) {
+      val cv = array(center.toSeq.map(lit(_)): _*)
+      val obs = org.apache.spark.sql.Observation(s"kcenter_$r")
+      state = state
+        .select(col("vec_id"), col("mv"), least(col("dmin"),
+          aggregate(zip_with(col("mv"), cv, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, t) => acc + t)).as("dmin"))
+        // ties to the smaller vec_id (an all-duplicates corpus would
+        // re-pick the seed at dmin 0 — degenerate input, exact-dedup first)
+        .observe(obs, max(struct(col("dmin"), (-col("vec_id")).as("nid"),
+          col("mv"))).as("w"))
+        .localCheckpoint(true)
+      val w = obs.get("w").asInstanceOf[org.apache.spark.sql.Row]
+      selected += ((r, -w.getLong(1), w.getLong(0)))
+      center = w.getSeq[Long](w.fieldIndex("mv"))
+    }
+    selected.result().toDF("rank", "sel_id", "dist_micro2")
   }
 
   // ------------------------------------------------------------- registry

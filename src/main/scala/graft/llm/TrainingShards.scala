@@ -433,15 +433,15 @@ object TrainingShards {
       graft.operators.PrefixSum.defaultBuckets(docs))
     Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
       .write.mode("overwrite").parquet(s"$dir/params")
-    val toks = BpeTrainer.tokenIdSeqsFrom(docs, wordSyms, vocab)
-    val layout = packLayoutFromToks(toks, budget, bounds,
-      BpeTrainer.docTokenCountsFrom(docs, wordSyms))
+    val plan = packPlanFromCounts(
+      BpeTrainer.docTokenCountsFrom(docs, wordSyms), budget, bounds)
     // spans before containers before manifest: the manifest stays the
     // commit marker, and readers gate the spans part on committed batches
-    layout.spans.withColumn("ingest_batch", lit(0L))
+    plan.spans.withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$dir/spans")
-    def entries = withLayout(packPayloads(layout.packRows)
+    def entries = withLayout(packPayloadsFromDocArrays(
+        BpeTrainer.docTokenArrays(docs, wordSyms, vocab), plan, budget)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase = 0L)
     writeContainerFiles(spark, () => entries, dir, nShards, shardBase = 0L,
@@ -512,7 +512,6 @@ object TrainingShards {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$dir/tokenizer/vocab")
     val vocab = storedVocab.unionByName(newSyms)
-    val toks = BpeTrainer.tokenIdSeqsFrom(newDocs, wordSyms, vocab)
     // stored bucket boundaries: the build's one quantile job, reused —
     // one fewer job per maintained batch, same answer (bucket-invariant).
     // Stores written before the bounds column existed fall back to
@@ -525,15 +524,17 @@ object TrainingShards {
       else graft.operators.PrefixSum.sampleBoundaries(
         newDocs.select(col("doc_id")),
         graft.operators.PrefixSum.defaultBuckets(newDocs))
-    val layout = packLayoutFromToks(toks, budget, bounds,
-      BpeTrainer.docTokenCountsFrom(newDocs, wordSyms))
-    val packRows = layout.packRows
-      .withColumn("pack_seq", col("pack_seq") + packBase)
-    layout.spans.withColumn("pack_seq", col("pack_seq") + packBase)
+    val plan = packPlanFromCounts(
+      BpeTrainer.docTokenCountsFrom(newDocs, wordSyms), budget, bounds)
+    plan.spans.withColumn("pack_seq", col("pack_seq") + packBase)
       .withColumn("ingest_batch", lit(ingestBatch))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$dir/spans")
-    def entries = withLayout(packPayloads(packRows)
+    // the global batch base shifts every pack id uniformly, so adding it
+    // after payload assembly groups the identical pack contents
+    def entries = withLayout(packPayloadsFromDocArrays(
+        BpeTrainer.docTokenArrays(newDocs, wordSyms, vocab), plan, budget)
+      .withColumn("pack_seq", col("pack_seq") + packBase)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase)
     writeContainerFiles(spark, () => entries, dir, nShards, shardBase,
@@ -584,6 +585,26 @@ object TrainingShards {
   private[graft] def packLayoutFromToks(toks: DataFrame, budget: Int,
                                         boundaries: Array[Long],
                                         countsIn: DataFrame): PackLayout = {
+    val plan = packPlanFromCounts(countsIn, budget, boundaries)
+    val packRows = toks.join(plan.cum, "doc_id")
+      .join(broadcast(plan.bases), "source")
+      .withColumn("gpos", col("cum_start") + col("tidx"))
+      .select((col("pack_base") + expr(s"gpos div $budget")).as("pack_seq"),
+        expr(s"gpos % $budget").as("pack_pos"), col("token_id"))
+    PackLayout(packRows, plan.spans)
+  }
+
+  /** The counts-table side of the pack layout — everything the pack
+    * arithmetic derives WITHOUT touching token-level rows: the
+    * checkpointed per-doc counts, the prefix-sum `cum_start`s, the
+    * per-source pack-id bases, and the span table. Shared by the
+    * per-token [[packLayoutFromToks]] (the spec/oracle view) and the
+    * array-based payload assembly the writers use. */
+  private[graft] final case class PackPlan(counts: DataFrame, cum: DataFrame,
+                                           bases: DataFrame, spans: DataFrame)
+
+  private[graft] def packPlanFromCounts(countsIn: DataFrame, budget: Int,
+                                        boundaries: Array[Long]): PackPlan = {
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: the consumers below (prefix-sum subtotal pass,
     // prefix-sum final pass, pack bases, spans) would each re-run the
@@ -606,11 +627,6 @@ object TrainingShards {
       .select(col("source"),
         (sum(col("n_packs")).over(Window.orderBy(col("source")))
           - col("n_packs")).cast("long").as("pack_base"))
-    val packRows = toks.join(cum, "doc_id")
-      .join(broadcast(bases), "source")
-      .withColumn("gpos", col("cum_start") + col("tidx"))
-      .select((col("pack_base") + expr(s"gpos div $budget")).as("pack_seq"),
-        expr(s"gpos % $budget").as("pack_pos"), col("token_id"))
     // spans: per document, the packs [first..last] its token run touches;
     // within pack pk the run occupies [max(0, cum_start - pk*budget),
     // min(budget, cum_start + n - pk*budget)). Counts-table-sized work —
@@ -633,13 +649,61 @@ object TrainingShards {
           - greatest(col("pk") * budget, col("cum_start")))
           .cast("long").as("n_tokens"),
         col("source"))
-    PackLayout(packRows, spans)
+    PackPlan(counts, cum, bases, spans)
+  }
+
+  /** (pack_seq, payload) assembled from per-document token ARRAYS
+    * ([[BpeTrainer.docTokenArrays]] / the rebuild's span slices) — the
+    * guide §8 "move the payload once" twin of
+    * `packPayloads(packLayoutFromToks(toks…).packRows)`, spec-pinned
+    * byte-identical. Each document explodes into one row per pack it
+    * straddles (≤ n/budget + 1, the span arithmetic verbatim) carrying a
+    * SLICE of its token array; the pack aggregation then sorts segments
+    * by their in-pack start and concatenates — so the only exchanges
+    * token data ever crosses are the per-doc assembly and this per-pack
+    * one, both as compact long arrays, and the per-token row_number
+    * window plus the per-token pack groupBy of the row form never run. */
+  private[graft] def packPayloadsFromDocArrays(docArrs: DataFrame, plan: PackPlan,
+                                        budget: Int): DataFrame = {
+    val spark = docArrs.sparkSession
+    import spark.implicits._
+    val segs = docArrs.join(plan.cum, "doc_id")
+      .join(broadcast(plan.bases), "source")
+      .withColumn("n", size(col("tok")).cast("long"))
+      .withColumn("pk0", expr(s"cum_start div $budget"))
+      .withColumn("pk1", expr(s"(cum_start + n - 1) div $budget"))
+      .select(col("pack_base"), col("cum_start"), col("n"), col("tok"),
+        explode(sequence(col("pk0"), col("pk1"))).as("pk"))
+      .select((col("pack_base") + col("pk")).as("pack_seq"),
+        greatest(col("cum_start") - col("pk") * budget, lit(0L)).as("seg_start"),
+        expr(s"""slice(tok,
+          cast(greatest(pk * $budget - cum_start, 0L) as int) + 1,
+          cast(least((pk + 1) * $budget, cum_start + n)
+            - greatest(pk * $budget, cum_start) as int))""").as("seg"))
+    segs.groupBy("pack_seq")
+      .agg(sort_array(collect_list(struct(col("seg_start"), col("seg")))).as("ss"))
+      .select(col("pack_seq"), flatten(expr("transform(ss, x -> x.seg)")).as("tok"))
+      .as[(Long, Seq[Long])]
+      .map { case (p, tok) =>
+        val bb = java.nio.ByteBuffer.allocate(4 * tok.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        tok.foreach { t =>
+          // fail loudly, never truncate — packPayloads' posture verbatim
+          require(t >= 0L && t <= Int.MaxValue,
+            s"packed token id $t out of 4-byte range in pack $p")
+          bb.putInt(t.toInt)
+        }
+        (p, bb.array())
+      }.toDF("pack_seq", "payload")
   }
 
   /** Encode each pack's ordered token ids as a 4-byte little-endian
     * payload — the byte-level codec step (typed map, the Multimodal
-    * boundary); a pack is ≤ budget ids, so the row is bounded. */
-  private def packPayloads(packRows: DataFrame): DataFrame = {
+    * boundary); a pack is ≤ budget ids, so the row is bounded. Kept as
+    * the REFERENCE form of the payload encode: the writers run
+    * [[packPayloadsFromDocArrays]] (no per-token rows), and the spec pins
+    * the two byte-identical on the fixture. */
+  private[graft] def packPayloads(packRows: DataFrame): DataFrame = {
     val spark = packRows.sparkSession
     import spark.implicits._
     packRows.groupBy("pack_seq")
@@ -1257,22 +1321,24 @@ object TrainingShards {
         surviving.select(col("doc_id")).distinct(),
         graft.operators.PrefixSum.defaultBuckets(
           surviving.select(col("doc_id")).distinct()))
-    // reconstruct the surviving token streams from the old containers:
-    // per doc, spans slice consecutive packs, so the doc-partitioned
-    // running sum of span lengths is each slice's offset in the stream
-    // (bounded per doc — a doc has n/budget + 1 spans)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pack_seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val toks = surviving
+    // reconstruct the surviving token streams from the old containers as
+    // per-document token ARRAYS: a doc's spans slice CONSECUTIVE packs, so
+    // sorting its slices by pack_seq and concatenating IS the stream — no
+    // per-token explode, no doc-partitioned running-sum window (the
+    // docTokenArrays §8 shape; bounded per doc — n/budget + 1 slices)
+    val docArrs = surviving
       .join(packedTokenArrays(spark, dir), "pack_seq")
-      .withColumn("span_base",
-        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
-      .select(col("doc_id"), col("source"), col("span_base"),
-        posexplode(expr(
-          "slice(tok, cast(start_pos as int) + 1, cast(n_tokens as int))")))
+      .select(col("doc_id"), col("source"), struct(col("pack_seq"),
+        expr("slice(tok, cast(start_pos as int) + 1, cast(n_tokens as int))")
+          .as("seg")).as("ps"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"),
+        sort_array(collect_list(col("ps"))).as("pss"))
       .select(col("doc_id"), col("source"),
-        (col("span_base") + col("pos")).as("tidx"),
-        col("col").cast("long").as("token_id"))
+        // decoded slices are array<int>; the payload assembler consumes
+        // the same array<bigint> shape the tokenizer-side arrays carry
+        flatten(expr("transform(pss, x -> x.seg)"))
+          .cast("array<bigint>").as("tok"))
     val vocabCarried = spark.read.parquet(s"$dir/tokenizer/vocab")
       .filter(col("ingest_batch").cast("long").isin(committedVals: _*))
       .select(col("sym"), col("token_id"))
@@ -1289,14 +1355,14 @@ object TrainingShards {
     // counts from the surviving SPAN rows alone (a doc's spans partition
     // its token run, so Σ span n_tokens = the doc's token count) — the
     // counts checkpoint then never pays the container-decode + slice
-    // chain; `toks` is evaluated exactly once, in the container write
-    val layout = packLayoutFromToks(toks, budget, bounds,
+    // chain; the decode runs exactly once, in the container write
+    val plan = packPlanFromCounts(
       surviving.groupBy("doc_id", "source")
-        .agg(sum(col("n_tokens")).as("n_tokens")))
-    layout.spans.withColumn("ingest_batch", lit(0L))
+        .agg(sum(col("n_tokens")).as("n_tokens")), budget, bounds)
+    plan.spans.withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$dir/_rebuild/spans")
-    def entries = withLayout(packPayloads(layout.packRows)
+    def entries = withLayout(packPayloadsFromDocArrays(docArrs, plan, budget)
       .select(col("pack_seq").as("entry_id"), col("payload")),
       nShards, shardBase = 0L)
     writeContainerFiles(spark, () => entries, s"$dir/_rebuild", nShards,

@@ -67,12 +67,22 @@ object PageRank {
     val sym = prepEdges(edges)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     var r = n.withColumn("pr", lit(1000000L)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = contribRound(sym, deg, r)
-      r = n.join(contrib, Seq("id"), "left_outer")
+    // TWO iterations per materialization (the ConnectedComponents fused-
+    // pair shape, guide §2.4): iteration 2 of a pair chains lazily on
+    // iteration 1 inside the same checkpoint job, halving the per-round
+    // action count; ranks are exact integer arithmetic, so the
+    // materialization points are invisible to the values.
+    def step(cur: DataFrame): DataFrame =
+      n.join(contribRound(sym, deg, cur), Seq("id"), "left_outer")
         .withColumn("pr", lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100"))
         .select(col("id"), col("pr"))
-        .localCheckpoint(true)
+    var done = 0
+    while (done < iters) {
+      val take = math.min(2, iters - done)
+      var cur = r
+      for (_ <- 1 to take - 1) cur = step(cur) // lazy intermediate round
+      r = step(cur).localCheckpoint(true)
+      done += take
     }
     r.select(col("id"), col("pr").as("pr_micro"))
   }
