@@ -270,8 +270,13 @@ object Similarity {
     * approx sides are the production operators themselves, unmodified;
     * hit-matching joins on (query_id, neighbor_id) — top-k-sized, tiny. */
   def annRecallEval(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // localCheckpoint: the truth table joins into all three method arms,
+    // which union into ONE action — without it the brute-force all-pairs
+    // plan evaluates three times per run (guide §1.2: don't recompute).
+    // Bounded: nQueries × k rows by construction.
     val truth = bruteForceTopK(emb, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true)
     def recallOf(method: String, approx: DataFrame): DataFrame =
       truth
         .join(approx.select(col("query_id"), col("neighbor_id"),

@@ -427,14 +427,23 @@ object TrainingShards {
     // with the params — every append/maintained batch reuses them instead
     // of re-running the quantile job over a mostly-stable id distribution
     // (answers are bucket-invariant by construction, so staleness costs
-    // only balance; spec-pinned byte-identical under different bounds)
+    // only balance; spec-pinned byte-identical under different bounds).
+    // Sampled from the CHECKPOINTED counts table, not a fresh corpus scan:
+    // the quantile job then reads per-doc narrow rows already pinned to
+    // executor storage instead of re-evaluating the whole input chain —
+    // one corpus pass fewer per build, and for a gated input (the
+    // pipeline-e2e survivors join) one curation-chain evaluation fewer
+    // (guide §1.2). Zero-token docs drop out of the sample; boundaries
+    // are a balance knob only (bucket-invariance law), so the packs,
+    // spans and manifest are unchanged for any sampled id set.
+    val counts = BpeTrainer.docTokenCountsFrom(docs, wordSyms)
+      .localCheckpoint(eager = true)
     val bounds = graft.operators.PrefixSum.sampleBoundaries(
-      docs.select(col("doc_id")),
+      counts.select(col("doc_id")),
       graft.operators.PrefixSum.defaultBuckets(docs))
     Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
       .write.mode("overwrite").parquet(s"$dir/params")
-    val plan = packPlanFromCounts(
-      BpeTrainer.docTokenCountsFrom(docs, wordSyms), budget, bounds)
+    val plan = packPlanFromCounts(counts, budget, bounds, countsPinned = true)
     // spans before containers before manifest: the manifest stays the
     // commit marker, and readers gate the spans part on committed batches
     plan.spans.withColumn("ingest_batch", lit(0L))
@@ -604,14 +613,18 @@ object TrainingShards {
                                            bases: DataFrame, spans: DataFrame)
 
   private[graft] def packPlanFromCounts(countsIn: DataFrame, budget: Int,
-                                        boundaries: Array[Long]): PackPlan = {
+                                        boundaries: Array[Long],
+                                        countsPinned: Boolean = false): PackPlan = {
     import org.apache.spark.sql.expressions.Window
     // localCheckpoint: the consumers below (prefix-sum subtotal pass,
     // prefix-sum final pass, pack bases, spans) would each re-run the
     // counts chain; the checkpoint pins one PER-DOCUMENT narrow row
     // (doc_id, source, n_tokens) per doc — counts-table-sized, never
-    // corpus-sized
-    val counts = countsIn.localCheckpoint(eager = true)
+    // corpus-sized. `countsPinned` callers already materialized it (to
+    // sample the prefix-sum boundaries from the same rows) — don't pay a
+    // second counts-sized pass re-pinning a pinned table.
+    val counts = if (countsPinned) countsIn
+      else countsIn.localCheckpoint(eager = true)
     // per-source running token starts via the two-phase distributed
     // prefix sum — the per-source running-sum window this replaced
     // funnels every doc of a source through ONE task (r11 verdict's last
