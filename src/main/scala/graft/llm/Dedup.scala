@@ -104,33 +104,38 @@ object Dedup {
     approx + 1 > bound - bound / 10
   }
 
-  def shingleIds(tok: DataFrame, exactVocabBound: Long): DataFrame = {
-    if (vocabOverBound(tok, exactVocabBound)) return shingleIdsHashed(tok)
-    // The exact path's vocabulary is ≤ exactVocabBound (~2.1M) rows BY THE
-    // BRANCH GUARD above, i.e. bounded driver state by construction — the
-    // LSH-plane bounded-collect convention. So the id table is built with
-    // ONE distinct+collect job and a driver-side UTF8String sort, replacing
-    // the distributed vocab()'s sortBy sample job + zipWithIndex count job
-    // + localCheckpoint materialization + exact count() (4 jobs → 1; the
-    // broadcast the consumer join ships is the same table either way, and
-    // at 2.1M×~10B the array is tens of MB — far inside the driver the
-    // broadcast relation already had to hold). Ids identical to vocab():
-    // dense 1-based ranks over the same UTF8 binary collation (exact count
-    // check preserved: an HLL under-estimate past the bound still falls
-    // back to hashed ids before any driver array is sized — the collect
-    // itself is capped by the guard's 0.9×bound acceptance).
-    // base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but sid < v^3
-    // must fit a Long, so v must stay under 2^21 (~2.1M distinct tokens).
-    // Beyond that — tens of millions of distinct tokens is exactly the
-    // 100 TB regime — switch to opaque hashed ids: consumers only need id
-    // equality (Jaccard over ids == Jaccard over shingles for any
-    // injective-up-to-collisions map).
+  /** The bounded-collect vocabulary behind every exact-encoding consumer
+    * ([[shingleIds]], [[winnowFingerprints]]) — `Some((token → tid table,
+    * vBase))` or `None` past `bound`, where the caller must run its hashed
+    * twin instead.
+    *
+    * The exact path's vocabulary is ≤ bound (~2.1M) rows BY THE BRANCH
+    * GUARD, i.e. bounded driver state by construction — the LSH-plane
+    * bounded-collect convention. So the id table is built with ONE
+    * distinct+collect job and a driver-side UTF8String sort, replacing
+    * the distributed vocab()'s sortBy sample job + zipWithIndex count job
+    * + localCheckpoint materialization + exact count() (4 jobs → 1; the
+    * broadcast the consumer join ships is the same table either way, and
+    * at 2.1M×~10B the array is tens of MB — far inside the driver the
+    * broadcast relation already had to hold). Ids identical to vocab():
+    * dense 1-based ranks over the same UTF8 binary collation (exact count
+    * check preserved: an HLL under-estimate past the bound still falls
+    * back to hashed ids before any driver array is sized — the collect
+    * itself is capped by the guard's 0.9×bound acceptance).
+    * base-(V+1) ids reproduce the DuckDB oracle bit-for-bit but sid < v^3
+    * must fit a Long, so v must stay under 2^21 (~2.1M distinct tokens).
+    * Beyond that — tens of millions of distinct tokens is exactly the
+    * 100 TB regime — the hashed twins take over: consumers only need id
+    * equality (Jaccard over ids == Jaccard over shingles for any
+    * injective-up-to-collisions map). */
+  private def boundedVocab(tok: DataFrame, bound: Long): Option[(DataFrame, Long)] = {
+    if (vocabOverBound(tok, bound)) return None
     val session = tok.sparkSession
     val tokens: Array[String] = tok
       .select(explode(col("words")).as("token")).distinct()
       .collect().map(_.getString(0))
     val vBase = tokens.length.toLong + 1
-    if (vBase > exactVocabBound) shingleIdsHashed(tok)
+    if (vBase > bound) None
     else {
       import org.apache.spark.unsafe.types.UTF8String
       // binary/code-point order — the vocab() sortBy collation, and what
@@ -138,18 +143,24 @@ object Dedup {
       java.util.Arrays.sort(tokens, (x: String, y: String) =>
         UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
       import session.implicits._
-      val v = tokens.toSeq.zipWithIndex
-        .map { case (t, i) => (t, i.toLong + 1) }.toDF("token", "tid")
-      val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
-        .join(broadcast(v), "token")
-      pos.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
-        .filter(size(col("pt")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          s"array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid))"))
-          .as("sid"))
+      Some((tokens.toSeq.zipWithIndex
+        .map { case (t, i) => (t, i.toLong + 1) }.toDF("token", "tid"), vBase))
     }
   }
+
+  def shingleIds(tok: DataFrame, exactVocabBound: Long): DataFrame =
+    boundedVocab(tok, exactVocabBound) match {
+      case None => shingleIdsHashed(tok)
+      case Some((v, vBase)) =>
+        val pos = tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+          .join(broadcast(v), "token")
+        pos.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
+          .filter(size(col("pt")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            s"array_distinct(transform(sequence(1, size(pt) - 2), i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid))"))
+            .as("sid"))
+    }
 
   /** Hashed shingle ids: `xxhash64` over the shingle string — the
     * unbounded-vocabulary path. No vocab table, no broadcast, no driver
@@ -303,16 +314,38 @@ object Dedup {
 
   /** Mine → verify over an already-materialized shingle-id table — the
     * [[minhashLsh]] body, shared with the hashed/appendable artifact path
-    * so the candidate/verify arithmetic exists once. */
+    * so the candidate/verify arithmetic exists once.
+    *
+    * Size-bound prefilter (guide §3.2 — reduce the big side before
+    * shuffling it): |A∩B| ≤ min(|A|,|B|) gives the EXACT Jaccard upper
+    * bound J ≤ min(c_a,c_b)/max(c_a,c_b), so a candidate whose rounded
+    * bound already misses the threshold can never pass the verify —
+    * rounding is monotone, hence round(J,6) ≤ round(min/max,6) <
+    * threshold. The set-size table is doc-level (tiny next to the
+    * shingle-id table), and the two cnt joins MOVE from the verified
+    * intersections (where jaccardVerified paid them) to the candidate
+    * set, so the join count is unchanged while the shingle-id verify join
+    * — the expensive corpus-sized one — only runs over candidates that
+    * can still win. The pair set is bit-identical: the bound is exact,
+    * not approximate. */
   private def pairsFromShid(shid: DataFrame, threshold: Double,
                             saltBuckets: Int): DataFrame = {
     val cand = candidatesOf(shid, saltBuckets)
     val cnt = shid.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val candB = cand
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .filter(round(least(col("ca"), col("cb")).cast("double") /
+        greatest(col("ca"), col("cb")), 6) >= threshold)
     val xa = shid.select(col("doc_id").as("doc_a"), col("sid"))
     val xb = shid.select(col("doc_id").as("doc_b"), col("sid"))
-    val inter = cand.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    jaccardVerified(inter, cnt, threshold)
+    candB.join(xa, "doc_a").join(xb, Seq("doc_b", "sid"))
+      .groupBy("doc_a", "doc_b", "ca", "cb").agg(count(lit(1)).as("inter"))
+      // the jaccardVerified arithmetic verbatim, over the pre-joined sizes
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** MinHash signatures: 16 (doc_id, h, mh) rows per doc. Stays in
@@ -1565,7 +1598,20 @@ object Dedup {
     * quadratic truth join sees n/sampleMod docs. The default 1 is the
     * full-corpus form the fixture oracle pins; the sampled arm is
     * spec-verified (recall on the slice within CI bounds of the full
-    * answer) rather than left as a scaladoc claim. */
+    * answer) rather than left as a scaladoc claim.
+    *
+    * HASHED-REGIME CONTRACT (the boundary the r14 audit asked to be stated
+    * where the code makes it): both arms read ONE shingle-id table, so past
+    * the [[ExactVocabBound]] vocab bound the "exact truth" arm computes
+    * Jaccard over 64-bit `xxhash64` shingle ids, not shingle strings — the
+    * truth is then exact *up to id collisions*, probability ~2⁻⁶⁴ per
+    * shingle pair, orders of magnitude below any corpus's pair count and
+    * far below the sampling error the `sampleMod` production form already
+    * accepts. Below the bound (every oracle fixture) the encoding is
+    * injective and the truth is exact in the strict sense. A deployment
+    * that needs collision-free truth in the unbounded regime must run the
+    * string-shingle [[ngramJaccard]] arm instead and pay its second
+    * tokenize chain. */
   def dedupEval(docs: DataFrame, threshold: Double, sampleMod: Long = 1L): DataFrame = {
     require(sampleMod >= 1, s"dedupEval: sampleMod must be >= 1, got $sampleMod")
     val d = if (sampleMod == 1L) docs
@@ -1613,29 +1659,55 @@ object Dedup {
     * encoding already pays); the hash mix, the sliding-window min, and the
     * fingerprint dedup all happen inside the row over the ~|doc|-element
     * array. The fingerprint table is what ships — at 100 TB, 1/window of
-    * the shingle volume — and the hashed-twin note from
-    * [[shingleIdsHashed]] applies verbatim (swap the vocab mix for
-    * xxhash64 of the shingle string; selection density is what matters,
-    * not which uniform hash). */
-  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame = {
+    * the shingle volume.
+    *
+    * Vocab regimes (the [[shingleIds]] switch, r15): the exact path's
+    * vocabulary comes from the [[boundedVocab]] bounded collect (one
+    * distinct+collect job — the distributed vocab()'s 4-job
+    * sortBy/zipWithIndex/checkpoint/count chain is gone; ids identical),
+    * and past the bound the HASHED twin runs instead: positional shingle
+    * hashes `xxhash64(shingle string)` computed IN-ROW from the words
+    * array — no vocab table, no broadcast, no shuffle at all before the
+    * fingerprint explode. Fingerprints differ from the exact path's
+    * (different uniform hash family feeding the same window-min mix), but
+    * the winnowing guarantee is hash-agnostic — any shared run of
+    * `window + shingle − 1` tokens still shares a fingerprint, and the
+    * ~1/window selection density is a property of min-over-window, not of
+    * which uniform hash fills the array (spec-pinned on a shared-run
+    * fixture under both regimes). */
+  def winnowFingerprints(docs: DataFrame, window: Int): DataFrame =
+    winnowFingerprints(docs, window, ExactVocabBound)
+
+  def winnowFingerprints(docs: DataFrame, window: Int,
+                         exactVocabBound: Long): DataFrame = {
     require(window >= 2, s"winnowing needs window >= 2, got $window")
     val tok = tokenized(docs)
-    val v = vocab(tok)
-    val vBase = v.count() + 1
-    tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
-      .join(broadcast(v), "token")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
-      .filter(size(col("pt")) >= 2 + window) // >= window shingles
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(1, size(pt) - 2),
-           |  i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid)"""
-          .stripMargin).as("sids"))
-      .select(col("doc_id"), explode(expr(
+    // the window-min fingerprint selection over a positional shingle-hash
+    // array — ONE definition both vocab regimes feed
+    def fps(sids: DataFrame): DataFrame =
+      sids.select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence(1, size(sids) - ${window - 1}),
            |  w -> array_min(transform(sequence(w, w + ${window - 1}),
            |         i -> ((sids[i-1] % 3037000493) * 2654435761) % 1099511627791))))"""
           .stripMargin)).as("fp"))
+    boundedVocab(tok, exactVocabBound) match {
+      case None =>
+        fps(tok.filter(size(col("words")) >= 2 + window) // >= window shingles
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, size(words) - 2),
+              |  i -> xxhash64(concat_ws(' ', words[i-1], words[i], words[i+1])))"""
+              .stripMargin).as("sids")))
+      case Some((v, vBase)) =>
+        fps(tok.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "token")))
+          .join(broadcast(v), "token")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("pt"))
+          .filter(size(col("pt")) >= 2 + window) // >= window shingles
+          .select(col("doc_id"), expr(
+            s"""transform(sequence(1, size(pt) - 2),
+               |  i -> (pt[i-1].tid * ${vBase}L + pt[i].tid) * ${vBase}L + pt[i+1].tid)"""
+              .stripMargin).as("sids")))
+    }
   }
 
   /** Default stop-fingerprint cap for [[winnowPairs]] — far above any
@@ -1660,9 +1732,17 @@ object Dedup {
     * the anti-join broadcasts; the ×10 hot-boilerplate stress row measures
     * the bounded max task. */
   def winnowPairs(docs: DataFrame, window: Int, minShared: Long,
-                  maxDf: Long = WinnowStopDf): DataFrame = {
+                  maxDf: Long = WinnowStopDf): DataFrame =
+    winnowPairs(docs, window, minShared, maxDf, ExactVocabBound)
+
+  /** `exactVocabBound` injects the [[winnowFingerprints]] regime switch —
+    * tests force the hashed branch on a small fixture with bound 0, the
+    * [[shingleIds]] convention. */
+  private[graft] def winnowPairs(docs: DataFrame, window: Int, minShared: Long,
+                                 maxDf: Long, exactVocabBound: Long): DataFrame = {
     require(maxDf >= 2, s"winnowPairs: maxDf must be >= 2 (a df-1 cap would drop every shared fingerprint), got $maxDf")
-    val fp = winnowFingerprints(docs, window).localCheckpoint(eager = true)
+    val fp = winnowFingerprints(docs, window, exactVocabBound)
+      .localCheckpoint(eager = true)
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("fp")
     val kept = fp.join(hot, Seq("fp"), "left_anti")

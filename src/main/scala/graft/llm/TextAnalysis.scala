@@ -1517,6 +1517,17 @@ object TextAnalysis {
       .filter(col("token").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    bm25ScoredFrom(postings, stats)
+  }
+
+  /** The scoring arithmetic of [[bm25Scored]] over PREPARED inputs — a
+    * (doc_id, dl, token, tf) postings table already filtered to the
+    * query's terms, and the one-row corpus stats — so [[retrievalEval]]
+    * can feed every evaluation arm from one shared postings build. The
+    * df table is derived from the postings themselves (df(token) = #docs
+    * carrying token — independent of which query's filter selected the
+    * row, so a shared-postings caller computes identical values). */
+  private def bm25ScoredFrom(postings: DataFrame, stats: DataFrame): DataFrame = {
     val dfTbl = postings.groupBy("token").agg(count(lit(1)).as("df"))
     def d(c: Column): Column = c.cast("double")
     // k1 = 1.2, b = 0.75 (the canonical defaults), pre-folded as the SAME
@@ -1575,11 +1586,38 @@ object TextAnalysis {
   def retrievalEval(docs: DataFrame,
                     querySets: Seq[(String, Seq[String])]): DataFrame = {
     require(querySets.nonEmpty, "retrievalEval: need at least one query")
+    require(querySets.forall(_._2.nonEmpty),
+      "retrievalEval: every query needs at least one term")
     val mrrW = RetrievalWeights.mrrMicro.map(lit(_))
     val dcgW = RetrievalWeights.dcgMicro.map(lit(_))
     val cumW = RetrievalWeights.idcgMicro.map(lit(_))
+    // ONE corpus pass feeds every evaluation arm (the annRecallEval
+    // checkpoint convention; guide §1.2 — don't compute things twice):
+    // postings over the UNION of all queries' terms and the one-row corpus
+    // stats are materialized once, and each arm FILTERS the bounded
+    // postings table instead of re-running its own tokenize+explode scan —
+    // previously every arm paid 2 corpus-sized jobs (its stats aggregate +
+    // its postings build) inside the single union action, 2Q scans for Q
+    // queries. Checkpointed state is bounded: postings are
+    // candidate-set-sized (docs containing ≥1 term of ANY eval query —
+    // posting-list-sized at 100 TB), stats is one row. Per-arm values are
+    // unchanged: the arm's filter keeps exactly the rows its own build
+    // produced, and df(token) counts docs carrying that token regardless
+    // of which query's IN-list selected the row.
+    val allTerms = querySets.flatMap(_._2).distinct
+    val tok = Dedup.tokenized(docs).withColumn("dl", size(col("words")))
+    val stats = tok.agg(count(lit(1)).as("n_corpus"),
+      sum(col("dl").cast("long")).as("total_tokens"))
+      .localCheckpoint(eager = true)
+    val postings = tok
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("token"))
+      .filter(col("token").isInCollection(allTerms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val perQuery = querySets.map { case (qid, terms) =>
-      val ranked = bm25Scored(docs, terms)
+      val ranked = bm25ScoredFrom(
+        postings.filter(col("token").isInCollection(terms)), stats)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
       val rel = col("n_match") === lit(terms.size)

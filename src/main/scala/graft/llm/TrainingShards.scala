@@ -85,9 +85,18 @@ object TrainingShards {
     * past every earlier batch's) — growth never rewrites shipped shards,
     * so a training job's already-consumed files stay byte-stable. Ad-hoc
     * form derives the batch id from the stored manifest. */
-  def appendTrainingShards(newDocs: DataFrame, dir: String, nShards: Int): Unit =
-    appendTrainingShards(newDocs, dir, nShards,
-      nextIngestBatch(newDocs.sparkSession, dir))
+  def appendTrainingShards(newDocs: DataFrame, dir: String, nShards: Int): Unit = {
+    require(nShards >= 1, s"appendTrainingShards: nShards must be >= 1, got $nShards")
+    // next-batch probe + shard-base aggregation in ONE manifest pass
+    // (guide §1.2): batch = stored max + 1 makes the explicit form's
+    // strictly-before filter keep every row, so its aggregate and the
+    // probe are the same scan
+    val m = newDocs.sparkSession.read.parquet(s"$dir/manifest")
+      .agg(max(col("ingest_batch").cast("long")), max(col("shard"))).head()
+    val batch = if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+    writeShardFiles(newDocs, dir, nShards, shardBase = m.getLong(1) + 1L,
+      ingestBatch = batch, dynamic = true)
+  }
 
   /** Append with the shard count DERIVED from the increment's size (one
     * increment-sized agg), so a small daily increment mints one
@@ -475,22 +484,68 @@ object TrainingShards {
     * with identical rows. */
   def appendPackedTokenShards(newDocs: DataFrame, dir: String,
                               nShards: Int): Unit =
-    appendPackedTokenShards(newDocs, dir, nShards,
-      nextIngestBatch(newDocs.sparkSession, dir))
+    // `batch = max(ingest_batch) + 1` makes the strictly-before base filter
+    // keep EVERY stored row, so the next-batch probe and the base
+    // aggregation are the same manifest pass — appendMeta folds them (plus
+    // the params head) into ONE driver action where this path previously
+    // paid three (guide §1.2; r14 verdict item 2).
+    appendPackedImpl(newDocs, dir, nShards,
+      appendMeta(newDocs.sparkSession, dir, ingestBatch = None))
 
   def appendPackedTokenShards(newDocs: DataFrame, dir: String, nShards: Int,
-                              ingestBatch: Long): Unit = {
+                              ingestBatch: Long): Unit =
+    appendPackedImpl(newDocs, dir, nShards,
+      appendMeta(newDocs.sparkSession, dir, Some(ingestBatch)))
+
+  /** Everything the append needs from the store's small metadata parts, in
+    * ONE action: budget + stored prefix-sum bounds (params), the batch id
+    * (next = stored max + 1 when not explicit), and the shard/pack bases
+    * over manifest rows STRICTLY BEFORE the batch — a 1-row × 1-row cross
+    * join evaluated by a single head(). */
+  private final case class AppendMeta(ingestBatch: Long, shardBase: Long,
+                                      packBase: Long, budget: Int,
+                                      bounds: Option[Array[Long]])
+
+  private def appendMeta(spark: SparkSession, dir: String,
+                         ingestBatch: Option[Long]): AppendMeta = {
+    val prm = spark.read.parquet(s"$dir/params")
+    // stores written before the bounds column existed fall back to
+    // re-sampling (answers are bucket-invariant, so the fallback is a
+    // balance difference, never a compatibility break — review-caught:
+    // a hard fieldIndex would make every pre-upgrade store unappendable)
+    val hasBounds = prm.schema.fieldNames.contains("bounds")
+    val manifest = spark.read.parquet(s"$dir/manifest")
+    val scoped = ingestBatch.fold(manifest)(b =>
+      manifest.filter(col("ingest_batch").cast("long") < b))
+    val row = prm
+      .select(col("budget") +:
+        (if (hasBounds) Seq(col("bounds")) else Nil): _*)
+      .crossJoin(scoped.agg(
+        max(col("ingest_batch").cast("long")).as("_max_batch"),
+        max(col("shard")).as("_max_shard"),
+        sum(col("n_docs")).as("_n_stored")))
+      .head()
+    AppendMeta(
+      ingestBatch = ingestBatch.getOrElse(
+        if (row.isNullAt(row.fieldIndex("_max_batch"))) 1L
+        else row.getLong(row.fieldIndex("_max_batch")) + 1L),
+      shardBase = row.getLong(row.fieldIndex("_max_shard")) + 1L,
+      packBase = row.getLong(row.fieldIndex("_n_stored")), // every container entry is one pack
+      budget = row.getAs[Int]("budget"),
+      bounds = if (hasBounds)
+        Some(row.getSeq[Long](row.fieldIndex("bounds")).toArray) else None)
+  }
+
+  private def appendPackedImpl(newDocs: DataFrame, dir: String, nShards: Int,
+                               meta: AppendMeta): Unit = {
     require(nShards >= 1, s"appendPackedTokenShards: nShards=$nShards")
+    val ingestBatch = meta.ingestBatch
     require(ingestBatch >= 1, "appendPackedTokenShards: batch 0 is the build's")
     val spark = newDocs.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val prm = spark.read.parquet(s"$dir/params").head()
-    val budget = prm.getAs[Int]("budget")
-    val m = spark.read.parquet(s"$dir/manifest")
-      .filter(col("ingest_batch").cast("long") < ingestBatch)
-      .agg(max(col("shard")), sum(col("n_docs"))).head()
-    val shardBase = m.getLong(0) + 1L
-    val packBase = m.getLong(1) // every container entry is one pack
+    val budget = meta.budget
+    val shardBase = meta.shardBase
+    val packBase = meta.packBase
     val merges = BpeTrainer.loadMerges(spark, s"$dir/tokenizer/merges")
     // empty-seed bootstrap (the Dedup.readPartOr convention): a store
     // built from zero/wordless docs writes a ZERO-ROW vocab, which leaves
@@ -507,32 +562,30 @@ object TrainingShards {
       })
       .filter(col("ingest_batch").cast("long") < ingestBatch)
       .select(col("sym"), col("token_id"))
-    val maxId = storedVocab.agg(max(col("token_id"))).head() match {
-      case r if r.isNullAt(0) => -1L
-      case r => r.getLong(0)
-    }
+    // the stored vocab max rides the newSyms job as a broadcast one-row
+    // aggregate instead of its own driver round-trip (guide §1.2; r14
+    // verdict item 2) — coalesce(-1) keeps the empty-seed bootstrap: a
+    // zero-row stored vocab starts the id space at 0
+    val maxIdDf = storedVocab
+      .agg(coalesce(max(col("token_id")), lit(-1L)).as("_max_id"))
     val wordSyms = BpeTrainer.wordSymSeqsAgainstMerges(newDocs, merges)
       .localCheckpoint(eager = true) // feeds the extension AND the join
     val newSyms = wordSyms.select(col("sym")).distinct()
       .join(storedVocab.select(col("sym")), Seq("sym"), "left_anti")
+      .crossJoin(broadcast(maxIdDf))
       .withColumn("token_id",
-        row_number().over(Window.orderBy(col("sym"))).cast("long") + maxId)
+        row_number().over(Window.orderBy(col("sym"))).cast("long") + col("_max_id"))
+      .select(col("sym"), col("token_id"))
     newSyms.withColumn("ingest_batch", lit(ingestBatch))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("ingest_batch").parquet(s"$dir/tokenizer/vocab")
     val vocab = storedVocab.unionByName(newSyms)
     // stored bucket boundaries: the build's one quantile job, reused —
-    // one fewer job per maintained batch, same answer (bucket-invariant).
-    // Stores written before the bounds column existed fall back to
-    // re-sampling (answers are bucket-invariant, so the fallback is a
-    // balance difference, never a compatibility break — review-caught:
-    // a hard fieldIndex would make every pre-upgrade store unappendable)
-    val bounds: Array[Long] =
-      if (prm.schema.fieldNames.contains("bounds"))
-        prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
-      else graft.operators.PrefixSum.sampleBoundaries(
+    // one fewer job per maintained batch, same answer (bucket-invariant)
+    val bounds: Array[Long] = meta.bounds.getOrElse(
+      graft.operators.PrefixSum.sampleBoundaries(
         newDocs.select(col("doc_id")),
-        graft.operators.PrefixSum.defaultBuckets(newDocs))
+        graft.operators.PrefixSum.defaultBuckets(newDocs)))
     val plan = packPlanFromCounts(
       BpeTrainer.docTokenCountsFrom(newDocs, wordSyms), budget, bounds)
     plan.spans.withColumn("pack_seq", col("pack_seq") + packBase)
@@ -1322,11 +1375,6 @@ object TrainingShards {
       .select(col("pack_seq"), col("doc_id"), col("start_pos"),
         col("n_tokens"), col("source"))
       .join(broadcast(readTombstones(spark, dir)), Seq("doc_id"), "left_anti")
-    val nullSource = surviving.filter(col("source").isNull).count()
-    require(nullSource == 0L,
-      s"$dir: $nullSource surviving span rows have NULL source (batches " +
-        "written before the span-source convention) — refusing a rebuild " +
-        "that would silently drop those documents")
     val bounds: Array[Long] =
       if (prm.schema.fieldNames.contains("bounds"))
         prm.getSeq[Long](prm.fieldIndex("bounds")).toArray
@@ -1334,6 +1382,26 @@ object TrainingShards {
         surviving.select(col("doc_id")).distinct(),
         graft.operators.PrefixSum.defaultBuckets(
           surviving.select(col("doc_id")).distinct()))
+    // the NULL-source guard rides the counts checkpoint as an Observation
+    // instead of its own count() — previously a full extra pass over the
+    // spans + tombstone-anti-join chain purely to validate (guide §1.2);
+    // packPlanFromCounts materializes eagerly, so the metric is available
+    // (and the require fires) before anything is written under _rebuild/
+    val nullSrcObs = org.apache.spark.sql.Observation("rebuild-null-source")
+    val plan = packPlanFromCounts(
+      surviving
+        .observe(nullSrcObs,
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_src"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n_tokens")).as("n_tokens")), budget, bounds)
+    val nullSource = nullSrcObs.get.getOrElse("null_src", null) match {
+      case l: java.lang.Long => l.longValue
+      case _ => 0L // sum over zero rows — an empty survivor set is legal
+    }
+    require(nullSource == 0L,
+      s"$dir: $nullSource surviving span rows have NULL source (batches " +
+        "written before the span-source convention) — refusing a rebuild " +
+        "that would silently drop those documents")
     // reconstruct the surviving token streams from the old containers as
     // per-document token ARRAYS: a doc's spans slice CONSECUTIVE packs, so
     // sorting its slices by pack_seq and concatenating IS the stream — no
@@ -1365,13 +1433,10 @@ object TrainingShards {
       Seq((k, budget, bounds.toSeq)).toDF("k", "budget", "bounds")
         .write.mode("overwrite").parquet(s"$dir/_rebuild/params")
     }
-    // counts from the surviving SPAN rows alone (a doc's spans partition
-    // its token run, so Σ span n_tokens = the doc's token count) — the
-    // counts checkpoint then never pays the container-decode + slice
-    // chain; the decode runs exactly once, in the container write
-    val plan = packPlanFromCounts(
-      surviving.groupBy("doc_id", "source")
-        .agg(sum(col("n_tokens")).as("n_tokens")), budget, bounds)
+    // (plan above: counts from the surviving SPAN rows alone — a doc's
+    // spans partition its token run, so Σ span n_tokens = the doc's token
+    // count; the counts checkpoint never pays the container-decode + slice
+    // chain, and the decode runs exactly once, in the container write)
     plan.spans.withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$dir/_rebuild/spans")
@@ -1713,8 +1778,16 @@ object TrainingShards {
     // the one-statement user journey the engine exists for
     "doc_pipeline_e2e" -> ((s, dir) => {
       val d = docs(s, dir)
-      val survivors = d.join(
-        TextAnalysis.curate(d).filter(col("keep")).select("doc_id"), "doc_id")
+      // pin the NARROW gate-decision rows once (guide §8 — decide with
+      // small rows; strictly within-query, no cross-run state): the packed
+      // writer scans its input three times (train word-freq, per-doc
+      // counts, per-doc token arrays), and without the checkpoint each
+      // scan re-evaluates the whole curation-gate chain; with it each scan
+      // is a parquet re-read plus a join against the pinned doc_id list —
+      // the ids are the only thing the gates decide
+      val keep = TextAnalysis.curate(d).filter(col("keep")).select("doc_id")
+        .localCheckpoint(eager = true)
+      val survivors = d.join(keep, "doc_id")
       val out = tempDir()
       writePackedTokenShards(survivors, out, PackedShardCount,
         BpeTrainer.MergeSteps, PackedBudget)
